@@ -1,0 +1,596 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources._
+import graft.streaming.EventsStream
+
+/** One registry row: query key (SURVEY.md §2), the Spark query, and an
+  * optional DuckDB oracle SQL (None = non-SQL-expressible, rows-only
+  * check + ScalaTest spec).
+  */
+final case class Q(key: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String],
+                   bench: Boolean = true)
+
+/** All SURVEY.md §2 queries. Every query reads only the driver-provided
+  * parquet tables under `dir` and is deterministic (fixed seeds, no
+  * wall-clock). Oracle SQL computes the same values with the same
+  * column names so the driver's sorted-column hash compare is exact.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 refuses natively — read them as long nanos and convert to a
+    * microsecond timestamp with integer division (a double division would
+    * lose precision above 2^53 ns). Matches DuckDB's ns→µs truncation. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Deterministic phone from a customer key — the reference's `phone`
+    * natural key (feeder.py:157) re-derived from the synthetic schema. */
+  private def phoneOf(key: Column): Column =
+    concat(lit("+7"), lpad(key.cast("string"), 10, "0"))
+
+  private val phoneSql = (c: String) => s"'+7' || lpad(CAST($c AS VARCHAR), 10, '0')"
+
+  // ===========================================================================
+  // Core feeder surface (SURVEY §2 ops 1-15)
+  // ===========================================================================
+
+  /** #1 flagship: project → transform suite → anti-join dedup → insert batch.
+    * Reference: feeder.py:248-259 (run() composing the whole feeder). */
+  private def feederLoad(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val transformed = orders
+      .withColumn("wave", col("o_orderkey") % 10)
+      .filter(col("wave") === 3)
+      .withColumn("result", FeederTransforms.resultFor(col("o_orderstatus")))
+      .filter(!FeederTransforms.isReject(col("result")))
+      .withColumn("status", FeederTransforms.statusFor(col("result")))
+      .withColumn("ivdate_raw", date_format(col("o_orderdate"), "dd.MM.yyyy HH:mm:ss"))
+      .withColumn("ivdate", FeederTransforms.normalizeDate(col("ivdate_raw")))
+      .withColumn("age", least(floor(col("o_totalprice")).cast("int"), lit(FeederTransforms.SmallintMax)))
+      .withColumn("phone", phoneOf(col("o_custkey")))
+    // customer is the dim side: broadcast (at 100 TB the fact side stays put)
+    val named = transformed
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .withColumn("name", FeederTransforms.truncateTo(col("c_name"), 10))
+    val existing = customer.filter(col("c_custkey") % 3 === 0)
+      .select(phoneOf(col("c_custkey")).as("phone"))
+    Dedup.newRows(named, existing, "phone", broadcastExisting = true)
+      .select(col("o_orderkey").as("id"), col("phone"), col("result"),
+        col("status"), col("ivdate"), col("age"), col("name"), col("wave"))
+  }
+
+  private val feederLoadSql =
+    s"""SELECT o.o_orderkey AS id,
+       |       ${phoneSql("o.o_custkey")} AS phone,
+       |       CASE WHEN o.o_orderstatus = 'F' THEN 'full' ELSE 'partial' END AS result,
+       |       CASE WHEN o.o_orderstatus = 'F' THEN 'complete' ELSE 'interrupted' END AS status,
+       |       strftime(o.o_orderdate, '%Y-%m-%d') AS ivdate,
+       |       LEAST(CAST(floor(o.o_totalprice) AS INT), 32767) AS age,
+       |       substring(c.c_name, 1, 10) AS name,
+       |       o.o_orderkey % 10 AS wave
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE o.o_orderkey % 10 = 3 AND o.o_orderstatus <> 'O'
+       |  AND o.o_custkey % 3 <> 0""".stripMargin
+
+  /** #2 paginated ingestion: page-ranged reads unioned back (feeder.py:22-47). */
+  private def pagedIngest(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val pages = (1 to 3).map(p => PagedReader.pageOf(orders, "o_orderkey", 100, p))
+    PagedReader.readPages(pages)
+  }
+
+  private val pagedIngestSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |FROM (SELECT *, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      |WHERE rn <= 300""".stripMargin
+
+  /** #3 zipped-tabular extraction (feeder.py:118-122): build deterministic
+    * zip archives from `documents`, then distributed stream-decode via the
+    * binaryFile source. Rows-only (binary side-channel not SQL-visible). */
+  private def zipExtract(s: SparkSession, dir: String): DataFrame = {
+    val zipDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_zips")
+    zipDir.mkdirs()
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .filter(col("doc_id") < 40).orderBy("doc_id").collect()
+    docs.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      val f = new java.io.File(zipDir, f"batch_$i%02d.zip")
+      val out = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+      out.putNextEntry(new java.util.zip.ZipEntry("results.csv"))
+      val sb = new StringBuilder("doc_id,text\n")
+      chunk.foreach(r => sb.append(r.getLong(0)).append(',').append(r.getString(1)).append('\n'))
+      out.write(sb.toString.getBytes("UTF-8"))
+      out.closeEntry(); out.close()
+    }
+    ZippedTabular.readZippedCsv(s, zipDir.getAbsolutePath + "/*.zip", Seq("doc_id", "text"))
+  }
+
+  /** #4 predicate-pushdown read (feeder.py:127-143's `where wave = N`). */
+  private def pushdownFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val pushdownFilterSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
+  /** #5 dedup vs existing keys: left-anti join on phone (feeder.py:157-160). */
+  private def dedupAntijoin(s: SparkSession, dir: String): DataFrame = {
+    val incoming = t(s, dir, "orders")
+      .select(col("o_orderkey").as("id"), phoneOf(col("o_custkey")).as("phone"))
+    val existing = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(phoneOf(col("c_custkey")).as("phone"))
+    Dedup.newRows(incoming, existing, "phone", broadcastExisting = true)
+      .select("id", "phone")
+  }
+
+  private val dedupAntijoinSql =
+    s"""SELECT o_orderkey AS id, ${phoneSql("o_custkey")} AS phone
+       |FROM orders WHERE o_custkey % 3 <> 0""".stripMargin
+
+  /** #6 conditional status mapping (feeder.py:164-171). */
+  private def statusMap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("result", FeederTransforms.resultFor(col("o_orderstatus")))
+      .withColumn("status", FeederTransforms.statusFor(col("result")))
+      .select("o_orderkey", "o_orderstatus", "result", "status")
+
+  private val statusMapSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'full'
+      |       WHEN o_orderstatus = 'O' THEN 'reject' ELSE 'partial' END AS result,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'complete' ELSE 'interrupted' END AS status
+      |FROM orders""".stripMargin
+
+  /** #7 date reparse dd.MM.yyyy HH:mm:ss → yyyy-MM-dd (feeder.py:173-174). */
+  private def dateNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("ivdate_raw", date_format(col("o_orderdate"), "dd.MM.yyyy HH:mm:ss"))
+      .withColumn("ivdate", FeederTransforms.normalizeDate(col("ivdate_raw")))
+      .select("o_orderkey", "ivdate_raw", "ivdate")
+
+  private val dateNormSql =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%d.%m.%Y %H:%M:%S') AS ivdate_raw,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS ivdate
+      |FROM orders""".stripMargin
+
+  /** #8 null normalization: NaN / blank / sentinel → NULL (feeder.py:146). */
+  private def nullNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("val_clean", FeederTransforms.nanToNull(
+        when(col("o_orderkey") % 5 === 0, lit(Double.NaN)).otherwise(col("o_totalprice"))))
+      .withColumn("priority_clean",
+        FeederTransforms.sentinelToNull(col("o_orderpriority"), "4-NOT SPECIFIED"))
+      .withColumn("status_clean", FeederTransforms.blankToNull(
+        when(col("o_orderkey") % 7 === 0, lit("  ")).otherwise(col("o_orderstatus"))))
+      .select("o_orderkey", "val_clean", "priority_clean", "status_clean")
+
+  private val nullNormSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS val_clean,
+      |  CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN NULL ELSE o_orderpriority END AS priority_clean,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status_clean
+      |FROM orders""".stripMargin
+
+  /** #9 numeric clamp + string truncation (feeder.py:180-182, 205). */
+  private def clampTruncate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("acct_clamped",
+        FeederTransforms.clampAt(floor(col("c_acctbal")).cast("int"), 2000))
+      .withColumn("name_short", FeederTransforms.truncateTo(col("c_name"), 10))
+      .select("c_custkey", "acct_clamped", "name_short")
+
+  private val clampTruncateSql =
+    """SELECT c_custkey,
+      |  LEAST(CAST(floor(c_acctbal) AS INT), 2000) AS acct_clamped,
+      |  substring(c_name, 1, 10) AS name_short
+      |FROM customer""".stripMargin
+
+  /** #10 wide projection/rename — the insert-batch shape (feeder.py:184-225). */
+  private def wideProjection(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").as("respondent_key"),
+        col("o_orderstatus").as("result_code"),
+        col("o_totalprice").as("score"),
+        col("o_orderdate").as("interview_ts"),
+        col("o_orderpriority").as("priority"),
+        col("c_name").as("respondent_name"),
+        col("c_nationkey").as("region_code"),
+        col("c_acctbal").as("balance"),
+        col("c_mktsegment").as("segment"))
+  }
+
+  private val wideProjectionSql =
+    """SELECT o.o_orderkey AS id, o.o_custkey AS respondent_key,
+      |  o.o_orderstatus AS result_code, o.o_totalprice AS score,
+      |  o.o_orderdate AS interview_ts, o.o_orderpriority AS priority,
+      |  c.c_name AS respondent_name, c.c_nationkey AS region_code,
+      |  c.c_acctbal AS balance, c.c_mktsegment AS segment
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
+
+  /** #11 distributed batch append shape (feeder.py:230-243): the prepared
+    * batch partitioned for concurrent JDBC writers — content unchanged. */
+  private def batchAppend(s: SparkSession, dir: String): DataFrame = {
+    val batch = t(s, dir, "orders")
+      .select(col("o_orderkey").as("id"), phoneOf(col("o_custkey")).as("phone"),
+        col("o_totalprice").as("score"))
+    JdbcFeed.prepareAppend(batch, numWriters = 8)
+  }
+
+  private val batchAppendSql =
+    s"""SELECT o_orderkey AS id, ${phoneSql("o_custkey")} AS phone,
+       |  o_totalprice AS score FROM orders""".stripMargin
+
+  /** #12 keyed upsert (add_q5010.py:20-46): UPDATE ... WHERE id as a merge. */
+  private def upsertQ5010(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 1000.0).as("c_acctbal"))
+    Upsert.update(base, updates, "c_custkey", Seq("c_acctbal"))
+  }
+
+  private val upsertQ5010Sql =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer""".stripMargin
+
+  /** #13 month-offset date repair with fill-from-interview-date fallback
+    * (add_q5011_2t.py:27-45, 58-103). Groups = "files"; the per-group
+    * decision comes from the group's first row, exactly like the
+    * reference's first-row check. */
+  private def monthRepair(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .withColumn("grp", col("o_orderkey") % 20)
+      .withColumn("recruit",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(date_format(
+            when(col("grp") % 2 === 0, add_months(col("o_orderdate"), -1))
+              .otherwise(col("o_orderdate")),
+            "yyyy-MM-dd HH:mm:ss")))
+      .select(col("o_orderkey"), col("grp"), col("o_orderdate"), col("recruit"))
+    DateRepair.repair(base, "grp", "o_orderkey", "recruit", "o_orderdate")
+      .select("o_orderkey", "grp", "recruit")
+  }
+
+  private val monthRepairSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderkey % 20 AS grp, o_orderdate,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |         ELSE strftime(CASE WHEN (o_orderkey % 20) % 2 = 0
+      |                            THEN o_orderdate - INTERVAL 1 MONTH
+      |                            ELSE o_orderdate END, '%Y-%m-%d %H:%M:%S') END AS recruit
+      |  FROM orders),
+      |flags AS (
+      |  SELECT grp,
+      |    month(arg_min(o_orderdate, o_orderkey)) AS iv_month,
+      |    arg_min(CAST(substring(recruit, 6, 2) AS INT), o_orderkey)
+      |      FILTER (WHERE recruit IS NOT NULL) AS rec_month
+      |  FROM base GROUP BY grp)
+      |SELECT b.o_orderkey, b.grp,
+      |  CASE WHEN b.recruit IS NULL THEN strftime(b.o_orderdate, '%Y-%m-%d %H:%M:%S')
+      |       WHEN coalesce(f.rec_month <> f.iv_month, false)
+      |         THEN substring(b.recruit, 1, 5)
+      |              || lpad(CAST(CAST(substring(b.recruit, 6, 2) AS INT) + 1 AS VARCHAR), 2, '0')
+      |              || substring(b.recruit, 8, 12)
+      |       ELSE b.recruit END AS recruit
+      |FROM base b JOIN flags f USING (grp)""".stripMargin
+
+  /** #14 multi-wave sweep as ONE grouped query (bulk.py:1-10) — the
+    * reference's per-wave driver loop becomes GROUP BY wave. */
+  private def waveSweep(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("wave", col("o_orderkey") % 10)
+      .groupBy("wave")
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_score"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_full"))
+
+  private val waveSweepSql =
+    """SELECT o_orderkey % 10 AS wave,
+      |  count(*) AS n_results,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_score,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** #15 wave-number derivation from the project name (feeder.py:124-125). */
+  private def waveDerive(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("project_name",
+        concat(lit("CATI_W"), lpad((col("o_orderkey") % 10).cast("string"), 2, "0")))
+      .withColumn("wave", FeederTransforms.waveFromName(col("project_name")))
+      .select("o_orderkey", "project_name", "wave")
+
+  private val waveDeriveSql =
+    """SELECT o_orderkey,
+      |  'CATI_W' || lpad(CAST(o_orderkey % 10 AS VARCHAR), 2, '0') AS project_name,
+      |  CAST(right('CATI_W' || lpad(CAST(o_orderkey % 10 AS VARCHAR), 2, '0'), 2) AS INT) AS wave
+      |FROM orders""".stripMargin
+
+  // ===========================================================================
+  // LLM-data-pipeline operators (SURVEY §2 ops 16-27)
+  // ===========================================================================
+
+  /** Deterministic duplicate corpus: the documents table unioned with an
+    * id-shifted copy. The synthetic table has no natural duplicates
+    * (500/500 distinct), so dedup operators are exercised on a corpus
+    * with exactly one known duplicate per document. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val dupCorpusSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)"""
+      .stripMargin
+
+  /** #16 exact dedup: normalize → hash-groupBy → keep min id (one
+    * map-side-combinable aggregation, no window/sort). */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    Dedup.exactByFingerprint(corpus, "fp", "doc_id")
+  }
+
+  private val dedupExactSql =
+    s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |  min(doc_id) AS keep_id, count(*) AS n_dupes
+       |FROM $dupCorpusSql c
+       |GROUP BY 1""".stripMargin
+
+  /** #17 MinHash-LSH near-dup: banded signature buckets → per-bucket
+    * candidate pairs → exact Jaccard verify. Rows-only (LSH banding is
+    * not reasonably SQL-expressible); recall spec in MinHashLSHSpec. */
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupPairs(dupCorpus(s, dir), "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+
+  /** #18 SimHash near-dup: 64-bit fingerprints, pigeonhole chunk blocking. */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(dupCorpus(s, dir), "doc_id", "text",
+      maxHamming = 3, chunks = 4)
+
+  /** #19 n-gram Jaccard verify over a deterministic candidate-pair set. */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    MinHashLSH.verifyPairs(pairs, docs, "doc_id", "text", shingleK = 3)
+  }
+
+  /** #20 embedding-cosine near-dup via hyperplane-LSH buckets. The
+    * corpus is embeddings ∪ an id-shifted copy (natural max cosine in the
+    * synthetic table is ~0.45), so each vector has one exact duplicate. */
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = e.unionAll(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    Similarity.nearDupPairs(corpus, threshold = 0.95, bits = 8, dim = 64)
+  }
+
+  /** #21 brute-force cosine top-k ANN baseline (exact; broadcast queries). */
+  private def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
+    Similarity.bruteForceTopK(queries, e, k = 5, vecCol = "embedding")
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  private val annTopKSql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |s AS (SELECT q.q_id, e.vec_id,
+      |        round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+      |r AS (SELECT q_id, vec_id, cosine,
+      |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      |      FROM s)
+      |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** #22 LSH-bucketed ANN (scale path — probe only matching buckets). */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
+    Similarity.lshTopK(queries, e, k = 5, bits = 4, dim = 64)
+  }
+
+  /** #23 text quality scoring: length / punctuation / stopword-family
+    * ratios, all codegen'd built-ins over the pruned text column. */
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.charCount(col("text")).as("n_chars_m"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.vowelCount(col("text")).as("n_vowels"),
+        TextAnalysis.nonAlnumCount(col("text")).as("n_marks"),
+        (length(col("text")) < 100).as("is_short"))
+
+  private val textStatsSql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars_m,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels,
+      |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS INT) AS n_marks,
+      |  (length(text) < 100) AS is_short
+      |FROM documents""".stripMargin
+
+  /** #24 language ID via marker-token scores + argmax. */
+  private def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+
+  private val langIdSql: String = {
+    val pad = "' ' || lower(text) || ' '"
+    def occ(m: String) = {
+      val esc = m.replace("'", "''")
+      s"((length($pad) - length(replace($pad, '$esc', ''))) // ${m.length})"
+    }
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(occ).mkString(" + ")
+    }
+    val withs = scores.map { case (l, e) => s"CAST($e AS INT) AS s_$l" }.mkString(",\n  ")
+    val best = s"greatest(${scores.map(c => s"s_${c._1}").mkString(", ")})"
+    val cases = scores.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang,
+       |  CASE $cases
+       |    ELSE 'und' END AS lang_guess
+       |FROM (SELECT doc_id, lang, text,
+       |  $withs
+       |FROM documents)""".stripMargin
+  }
+
+  /** #25 token counting: whitespace + BPE-ish regex pre-tokenizer. */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** #26 document fingerprint: 55-bit polynomial rolling hash. */
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  private val docFingerprintSql =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split_regex(text, ''),
+       |                     c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
+       |FROM documents""".stripMargin
+
+  /** #27 multimodal plumbing: binary media column + typed metadata,
+    * partition-local stub decode (rows-only + MultimodalSpec). */
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.withFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
+
+  // ===========================================================================
+  // Analytics & streaming parity (SURVEY §2 ops 28-30)
+  // ===========================================================================
+
+  /** #28 tumbling-window aggregation over events (batch parity of the
+    * streaming job in graft.streaming.EventsStream). */
+  private def eventsWindow(s: SparkSession, dir: String): DataFrame =
+    EventsStream.hourlyStats(events(s, dir))
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("total_value").cast("double").as("total_value"))
+
+  private val eventsWindowSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** #29 gap-based sessionization, batch form (lag-gap cumulative sum;
+    * streaming form is EventsStream.sessionize via flatMapGroupsWithState). */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 1800L * 1000000L // 30 min
+    val byUser = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    events(s, dir)
+      .withColumn("__t", unix_micros(col("ts")))
+      .withColumn("__new",
+        when(col("__t") - lag(col("__t"), 1).over(byUser) > gapMicros, 1)
+          .when(lag(col("__t"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .select("event_id", "user_id", "session_id")
+  }
+
+  private val sessionizeSql =
+    """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+      |l AS (SELECT event_id, user_id, t,
+      |        lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+      |      FROM b),
+      |n AS (SELECT event_id, user_id, t,
+      |        CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS nw
+      |      FROM l)
+      |SELECT event_id, user_id,
+      |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+      |FROM n""".stripMargin
+
+  /** #30 top-N per group via window rank. */
+  private def topnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  private val topnPerGroupSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  // ===========================================================================
+  // Registry
+  // ===========================================================================
+
+  val registry: Seq[Q] = Seq(
+    Q("q_feeder_load", feederLoad, Some(feederLoadSql)),
+    Q("q_paged_ingest", pagedIngest, Some(pagedIngestSql), bench = false),
+    Q("q_zip_extract", zipExtract, None, bench = false),
+    Q("q_pushdown_filter", pushdownFilter, Some(pushdownFilterSql)),
+    Q("q_dedup_antijoin", dedupAntijoin, Some(dedupAntijoinSql)),
+    Q("q_status_map", statusMap, Some(statusMapSql)),
+    Q("q_date_norm", dateNorm, Some(dateNormSql)),
+    Q("q_null_norm", nullNorm, Some(nullNormSql)),
+    Q("q_clamp_truncate", clampTruncate, Some(clampTruncateSql)),
+    Q("q_wide_projection", wideProjection, Some(wideProjectionSql)),
+    Q("q_batch_append", batchAppend, Some(batchAppendSql)),
+    Q("q_upsert_q5010", upsertQ5010, Some(upsertQ5010Sql)),
+    Q("q_month_repair", monthRepair, Some(monthRepairSql)),
+    Q("q_wave_sweep", waveSweep, Some(waveSweepSql)),
+    Q("q_wave_derive", waveDerive, Some(waveDeriveSql)),
+    Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("q_dedup_minhash", dedupMinhash, None),
+    Q("q_dedup_simhash", dedupSimhash, None),
+    Q("q_ngram_jaccard", ngramJaccard, None),
+    Q("q_dedup_embed", dedupEmbed, None),
+    Q("q_ann_topk", annTopK, Some(annTopKSql)),
+    Q("q_ann_lsh", annLsh, None),
+    Q("q_text_stats", textStats, Some(textStatsSql)),
+    Q("q_lang_id", langId, Some(langIdSql)),
+    Q("q_token_count", tokenCount, Some(tokenCountSql)),
+    Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+    Q("q_multimodal_meta", multimodalMeta, None),
+    Q("q_events_window", eventsWindow, Some(eventsWindowSql)),
+    Q("q_sessionize", sessionize, Some(sessionizeSql)),
+    Q("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
+  )
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprinting.
+  *
+  * Classic Charikar scheme: each token hashes to 64 bits; bit j of the
+  * document fingerprint is the sign of Σ_tokens (±1 per token depending on
+  * the token-hash's bit j). Hamming-close fingerprints ⇒ similar token
+  * multisets.
+  *
+  * Candidate generation uses the pigeonhole blocking standard for simhash
+  * dedup: split the 64-bit fingerprint into `chunks` 16-bit chunks; any
+  * pair within hamming distance `chunks - 1` must agree on at least one
+  * chunk, so an equi-join per chunk finds all of them — hash-partitioned
+  * on the chunk value, never all-pairs.
+  */
+object SimHash {
+
+  /** Per-bit vote: +1 / -1 per token for bit j, summed via a single
+    * higher-order aggregate (codegen'd, no UDF). */
+  private def bitVote(tokensCol: Column, j: Int): Column =
+    aggregate(tokensCol, lit(0L),
+      (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1L, 1L).otherwise(-1L))
+
+  /** 64-bit simhash fingerprint of a token array. */
+  def simhash(tokensCol: Column): Column =
+    (0 until 64).map { j =>
+      when(bitVote(tokensCol, j) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit chunk `i` (0..3) of a 64-bit fingerprint. */
+  def chunk(fp: Column, i: Int): Column =
+    shiftright(fp, i * 16).bitwiseAND(0xffffL)
+
+  /** Near-dup pairs with hamming distance <= maxHamming (must be
+    * < chunks for the pigeonhole guarantee; default 3 with 4 chunks). */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
+    val fps = docs.select(col(idCol),
+      simhash(TextAnalysis.tokens(col(textCol))).as("fp"))
+
+    val exploded = fps.select(col(idCol), col("fp"),
+      explode(array((0 until chunks).map { i =>
+        struct(lit(i).as("ci"), chunk(col("fp"), i).as("cv"))
+      }: _*)).as("c"))
+      .select(col(idCol), col("fp"), col("c.ci"), col("c.cv"))
+
+    val a = exploded.select(col("ci"), col("cv"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = exploded.select(col("ci"), col("cv"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * Two tiers, as any production ANN stack on Spark:
+  *   - `bruteForceTopK`: exact baseline. The (small) query set is
+  *     broadcast; one pass over the corpus computes cosine and a window
+  *     ranks per query. Cost O(|Q|·|D|) but |Q| is small and the corpus
+  *     pass is embarrassingly parallel — the correct exact plan at any
+  *     corpus size, no shuffle of the corpus itself beyond the top-k rank.
+  *   - `lshTopK`: scale path. Random-hyperplane LSH buckets both sides;
+  *     probing joins only matching buckets, touching ~|D| / 2^bits of the
+  *     corpus per query. Recall is tunable via bits/tables.
+  *
+  * Cosine is computed in double precision via higher-order functions
+  * (`zip_with` + `aggregate`) — codegen'd, deterministic left-fold order.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k neighbours for each query row.
+    *
+    * @param queries (qIdCol, vecCol); must be small enough to broadcast
+    * @param corpus  (idCol, vecCol)
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qIdCol: String = "q_id", idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(q) // broadcast nested loop; |Q| small by contract
+      .filter(col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol), cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `bits` unit-free direction vectors
+    * of dimension `dim`, seeded — no RNG state on executors. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit bucket id of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(asDouble(vec), plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k: candidates only from the query's LSH bucket.
+    * One equi-join on the bucket key — at scale each probe touches
+    * ~|D|/2^bits rows. Queries whose bucket has < k entries simply return
+    * fewer rows (standard single-table LSH behaviour; add tables for
+    * recall). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int, dim: Int,
+              qIdCol: String = "q_id", idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, dim, seed)
+    val q = broadcast(queries.select(col(qIdCol), col(vecCol).as("__qv"),
+      lshBucket(col(vecCol), planes).as("__bucket")))
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val scored = c.join(q, Seq("__bucket"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol), cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs are
+    * generated within buckets only (hash-partitioned on the bucket id),
+    * then exact-cosine verified. */
+  def nearDupPairs(vectors: DataFrame, threshold: Double, bits: Int, dim: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, dim, seed)
+    val b = vectors.select(col(idCol), col(vecCol).as("__v"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val l = b.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
+    val r = b.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Both transforms are written against plain DataFrames so the SAME code
+  * runs in batch (oracle-checkable, see `q_events_window`) and streaming
+  * (`readStream` input + watermark). That batch/stream parity is the
+  * Structured Streaming contract — one logical plan, two execution modes.
+  */
+object EventsStream {
+
+  /** Tumbling hourly aggregate. In streaming mode the 2h watermark bounds
+    * state; in batch mode the watermark is a no-op and the result is the
+    * exact grouped aggregate. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long)
+  case class SessionState(sessionCount: Int, lastTs: Long)
+  case class SessionAssignment(event_id: Long, user_id: Long, session_id: Int)
+
+  /** Streaming sessionization: per-user session ids with a gap timeout,
+    * via flatMapGroupsWithState. The batch-parity equivalent (window
+    * lag-gap cumulative sum) is `q_sessionize`; this is the stateful
+    * streaming form of the same semantics for in-order event streams. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0, Long.MinValue))
+          val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val t = e.ts.getTime / 1000
+            s = if (t - s.lastTs > gapSeconds) SessionState(s.sessionCount + 1, t)
+                else s.copy(lastTs = t)
+            SessionAssignment(e.event_id, user, s.sessionCount)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+}
