@@ -42,10 +42,12 @@ object EventsStream {
       .flatMapGroupsWithState[SessionState, SessionAssignment](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          // sentinel lastTs: never subtract from it (t - Long.MinValue overflows)
           var s = state.getOption.getOrElse(SessionState(0, Long.MinValue))
           val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
             val t = e.ts.getTime / 1000
-            s = if (t - s.lastTs > gapSeconds) SessionState(s.sessionCount + 1, t)
+            s = if (s.lastTs == Long.MinValue || t - s.lastTs > gapSeconds)
+                  SessionState(s.sessionCount + 1, t)
                 else s.copy(lastTs = t)
             SessionAssignment(e.event_id, user, s.sessionCount)
           }

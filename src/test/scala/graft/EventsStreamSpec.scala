@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+class EventsStreamSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyStats batch form aggregates per tumbling hour") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 2.0, "{}"),
+      (2L, ts("2024-01-01 10:55:00"), 1L, "click", 3.0, "{}"),
+      (3L, ts("2024-01-01 11:05:00"), 2L, "click", 5.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsStream.hourlyStats(events).orderBy("window_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 2)
+    assert(out(0).getAs[java.math.BigDecimal]("total_value").doubleValue() == 5.0)
+  }
+
+  test("sessionize over a MemoryStream assigns gap-based session ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val sessions = EventsStream.sessionize(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventsStream.Event(1L, ts("2024-01-01 10:00:00"), 7L),
+        EventsStream.Event(2L, ts("2024-01-01 10:05:00"), 7L), // same session
+        EventsStream.Event(3L, ts("2024-01-01 11:00:00"), 7L), // gap > 10min → new
+        EventsStream.Event(4L, ts("2024-01-01 10:00:00"), 8L), // other user
+      )
+      q.processAllAvailable()
+      val out = spark.table("sess_out").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(out.toSeq == Seq((1L, 7L, 1), (2L, 7L, 1), (3L, 7L, 2), (4L, 8L, 1)))
+    } finally q.stop()
+  }
+
+  test("stream continuation: state persists across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val sessions = EventsStream.sessionize(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream.format("memory").queryName("sess_out2")
+      .outputMode("append").start()
+    try {
+      input.addData(EventsStream.Event(1L, ts("2024-01-01 10:00:00"), 7L))
+      q.processAllAvailable()
+      input.addData(EventsStream.Event(2L, ts("2024-01-01 10:04:00"), 7L))
+      input.addData(EventsStream.Event(3L, ts("2024-01-01 12:00:00"), 7L))
+      q.processAllAvailable()
+      val out = spark.table("sess_out2").orderBy("event_id")
+        .collect().map(r => r.getInt(2))
+      assert(out.toSeq == Seq(1, 1, 2))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Explain-audits: the plans we'd want at 100 TB, asserted at test scale.
+  * Uses the sf0.001 parquet fixtures. */
+class PlanSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(key: String) = SparkEntry.queries(key)(spark, dir)
+
+  test("q_pushdown_filter: predicate and projection reach the parquet scan") {
+    val fmt = q("q_pushdown_filter").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("PushedFilters: ["), s"no pushed filters:\n$fmt")
+    assert(fmt.contains("o_orderdate"), s"filter column missing from scan:\n$fmt")
+    // projection pruned to the 3 selected cols + filter col
+    assert(!fmt.contains("o_orderpriority"), s"scan reads unprojected columns:\n$fmt")
+  }
+
+  test("q_feeder_load: dim join and existing-keys dedup are broadcast, not shuffled") {
+    val plan = q("q_feeder_load").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("Cartesian"))
+  }
+
+  test("whole-stage codegen covers the transform suite") {
+    // codegen'd operators print with a "*(stageId)" prefix in the plan tree
+    val plan = q("q_status_map").queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"transforms fell out of codegen:\n$plan")
+  }
+
+  test("q_dedup_exact aggregates with partial (map-side) aggregation") {
+    val plan = q("q_dedup_exact").queryExecution.executedPlan.toString
+    // two HashAggregates around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    assert(!plan.contains("Cartesian"))
+  }
+
+  test("LSH dedup plans contain no cartesian product at any stage") {
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_ann_lsh").foreach { k =>
+      val plan = q(k).queryExecution.executedPlan.toString
+      assert(!plan.contains("Cartesian"), s"$k has a cross join:\n$plan")
+    }
+  }
+
+  test("q_batch_append repartitions for concurrent writers (no single-writer funnel)") {
+    assert(q("q_batch_append").rdd.getNumPartitions == 8)
+  }
+}

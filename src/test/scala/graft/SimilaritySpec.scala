@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends GraftSuite {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbours, ranked") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f)), (13L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("q_id", "embedding")
+    val out = Similarity.bruteForceTopK(queries, corpus, k = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(10L, 11L))
+  }
+
+  test("lshTopK finds the exact duplicate (same bucket by construction)") {
+    val corpus = Seq((10L, Seq(1.0f, 0.2f, -0.3f, 0.5f)), (11L, Seq(-1.0f, 0.4f, 0.9f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.2f, -0.3f, 0.5f))).toDF("q_id", "embedding")
+    val out = Similarity.lshTopK(queries, corpus, k = 1, bits = 4, dim = 4)
+      .select("vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(10L))
+  }
+
+  test("nearDupPairs finds exact copies within LSH buckets, no cross join") {
+    val vecs = Seq((1L, Seq(0.5f, 0.5f, -0.1f, 0.2f)), (2L, Seq(0.5f, 0.5f, -0.1f, 0.2f)),
+      (3L, Seq(-0.9f, 0.1f, 0.8f, -0.4f)))
+      .toDF("vec_id", "embedding")
+    val df = Similarity.nearDupPairs(vecs, threshold = 0.99, bits = 4, dim = 4)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cross join in plan:\n$plan")
+  }
+
+  test("lsh recall vs brute force on real embeddings is sane") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, e, k = 5, bits = 4, dim = 64)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // Single-table 4-bit LSH on near-orthogonal synthetic vectors: expect
+    // SOME overlap, and every approx hit must come from the right query.
+    assert(approx.nonEmpty)
+    assert(approx.map(_._1).subsetOf(exact.map(_._1)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import graft.sources.{JdbcFeed, PagedReader, ZippedTabular}
+
+class SourcesSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("pageOf slices deterministically; union of pages reassembles the prefix") {
+    val df = (1 to 25).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val p2 = PagedReader.pageOf(df, "k", 10, 2).select("k").as[Long].collect().sorted
+    assert(p2.toSeq == (11L to 20L))
+    val all = PagedReader.readPages((1 to 3).map(PagedReader.pageOf(df, "k", 10, _)))
+    assert(all.count() == 25)
+  }
+
+  test("readPagesDistributed runs one fetch per page on executors") {
+    val ds = PagedReader.readPagesDistributed(spark, 5,
+      (p: Int) => Iterator.tabulate(3)(i => p * 100 + i))
+    val got = ds.collect().sorted
+    assert(got.length == 15)
+    assert(got.contains(401) && got.contains(0))
+  }
+
+  test("zip roundtrip: archives on disk → distributed CSV decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip_spec").toFile
+    (0 until 2).foreach { i =>
+      val z = new ZipOutputStream(new FileOutputStream(new File(dir, s"a$i.zip")))
+      z.putNextEntry(new ZipEntry("data.csv"))
+      z.write(s"id,txt\n${i}0,alpha\n${i}1,beta\n".getBytes("UTF-8"))
+      z.closeEntry(); z.close()
+    }
+    val df = ZippedTabular.readZippedCsv(spark, dir.getAbsolutePath + "/*.zip", Seq("id", "txt"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("00", "alpha"), ("01", "beta"), ("10", "alpha"), ("11", "beta")))
+  }
+
+  test("firstEntry rejects an empty archive") {
+    val bos = new java.io.ByteArrayOutputStream()
+    new ZipOutputStream(bos).close()
+    intercept[IllegalArgumentException] { ZippedTabular.firstEntry(bos.toByteArray) }
+  }
+
+  test("prepareAppend partitions the batch for concurrent writers") {
+    val df = (1 to 100).toDF("x")
+    assert(JdbcFeed.prepareAppend(df, numWriters = 8).rdd.getNumPartitions == 8)
+    val opts = JdbcFeed.appendOptions("jdbc:postgresql://db/x", "recruits_log", 500)
+    assert(opts("batchsize") == "500" && opts("dbtable") == "recruits_log")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello, world! 42 times").toDF("t")
+    val ws = df.select(TextAnalysis.tokenCount(col("t"))).as[Int].head()
+    val bpe = df.select(TextAnalysis.bpeTokenCount(col("t"))).as[Int].head()
+    assert(ws == 4)
+    // hello , world ! 42 times → 6
+    assert(bpe == 6)
+  }
+
+  test("occurrences counts non-overlapping literal hits") {
+    val df = Seq(" the cat the dog the ").toDF("t")
+    val n = df.select(TextAnalysis.occurrences(col("t"), " the ")).as[Int].head()
+    // left-to-right non-overlapping scan finds 3 hits (the single space
+    // between words serves each match once) — same as DuckDB's replace()
+    assert(n == 3)
+  }
+
+  test("langId picks the language with the most marker hits") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "el gato de la casa el perro de",
+      "qwerty zzz").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is deterministic, order-sensitive, and bounded") {
+    val df = Seq("abc", "abc", "acb").toDF("t")
+    val fps = df.select(TextAnalysis.fingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps.forall(f => f >= 0 && f < TextAnalysis.FingerprintMod))
+    // hand-check: ((0*31+97)*31+98)*31+99 = 97*31*31+98*31+99
+    assert(fps(0) == 97L * 31 * 31 + 98L * 31 + 99L)
+  }
+
+  test("shingles produce distinct k-grams; short docs yield one shingle") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val sh = df.select(TextAnalysis.shingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0).toSet == Set("a b c", "b c d"))
+    assert(sh(1).toSeq == Seq("a b"))
+  }
+
+  test("quality stats match hand counts") {
+    val df = Seq("aeiou xyz!").toDF("t")
+    val r = df.select(
+      TextAnalysis.charCount(col("t")).as("c"),
+      TextAnalysis.vowelCount(col("t")).as("v"),
+      TextAnalysis.nonAlnumCount(col("t")).as("m")).head()
+    assert(r.getInt(0) == 10)
+    assert(r.getInt(1) == 5)
+    assert(r.getInt(2) == 1) // the '!'
+  }
+}
