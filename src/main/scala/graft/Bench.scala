@@ -15,6 +15,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: exercise the parquet reader, shuffle machinery, and codegen
+    // once so the first timed query doesn't absorb session start-up.
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_orderstatus").count().collect()
     val all = SparkEntry.queries
     val keys =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries

@@ -36,6 +36,15 @@ object Queries {
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Ensure a minimum scan parallelism for CPU-heavy per-row work.
+    * Small local fixtures arrive as ONE parquet split, which would pin
+    * tokenization/hashing to a single core; at production scale inputs
+    * have thousands of splits and this is a no-op (no shuffle added). */
+  private def parallelize(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Deterministic phone from a customer key — the reference's `phone`
     * natural key (feeder.py:157) re-derived from the synthetic schema. */
   private def phoneOf(key: Column): Column =
@@ -336,7 +345,7 @@ object Queries {
     * (500/500 distinct), so dedup operators are exercised on a corpus
     * with exactly one known duplicate per document. */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val docs = parallelize(s, t(s, dir, "documents").select("doc_id", "text"))
     docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
@@ -373,7 +382,7 @@ object Queries {
 
   /** #19 n-gram Jaccard verify over a deterministic candidate-pair set. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = parallelize(s, t(s, dir, "documents"))
     val pairs = docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
     MinHashLSH.verifyPairs(pairs, docs, "doc_id", "text", shingleK = 3)
@@ -383,14 +392,14 @@ object Queries {
     * corpus is embeddings ∪ an id-shifted copy (natural max cosine in the
     * synthetic table is ~0.45), so each vector has one exact duplicate. */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val e = parallelize(s, t(s, dir, "embeddings").select("vec_id", "embedding"))
     val corpus = e.unionAll(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
     Similarity.nearDupPairs(corpus, threshold = 0.95, bits = 8, dim = 64)
   }
 
   /** #21 brute-force cosine top-k ANN baseline (exact; broadcast queries). */
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = parallelize(s, t(s, dir, "embeddings"))
     val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
     Similarity.bruteForceTopK(queries, e, k = 5, vecCol = "embedding")
       .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
@@ -409,7 +418,7 @@ object Queries {
 
   /** #22 LSH-bucketed ANN (scale path — probe only matching buckets). */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = parallelize(s, t(s, dir, "embeddings"))
     val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
     Similarity.lshTopK(queries, e, k = 5, bits = 4, dim = 64)
   }
@@ -436,7 +445,7 @@ object Queries {
 
   /** #24 language ID via marker-token scores + argmax. */
   private def langId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    parallelize(s, t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
 
   private val langIdSql: String = {
@@ -476,7 +485,7 @@ object Queries {
 
   /** #26 document fingerprint: 55-bit polynomial rolling hash. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    parallelize(s, t(s, dir, "documents"))
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
   private val docFingerprintSql =

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hot path.
+  *
+  * The declarative forms (`transform`/`aggregate` higher-order functions)
+  * are semantically right but evaluate INTERPRETED — one lambda dispatch
+  * and one boxed Long per array element. At millions of shingles that is
+  * ~100× slower than a primitive loop. Each expression below is a single
+  * tight loop over primitive arrays, no boxing in the inner loop, using
+  * Spark's own XXH64 — the same preference order the Spark docs give:
+  * built-in function < custom Expression < UDF.
+  *
+  * (CodegenFallback: the per-row loop dominates; codegen would only
+  * inline the dispatch around it.)
+  */
+object NativeText {
+
+  private val Seed = 42L
+
+  /** Whitespace tokens of a trimmed UTF8 string — matches
+    * `split(trim(text), "\\s+")`. */
+  private[functions] def tokenize(text: UTF8String): Array[UTF8String] =
+    text.trim.split(UTF8String.fromString("\\s+"), -1)
+
+  private def hashToken(t: UTF8String, seed: Long): Long = {
+    val b = t.getBytes
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
+  /** `hashed_shingles(text, k)` — distinct 64-bit hashes of the k-token
+    * word shingles, hashed by XXH64 seed-chaining over the k tokens
+    * (documents shorter than k yield one shingle of what's there). */
+  case class HashedShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val n = math.max(toks.length - k + 1, 1)
+      val seen = new java.util.HashSet[java.lang.Long](n * 2)
+      val out = new Array[Long](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        var h = Seed
+        var j = 0
+        while (j < k) {
+          if (i + j < toks.length) h = hashToken(toks(i + j), h)
+          j += 1
+        }
+        if (seen.add(h)) { out(m) = h; m += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, m))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `minhash_signature(shingleHashes, numHashes)` — for slot i, the
+    * minimum over the shingle set of a slot-seeded XXH64 rehash. */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val hashes = input.asInstanceOf[ArrayData].toLongArray()
+      val sig = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        val slotSeed = XXH64.hashInt(i, Seed)
+        var min = Long.MaxValue
+        var j = 0
+        while (j < hashes.length) {
+          val h = XXH64.hashLong(hashes(j), slotSeed)
+          if (h < min) min = h
+          j += 1
+        }
+        sig(i) = min
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `jaccard_sets(a, b)` — exact Jaccard of two long-array SETS via
+    * sort-merge over primitive arrays (no boxing, no hash sets). */
+  case class JaccardSets(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toLongArray()
+      val b = r.asInstanceOf[ArrayData].toLongArray()
+      java.util.Arrays.sort(a)
+      java.util.Arrays.sort(b)
+      var i = 0; var j = 0; var inter = 0L
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      val union = a.length.toLong + b.length - inter
+      if (union == 0L) 1.0 else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `simhash64(text)` — Charikar simhash over whitespace tokens: one
+    * pass hashing each token, one 64-bit vote loop per token. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = hashToken(toks(i), Seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 64) {
+        if (votes(j) > 0) fp |= (1L << j)
+        j += 1
+      }
+      fp
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // Column-level API ---------------------------------------------------------
+
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(e)
+
+  private def exprOf(c: Column): Expression =
+    org.apache.spark.sql.graftshim.GraftShim.expression(c)
+
+  def hashed_shingles(text: Column, k: Int): Column = toCol(HashedShingles(exprOf(text), k))
+  def minhash_signature(hashes: Column, numHashes: Int): Column =
+    toCol(MinHashSignature(exprOf(hashes), numHashes))
+  def jaccard_sets(a: Column, b: Column): Column = toCol(JaccardSets(exprOf(a), exprOf(b)))
+  def simhash64(text: Column): Column = toCol(SimHash64(exprOf(text)))
+}

@@ -5,29 +5,45 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection at scale.
   *
-  * Pipeline: word shingles → H minhash values (one xxhash64 family per
-  * slot, salted by slot index) → band the signature into `bands` groups of
-  * `rowsPerBand` → per-band bucket key → candidate pairs via a self
-  * equi-join ON (band, bucket) → exact shingle-Jaccard verify.
+  * Pipeline: word shingles → hash each shingle to a long (once) → H
+  * minhash values (one xxhash64 family per slot, salted by slot index) →
+  * band the signature → per-band bucket key → DISTINCT candidate id-pairs
+  * via a self equi-join on (band, bucket) → exact shingle-Jaccard verify,
+  * once per unique pair.
   *
-  * Scale design: candidates are generated per-(band,bucket) — the join is
-  * hash-partitioned on the bucket key, so work is Σ bucket² per band,
-  * never |D|². No crossJoin anywhere; a mega-bucket (e.g. empty docs all
-  * colliding) is bounded by `maxBucketSize` before pairing, the standard
-  * guard against quadratic skew.
+  * Scale design:
+  *   - candidate pairs are generated per-(band,bucket) — the join is
+  *     hash-partitioned on the bucket key, so work is Σ bucket² per band,
+  *     never |D|². No crossJoin anywhere.
+  *   - the banding/join stage carries ONLY (id, band, bucket) — the
+  *     shingle arrays never ride through the × bands explosion or its
+  *     shuffle; they are joined back exactly once per side for the
+  *     verify stage.
+  *   - Jaccard runs on long-hashed shingles (8-byte comparisons, not
+  *     string compares), once per DISTINCT pair — a pair colliding in
+  *     many bands is still verified once.
+  *   - a mega-bucket (e.g. empty docs all colliding) is bounded by
+  *     `maxBucketSize` before pairing, the standard guard against
+  *     quadratic skew.
   *
   * Everything below is Catalyst higher-order functions over arrays —
   * codegen'd, no UDFs, no driver participation.
   */
 object MinHashLSH {
 
-  /** One minhash slot: min over shingles of a slot-salted 64-bit hash. */
+  /** One minhash slot: min over shingle hashes of a slot-salted rehash. */
   def minhashSlot(shingleCol: Column, slot: Int): Column =
     array_min(transform(shingleCol, s => xxhash64(lit(slot), s)))
 
   /** Full signature as an array column of length `numHashes`. */
   def signature(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i => minhashSlot(shingleCol, i)): _*)
+
+  /** Signatures as a DataFrame: a single native-expression projection
+    * (one primitive loop per document — no explode, no extra shuffle). */
+  def signatures(docsWithShingles: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    docsWithShingles.select(col(idCol),
+      graft.functions.NativeText.minhash_signature(col("__sh"), numHashes).as("__sig"))
 
   /** (band, bucket) rows for LSH: one output row per band, bucket =
     * hash of that band's signature slice. */
@@ -39,60 +55,84 @@ object MinHashLSH {
           slice(col(sigCol), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
   }
 
-  /** Exact Jaccard over two shingle-set arrays. */
+  /** Exact Jaccard over two shingle-set arrays (any element type).
+    * Declarative form — fine for small/typed arrays; the dedup hot path
+    * uses the native `jaccard_sets` (sort-merge over primitive longs). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 
-  /** Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
-    *
-    * @param docs          (idCol, textCol) input
-    * @param shingleK      words per shingle
-    * @param numHashes     signature length = bands * rowsPerBand
-    * @param maxBucketSize skew guard: buckets larger than this are dropped
-    *                      from pairing (they are pathological collisions,
-    *                      e.g. empty documents)
-    */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                   threshold: Double = 0.8,
-                   maxBucketSize: Int = 1000): DataFrame = {
-    val withShingles = docs.select(
-      col(idCol), TextAnalysis.shingles(col(textCol), shingleK).as("__sh"))
-    val sigs = withShingles.withColumn("__sig", signature(col("__sh"), bands * rowsPerBand))
+  /** Distinct candidate id-pairs (id_a < id_b) from banded LSH buckets.
+    * Only (id, band, bucket) flows through the join; skewed buckets
+    * larger than `maxBucketSize` are dropped before pairing. */
+  def candidatePairs(docsWithShingles: DataFrame, idCol: String,
+                     bands: Int, rowsPerBand: Int,
+                     maxBucketSize: Int): DataFrame = {
+    val sigs = signatures(docsWithShingles, idCol, bands * rowsPerBand)
+    // (id, band, bucket) feeds three consumers (bucket-size filter + both
+    // self-join sides); persist so the signature pipeline — the expensive
+    // part — runs once, not three times.
     val bandedDf = banded(sigs, "__sig", bands, rowsPerBand)
-      .select(col(idCol), col("__sh"), col("band"), col("bucket"))
+      .select(col(idCol), col("band"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Skew guard: count bucket sizes (one cheap agg) and keep sane buckets.
+    // Skew guard: one cheap count agg, keep only sane buckets.
     val sizes = bandedDf.groupBy("band", "bucket").count()
       .filter(col("count").between(2, maxBucketSize))
       .select("band", "bucket")
     val pruned = bandedDf.join(sizes, Seq("band", "bucket"))
 
-    val a = pruned.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("__sh").as("__sh_a"))
-    val b = pruned.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    val a = pruned.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * @param docs          (idCol, textCol) input
+    * @param shingleK      words per shingle
+    * @param bands × rowsPerBand = signature length
+    * @param maxBucketSize skew guard: buckets larger than this are dropped
+    *                      from pairing (pathological collisions, e.g.
+    *                      empty documents)
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                   threshold: Double = 0.8,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    // Shingle sets feed signature generation AND both verify joins —
+    // persist so tokenize→shingle→hash runs once per document.
+    val sh = docs.select(col(idCol),
+      TextAnalysis.hashedShingles(col(textCol), shingleK).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(sh, idCol, bands, rowsPerBand, maxBucketSize)
+    val shA = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val shB = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    pairs
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+        graft.functions.NativeText.jaccard_sets(col("__sh_a"), col("__sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
   }
 
   /** n-gram Jaccard verify pass over an arbitrary candidate-pair set
-    * (id_a, id_b): joins text back and scores exact Jaccard. Used both as
-    * MinHash's verify stage and standalone over any blocking scheme. */
+    * (id_a, id_b): joins hashed shingles back and scores exact Jaccard
+    * (hash collisions at 64 bits are negligible). Used both as MinHash's
+    * verify stage and standalone over any blocking scheme. */
   def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                   textCol: String, shingleK: Int): DataFrame = {
     val sh = docs.select(col(idCol),
-      TextAnalysis.shingles(col(textCol), shingleK).as("__sh"))
+      TextAnalysis.hashedShingles(col(textCol), shingleK).as("__sh"))
     pairs
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.NativeText.jaccard_sets(col("__sh_a"), col("__sh_b")).as("jaccard"))
   }
 }

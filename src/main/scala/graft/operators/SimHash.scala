@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   * the token-hash's bit j). Hamming-close fingerprints ⇒ similar token
   * multisets.
   *
+  * Token hashes are materialized ONCE per document (a projection the
+  * optimizer keeps — CollapseProject refuses to inline a non-cheap
+  * expression referenced 64 times), so the 64 per-bit votes traverse a
+  * precomputed long array instead of re-hashing every token per bit.
+  *
   * Candidate generation uses the pigeonhole blocking standard for simhash
   * dedup: split the 64-bit fingerprint into `chunks` 16-bit chunks; any
   * pair within hamming distance `chunks - 1` must agree on at least one
@@ -18,17 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** Per-bit vote: +1 / -1 per token for bit j, summed via a single
-    * higher-order aggregate (codegen'd, no UDF). */
-  private def bitVote(tokensCol: Column, j: Int): Column =
-    aggregate(tokensCol, lit(0L),
-      (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1L, 1L).otherwise(-1L))
+  /** 64-bit hash per token — computed once, voted on 64 times. */
+  def tokenHashes(tokensCol: Column): Column = transform(tokensCol, t => xxhash64(t))
 
-  /** 64-bit simhash fingerprint of a token array. */
-  def simhash(tokensCol: Column): Column =
+  /** Per-bit vote over precomputed token hashes: +1 / -1 per token for
+    * bit j, summed via a higher-order aggregate (codegen'd, no UDF). */
+  private def bitVote(hashesCol: Column, j: Int): Column =
+    aggregate(hashesCol, lit(0L),
+      (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1L, 1L).otherwise(-1L))
+
+  /** 64-bit simhash fingerprint from precomputed token hashes. */
+  def simhashFromHashes(hashesCol: Column): Column =
     (0 until 64).map { j =>
-      when(bitVote(tokensCol, j) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(bitVote(hashesCol, j) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** 64-bit simhash fingerprint of a token array. Prefer materializing
+    * `tokenHashes` in a prior projection and calling `simhashFromHashes`
+    * so the hashing isn't repeated per bit. */
+  def simhash(tokensCol: Column): Column = simhashFromHashes(tokenHashes(tokensCol))
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -36,13 +49,19 @@ object SimHash {
   def chunk(fp: Column, i: Int): Column =
     shiftright(fp, i * 16).bitwiseAND(0xffffL)
 
+  /** Document fingerprints as a DataFrame: a single native-expression
+    * projection (one hash + vote loop per document, no explode/shuffle).
+    * This is the form to use on a corpus; the Column-based `simhash`
+    * remains for expression-level composition. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), graft.functions.NativeText.simhash64(col(textCol)).as("fp"))
+
   /** Near-dup pairs with hamming distance <= maxHamming (must be
     * < chunks for the pigeonhole guarantee; default 3 with 4 chunks). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
-    val fps = docs.select(col(idCol),
-      simhash(TextAnalysis.tokens(col(textCol))).as("fp"))
+    val fps = fingerprints(docs, idCol, textCol)
 
     val exploded = fps.select(col(idCol), col("fp"),
       explode(array((0 until chunks).map { i =>

@@ -84,4 +84,16 @@ object TextAnalysis {
     val starts = sequence(lit(0), greatest(size(toks) - k, lit(0)))
     array_distinct(transform(starts, i => array_join(slice(toks, i + 1, lit(k)), " ")))
   }
+
+  /** Shingle set hashed to 64-bit longs — what the dedup pipeline
+    * actually shuffles and intersects: 8-byte compares instead of string
+    * compares, and an order of magnitude less shuffle payload. Collisions
+    * at 64 bits are negligible for Jaccard estimation.
+    *
+    * Backed by a native Catalyst expression (one primitive loop per
+    * document) — the higher-order-function formulation evaluates
+    * interpreted with per-element boxing and is ~100× slower on a large
+    * corpus. */
+  def hashedShingles(text: Column, k: Int): Column =
+    graft.functions.NativeText.hashed_shingles(text, k)
 }
