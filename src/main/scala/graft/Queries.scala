@@ -111,7 +111,7 @@ object Queries {
     * zip archives from `documents`, then distributed stream-decode via the
     * binaryFile source. Rows-only (binary side-channel not SQL-visible). */
   private def zipExtract(s: SparkSession, dir: String): DataFrame = {
-    val zipDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_zips")
+    val zipDir = new java.io.File("/root/repo/target", "graft_zips")
     zipDir.mkdirs()
     val docs = t(s, dir, "documents").select("doc_id", "text")
       .filter(col("doc_id") < 40).orderBy("doc_id").collect()

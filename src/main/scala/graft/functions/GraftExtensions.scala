@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the graft native
+  * functions for SQL use —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)  // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * then e.g. `SELECT jaccard_sets(hashed_shingles(a, 3), hashed_shingles(b, 3))`.
+  */
+object GraftExtensions {
+  /** All (name, builder) pairs — shared by session-build injection and
+    * live-session registration. */
+  private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("hashed_shingles",
+      "hashed_shingles(text, k) - distinct XXH64 hashes of the k-token word shingles",
+      args => NativeText.HashedShingles(args.head, intArg(args(1), "k"))),
+    ("minhash_signature",
+      "minhash_signature(hashes, n) - n-slot minhash signature of a hashed shingle set",
+      args => NativeText.MinHashSignature(args.head, intArg(args(1), "numHashes"))),
+    ("jaccard_sets",
+      "jaccard_sets(a, b) - exact Jaccard similarity of two BIGINT-array sets",
+      args => NativeText.JaccardSets(args.head, args(1))),
+    ("simhash64",
+      "simhash64(text) - 64-bit Charikar simhash over whitespace tokens",
+      args => NativeText.SimHash64(args.head)),
+  )
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Register the native functions on an already-built session (temp
+    * functions; for session-build-time registration use the extensions
+    * class below). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.builders
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[NativeText.type].getName, null, name, usage, ""),
+        builder))
+    }
+}

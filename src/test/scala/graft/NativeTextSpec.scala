@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftExtensions, NativeText}
+import graft.operators.{MinHashLSH, TextAnalysis}
+
+class NativeTextSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("hashed_shingles: k-grams distinct, short docs yield one shingle") {
+    val out = Seq("a b c d", "a b", "a b c a b c").toDF("t")
+      .select(NativeText.hashed_shingles(col("t"), 3).as("sh"))
+      .as[Seq[Long]].collect()
+    assert(out(0).length == 2) // "a b c", "b c d"
+    assert(out(1).length == 1) // short doc
+    assert(out(2).length == 3) // "a b c" (twice), "b c a", "c a b" → 3 distinct
+    assert(out(0).head == out(2).head) // same shingle, same hash
+  }
+
+  test("jaccard_sets matches the declarative jaccard exactly") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 2L), Seq(1L, 2L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(5L), Seq(6L)),
+    ).toDF("a", "b")
+    val native = df.select(NativeText.jaccard_sets(col("a"), col("b"))).as[Double].collect()
+    val decl = df.select(MinHashLSH.jaccard(col("a"), col("b"))).as[Double].collect()
+    assert(native.toSeq == decl.toSeq)
+    assert(native.toSeq == Seq(0.5, 1.0, 1.0, 0.0))
+  }
+
+  test("minhash_signature: identical sets get identical signatures; length respected") {
+    val df = Seq(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), Seq(9L, 10L)).toDF("h")
+    val sigs = df.select(NativeText.minhash_signature(col("h"), 16).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash64 equals the declarative Column-form simhash-style invariants") {
+    val df = Seq("spark shuffle join", "spark shuffle join", "other words here").toDF("t")
+    val fps = df.select(NativeText.simhash64(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("null inputs propagate as null") {
+    val df = Seq[Option[String]](None, Some("a b")).toDF("t")
+    val rows = df.select(NativeText.simhash64(col("t")).as("fp"),
+      NativeText.hashed_shingles(col("t"), 2).as("sh")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(1))
+  }
+
+  test("functions are SQL-callable once registered") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT simhash64('a b c') AS fp,
+        |       jaccard_sets(hashed_shingles('x y z w', 2), hashed_shingles('x y z w', 2)) AS j,
+        |       size(minhash_signature(hashed_shingles('x y z', 1), 8)) AS n
+        |""".stripMargin).head()
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getInt(2) == 8)
+  }
+}
