@@ -423,6 +423,27 @@ object Queries {
     Similarity.lshTopK(queries, e, k = 5, bits = 4, dim = 64)
   }
 
+  /** #31 IVF ANN: k-means coarse quantizer, probe nprobe/nlist cells. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
+    IvfIndex.ivfTopK(queries, e, k = 5, nlist = 16, nprobe = 4)
+  }
+
+  /** #32 skew-resistant aggregation: two-phase salted count/sum over the
+    * events stream's few-hot-keys distribution. Values route through
+    * DECIMAL so the two-phase sum is exactly the one-phase sum. */
+  private def skewAgg(s: SparkSession, dir: String): DataFrame =
+    SkewedAgg.saltedCountSum(
+      events(s, dir).withColumn("value", col("value").cast("decimal(18,2)")),
+      "event_type", "value", salts = 16)
+      .select(col("event_type"), col("n"), col("total").cast("double").as("total"))
+
+  private val skewAggSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
   /** #23 text quality scoring: length / punctuation / stopword-family
     * ratios, all codegen'd built-ins over the pruned text column. */
   private def textStats(s: SparkSession, dir: String): DataFrame =
@@ -593,6 +614,8 @@ object Queries {
     Q("q_dedup_embed", dedupEmbed, None),
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
     Q("q_ann_lsh", annLsh, None),
+    Q("q_ann_ivf", annIvf, None),
+    Q("q_skew_agg", skewAgg, Some(skewAggSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_lang_id", langId, Some(langIdSql)),
     Q("q_token_count", tokenCount, Some(tokenCountSql)),

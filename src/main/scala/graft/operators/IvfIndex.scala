@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the scale path
+  * beyond hyperplane LSH: a k-means coarse quantizer partitions the
+  * corpus into `nlist` cells; a query probes only its `nprobe` closest
+  * cells, touching ~nprobe/nlist of the corpus.
+  *
+  * Scale design: the corpus-side assignment is a broadcast
+  * nested-loop against `nlist` centroids (|D|·nlist work, map-only —
+  * NOT |D|²) followed by one min_by aggregation; probing is an equi-join
+  * on the cell id, hash-partitioned — a cell is the shuffle key, so a
+  * 1000-executor probe moves only the probed cells. Train/assign/probe
+  * are separable: at 100 TB you train on a sample, persist the
+  * assignment as a bucketed table, and amortize it across queries.
+  */
+object IvfIndex {
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** K-means centroids of the corpus (deterministic: fixed seed). */
+  def train(corpus: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
+            maxIter: Int = 10): Array[Array[Double]] = {
+    val feat = corpus.select(
+      array_to_vector(corpus(vecCol).cast("array<double>")).as("__features"))
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features")
+      .fit(feat).clusterCenters.map(_.toArray)
+  }
+
+  /** Centroids as a broadcastable (cid, cvec) frame. */
+  def centroidFrame(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "cvec")
+  }
+
+  /** Cell assignment: nearest centroid per vector. Broadcast NLJ over
+    * nlist centroids + one min_by aggregation on the vector id. */
+  def assign(vectors: DataFrame, idCol: String, vecCol: String,
+             cents: DataFrame): DataFrame =
+    vectors.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"), sqDist(col("__v"), col("cvec")).as("__d"))
+      .groupBy(col(idCol))
+      .agg(expr("min_by(cid, __d)").as("cid"))
+
+  /** Approximate top-k: each query probes its `nprobe` closest cells.
+    *
+    * @param queries (qIdCol, vecCol) — small, broadcastable
+    * @param corpus  (idCol, vecCol)
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int, nprobe: Int,
+              qIdCol: String = "q_id", idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val centroids = train(corpus, vecCol, nlist, seed)
+    val cents = centroidFrame(corpus, centroids)
+
+    val corpusCells = assign(corpus, idCol, vecCol, cents)
+      .join(corpus.select(col(idCol), col(vecCol).as("__cv")), Seq(idCol))
+
+    val probeRank = Window.partitionBy(qIdCol).orderBy(col("__d"), col("cid"))
+    val queryProbes = queries
+      .select(col(qIdCol), asDouble(col(vecCol)).as("__qvd"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .select(col(qIdCol), col("__qv"), col("cid"), sqDist(col("__qvd"), col("cvec")).as("__d"))
+      .withColumn("__pr", row_number().over(probeRank))
+      .filter(col("__pr") <= nprobe)
+      .select(col(qIdCol), col("__qv"), col("cid"))
+
+    val scored = broadcast(queryProbes).join(corpusCells, Seq("cid"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol),
+        Similarity.cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, Similarity}
+
+class IvfIndexSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("assign puts every vector in exactly one cell") {
+    val cents = IvfIndex.centroidFrame(emb, IvfIndex.train(emb, "embedding", nlist = 8))
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    val cells = assigned.select("cid").distinct().count()
+    assert(cells > 1 && cells <= 8)
+  }
+
+  test("ivfTopK recall vs brute force is high at nprobe=half the cells") {
+    val queries = emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("probing all cells reproduces the exact top-k") {
+    val queries = emb.filter(col("vec_id") < 4).select(col("vec_id").as("q_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val full = IvfIndex.ivfTopK(queries, emb, k = 3, nlist = 8, nprobe = 8)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+  }
+}
