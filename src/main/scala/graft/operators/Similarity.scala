@@ -33,6 +33,27 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Two-phase per-group top-k: each scan partition reduces its rows to
+    * a k-bounded sorted array per group (map-side, memory-bounded), then
+    * only |partitions|·k rows per group reach the final window rank.
+    * A plain window over the raw scores would funnel ALL of a group's
+    * rows through one reducer — the classic top-k scale trap.
+    * Ordering: score desc, id asc (ties), identical in both phases. */
+  private[operators] def partialTopK(scored: DataFrame, groupCol: String,
+                                     idCol: String, scoreCol: String,
+                                     k: Int): DataFrame = {
+    val phase1 = scored
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col(groupCol), col("__pid"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col(scoreCol)).as("__ns"), col(idCol).as(idCol)))), 1, k).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__t"))
+      .select(col(groupCol), col(s"__t.$idCol").as(idCol),
+        (-col("__t.__ns")).as(scoreCol))
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    phase1.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k neighbours for each query row.
     *
     * @param queries (qIdCol, vecCol); must be small enough to broadcast
@@ -46,8 +67,7 @@ object Similarity {
       .join(q) // broadcast nested loop; |Q| small by contract
       .filter(col(qIdCol) =!= col(idCol))
       .select(col(qIdCol), col(idCol), cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    partialTopK(scored, qIdCol, idCol, "cosine", k)
   }
 
   /** Deterministic random hyperplanes: `bits` unit-free direction vectors

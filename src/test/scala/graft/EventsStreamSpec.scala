@@ -43,6 +43,36 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("hourlyStats runs as a real stream: watermark drops late data, windows emit on advance") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = graft.streaming.EventsStream.hourlyStats(events)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click", 2.0, "{}"),
+        (2L, ts("2024-01-01 10:55:00"), 1L, "click", 3.0, "{}"))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window (2h watermark)
+      input.addData((3L, ts("2024-01-01 14:00:00"), 2L, "click", 5.0, "{}"))
+      q.processAllAvailable()
+      // late event for the already-closed 10:00 window → dropped
+      input.addData((4L, ts("2024-01-01 10:10:00"), 3L, "click", 100.0, "{}"))
+      input.addData((5L, ts("2024-01-01 15:00:00"), 2L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("hourly_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2),
+          r.getDecimal(3).doubleValue())).toSet
+      // the 10:00 window emitted once with the two on-time events only
+      assert(out.contains(("2024-01-01 10:00:00.0", 2L, 5.0)))
+      assert(!out.exists(_._3 == 105.0), "late event must not reopen the window")
+    } finally q.stop()
+  }
+
   test("stream continuation: state persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
