@@ -570,6 +570,25 @@ object Queries {
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
       |FROM n""".stripMargin
 
+  /** #33 as-of join: each event annotated with the most recent
+    * prior-or-equal signup of the same user (point-in-time lookup). */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val left = ev.select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("prior_signup_id"))
+    AsofJoin.lastPriorMatch(left, signups, "user_id", "ts", "ts",
+      "prior_signup_id", "prior_signup_id")
+      .select("event_id", "user_id", "prior_signup_id")
+  }
+
+  private val asofJoinSql =
+    """WITH l AS (SELECT event_id AS prior_signup_id, user_id, epoch_us(ts) AS t
+      |           FROM events WHERE event_type = 'signup')
+      |SELECT e.event_id, e.user_id, l.prior_signup_id
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) e
+      |ASOF LEFT JOIN l ON e.user_id = l.user_id AND l.t <= e.t""".stripMargin
+
   /** #30 top-N per group via window rank. */
   private def topnPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -624,5 +643,6 @@ object Queries {
     Q("q_events_window", eventsWindow, Some(eventsWindowSql)),
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
     Q("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
+    Q("q_asof_join", asofJoin, Some(asofJoinSql)),
   )
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the payload of the most
+  * recent right row with the same key and `rightTs <= leftTs` (inclusive,
+  * matching DuckDB/Postgres ASOF semantics).
+  *
+  * Plan shape: tag both sides, UNION, one window pass per key ordered by
+  * (ts, side) carrying the last non-null payload forward — a single
+  * shuffle on the key and a single sort, independent of how many right
+  * rows precede each left row. The naive alternative (range join +
+  * groupBy max) explodes to |L|·|R| per key; this stays |L|+|R|.
+  */
+object AsofJoin {
+
+  /** @param left       rows to annotate (must contain `key`, `leftTsCol`)
+    * @param right      lookup stream (must contain `key`, `rightTsCol`, `payloadCol`)
+    * @param asofCol    output column name for the carried payload (null
+    *                   when no right row precedes the left row)
+    */
+  def lastPriorMatch(left: DataFrame, right: DataFrame, key: String,
+                     leftTsCol: String, rightTsCol: String,
+                     payloadCol: String, asofCol: String): DataFrame = {
+    val payloadType = right.schema(payloadCol).dataType
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+
+    val l = left.select(
+      col(key).as("__k"), col(leftTsCol).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(payloadType).as("__p"), leftStruct.as("__row"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTsCol).as("__ts"), lit(0).as("__side"),
+      col(payloadCol).cast(payloadType).as("__p"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
+
+    // side 0 (right) sorts before side 1 (left) at equal ts → inclusive
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionAll(l)
+      .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__row.*"), col("__carried").as(asofCol))
+  }
+}

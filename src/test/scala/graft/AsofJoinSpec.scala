@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("lastPriorMatch carries the most recent prior-or-equal right payload") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 11:00:00")),
+      (3L, 7L, ts("2024-01-01 09:00:00")), // before any right row
+      (4L, 8L, ts("2024-01-01 10:30:00")),
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 100L), // equal ts → inclusive match
+      (7L, ts("2024-01-01 10:30:00"), 101L),
+      (8L, ts("2024-01-01 10:00:00"), 200L),
+    ).toDF("user_id", "ts", "payload")
+
+    val out = AsofJoin.lastPriorMatch(left, right, "user_id", "ts", "ts",
+      "payload", "asof_payload")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 100L), // inclusive: equal-ts right row matches
+      (2L, 101L), // latest of the two prior rows
+      (3L, -1L),  // nothing prior → null
+      (4L, 200L), // keys don't bleed across users
+    ))
+  }
+
+  test("plan is one shuffle + window, no range-join explosion") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts("2024-01-01 09:00:00"), 5L)).toDF("user_id", "ts", "payload")
+    val plan = AsofJoin.lastPriorMatch(left, right, "user_id", "ts", "ts",
+      "payload", "p").queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.toLowerCase.contains("broadcastnestedloop"),
+      s"as-of must not be a range join:\n$plan")
+    assert(plan.contains("Window"), s"expected a running-window plan:\n$plan")
+  }
+}
