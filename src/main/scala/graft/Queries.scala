@@ -606,6 +606,53 @@ object Queries {
       |  FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  /** #34 pricing summary over the largest table (lineitem) — TPC-H-Q1-
+    * style grouped aggregation; sums route through DECIMAL for an exact
+    * oracle compare. */
+  private def lineitemPricing(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc"))
+  }
+
+  private val lineitemPricingSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** #35 fact-to-fact join at volume: revenue per order priority over
+    * orders ⋈ lineitem (no broadcast hint — both sides scale; AQE picks
+    * the strategy). */
+  private def revenueJoin(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("__rev"))
+    t(s, dir, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum(col("__rev")).cast("double").as("revenue"))
+  }
+
+  private val revenueJoinSql =
+    """SELECT o.o_orderpriority,
+      |  count(DISTINCT o.o_orderkey) AS n_orders,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -644,5 +691,7 @@ object Queries {
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
     Q("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
     Q("q_asof_join", asofJoin, Some(asofJoinSql)),
+    Q("q_lineitem_pricing", lineitemPricing, Some(lineitemPricingSql)),
+    Q("q_revenue_join", revenueJoin, Some(revenueJoinSql)),
   )
 }
