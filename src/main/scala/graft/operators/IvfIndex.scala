@@ -28,7 +28,7 @@ object IvfIndex {
 
   /** K-means centroids of the corpus (deterministic: fixed seed). */
   def train(corpus: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
-            maxIter: Int = 10): Array[Array[Double]] = {
+            maxIter: Int = 5): Array[Array[Double]] = {
     val feat = corpus.select(
       array_to_vector(corpus(vecCol).cast("array<double>")).as("__features"))
     new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)

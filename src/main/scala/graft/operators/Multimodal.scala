@@ -52,6 +52,62 @@ object Multimodal {
     (w, ht, h)
   }
 
+  /** Output schema of the resize stage. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+  ))
+
+  /** STUB resize: a real implementation hands bytes to an image codec and
+    * scales; the fake derives a deterministic payload of the target size
+    * so partitioning/schema plumbing is real and testable. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte]((w.toLong * h % 4096).toInt + 16)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
+    out
+  }
+
+  /** Batch resize: map-only pass producing fixed-dimension payloads. */
+  def resizeAll(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    media.select(col("doc_id").cast("long"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), resizeStub(r.getAs[Array[Byte]](1), w, h), w, h)
+        }
+      }(enc)
+  }
+
+  /** Output schema of frame sampling: one row per sampled frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false),
+  ))
+
+  /** STUB frame-sample: a real implementation seeks the container and
+    * decodes every `stride`-th frame; the fake slices the payload
+    * deterministically. Map-only; output explodes 1→n rows per video but
+    * never shuffles the source bytes. */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select(col("doc_id").cast("long"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val id = r.getLong(0)
+          (0 until nFrames).iterator.map { f =>
+            val start = if (bytes.isEmpty) 0 else (f * bytes.length / nFrames)
+            val end = if (bytes.isEmpty) 0 else math.max(start + 1, ((f + 1) * bytes.length / nFrames))
+            Row(id, f, java.util.Arrays.copyOfRange(bytes, start, math.min(end, bytes.length)))
+          }
+        }
+      }(enc)
+  }
+
   /** Partition-local feature extraction over (id, media, media_type). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

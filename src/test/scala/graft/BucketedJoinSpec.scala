@@ -11,6 +11,15 @@ class BucketedJoinSpec extends GraftSuite {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but the managed
+    // locations survive on disk — clear them so saveAsTable can recreate
+    Seq("b_orders", "b_customer").foreach { t =>
+      val loc = new java.io.File(s"target/spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     spark.read.parquet(s"$dir/orders.parquet")
       .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .format("parquet").saveAsTable("b_orders")

@@ -73,6 +73,35 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming parity: readStream over the events parquet matches batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    // the file-stream source needs a DIRECTORY of files
+    val streamDir = new java.io.File("target/stream_events")
+    streamDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"${streamDir.getPath}/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def fix(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = fix(spark.readStream.schema(schema).parquet(streamDir.getPath))
+    val q = graft.streaming.EventsStream.hourlyStats(stream)
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out")
+        .collect().map(_.toString).sorted
+      val batch = graft.streaming.EventsStream
+        .hourlyStats(fix(spark.read.parquet(s"$dir/events.parquet")))
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq, "stream and batch results must agree")
+    } finally q.stop()
+  }
+
   test("stream continuation: state persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
