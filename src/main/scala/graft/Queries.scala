@@ -679,6 +679,62 @@ object Queries {
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** #37 JSON extraction from the events payload column (semi-structured
+    * props ride as strings; extraction is codegen'd, no UDF). */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+
+  private val jsonExtractSql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events""".stripMargin
+
+  /** #38 ROLLUP aggregation: subtotals + grand total in one pass. */
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+
+  private val rollupAggSql =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** #39 moving-window sum per user over the event stream (5-row frame;
+    * DECIMAL so the frame sum is order-independent exact). */
+  private def movingSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    events(s, dir)
+      .withColumn("mov_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("event_id", "user_id", "mov_sum")
+  }
+
+  private val movingSumSql =
+    """SELECT event_id, user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+      |FROM events""".stripMargin
+
+  /** #40 edit distance between successive customer names (fuzzy-match
+    * primitive for respondent-registry reconciliation). */
+  private def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_custkey"), col("c_name"))
+    val b = c.select((col("c_custkey") - 1).as("c_custkey"), col("c_name").as("next_name"))
+    a.join(b, Seq("c_custkey"))
+      .select(col("c_custkey"), levenshtein(col("c_name"), col("next_name")).as("edit_dist"))
+  }
+
+  private val editDistanceSql =
+    """SELECT a.c_custkey, levenshtein(a.c_name, b.c_name) AS edit_dist
+      |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -720,5 +776,9 @@ object Queries {
     Q("q_lineitem_pricing", lineitemPricing, Some(lineitemPricingSql)),
     Q("q_revenue_join", revenueJoin, Some(revenueJoinSql)),
     Q("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
+    Q("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    Q("q_rollup_agg", rollupAgg, Some(rollupAggSql)),
+    Q("q_moving_sum", movingSum, Some(movingSumSql)),
+    Q("q_edit_distance", editDistance, Some(editDistanceSql)),
   )
 }
