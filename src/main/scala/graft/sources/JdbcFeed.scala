@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,16 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object JdbcFeed {
 
+  /** Derived-table string that ships the wave predicate INTO the
+    * database (feeder.py:136's `where wave = N`, but evaluated by the
+    * DB instead of filtering after a full-table fetch). */
+  def pushdownTable(table: String, keyCol: String, waveCol: String, wave: Int): String =
+    s"(select $keyCol from $table where $waveCol = $wave) as __keys"
+
   /** The existing-keys lookup with the wave predicate pushed down into
     * the database as a subquery (dbtable = derived table). */
   def existingKeysReader(spark: SparkSession, url: String, table: String,
-                         keyCol: String, waveCol: String, wave: Int,
-                         props: Properties = new Properties()): DataFrameReader = {
-    val pushdown = s"(select $keyCol from $table where $waveCol = $wave) as __keys"
+                         keyCol: String, waveCol: String, wave: Int): DataFrameReader =
     spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", pushdown)
-  }
+      .option("dbtable", pushdownTable(table, keyCol, waveCol, wave))
 
   /** Partition the prepared batch for a concurrent JDBC append:
     * `numWriters` tasks × `batchSize`-row JDBC batches. Returns the

@@ -47,4 +47,23 @@ class PlanSpec extends GraftSuite {
   test("q_batch_append repartitions for concurrent writers (no single-writer funnel)") {
     assert(q("q_batch_append").rdd.getNumPartitions == 8)
   }
+
+  test("q_lineitem_pricing scan is pruned to the aggregated columns") {
+    val fmt = q("q_lineitem_pricing").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!fmt.contains("l_shipdate") && !fmt.contains("l_partkey"),
+      s"scan reads columns the aggregate never touches:\n$fmt")
+  }
+
+  test("q_revenue_join is a real join with partial aggregation, no cartesian") {
+    val plan = q("q_revenue_join").queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("q_asof_join plans a single window pass, not a range join") {
+    val plan = q("q_asof_join").queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("Cartesian"),
+      s"as-of must be a running window:\n$plan")
+  }
 }

@@ -44,6 +44,11 @@ class SourcesSpec extends GraftSuite {
     intercept[IllegalArgumentException] { ZippedTabular.firstEntry(bos.toByteArray) }
   }
 
+  test("pushdownTable ships the wave predicate into the database") {
+    assert(JdbcFeed.pushdownTable("recruits_log", "phone", "wave", 7) ==
+      "(select phone from recruits_log where wave = 7) as __keys")
+  }
+
   test("prepareAppend partitions the batch for concurrent writers") {
     val df = (1 to 100).toDF("x")
     assert(JdbcFeed.prepareAppend(df, numWriters = 8).rdd.getNumPartitions == 8)
