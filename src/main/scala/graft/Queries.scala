@@ -679,6 +679,17 @@ object Queries {
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** #41 sketch-based distinct counting: HyperLogLog++ per wave — the
+    * constant-memory distinct at 100 TB where exact COUNT(DISTINCT)
+    * would shuffle every key. Rows-only (approximate by design; the
+    * error bound is spec-checked against the exact count). */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("wave", col("o_orderkey") % 10)
+      .groupBy("wave")
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
+        count(lit(1)).as("n"))
+
   /** #37 JSON extraction from the events payload column (semi-structured
     * props ride as strings; extraction is codegen'd, no UDF). */
   private def jsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -780,5 +791,6 @@ object Queries {
     Q("q_rollup_agg", rollupAgg, Some(rollupAggSql)),
     Q("q_moving_sum", movingSum, Some(movingSumSql)),
     Q("q_edit_distance", editDistance, Some(editDistanceSql)),
+    Q("q_approx_distinct", approxDistinct, None),
   )
 }

@@ -31,7 +31,11 @@ object IvfIndex {
             maxIter: Int = 5): Array[Array[Double]] = {
     val feat = corpus.select(
       array_to_vector(corpus(vecCol).cast("array<double>")).as("__features"))
+    // random init: kmeans|| init runs several extra distributed passes
+    // that dominate training time at moderate nlist; quantizer quality
+    // is recall-tunable via nprobe anyway
     new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("__features")
       .fit(feat).clusterCenters.map(_.toArray)
   }
