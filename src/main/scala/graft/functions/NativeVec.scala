@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector math for the similarity hot path. The declarative forms
+  * (`zip_with` + `aggregate`) are interpreted lambda chains; these are
+  * single primitive loops with IDENTICAL accumulation order (left fold
+  * over indices, double precision), so results are bit-for-bit equal to
+  * the declarative implementations they replace — the oracle compare
+  * stays exact.
+  */
+object NativeVec {
+
+  private def toDoubles(e: Expression, v: Any): Array[Double] = {
+    val ad = v.asInstanceOf[ArrayData]
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType =>
+        val f = ad.toFloatArray()
+        val out = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+        out
+      case DoubleType => ad.toDoubleArray()
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+  }
+
+  /** `cosine_sim(a, b)` = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))),
+    * accumulated left-to-right in double — identical to the zip_with/
+    * aggregate formulation. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = toDoubles(left, l)
+      val b = toDoubles(right, r)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `sq_dist(a, b)` = Σ (a_i - b_i)², left-to-right in double. */
+  case class SqDist(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = toDoubles(left, l)
+      val b = toDoubles(right, r)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(e)
+  private def exprOf(c: Column): Expression =
+    org.apache.spark.sql.graftshim.GraftShim.expression(c)
+
+  def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(exprOf(a), exprOf(b)))
+  def sq_dist(a: Column, b: Column): Column = toCol(SqDist(exprOf(a), exprOf(b)))
+}

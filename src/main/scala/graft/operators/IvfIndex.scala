@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    graft.functions.NativeVec.sq_dist(a, b)
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 

@@ -57,6 +57,25 @@ class NativeTextSpec extends GraftSuite {
     assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(1))
   }
 
+  test("native cosine is bit-identical to the declarative dot/norm form") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("embedding").as("b")).limit(5))
+    def asD(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val declarative = (Similarity.dot(asD(col("a")), asD(col("b")))
+      / (sqrt(Similarity.dot(asD(col("a")), asD(col("a"))))
+        * sqrt(Similarity.dot(asD(col("b")), asD(col("b"))))))
+    val rows = pairs.select(
+      graft.functions.NativeVec.cosine_sim(col("a"), col("b")).as("native"),
+      declarative.as("decl")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != declarative ${r.getDouble(1)}")
+    }
+  }
+
   test("functions are SQL-callable once registered") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(
