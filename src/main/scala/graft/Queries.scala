@@ -263,6 +263,43 @@ object Queries {
       |  c_mktsegment
       |FROM customer""".stripMargin
 
+  /** #42 the skipped-keys report (feeder.py:245-246): the complement of
+    * the dedup anti-join — rows whose phone already exists. */
+  private def dedupSkipped(s: SparkSession, dir: String): DataFrame = {
+    val incoming = t(s, dir, "orders")
+      .select(col("o_orderkey").as("id"), phoneOf(col("o_custkey")).as("phone"))
+    val existing = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(phoneOf(col("c_custkey")).as("phone"))
+    Dedup.skippedRows(incoming, existing, "phone").select("id", "phone")
+  }
+
+  private val dedupSkippedSql =
+    s"""SELECT o_orderkey AS id, ${phoneSql("o_custkey")} AS phone
+       |FROM orders WHERE o_custkey % 3 = 0""".stripMargin
+
+  /** #43 SCD2 history merge: the keyed upsert with history kept —
+    * updated keys get their current row closed and a new current row
+    * appended (valid_from/valid_to ranges). */
+  private def upsertScd2(s: SparkSession, dir: String): DataFrame = {
+    val history = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        lit("2020-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"))
+    val updates = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 500.0).as("c_acctbal"),
+        lit("2024-06-01").as("ts"))
+    Upsert.scd2Apply(history, updates, "c_custkey", "c_acctbal", "ts")
+  }
+
+  private val upsertScd2Sql =
+    """SELECT c_custkey, c_acctbal, '2020-01-01' AS valid_from,
+      |  CASE WHEN c_custkey % 10 = 0 THEN '2024-06-01' ELSE NULL END AS valid_to
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal,
+      |  '2024-06-01' AS valid_from, NULL AS valid_to
+      |FROM customer WHERE c_custkey % 10 = 0""".stripMargin
+
   /** #13 month-offset date repair with fill-from-interview-date fallback
     * (add_q5011_2t.py:27-45, 58-103). Groups = "files"; the per-group
     * decision comes from the group's first row, exactly like the
@@ -792,5 +829,7 @@ object Queries {
     Q("q_moving_sum", movingSum, Some(movingSumSql)),
     Q("q_edit_distance", editDistance, Some(editDistanceSql)),
     Q("q_approx_distinct", approxDistinct, None),
+    Q("q_dedup_skipped", dedupSkipped, Some(dedupSkippedSql)),
+    Q("q_upsert_scd2", upsertScd2, Some(upsertScd2Sql)),
   )
 }

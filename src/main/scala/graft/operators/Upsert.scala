@@ -31,6 +31,37 @@ object Upsert {
     joined.select(projected.toIndexedSeq: _*)
   }
 
+  /** SCD2 (history-keeping) apply: for each update (key, value, ts),
+    * close the key's CURRENT row (valid_to := ts) and append a new
+    * current row (valid_from := ts, valid_to := NULL). Non-updated keys
+    * and already-closed rows pass through untouched.
+    *
+    * One broadcast-able join against the updates + a union — no window,
+    * no per-key driver loop; at scale this is a single co-partitioned
+    * pass over the history table.
+    *
+    * @param history (key, valueCol, valid_from, valid_to) — valid_to
+    *                NULL marks the current row
+    * @param updates (key, valueCol, ts)
+    */
+  def scd2Apply(history: DataFrame, updates: DataFrame, key: String,
+                valueCol: String, tsCol: String,
+                broadcastUpdates: Boolean = true): DataFrame = {
+    val u = updates.select(col(key), col(valueCol).as("__u_val"), col(tsCol).as("__u_ts"))
+    val right = if (broadcastUpdates) broadcast(u) else u
+    val closed = history.join(right, Seq(key), "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull && col("__u_ts").isNotNull, col("__u_ts"))
+          .otherwise(col("valid_to")))
+      .select(history.columns.map(col).toIndexedSeq: _*)
+    val fresh = updates.select(
+      col(key), col(valueCol),
+      col(tsCol).as("valid_from"),
+      lit(null).cast(history.schema("valid_to").dataType).as("valid_to"))
+      .select(history.columns.map(col).toIndexedSeq: _*)
+    closed.unionAll(fresh)
+  }
+
   /** Insert-or-update merge: matched rows take update values, unmatched
     * updates are appended as new rows. Full-outer join + coalesce. */
   def merge(base: DataFrame, updates: DataFrame, key: String): DataFrame = {

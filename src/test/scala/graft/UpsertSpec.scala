@@ -17,6 +17,24 @@ class UpsertSpec extends GraftSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
   }
 
+  test("scd2Apply closes the current row and appends a new current row") {
+    val history = Seq(
+      (1L, 10.0, "2020-01-01", null: String),   // current, will be updated
+      (1L, 5.0, "2019-01-01", "2020-01-01"),     // closed history, untouched
+      (2L, 20.0, "2020-01-01", null: String),    // current, no update
+    ).toDF("id", "bal", "valid_from", "valid_to")
+    val updates = Seq((1L, 99.0, "2024-06-01")).toDF("id", "bal", "ts")
+    val out = Upsert.scd2Apply(history, updates, "id", "bal", "ts")
+      .orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5.0, "2019-01-01", "2020-01-01"),
+      (1L, 10.0, "2020-01-01", "2024-06-01"),  // closed by the update
+      (1L, 99.0, "2024-06-01", null),          // new current
+      (2L, 20.0, "2020-01-01", null),          // untouched
+    ))
+  }
+
   test("merge: matched rows updated, unmatched updates appended") {
     val updates = Seq((2L, "B", 99.0), (7L, "g", 77.0)).toDF("id", "name", "bal")
     val out = Upsert.merge(base, updates, "id").orderBy("id").collect()
