@@ -57,7 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[NativeText.type].getName, null, name, usage, ""),
+        new ExpressionInfo(classOf[NativeText.type].getName, null, name),
         builder))
     }
 }

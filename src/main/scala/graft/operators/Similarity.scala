@@ -82,7 +82,7 @@ object Similarity {
   /** Sign-bit bucket id of a vector under the given hyperplanes. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       when(dot(asDouble(vec), plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 

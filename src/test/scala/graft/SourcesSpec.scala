@@ -26,7 +26,8 @@ class SourcesSpec extends GraftSuite {
   }
 
   test("zip roundtrip: archives on disk → distributed CSV decode") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_zip_spec").toFile
+    val dir = new File("target/graft_zip_spec")
+    dir.mkdirs()
     (0 until 2).foreach { i =>
       val z = new ZipOutputStream(new FileOutputStream(new File(dir, s"a$i.zip")))
       z.putNextEntry(new ZipEntry("data.csv"))
