@@ -365,12 +365,17 @@ object Queries {
       .withColumn("project_name",
         concat(lit("CATI_W"), lpad((col("o_orderkey") % 10).cast("string"), 2, "0")))
       .withColumn("wave", FeederTransforms.waveFromName(col("project_name")))
-      .select("o_orderkey", "project_name", "wave")
+      .withColumn("project_name_w6",
+        concat(lit("CATI_w"), (col("o_orderkey") % 10).cast("string")))
+      .withColumn("wave_w6", FeederTransforms.waveFromNameLoose(col("project_name_w6")))
+      .select("o_orderkey", "project_name", "wave", "project_name_w6", "wave_w6")
 
   private val waveDeriveSql =
     """SELECT o_orderkey,
       |  'CATI_W' || lpad(CAST(o_orderkey % 10 AS VARCHAR), 2, '0') AS project_name,
-      |  CAST(right('CATI_W' || lpad(CAST(o_orderkey % 10 AS VARCHAR), 2, '0'), 2) AS INT) AS wave
+      |  CAST(right('CATI_W' || lpad(CAST(o_orderkey % 10 AS VARCHAR), 2, '0'), 2) AS INT) AS wave,
+      |  'CATI_w' || CAST(o_orderkey % 10 AS VARCHAR) AS project_name_w6,
+      |  CAST(replace(right('CATI_w' || CAST(o_orderkey % 10 AS VARCHAR), 2), 'w', '') AS INT) AS wave_w6
       |FROM orders""".stripMargin
 
   // ===========================================================================

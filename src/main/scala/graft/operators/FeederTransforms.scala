@@ -64,4 +64,10 @@ object FeederTransforms {
     * (feeder.py:124-125: `project_name[-2:]`). */
   def waveFromName(name: Column): Column =
     substring(name, -2, 2).cast("int")
+
+  /** The w6-variant derivation (feeder_w6.py:126:
+    * `project_name[-2:].replace("w", "")`) — tolerates a `w` marker in
+    * the trailing characters. */
+  def waveFromNameLoose(name: Column): Column =
+    regexp_replace(substring(name, -2, 2), "w", "").cast("int")
 }

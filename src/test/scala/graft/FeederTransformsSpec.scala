@@ -50,4 +50,10 @@ class FeederTransformsSpec extends GraftSuite {
       .select(waveFromName(col("n")).as("w")).as[Int].collect()
     assert(out.toSeq == Seq(7, 42))
   }
+
+  test("waveFromNameLoose strips the w marker (feeder_w6.py:126)") {
+    val out = Seq("CATI_w6", "CATI_W10").toDF("n")
+      .select(waveFromNameLoose(col("n")).as("w")).as[Int].collect()
+    assert(out.toSeq == Seq(6, 10))
+  }
 }

@@ -45,6 +45,20 @@ class SourcesSpec extends GraftSuite {
     intercept[IllegalArgumentException] { ZippedTabular.firstEntry(bos.toByteArray) }
   }
 
+  test("FeedConfig parses the reference's config.json shape into connection artifacts") {
+    val cfg = graft.sources.FeedConfig.fromJson(
+      """{"api_token": "tok123", "project_name": "CATI_W07",
+        | "db_host": "db.example", "db_name": "cati", "db_user": "loader",
+        | "db_password": "p\"w"}""".stripMargin)
+    assert(cfg.apiHeaders("SS-Token") == "tok123")
+    assert(cfg.jdbcUrl == "jdbc:postgresql://db.example/cati")
+    assert(cfg.jdbcOptions("password") == "p\"w")
+    assert(cfg.waveNumber == "07")
+    intercept[IllegalArgumentException] {
+      graft.sources.FeedConfig.fromJson("""{"api_token": "x"}""")
+    }
+  }
+
   test("pushdownTable ships the wave predicate into the database") {
     assert(JdbcFeed.pushdownTable("recruits_log", "phone", "wave", 7) ==
       "(select phone from recruits_log where wave = 7) as __keys")
