@@ -32,6 +32,10 @@ object GraftExtensions {
     ("simhash64",
       "simhash64(text) - 64-bit Charikar simhash over whitespace tokens",
       args => NativeText.SimHash64(args.head)),
+    ("topk_by",
+      "topk_by(score, id, k) - bounded top-k aggregate (array<struct<id,score>>, best first)",
+      args => TopKAggregate.TopKBy(args(0), args(1), intArg(args(2), "k"))
+        .toAggregateExpression()),
   )
 
   private def intArg(e: Expression, what: String): Int = e match {

@@ -85,5 +85,10 @@ class NativeTextSpec extends GraftSuite {
         |""".stripMargin).head()
     assert(r.getDouble(1) == 1.0)
     assert(r.getInt(2) == 8)
+    val agg = spark.sql(
+      """SELECT transform(topk_by(s, i, 2), t -> t.id) AS top
+        |FROM VALUES (0.9, 1L), (0.95, 3L), (0.7, 2L) AS v(s, i)""".stripMargin)
+      .as[Seq[Long]].head()
+    assert(agg == Seq(3L, 1L))
   }
 }
