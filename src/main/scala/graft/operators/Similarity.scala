@@ -35,26 +35,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.NativeVec.cosine_sim(a, b)
 
-  /** Two-phase per-group top-k: each scan partition reduces its rows to
-    * a k-bounded sorted array per group (map-side, memory-bounded), then
-    * only |partitions|·k rows per group reach the final window rank.
+  /** Per-group top-k via the native bounded-heap aggregate: O(k) memory
+    * per aggregation buffer, map-side partial aggregation, heap-merge
+    * combine — one shuffle, no window, no per-group sort of all rows.
     * A plain window over the raw scores would funnel ALL of a group's
     * rows through one reducer — the classic top-k scale trap.
-    * Ordering: score desc, id asc (ties), identical in both phases. */
+    * Ordering: score desc, id asc (ties) — window-rank semantics.
+    * (`idCol` must be integral; scores any numeric, emitted as double.) */
   private[operators] def partialTopK(scored: DataFrame, groupCol: String,
                                      idCol: String, scoreCol: String,
-                                     k: Int): DataFrame = {
-    val phase1 = scored
-      .withColumn("__pid", spark_partition_id())
-      .groupBy(col(groupCol), col("__pid"))
-      .agg(slice(array_sort(collect_list(
-        struct((-col(scoreCol)).as("__ns"), col(idCol).as(idCol)))), 1, k).as("__top"))
-      .select(col(groupCol), explode(col("__top")).as("__t"))
-      .select(col(groupCol), col(s"__t.$idCol").as(idCol),
-        (-col("__t.__ns")).as(scoreCol))
-    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol).asc)
-    phase1.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+                                     k: Int): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate.topk_by(col(scoreCol), col(idCol), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(groupCol), col("__t.id").as(idCol),
+        col("__t.score").as(scoreCol), (col("__pos") + 1).cast("int").as("rank"))
 
   /** Exact top-k neighbours for each query row.
     *

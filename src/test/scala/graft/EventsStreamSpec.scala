@@ -102,6 +102,26 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark drops replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00")), (3L, ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "replayed event_id must appear once")
+    } finally q.stop()
+  }
+
   test("stream continuation: state persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
