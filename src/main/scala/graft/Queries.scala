@@ -443,9 +443,12 @@ object Queries {
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = parallelize(s, t(s, dir, "embeddings"))
     val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
-    Similarity.bruteForceTopK(queries, e, k = 5, vecCol = "embedding")
-      .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
-        col("rank").cast("int").as("rank"))
+    // rank on the ROUNDED cosine (ties → vec_id), mirroring the oracle's
+    // ORDER BY rounded score — ranking raw-then-rounding could disagree
+    // with DuckDB on 1e-6-level near-ties
+    Similarity.bruteForceTopK(queries, e, k = 5, vecCol = "embedding",
+      roundTo = Some(6))
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
   private val annTopKSql =
@@ -501,8 +504,8 @@ object Queries {
     """SELECT doc_id,
       |  CAST(length(text) AS INT) AS n_chars_m,
       |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-      |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels,
-      |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS INT) AS n_marks,
+      |  CAST(length(text) - length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS INT) AS n_vowels,
+      |  CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS INT) AS n_marks,
       |  (length(text) < 100) AS is_short
       |FROM documents""".stripMargin
 
@@ -666,7 +669,7 @@ object Queries {
       |  SELECT doc_id,
       |    CAST(length(text) AS INT) AS n_chars_m,
       |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-      |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS INT) AS n_marks
+      |    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS INT) AS n_marks
       |  FROM documents)
       |SELECT doc_id,
       |  NOT (n_tokens < 20) AND NOT (CAST(n_marks AS DOUBLE) / greatest(n_chars_m, 1) > 0.05) AS keep,

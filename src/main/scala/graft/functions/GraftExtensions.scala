@@ -61,7 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[NativeText.type].getName, null, name),
+        new ExpressionInfo(classOf[NativeText.type].getName, null, name, usage,
+          "", "", "", "", "4.0.0", "", "built-in"),
         builder))
     }
 }

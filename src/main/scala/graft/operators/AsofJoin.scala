@@ -30,10 +30,15 @@ object AsofJoin {
     val l = left.select(
       col(key).as("__k"), col(leftTsCol).as("__ts"), lit(1).as("__side"),
       lit(null).cast(payloadType).as("__p"), leftStruct.as("__row"))
-    val r = right.select(
-      col(key).as("__k"), col(rightTsCol).as("__ts"), lit(0).as("__side"),
-      col(payloadCol).cast(payloadType).as("__p"),
-      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    // join semantics: NULL keys never match (Window.partitionBy would
+    // otherwise group NULL keys together) — drop NULL-key right rows so
+    // NULL-key left rows fall through with a null payload
+    val r = right
+      .filter(col(key).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTsCol).as("__ts"), lit(0).as("__side"),
+        col(payloadCol).cast(payloadType).as("__p"),
+        lit(null).cast(l.schema("__row").dataType).as("__row"))
 
     // side 0 (right) sorts before side 1 (left) at equal ts → inclusive
     val w = Window.partitionBy(col("__k"))

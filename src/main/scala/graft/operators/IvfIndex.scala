@@ -87,7 +87,6 @@ object IvfIndex {
       .filter(col(qIdCol) =!= col(idCol))
       .select(col(qIdCol), col(idCol),
         Similarity.cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Similarity.topK(scored, qIdCol, idCol, "cosine", k)
   }
 }

@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   *     `maxBucketSize` before pairing, the standard guard against
   *     quadratic skew.
   *
-  * Everything below is Catalyst higher-order functions over arrays —
-  * codegen'd, no UDFs, no driver participation.
+  * Everything below composes Catalyst expressions (the hot loops are the
+  * native expressions in `graft.functions`) — no UDFs, no driver
+  * participation.
+  *
+  * NOTE: `nearDupPairs`/`candidatePairs` persist their shingle/bucket
+  * intermediates (each feeds 2-3 consumers). The cache entries live for
+  * the session; a long-lived service calling these repeatedly should
+  * `spark.catalog.clearCache()` between corpora.
   */
 object MinHashLSH {
 

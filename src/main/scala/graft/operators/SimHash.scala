@@ -57,9 +57,16 @@ object SimHash {
     docs.select(col(idCol), graft.functions.NativeText.simhash64(col(textCol)).as("fp"))
 
   /** Near-dup pairs with hamming distance <= maxHamming (must be
-    * < chunks for the pigeonhole guarantee; default 3 with 4 chunks). */
+    * < chunks for the pigeonhole guarantee; default 3 with 4 chunks).
+    *
+    * @param maxBucketSize skew guard, same as MinHashLSH: a hot chunk
+    *                      value (e.g. thousands of near-empty docs with
+    *                      identical fingerprints) would otherwise go
+    *                      quadratic in one join task
+    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, chunks: Int = 4,
+                   maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
     val fps = fingerprints(docs, idCol, textCol)
 
@@ -68,9 +75,15 @@ object SimHash {
         struct(lit(i).as("ci"), chunk(col("fp"), i).as("cv"))
       }: _*)).as("c"))
       .select(col(idCol), col("fp"), col("c.ci"), col("c.cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = exploded.select(col("ci"), col("cv"), col(idCol).as("id_a"), col("fp").as("fp_a"))
-    val b = exploded.select(col("ci"), col("cv"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    val sizes = exploded.groupBy("ci", "cv").count()
+      .filter(col("count").between(2, maxBucketSize))
+      .select("ci", "cv")
+    val pruned = exploded.join(sizes, Seq("ci", "cv"))
+
+    val a = pruned.select(col("ci"), col("cv"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = pruned.select(col("ci"), col("cv"), col(idCol).as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("ci", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming"))

@@ -42,6 +42,10 @@ object Similarity {
     * rows through one reducer — the classic top-k scale trap.
     * Ordering: score desc, id asc (ties) — window-rank semantics.
     * (`idCol` must be integral; scores any numeric, emitted as double.) */
+  def topK(scored: DataFrame, groupCol: String, idCol: String,
+           scoreCol: String, k: Int): DataFrame =
+    partialTopK(scored, groupCol, idCol, scoreCol, k)
+
   private[operators] def partialTopK(scored: DataFrame, groupCol: String,
                                      idCol: String, scoreCol: String,
                                      k: Int): DataFrame =
@@ -54,17 +58,28 @@ object Similarity {
 
   /** Exact top-k neighbours for each query row.
     *
-    * @param queries (qIdCol, vecCol); must be small enough to broadcast
-    * @param corpus  (idCol, vecCol)
+    * @param queries     (qIdCol, vecCol); must be small enough to broadcast
+    * @param corpus      (idCol, vecCol)
+    * @param excludeSelf drop corpus rows whose id equals the query id —
+    *                    correct when queries are drawn FROM the corpus
+    *                    (the default here); set false when query and
+    *                    corpus id spaces are unrelated
+    * @param roundTo     round cosine to this many decimals BEFORE ranking
+    *                    (rank ties then break by id) — use when comparing
+    *                    against a system that ranks on rounded scores
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qIdCol: String = "q_id", idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     excludeSelf: Boolean = true,
+                     roundTo: Option[Int] = None): DataFrame = {
     val q = broadcast(queries.select(col(qIdCol), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    val joined = corpus.select(col(idCol), col(vecCol).as("__cv"))
       .join(q) // broadcast nested loop; |Q| small by contract
-      .filter(col(qIdCol) =!= col(idCol))
-      .select(col(qIdCol), col(idCol), cosine(col("__qv"), col("__cv")).as("cosine"))
+    val filtered = if (excludeSelf) joined.filter(col(qIdCol) =!= col(idCol)) else joined
+    val rawScore = cosine(col("__qv"), col("__cv"))
+    val score = roundTo.fold(rawScore)(d => round(rawScore, d))
+    val scored = filtered.select(col(qIdCol), col(idCol), score.as("cosine"))
     partialTopK(scored, qIdCol, idCol, "cosine", k)
   }
 
@@ -98,8 +113,7 @@ object Similarity {
     val scored = c.join(q, Seq("__bucket"))
       .filter(col(qIdCol) =!= col(idCol))
       .select(col(qIdCol), col(idCol), cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    partialTopK(scored, qIdCol, idCol, "cosine", k)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs are

@@ -35,10 +35,10 @@ object TextAnalysis {
   def charCount(text: Column): Column = length(text)
 
   def vowelCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[aeiou]", ""))
+    length(text) - length(regexp_replace(lower(text), "[aeiou]", ""))
 
   def nonAlnumCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[^a-z0-9\\s]", ""))
+    length(text) - length(regexp_replace(lower(text), "[^a-z0-9\\s]", ""))
 
   /** Marker-token language-ID heuristic: score each candidate language by
     * occurrences of its most frequent function words, take the argmax

@@ -47,16 +47,21 @@ object Upsert {
   def scd2Apply(history: DataFrame, updates: DataFrame, key: String,
                 valueCol: String, tsCol: String,
                 broadcastUpdates: Boolean = true): DataFrame = {
-    val u = updates.select(col(key), col(valueCol).as("__u_val"), col(tsCol).as("__u_ts"))
+    // one update per key: keep the LATEST (max ts) — a multi-row update
+    // batch would otherwise fan out every history row of that key
+    val u = updates
+      .select(col(key), col(valueCol).as("__u_val"), col(tsCol).as("__u_ts"))
+      .groupBy(col(key))
+      .agg(expr("max_by(__u_val, __u_ts)").as("__u_val"), max("__u_ts").as("__u_ts"))
     val right = if (broadcastUpdates) broadcast(u) else u
     val closed = history.join(right, Seq(key), "left")
       .withColumn("valid_to",
         when(col("valid_to").isNull && col("__u_ts").isNotNull, col("__u_ts"))
           .otherwise(col("valid_to")))
       .select(history.columns.map(col).toIndexedSeq: _*)
-    val fresh = updates.select(
-      col(key), col(valueCol),
-      col(tsCol).as("valid_from"),
+    val fresh = u.select(
+      col(key), col("__u_val").as(valueCol),
+      col("__u_ts").as("valid_from"),
       lit(null).cast(history.schema("valid_to").dataType).as("valid_to"))
       .select(history.columns.map(col).toIndexedSeq: _*)
     closed.unionAll(fresh)

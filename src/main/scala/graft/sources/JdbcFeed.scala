@@ -34,11 +34,10 @@ object JdbcFeed {
       .option("url", url)
       .option("dbtable", pushdownTable(table, keyCol, waveCol, wave))
 
-  /** Partition the prepared batch for a concurrent JDBC append:
-    * `numWriters` tasks × `batchSize`-row JDBC batches. Returns the
-    * repartitioned frame + the configured writer options so callers can
-    * `.save()` against a live database. */
-  def prepareAppend(batch: DataFrame, numWriters: Int, batchSize: Int = 1000): DataFrame =
+  /** Partition the prepared batch so `numWriters` tasks append
+    * concurrently; pair with [[appendOptions]] (which carries the JDBC
+    * batch size) to `.save()` against a live database. */
+  def prepareAppend(batch: DataFrame, numWriters: Int): DataFrame =
     batch.repartition(numWriters)
 
   def appendOptions(url: String, table: String, batchSize: Int = 1000,
@@ -52,7 +51,7 @@ object JdbcFeed {
   /** Execute the append (requires a JDBC driver on the classpath). */
   def append(batch: DataFrame, url: String, table: String,
              numWriters: Int = 8, batchSize: Int = 1000): Unit =
-    prepareAppend(batch, numWriters, batchSize)
+    prepareAppend(batch, numWriters)
       .write.format("jdbc")
       .options(appendOptions(url, table, batchSize))
       .mode(SaveMode.Append)

@@ -35,6 +35,21 @@ class AsofJoinSpec extends GraftSuite {
     ))
   }
 
+  test("NULL keys never match each other (join semantics, not window-group semantics)") {
+    val left = Seq(
+      (1L, Option.empty[Long], ts("2024-01-01 10:00:00")),
+      (2L, Option(7L), ts("2024-01-01 10:00:00")),
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 100L),
+      (Option(7L), ts("2024-01-01 09:00:00"), 200L),
+    ).toDF("user_id", "ts", "payload")
+    val out = AsofJoin.lastPriorMatch(left, right, "user_id", "ts", "ts",
+      "payload", "p").orderBy("event_id").collect()
+    assert(out(0).isNullAt(3), "NULL-key left row must not take a NULL-key right payload")
+    assert(out(1).getLong(3) == 200L)
+  }
+
   test("plan is one shuffle + window, no range-join explosion") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((7L, ts("2024-01-01 09:00:00"), 5L)).toDF("user_id", "ts", "payload")

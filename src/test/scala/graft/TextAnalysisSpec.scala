@@ -50,7 +50,7 @@ class TextAnalysisSpec extends GraftSuite {
     assert(sh(1).toSeq == Seq("a b"))
   }
 
-  test("quality stats match hand counts") {
+  test("quality stats match hand counts; case-insensitive") {
     val df = Seq("aeiou xyz!").toDF("t")
     val r = df.select(
       TextAnalysis.charCount(col("t")).as("c"),
@@ -59,5 +59,11 @@ class TextAnalysisSpec extends GraftSuite {
     assert(r.getInt(0) == 10)
     assert(r.getInt(1) == 5)
     assert(r.getInt(2) == 1) // the '!'
+    // capitals are letters, not punctuation marks; capital vowels count
+    val up = Seq("The CEO Of IBM!").toDF("t").select(
+      TextAnalysis.vowelCount(col("t")).as("v"),
+      TextAnalysis.nonAlnumCount(col("t")).as("m")).head()
+    assert(up.getInt(0) == 5) // "the ceo of ibm!" → e, e, o, o, i
+    assert(up.getInt(1) == 1) // only '!'
   }
 }

@@ -35,6 +35,20 @@ class UpsertSpec extends GraftSuite {
     ))
   }
 
+  test("scd2Apply with several updates for one key applies only the latest (no fan-out)") {
+    val history = Seq((1L, 10.0, "2020-01-01", null: String))
+      .toDF("id", "bal", "valid_from", "valid_to")
+    val updates = Seq((1L, 50.0, "2024-01-01"), (1L, 99.0, "2024-06-01"))
+      .toDF("id", "bal", "ts")
+    val out = Upsert.scd2Apply(history, updates, "id", "bal", "ts")
+      .orderBy("valid_from").collect()
+      .map(r => (r.getDouble(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (10.0, "2020-01-01", "2024-06-01"), // closed once, by the LATEST ts
+      (99.0, "2024-06-01", null),         // one new current row
+    ))
+  }
+
   test("merge: matched rows updated, unmatched updates appended") {
     val updates = Seq((2L, "B", 99.0), (7L, "g", 77.0)).toDF("id", "name", "bal")
     val out = Upsert.merge(base, updates, "id").orderBy("id").collect()
