@@ -735,6 +735,38 @@ object Queries {
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
         count(lit(1)).as("n"))
 
+  /** #44 pivot: status counts widened to columns per priority. */
+  private def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"), coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"), coalesce(col("P"), lit(0L)).as("n_p"))
+
+  private val pivotStatusSql =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** #45 exact interpolated percentiles per group (median + p95). Both
+    * engines use linear interpolation at rank p*(n-1); rounded to 6dp to
+    * absorb last-bit arithmetic differences. */
+  private def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
+
+  private val percentilesSql =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** #37 JSON extraction from the events payload column (semi-structured
     * props ride as strings; extraction is codegen'd, no UDF). */
   private def jsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -839,5 +871,7 @@ object Queries {
     Q("q_approx_distinct", approxDistinct, None),
     Q("q_dedup_skipped", dedupSkipped, Some(dedupSkippedSql)),
     Q("q_upsert_scd2", upsertScd2, Some(upsertScd2Sql)),
+    Q("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
+    Q("q_percentiles", percentiles, Some(percentilesSql)),
   )
 }
