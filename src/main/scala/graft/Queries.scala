@@ -113,6 +113,10 @@ object Queries {
   private def zipExtract(s: SparkSession, dir: String): DataFrame = {
     val zipDir = new java.io.File("/root/repo/target", "graft_zips")
     zipDir.mkdirs()
+    // clear stale fixtures: leftover batch_*.zip from a previous run
+    // would silently match the *.zip glob below
+    Option(zipDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".zip")).foreach(_.delete())
     val docs = t(s, dir, "documents").select("doc_id", "text")
       .filter(col("doc_id") < 40).orderBy("doc_id").collect()
     docs.grouped(10).zipWithIndex.foreach { case (chunk, i) =>

@@ -22,20 +22,23 @@ object GraftExtensions {
   private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("hashed_shingles",
       "hashed_shingles(text, k) - distinct XXH64 hashes of the k-token word shingles",
-      args => NativeText.HashedShingles(args.head, intArg(args(1), "k"))),
+      arity("hashed_shingles", 2)(args =>
+        NativeText.HashedShingles(args.head, intArg(args(1), "k")))),
     ("minhash_signature",
       "minhash_signature(hashes, n) - n-slot minhash signature of a hashed shingle set",
-      args => NativeText.MinHashSignature(args.head, intArg(args(1), "numHashes"))),
+      arity("minhash_signature", 2)(args =>
+        NativeText.MinHashSignature(args.head, intArg(args(1), "numHashes")))),
     ("jaccard_sets",
       "jaccard_sets(a, b) - exact Jaccard similarity of two BIGINT-array sets",
-      args => NativeText.JaccardSets(args.head, args(1))),
+      arity("jaccard_sets", 2)(args => NativeText.JaccardSets(args.head, args(1)))),
     ("simhash64",
       "simhash64(text) - 64-bit Charikar simhash over whitespace tokens",
-      args => NativeText.SimHash64(args.head)),
+      arity("simhash64", 1)(args => NativeText.SimHash64(args.head))),
     ("topk_by",
       "topk_by(score, id, k) - bounded top-k aggregate (array<struct<id,score>>, best first)",
-      args => TopKAggregate.TopKBy(args(0), args(1), intArg(args(2), "k"))
-        .toAggregateExpression()),
+      arity("topk_by", 3)(args =>
+        TopKAggregate.TopKBy(args(0), args(1), intArg(args(2), "k"))
+          .toAggregateExpression())),
   )
 
   private def intArg(e: Expression, what: String): Int = e match {
@@ -43,6 +46,14 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}")
+      f(args)
+    }
 
   /** Register the native functions on an already-built session (temp
     * functions; for session-build-time registration use the extensions

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -26,10 +27,27 @@ object NativeText {
 
   private val Seed = 42L
 
+  private val WhitespaceRe = java.util.regex.Pattern.compile("\\s+")
+
   /** Whitespace tokens of a trimmed UTF8 string — matches
-    * `split(trim(text), "\\s+")`. */
-  private[functions] def tokenize(text: UTF8String): Array[UTF8String] =
-    text.trim.split(UTF8String.fromString("\\s+"), -1)
+    * `split(trim(text), "\\s+")`. The pattern is compiled ONCE;
+    * `UTF8String.split` would recompile the regex per row. */
+  private[functions] def tokenize(text: UTF8String): Array[UTF8String] = {
+    val parts = WhitespaceRe.split(text.trim.toString, -1)
+    val out = new Array[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) { out(i) = UTF8String.fromString(parts(i)); i += 1 }
+    out
+  }
+
+  private def requireType(ok: Boolean, what: String): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(what)
+
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   private def hashToken(t: UTF8String, seed: Long): Long = {
     val b = t.getBytes
@@ -43,6 +61,9 @@ object NativeText {
       extends UnaryExpression with CodegenFallback {
     require(k >= 1, "shingle size must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child.dataType == StringType,
+        s"hashed_shingles expects a STRING argument, got ${child.dataType.sql}")
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
       val n = math.max(toks.length - k + 1, 1)
@@ -60,7 +81,11 @@ object NativeText {
         if (seen.add(h)) { out(m) = h; m += 1 }
         i += 1
       }
-      new GenericArrayData(java.util.Arrays.copyOf(out, m))
+      // emit sorted: order is irrelevant to Jaccard/minhash, and sorted
+      // shingle sets make the verify-stage set ops cache-friendly
+      val trimmed = java.util.Arrays.copyOf(out, m)
+      java.util.Arrays.sort(trimmed)
+      new GenericArrayData(trimmed)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -72,8 +97,15 @@ object NativeText {
       extends UnaryExpression with CodegenFallback {
     require(numHashes >= 1)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(isLongArray(child.dataType),
+        s"minhash_signature expects ARRAY<BIGINT>, got ${child.dataType.sql}")
+    override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val hashes = input.asInstanceOf[ArrayData].toLongArray()
+      // empty set has no minima — null, matching the declarative
+      // array_min-based form (not a Long.MaxValue sentinel signature)
+      if (hashes.isEmpty) return null
       val sig = new Array[Long](numHashes)
       var i = 0
       while (i < numHashes) {
@@ -99,6 +131,10 @@ object NativeText {
   case class JaccardSets(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(isLongArray(left.dataType) && isLongArray(right.dataType),
+        s"jaccard_sets expects two ARRAY<BIGINT> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData].toLongArray()
       val b = r.asInstanceOf[ArrayData].toLongArray()
@@ -123,6 +159,9 @@ object NativeText {
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child.dataType == StringType,
+        s"simhash64 expects a STRING argument, got ${child.dataType.sql}")
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
       val votes = new Array[Int](64)

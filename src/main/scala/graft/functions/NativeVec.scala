@@ -35,13 +35,16 @@ object NativeVec {
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = toDoubles(left, l)
       val b = toDoubles(right, r)
+      // mismatched dimensions → null, like the declarative zip_with
+      // form (silent prefix-truncation would rank on garbage)
+      if (a.length != b.length) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
+      while (i < a.length) {
         dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
         i += 1
       }
@@ -56,13 +59,14 @@ object NativeVec {
   case class SqDist(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = toDoubles(left, l)
       val b = toDoubles(right, r)
+      if (a.length != b.length) return null
       var acc = 0.0
       var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
     override protected def withNewChildrenInternal(
