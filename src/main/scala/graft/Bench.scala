@@ -4,8 +4,19 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. Failures are reported in an "err" map — a broken
   * query is never recorded as a timing. */
 object Bench {
+  /** Host CPU pressure (PSI `some avg300`) — bench totals on a noisy
+    * host swing several-fold, so the JSON records the conditions it ran
+    * under. -1 when /proc/pressure is unavailable. */
+  private def psiCpuAvg300(): Double =
+    try {
+      val line = scala.io.Source.fromFile("/proc/pressure/cpu").getLines()
+        .find(_.startsWith("some")).getOrElse("")
+      "avg300=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val psiStart = psiCpuAvg300()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,7 +54,8 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$es,"sf":${jstr(sfDir)}}""")
+    val psiEnd = psiCpuAvg300()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$es,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd}""")
     spark.stop()
   }
 }

@@ -24,29 +24,35 @@ object AsofJoin {
   def lastPriorMatch(left: DataFrame, right: DataFrame, key: String,
                      leftTsCol: String, rightTsCol: String,
                      payloadCol: String, asofCol: String): DataFrame = {
-    val payloadType = right.schema(payloadCol).dataType
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
 
-    val l = left.select(
-      col(key).as("__k"), col(leftTsCol).as("__ts"), lit(1).as("__side"),
-      lit(null).cast(payloadType).as("__p"), leftStruct.as("__row"))
-    // join semantics: NULL keys never match (Window.partitionBy would
-    // otherwise group NULL keys together) — drop NULL-key right rows so
-    // NULL-key left rows fall through with a null payload
-    val r = right
+    // the payload rides inside a NON-NULL struct wrapper: a right row
+    // whose payload is NULL is still "the most recent prior right row"
+    // and must yield NULL — carrying the bare payload with
+    // last(ignoreNulls) would skip it and fall back to an OLDER row
+    val r0 = right
       .filter(col(key).isNotNull)
       .select(
         col(key).as("__k"), col(rightTsCol).as("__ts"), lit(0).as("__side"),
-        col(payloadCol).cast(payloadType).as("__p"),
-        lit(null).cast(l.schema("__row").dataType).as("__row"))
+        struct(col(rightTsCol).as("ts"), col(payloadCol).as("p")).as("__pw"))
+    val l = left.select(
+      col(key).as("__k"), col(leftTsCol).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(r0.schema("__pw").dataType).as("__pw"), leftStruct.as("__row"))
+    // join semantics: NULL keys never match (Window.partitionBy would
+    // otherwise group NULL keys together) — drop NULL-key right rows so
+    // NULL-key left rows fall through with a null payload
+    val r = r0.select(col("__k"), col("__ts"), col("__side"), col("__pw"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
 
-    // side 0 (right) sorts before side 1 (left) at equal ts → inclusive
+    // side 0 (right) sorts before side 1 (left) at equal ts → inclusive;
+    // __pw is the equal-ts tie-break among right rows (max payload wins,
+    // with a non-null payload beating NULL at the same ts)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"), col("__p"))
+      .orderBy(col("__ts"), col("__side"), col("__pw"))
       .rowsBetween(Window.unboundedPreceding, 0)
     r.unionAll(l)
-      .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__carried", last(col("__pw"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__row.*"), col("__carried").as(asofCol))
+      .select(col("__row.*"), col("__carried.p").as(asofCol))
   }
 }

@@ -14,13 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** One row per key from an update batch — the reference's per-row
+    * UPDATE is last-write-wins, so a batch with several fixes to one id
+    * must collapse BEFORE the join or every base row of that key fans
+    * out. Wins by `orderCol` when given (the batch's ordering column),
+    * else by the value tuple itself (deterministic, documented). */
+  private def latestPerKey(updates: DataFrame, key: String,
+                           valueCols: Seq[String],
+                           orderCol: Option[String]): DataFrame = {
+    val u0 = updates.select(((key +: valueCols) ++ orderCol).distinct.map(col): _*)
+    val ord = orderCol.map(col).getOrElse(struct(valueCols.map(col): _*))
+    u0.groupBy(col(key))
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("__u"))
+      .select(col(key) +: valueCols.map(c => col(s"__u.$c").as(c)): _*)
+  }
+
   /** UPDATE-only semantics (add_q5010.py): base rows keep their identity;
     * rows with a matching update take the update's values for
-    * `updateCols`; updates without a matching base row are dropped. */
+    * `updateCols`; updates without a matching base row are dropped.
+    * Duplicate keys in `updates` collapse to one row (last-write-wins by
+    * `orderCol`, or max value tuple when none) — never a base fan-out. */
   def update(base: DataFrame, updates: DataFrame, key: String,
              updateCols: Seq[String],
-             broadcastUpdates: Boolean = true): DataFrame = {
-    val u0 = updates.select((key +: updateCols).map(col): _*)
+             broadcastUpdates: Boolean = true,
+             orderCol: Option[String] = None): DataFrame = {
+    val u0 = latestPerKey(updates, key, updateCols, orderCol)
     val renamed = updateCols.foldLeft(u0)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
     val right = if (broadcastUpdates) broadcast(renamed) else renamed
     val joined = base.join(right, Seq(key), "left")
@@ -68,11 +86,16 @@ object Upsert {
   }
 
   /** Insert-or-update merge: matched rows take update values, unmatched
-    * updates are appended as new rows. Full-outer join + coalesce. */
-  def merge(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    * updates are appended as new rows. Full-outer join + coalesce.
+    * Duplicate keys in `updates` collapse like `update` (last-write-wins
+    * by `orderCol`, or max value tuple) — never a base fan-out. */
+  def merge(base: DataFrame, updates: DataFrame, key: String,
+            orderCol: Option[String] = None): DataFrame = {
     val cols = base.columns
+    val valueCols = updates.columns.filter(c => c != key && !orderCol.contains(c)).toSeq
+    val deduped = latestPerKey(updates, key, valueCols, orderCol)
     val renamed = cols.filter(_ != key)
-      .foldLeft(updates)((d, c) =>
+      .foldLeft(deduped)((d, c) =>
         if (d.columns.contains(c)) d.withColumnRenamed(c, s"__u_$c") else d)
     val joined = base.join(renamed, Seq(key), "full_outer")
     val projected = cols.map { c =>

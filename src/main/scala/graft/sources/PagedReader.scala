@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Paginated ingestion.
@@ -32,13 +31,43 @@ object PagedReader {
       .flatMap(p => fetch(p.toInt))
   }
 
-  /** Deterministic page slice of an ordered DataFrame — models the
-    * server's page semantics for tests/oracles (page numbers start at 1,
-    * like the reference's PageNumber). */
+  /** Per-page (lo, hi) key bounds for the first `numPages` pages of
+    * `pageSize` rows in `orderCol` order. ONE distributed top-(P·S) pass
+    * over the key column only (sort+limit collapses to
+    * TakeOrderedAndProject — per-partition heaps, no global sort, no
+    * single-task window). `orderCol` must be unique, or a boundary
+    * between equal keys would over-fill a page. */
+  def pageBounds(df: DataFrame, orderCol: String, pageSize: Int,
+                 numPages: Int): Seq[(Any, Any)] = {
+    val keys = df.select(col(orderCol)).orderBy(col(orderCol))
+      .limit(pageSize * numPages).collect().map(_.get(0))
+    keys.grouped(pageSize).map(c => (c.head, c.last)).toSeq
+  }
+
+  /** One page as a key-range predicate — reaches the parquet scan as
+    * PushedFilters (min/max row-group pruning), touching only the page's
+    * key range instead of ranking the whole table. */
+  def pageByRange(df: DataFrame, orderCol: String, lo: Any, hi: Any): DataFrame =
+    df.filter(col(orderCol) >= lit(lo) && col(orderCol) <= lit(hi))
+
+  /** The first `numPages` pages as per-page range-predicate DataFrames:
+    * one cheap bounds pass, then every page is an independent pushdown
+    * scan (the reference's PageNumber loop, feeder.py:22-47, with the
+    * page index as the parallelism axis). */
+  def pages(df: DataFrame, orderCol: String, pageSize: Int,
+            numPages: Int): Seq[DataFrame] =
+    pageBounds(df, orderCol, pageSize, numPages).map {
+      case (lo, hi) => pageByRange(df, orderCol, lo, hi)
+    }
+
+  /** Deterministic page slice (page numbers start at 1, like the
+    * reference's PageNumber). Key-range form: no global window. */
   def pageOf(df: DataFrame, orderCol: String, pageSize: Int, page: Int): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > (page - 1) * pageSize && col("__rn") <= page * pageSize)
-      .drop("__rn")
+    val bounds = pageBounds(df, orderCol, pageSize, page)
+    if (bounds.length < page) df.filter(lit(false))
+    else {
+      val (lo, hi) = bounds(page - 1)
+      pageByRange(df, orderCol, lo, hi)
+    }
   }
 }

@@ -50,6 +50,22 @@ class AsofJoinSpec extends GraftSuite {
     assert(out(1).getLong(3) == 200L)
   }
 
+  test("a NULL payload on the most recent prior right row yields NULL, not an older payload") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 11:00:00")),
+      (2L, 7L, ts("2024-01-01 09:30:00")),
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:00:00"), Option(100L)),
+      (7L, ts("2024-01-01 10:00:00"), Option.empty[Long]), // most recent prior for event 1
+    ).toDF("user_id", "ts", "payload")
+    val out = AsofJoin.lastPriorMatch(left, right, "user_id", "ts", "ts",
+      "payload", "p").orderBy("event_id").collect()
+    assert(out(0).isNullAt(3),
+      "the NULL-payload right row is the as-of match — must not fall back to the older row")
+    assert(out(1).getLong(3) == 100L)
+  }
+
   test("plan is one shuffle + window, no range-join explosion") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((7L, ts("2024-01-01 09:00:00"), 5L)).toDF("user_id", "ts", "payload")

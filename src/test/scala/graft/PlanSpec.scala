@@ -18,6 +18,17 @@ class PlanSpec extends GraftSuite {
     assert(!fmt.contains("o_orderpriority"), s"scan reads unprojected columns:\n$fmt")
   }
 
+  test("q_paged_ingest pages by key-range pushdown, not a global window") {
+    val df = q("q_paged_ingest")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"pager must not rank the whole table through one window task:\n$plan")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThanOrEqual(o_orderkey"),
+      s"page bounds must reach the scan as pushed predicates:\n$fmt")
+  }
+
   test("q_feeder_load: dim join and existing-keys dedup are broadcast, not shuffled") {
     val plan = q("q_feeder_load").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")

@@ -49,6 +49,24 @@ class UpsertSpec extends GraftSuite {
     ))
   }
 
+  test("update: duplicate keys in the batch collapse (no base fan-out), last write wins") {
+    val updates = Seq((2L, 50.0, 1L), (2L, 99.0, 2L), (2L, 60.0, 0L)).toDF("id", "bal", "seq")
+    val out = Upsert.update(base, updates, "id", Seq("bal"), orderCol = Some("seq"))
+      .orderBy("id").collect()
+    assert(out.length == 3, "duplicate-key updates must not duplicate base rows")
+    assert(out.map(_.getDouble(2)).toSeq == Seq(10.0, 99.0, 30.0))
+  }
+
+  test("merge: duplicate keys in the batch collapse (no base fan-out), last write wins") {
+    val updates = Seq((2L, "B1", 50.0, 1L), (2L, "B2", 99.0, 2L), (9L, "z", 9.0, 1L))
+      .toDF("id", "name", "bal", "seq")
+    val out = Upsert.merge(base, updates, "id", orderCol = Some("seq"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(out.map(r => (r.getString(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 10.0), ("B2", 99.0), ("c", 30.0), ("z", 9.0)))
+  }
+
   test("merge: matched rows updated, unmatched updates appended") {
     val updates = Seq((2L, "B", 99.0), (7L, "g", 77.0)).toDF("id", "name", "bal")
     val out = Upsert.merge(base, updates, "id").orderBy("id").collect()
