@@ -417,17 +417,71 @@ object Queries {
        |FROM $dupCorpusSql c
        |GROUP BY 1""".stripMargin
 
+  /** DuckDB k=3 word-shingle sets (distinct, as strings) for `src` rows
+    * (doc_id, text) — the exact SQL mirror of
+    * `TextAnalysis.hashedShingles(text, 3)`: jaccard over the 64-bit
+    * hashed sets equals jaccard over these string sets (tokens contain
+    * no whitespace, so the space-join is injective; 64-bit collisions
+    * are negligible and verified absent at the gate scale). */
+  private def shingleSetsSql(src: String): String =
+    s"""SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(toks) - 2, 1) + 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src)""".stripMargin
+
   /** #17 MinHash-LSH near-dup: banded signature buckets → per-bucket
-    * candidate pairs → exact Jaccard verify. Rows-only (LSH banding is
-    * not reasonably SQL-expressible); recall spec in MinHashLSHSpec. */
+    * candidate pairs → exact Jaccard verify.
+    *
+    * Oracle-checked against DuckDB's ALL-PAIRS shingle Jaccard: at the
+    * gate scale the true j>=0.8 pair set is 500 exact duplicates
+    * (j=1.0, caught in every band by construction) plus 100 near-dups
+    * with j>=0.9, whose per-pair detection probability under the fixed
+    * (seeded, deterministic) hash family is 1-(1-j^4)^8 >= 0.9998 —
+    * verified exhaustively equal to the all-pairs truth at sf0.01. */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(dupCorpus(s, dir), "doc_id", "text",
       shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
 
-  /** #18 SimHash near-dup: 64-bit fingerprints, pigeonhole chunk blocking. */
+  private val dedupMinhashSql =
+    s"""WITH sh AS (
+       |  ${shingleSetsSql(s"$dupCorpusSql c")}),
+       |j AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.s, b.s)) AS li, len(a.s) AS la, len(b.s) AS lb
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id
+       |   -- j >= 0.8 needs min(|A|,|B|)/max(|A|,|B|) >= 0.8: cheap exact prefilter
+       |   AND least(len(a.s), len(b.s)) * 5 >= greatest(len(a.s), len(b.s)) * 4)
+       |SELECT id_a, id_b, CAST(li AS DOUBLE) / (la + lb - li) AS jaccard
+       |FROM j WHERE CAST(li AS DOUBLE) / (la + lb - li) >= 0.8""".stripMargin
+
+  /** #18 SimHash near-dup: pigeonhole chunk blocking over the
+    * SQL-replicable universal-hash fingerprint (NativeText.SimHashUniv),
+    * so DuckDB recomputes the identical 63-bit fingerprints and the
+    * all-pairs hamming<=3 truth — which chunk blocking provably equals
+    * (hamming<=3 < 4 chunks ⇒ some chunk agrees; no bucket can exceed
+    * the skew cap at this corpus size). */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(dupCorpus(s, dir), "doc_id", "text",
-      maxHamming = 3, chunks = 4)
+      maxHamming = 3, chunks = 4, sqlReplicable = true)
+
+  private val dedupSimhashSql: String = {
+    val u = graft.functions.NativeText.SimHashUniv
+    val terms = (0 until u.Bits).map { j =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h * ${u.a(j)} + ${u.b(j)}) % ${u.P}) * 2 < ${u.P} THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n    + ")
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |            FROM $dupCorpusSql c),
+       |th AS (SELECT doc_id, list_transform(toks, t ->
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split_regex(t, ''), ch -> CAST(coalesce(ascii(ch), 0) AS BIGINT))),
+       |          (a, b) -> (a * 31 + b) % ${u.P})) AS hs FROM tok),
+       |fp AS (SELECT doc_id, ($terms) AS fp FROM th)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+  }
 
   /** #19 n-gram Jaccard verify over a deterministic candidate-pair set. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -437,14 +491,43 @@ object Queries {
     MinHashLSH.verifyPairs(pairs, docs, "doc_id", "text", shingleK = 3)
   }
 
+  private val ngramJaccardSql =
+    s"""WITH sh AS (
+       |  ${shingleSetsSql("documents")}),
+       |j AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.s, b.s)) AS li, len(a.s) AS la, len(b.s) AS lb
+       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 2 = 0)
+       |SELECT id_a, id_b,
+       |  CASE WHEN la + lb - li = 0 THEN 1.0
+       |       ELSE CAST(li AS DOUBLE) / (la + lb - li) END AS jaccard
+       |FROM j""".stripMargin
+
   /** #20 embedding-cosine near-dup via hyperplane-LSH buckets. The
     * corpus is embeddings ∪ an id-shifted copy (natural max cosine in the
-    * synthetic table is ~0.45), so each vector has one exact duplicate. */
+    * synthetic table is ~0.45), so each vector has one exact duplicate —
+    * identical vectors land in the same bucket by construction, making
+    * the pair set the all-pairs truth DuckDB recomputes. Cosine rounds
+    * to 6dp on BOTH sides before the threshold so last-ulp accumulation
+    * differences can't flip a boundary pair. */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = parallelize(s, t(s, dir, "embeddings").select("vec_id", "embedding"))
     val corpus = e.unionAll(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-    Similarity.nearDupPairs(corpus, threshold = 0.95, bits = 8, dim = 64)
+    Similarity.nearDupPairs(corpus, threshold = 0.95, bits = 8, dim = 64,
+      roundTo = Some(6))
   }
+
+  private val dedupEmbedSql =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95""".stripMargin
 
   /** #21 brute-force cosine top-k ANN baseline (exact; broadcast queries). */
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
@@ -733,14 +816,28 @@ object Queries {
 
   /** #41 sketch-based distinct counting: HyperLogLog++ per wave — the
     * constant-memory distinct at 100 TB where exact COUNT(DISTINCT)
-    * would shuffle every key. Rows-only (approximate by design; the
-    * error bound is spec-checked against the exact count). */
+    * would shuffle every key. The sketch value itself is
+    * engine-specific, so the oracle-checked output carries the exact
+    * count plus `approx_ok` (sketch within 5% of exact — the oracle
+    * pins it TRUE, so a sketch regression breaks the hash compare);
+    * the raw sketch value is spec-bounded in ApproxDistinctSpec. */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .withColumn("wave", col("o_orderkey") % 10)
       .groupBy("wave")
-      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
-        count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("__approx"))
+      .select(col("wave"), col("n"), col("exact_customers"),
+        (abs(col("__approx") - col("exact_customers")).cast("double") /
+          col("exact_customers") <= 0.05).as("approx_ok"))
+
+  private val approxDistinctSql =
+    """SELECT o_orderkey % 10 AS wave, count(*) AS n,
+      |  count(DISTINCT o_custkey) AS exact_customers,
+      |  TRUE AS approx_ok
+      |FROM orders GROUP BY 1""".stripMargin
 
   /** #44 pivot: status counts widened to columns per priority. */
   private def pivotStatus(s: SparkSession, dir: String): DataFrame =
@@ -851,10 +948,10 @@ object Queries {
     Q("q_wave_sweep", waveSweep, Some(waveSweepSql)),
     Q("q_wave_derive", waveDerive, Some(waveDeriveSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
-    Q("q_dedup_minhash", dedupMinhash, None),
-    Q("q_dedup_simhash", dedupSimhash, None),
-    Q("q_ngram_jaccard", ngramJaccard, None),
-    Q("q_dedup_embed", dedupEmbed, None),
+    Q("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
     Q("q_ann_lsh", annLsh, None),
     Q("q_ann_ivf", annIvf, None),
@@ -875,7 +972,7 @@ object Queries {
     Q("q_rollup_agg", rollupAgg, Some(rollupAggSql)),
     Q("q_moving_sum", movingSum, Some(movingSumSql)),
     Q("q_edit_distance", editDistance, Some(editDistanceSql)),
-    Q("q_approx_distinct", approxDistinct, None),
+    Q("q_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     Q("q_dedup_skipped", dedupSkipped, Some(dedupSkippedSql)),
     Q("q_upsert_scd2", upsertScd2, Some(upsertScd2Sql)),
     Q("q_pivot_status", pivotStatus, Some(pivotStatusSql)),

@@ -154,6 +154,75 @@ object NativeText {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Parameters of the SQL-replicable simhash variant (`simhash_univ`):
+    * token base hash = 31-polynomial over code points mod P (P = the
+    * Mersenne prime 2^31-1), then one universal hash per bit,
+    * g_j(h) = (h·A_j + B_j) mod P, voting +1 when g_j < P/2. Every
+    * product stays < 2^62 — exact in a JVM long AND in a DuckDB/ANSI
+    * BIGINT, which is the point: an external SQL engine can recompute
+    * the identical fingerprint (see Queries.dedupSimhashSql). 63 bits so
+    * `1 << j` never touches the sign bit. The A/B constants come from a
+    * fixed-seed java.util.Random (spec-pinned LCG — identical on every
+    * JVM) and are interpolated into the oracle SQL from these arrays. */
+  object SimHashUniv {
+    val P: Long = 2147483647L
+    val Bits: Int = 63
+    val (a: Array[Long], b: Array[Long]) = {
+      val rnd = new java.util.Random(42L)
+      val a = Array.fill(Bits)(Math.floorMod(rnd.nextLong(), P - 1) + 1)
+      val b = Array.fill(Bits)(Math.floorMod(rnd.nextLong(), P))
+      (a, b)
+    }
+    def tokenBaseHash(t: UTF8String): Long = {
+      val s = t.toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % P
+        i += Character.charCount(cp)
+      }
+      h
+    }
+  }
+
+  /** `simhash_univ(text)` — Charikar simhash with per-bit universal
+    * hashing of a SQL-replicable token base hash (see [[SimHashUniv]]).
+    * Use when the fingerprint must be reproducible outside the JVM
+    * (oracle checks, cross-engine dedup); `simhash64` (XXH64) is the
+    * faster default when it doesn't. */
+  case class SimHashUnivExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child.dataType == StringType,
+        s"simhash_univ expects a STRING argument, got ${child.dataType.sql}")
+    override def nullSafeEval(input: Any): Any = {
+      import SimHashUniv._
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val votes = new Array[Int](Bits)
+      var i = 0
+      while (i < toks.length) {
+        val h = tokenBaseHash(toks(i))
+        var j = 0
+        while (j < Bits) {
+          if (((h * a(j) + b(j)) % P) * 2 < P) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < Bits) {
+        if (votes(j) > 0) fp |= (1L << j)
+        j += 1
+      }
+      fp
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `simhash64(text)` — Charikar simhash over whitespace tokens: one
     * pass hashing each token, one 64-bit vote loop per token. */
   case class SimHash64(child: Expression)
@@ -200,4 +269,5 @@ object NativeText {
     toCol(MinHashSignature(exprOf(hashes), numHashes))
   def jaccard_sets(a: Column, b: Column): Column = toCol(JaccardSets(exprOf(a), exprOf(b)))
   def simhash64(text: Column): Column = toCol(SimHash64(exprOf(text)))
+  def simhash_univ(text: Column): Column = toCol(SimHashUnivExpr(exprOf(text)))
 }

@@ -52,9 +52,19 @@ object SimHash {
   /** Document fingerprints as a DataFrame: a single native-expression
     * projection (one hash + vote loop per document, no explode/shuffle).
     * This is the form to use on a corpus; the Column-based `simhash`
-    * remains for expression-level composition. */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), graft.functions.NativeText.simhash64(col(textCol)).as("fp"))
+    * remains for expression-level composition.
+    *
+    * @param sqlReplicable use the universal-hash fingerprint
+    *   (`NativeText.simhash_univ`) that an external SQL engine can
+    *   recompute exactly — for oracle checks and cross-engine dedup;
+    *   default is the faster XXH64 form
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   sqlReplicable: Boolean = false): DataFrame = {
+    val fp = if (sqlReplicable) graft.functions.NativeText.simhash_univ(col(textCol))
+             else graft.functions.NativeText.simhash64(col(textCol))
+    docs.select(col(idCol), fp.as("fp"))
+  }
 
   /** Near-dup pairs with hamming distance <= maxHamming (must be
     * < chunks for the pigeonhole guarantee; default 3 with 4 chunks).
@@ -66,9 +76,10 @@ object SimHash {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, chunks: Int = 4,
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000,
+                   sqlReplicable: Boolean = false): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
-    val fps = fingerprints(docs, idCol, textCol)
+    val fps = fingerprints(docs, idCol, textCol, sqlReplicable)
 
     val exploded = fps.select(col(idCol), col("fp"),
       explode(array((0 until chunks).map { i =>

@@ -118,18 +118,26 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs are
     * generated within buckets only (hash-partitioned on the bucket id),
-    * then exact-cosine verified. */
+    * then exact-cosine verified.
+    *
+    * @param roundTo round cosine to this many decimals BEFORE the
+    *                threshold filter — use when an external system must
+    *                reproduce the exact pair set (last-ulp accumulation
+    *                differences would otherwise flip boundary pairs)
+    */
   def nearDupPairs(vectors: DataFrame, threshold: Double, bits: Int, dim: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L, roundTo: Option[Int] = None): DataFrame = {
     val planes = hyperplanes(bits, dim, seed)
     val b = vectors.select(col(idCol), col(vecCol).as("__v"),
       lshBucket(col(vecCol), planes).as("__bucket"))
     val l = b.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
     val r = b.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    val raw = cosine(col("__va"), col("__vb"))
+    val score = roundTo.fold(raw)(d => round(raw, d))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cosine"))
+      .select(col("id_a"), col("id_b"), score.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
