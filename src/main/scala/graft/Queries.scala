@@ -108,8 +108,11 @@ object Queries {
       |WHERE rn <= 300""".stripMargin
 
   /** #3 zipped-tabular extraction (feeder.py:118-122): build deterministic
-    * zip archives from `documents`, then distributed stream-decode via the
-    * binaryFile source. Rows-only (binary side-channel not SQL-visible). */
+    * zip archives from `documents` — half with an RFC 4180 CSV payload,
+    * half with a real XLSX workbook (shared-string AND inline-string
+    * forms) — then distributed stream-decode via the binaryFile source.
+    * Both codecs round-trip exactly, so the output is oracle-checked
+    * against the source table. */
   private def zipExtract(s: SparkSession, dir: String): DataFrame = {
     // scratch space for the deterministic fixtures — tmpdir, not a
     // repo-relative path (the repo may be checked out anywhere)
@@ -122,17 +125,39 @@ object Queries {
       .filter(_.getName.endsWith(".zip")).foreach(_.delete())
     val docs = t(s, dir, "documents").select("doc_id", "text")
       .filter(col("doc_id") < 40).orderBy("doc_id").collect()
-    docs.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
-      val f = new java.io.File(zipDir, f"batch_$i%02d.zip")
-      val out = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
-      out.putNextEntry(new java.util.zip.ZipEntry("results.csv"))
-      val sb = new StringBuilder("doc_id,text\n")
-      chunk.foreach(r => sb.append(r.getLong(0)).append(',').append(r.getString(1)).append('\n'))
-      out.write(sb.toString.getBytes("UTF-8"))
+    def zipWith(name: String, entry: String)(write: java.util.zip.ZipOutputStream => Unit): Unit = {
+      val out = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(new java.io.File(zipDir, name)))
+      out.putNextEntry(new java.util.zip.ZipEntry(entry))
+      write(out)
       out.closeEntry(); out.close()
     }
-    ZippedTabular.readZippedCsv(s, zipDir.getAbsolutePath + "/*.zip", Seq("doc_id", "text"))
+    val (csvDocs, xlsxDocs) = docs.splitAt(20)
+    csvDocs.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      zipWith(f"batch_csv_$i%02d.zip", "results.csv") { out =>
+        val sb = new StringBuilder("doc_id,text\n")
+        chunk.foreach(r => sb.append(r.getLong(0)).append(',')
+          .append(ZippedTabular.csvField(r.getString(1))).append('\n'))
+        out.write(sb.toString.getBytes("UTF-8"))
+      }
+    }
+    xlsxDocs.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      zipWith(f"batch_xlsx_$i%02d.zip", "results.xlsx") { out =>
+        val bos = new java.io.ByteArrayOutputStream()
+        ZippedTabular.writeXlsx(bos, Seq("doc_id", "text"),
+          chunk.toIndexedSeq.map(r => Seq(r.getLong(0).toString, r.getString(1))),
+          sharedStrings = i % 2 == 0)
+        out.write(bos.toByteArray)
+      }
+    }
+    val base = zipDir.getAbsolutePath
+    ZippedTabular.readZippedCsv(s, base + "/batch_csv_*.zip", Seq("doc_id", "text"))
+      .unionAll(ZippedTabular.readZippedXlsx(s, base + "/batch_xlsx_*.zip", Seq("doc_id", "text")))
   }
+
+  private val zipExtractSql =
+    """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+      |FROM documents WHERE doc_id < 40""".stripMargin
 
   /** #4 predicate-pushdown read (feeder.py:127-143's `where wave = N`). */
   private def pushdownFilter(s: SparkSession, dir: String): DataFrame =
@@ -934,7 +959,7 @@ object Queries {
   val registry: Seq[Q] = Seq(
     Q("q_feeder_load", feederLoad, Some(feederLoadSql)),
     Q("q_paged_ingest", pagedIngest, Some(pagedIngestSql)),
-    Q("q_zip_extract", zipExtract, None, bench = false),
+    Q("q_zip_extract", zipExtract, Some(zipExtractSql), bench = false),
     Q("q_pushdown_filter", pushdownFilter, Some(pushdownFilterSql)),
     Q("q_dedup_antijoin", dedupAntijoin, Some(dedupAntijoinSql)),
     Q("q_status_map", statusMap, Some(statusMapSql)),

@@ -1,8 +1,10 @@
 package graft.sources
 
-import java.io.{BufferedReader, ByteArrayInputStream, InputStreamReader}
+import java.io.{ByteArrayInputStream, OutputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.ZipInputStream
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,10 +18,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * each task stream-decodes its archive's first entry — ingest of 10k
   * result archives is a 10k-task map with no driver involvement.
   *
-  * The CSV payload path is real. XLSX decoding needs a spreadsheet codec
-  * (Apache POI), which is not in this environment — `decodeXlsx` is a
-  * clearly-marked stub with the same signature, so wiring a codec in
-  * changes one function.
+  * Both payload codecs are real and dependency-free:
+  *   - CSV: RFC 4180 quoting (embedded commas/quotes/newlines).
+  *   - XLSX: a spreadsheet is a zip of XML — `decodeXlsx` stream-parses
+  *     the first worksheet plus sharedStrings with stdlib
+  *     `javax.xml.stream` (shared, inline, and value cells; numbers kept
+  *     as strings). No Apache POI needed for the reference's flat
+  *     export shape.
   */
 object ZippedTabular {
 
@@ -33,29 +38,263 @@ object ZippedTabular {
     } finally zin.close()
   }
 
-  /** Parse a headered CSV payload into (header, rows). Minimal dialect:
-    * comma-separated, no quoting — enough for the reference's export
-    * shape; swap in a full CSV parser the same way. */
-  def parseCsv(bytes: Array[Byte]): (Array[String], Iterator[Array[String]]) = {
-    val r = new BufferedReader(new InputStreamReader(
-      new ByteArrayInputStream(bytes), StandardCharsets.UTF_8))
-    val header = Option(r.readLine()).getOrElse("").split(",", -1)
-    val rows = Iterator.continually(r.readLine()).takeWhile(_ != null)
-      .map(_.split(",", -1))
-    (header, rows)
+  // --- CSV (RFC 4180) -------------------------------------------------------
+
+  /** One CSV field, quoted only when it has to be (an empty string is
+    * quoted so a trailing empty field survives the round-trip). */
+  def csvField(s: String): String =
+    if (s == null) ""
+    else if (s.isEmpty) "\"\""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** Char-level RFC 4180 rows: quoted fields may contain commas, escaped
+    * quotes ("" → "), and embedded newlines. */
+  private[sources] def parseCsvRows(s: String): Vector[Array[String]] = {
+    val rows = Vector.newBuilder[Array[String]]
+    var cells = Vector.newBuilder[String]
+    var nCells = 0
+    val field = new StringBuilder
+    var inQuotes = false
+    var started = false // distinguishes a quoted-empty field from no field
+    var i = 0
+    def endField(): Unit = { cells += field.toString; nCells += 1; field.clear(); started = false }
+    def endRow(): Unit = {
+      endField()
+      rows += cells.result().toArray
+      cells = Vector.newBuilder[String]; nCells = 0
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') { field.append('"'); i += 1 }
+          else inQuotes = false
+        } else field.append(c)
+      } else c match {
+        case '"' if field.isEmpty => inQuotes = true; started = true
+        case ','  => endField()
+        case '\r' => if (i + 1 >= s.length || s.charAt(i + 1) != '\n') endRow()
+        case '\n' => endRow()
+        case _    => field.append(c); started = true
+      }
+      i += 1
+    }
+    if (started || field.nonEmpty || nCells > 0) endRow()
+    rows.result()
   }
 
-  /** STUB: an XLSX decode would unzip the sheet XML / hand bytes to POI.
-    * Not available offline — fail loudly rather than fake spreadsheet
-    * parsing. */
-  def decodeXlsx(bytes: Array[Byte]): (Array[String], Iterator[Array[String]]) =
-    throw new UnsupportedOperationException(
-      "XLSX codec not available in this environment; see ZippedTabular.parseCsv for the wired path")
+  /** Parse a headered CSV payload into (header, rows). */
+  def parseCsv(bytes: Array[Byte]): (Array[String], Iterator[Array[String]]) = {
+    val rows = parseCsvRows(new String(bytes, StandardCharsets.UTF_8))
+    if (rows.isEmpty) (Array.empty, Iterator.empty)
+    else (rows.head, rows.iterator.drop(1))
+  }
 
-  /** Read every `*.zip` under `path` (each containing one CSV entry) into
-    * a single string-typed DataFrame with the given column names.
-    * Distributed: one task per archive via the binaryFile source. */
-  def readZippedCsv(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+  // --- XLSX -----------------------------------------------------------------
+
+  private val xmlFactory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    // untrusted archive content: no DTDs, no external entities
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  /** sharedStrings.xml → string table: one entry per <si>, concatenating
+    * its <t> runs (plain and rich-text items both land here). */
+  private[sources] def parseSharedStrings(bytes: Array[Byte]): Array[String] = {
+    val out = Vector.newBuilder[String]
+    val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    var cur: StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "si" => cur = new StringBuilder
+          case "t"  => inT = true
+          case _    =>
+        }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          if (inT && cur != null) cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "si" => out += cur.toString; cur = null
+          case "t"  => inT = false
+          case _    =>
+        }
+        case _ =>
+      }
+    }
+    r.close()
+    out.result().toArray
+  }
+
+  /** "BC7" → 0-based column index 54 (sheet cell references). */
+  private[sources] def colIndexOf(ref: String): Int = {
+    var i = 0; var idx = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      idx = idx * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    idx - 1
+  }
+
+  /** One worksheet's rows as dense string arrays (sparse cells gap-fill
+    * with null via the `r` cell references). Cell types: t="s" shared
+    * string, t="inlineStr" (<is><t>), everything else takes the raw <v>
+    * text (numbers stay strings — the reference reads them with pandas'
+    * dtype inference downstream; we keep the string-typed contract). */
+  private[sources] def parseSheet(bytes: Array[Byte], shared: Array[String]): Vector[Array[String]] = {
+    val rows = Vector.newBuilder[Array[String]]
+    val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    var cells: collection.mutable.ArrayBuffer[String] = null
+    var cellType: String = null
+    var cellCol = -1
+    var buf: StringBuilder = null
+    var inV = false
+    var inIsT = false
+    def put(col: Int, v: String): Unit = {
+      val c = if (col >= 0) col else cells.length
+      while (cells.length <= c) cells += null
+      cells(c) = v
+    }
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" => cells = collection.mutable.ArrayBuffer.empty[String]
+          case "c" =>
+            cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            cellCol = Option(r.getAttributeValue(null, "r")).map(colIndexOf).getOrElse(-1)
+          case "v" => inV = true; buf = new StringBuilder
+          case "t" => inIsT = true; if (buf == null) buf = new StringBuilder
+          case _ =>
+        }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          if ((inV || inIsT) && buf != null) buf.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "row" => rows += cells.toArray; cells = null
+          case "c" =>
+            if (buf != null) {
+              val raw = buf.toString
+              val v = if (cellType == "s") shared(raw.trim.toInt) else raw
+              put(cellCol, v)
+            }
+            buf = null; cellType = null; cellCol = -1
+          case "v" => inV = false
+          case "t" => inIsT = false
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** Decode an XLSX payload (itself a zip of XML) into (header, rows):
+    * first worksheet, first row as header — the reference's
+    * `pd.read_excel` shape (feeder.py:118-122). */
+  def decodeXlsx(bytes: Array[Byte]): (Array[String], Iterator[Array[String]]) = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var shared: Array[String] = Array.empty
+    var sheet: Array[Byte] = null
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        e.getName match {
+          case "xl/sharedStrings.xml" => shared = parseSharedStrings(zin.readAllBytes())
+          case n if sheet == null && n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+            sheet = zin.readAllBytes()
+          case _ =>
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    require(sheet != null, "no xl/worksheets/*.xml in xlsx payload")
+    val rows = parseSheet(sheet, shared)
+    require(rows.nonEmpty, "empty worksheet")
+    (rows.head, rows.iterator.drop(1))
+  }
+
+  // --- XLSX writer (fixtures / export parity) -------------------------------
+
+  private def xml(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
+  private[sources] def colName(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val rem = (n - 1) % 26; sb.insert(0, ('A' + rem).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Write a minimal single-sheet XLSX (the reference's flat export
+    * shape). `sharedStrings = true` routes cells through the shared
+    * string table; false writes inline-string cells — both forms appear
+    * in the wild and both decode paths are exercised by SourcesSpec. */
+  def writeXlsx(out: OutputStream, header: Seq[String], rows: Seq[Seq[String]],
+                sharedStrings: Boolean = true): Unit = {
+    val z = new ZipOutputStream(out)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    val all = header +: rows
+    val table = collection.mutable.LinkedHashMap.empty[String, Int]
+    def sharedIdx(s: String): Int = table.getOrElseUpdate(s, table.size)
+
+    val sheetRows = all.zipWithIndex.map { case (cells, ri) =>
+      val cs = cells.zipWithIndex.map { case (v, ci) =>
+        val ref = s"${colName(ci)}${ri + 1}"
+        if (sharedStrings) s"""<c r="$ref" t="s"><v>${sharedIdx(v)}</v></c>"""
+        else s"""<c r="$ref" t="inlineStr"><is><t>${xml(v)}</t></is></c>"""
+      }.mkString
+      s"""<row r="${ri + 1}">$cs</row>"""
+    }.mkString
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+        |</Types>""".stripMargin)
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$sheetRows</sheetData></worksheet>""".stripMargin)
+    if (sharedStrings) {
+      val sis = table.keysIterator.map(s => s"<si><t>${xml(s)}</t></si>").mkString
+      entry("xl/sharedStrings.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${table.size}" uniqueCount="${table.size}">$sis</sst>""".stripMargin)
+    }
+    z.close()
+  }
+
+  // --- distributed readers --------------------------------------------------
+
+  private def readZipped(spark: SparkSession, path: String, columns: Seq[String],
+                         decode: Array[Byte] => (Array[String], Iterator[Array[String]])): DataFrame = {
     val schema = StructType(columns.map(StructField(_, StringType, nullable = true)))
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("content"))
@@ -63,10 +302,21 @@ object ZippedTabular {
     val n = columns.length
     bin.mapPartitions { rows =>
       rows.flatMap { r =>
-        val (_, dataRows) = parseCsv(firstEntry(r.getAs[Array[Byte]](0)))
+        val (_, dataRows) = decode(firstEntry(r.getAs[Array[Byte]](0)))
         dataRows.map(cells => Row.fromSeq(
           (0 until n).map(i => if (i < cells.length) cells(i) else null)))
       }
     }(enc)
   }
+
+  /** Read every `*.zip` under `path` (each containing one CSV entry) into
+    * a single string-typed DataFrame with the given column names.
+    * Distributed: one task per archive via the binaryFile source. */
+  def readZippedCsv(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    readZipped(spark, path, columns, parseCsv)
+
+  /** Same, for zips whose first entry is an XLSX workbook — the
+    * reference's actual export shape (feeder.py:118-122). */
+  def readZippedXlsx(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    readZipped(spark, path, columns, decodeXlsx)
 }

@@ -39,6 +39,60 @@ class SourcesSpec extends GraftSuite {
     assert(rows.toSeq == Seq(("00", "alpha"), ("01", "beta"), ("10", "alpha"), ("11", "beta")))
   }
 
+  test("CSV quoting round-trips commas, quotes, and embedded newlines") {
+    val vals = Seq("plain", "a,b", "say \"hi\"", "line1\nline2", "")
+    val payload = ("v\n" + vals.map(ZippedTabular.csvField).mkString("\n"))
+      .getBytes("UTF-8")
+    val (hdr, rows) = ZippedTabular.parseCsv(payload)
+    assert(hdr.toSeq == Seq("v"))
+    assert(rows.map(_.head).toSeq == vals)
+  }
+
+  test("xlsx round-trip: shared-string and inline-string workbooks decode identically") {
+    val header = Seq("id", "txt")
+    val data = Seq(Seq("1", "alpha beta"), Seq("2", "<&> \"quoted\""), Seq("3", "42.5"))
+    for (shared <- Seq(true, false)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      ZippedTabular.writeXlsx(bos, header, data, sharedStrings = shared)
+      val (hdr, rows) = ZippedTabular.decodeXlsx(bos.toByteArray)
+      assert(hdr.toSeq == header, s"shared=$shared")
+      assert(rows.map(_.toSeq).toSeq == data, s"shared=$shared")
+    }
+  }
+
+  test("xlsx decode gap-fills sparse cells from cell references") {
+    // row 2 skips column B: <c r="A2"> then <c r="C2">
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="C2"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(sheet.getBytes("UTF-8")); z.closeEntry(); z.close()
+    val (hdr, rows) = ZippedTabular.decodeXlsx(bos.toByteArray)
+    assert(hdr.toSeq == Seq("a", "b", "c"))
+    assert(rows.next().toSeq == Seq("1", null, "3"))
+  }
+
+  test("readZippedXlsx: archives on disk → distributed workbook decode") {
+    val dir = new File("target/graft_xlsx_spec")
+    dir.mkdirs()
+    (0 until 2).foreach { i =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ZippedTabular.writeXlsx(bos, Seq("id", "txt"),
+        Seq(Seq(s"${i}0", "alpha"), Seq(s"${i}1", "beta")), sharedStrings = i == 0)
+      val z = new ZipOutputStream(new FileOutputStream(new File(dir, s"x$i.zip")))
+      z.putNextEntry(new ZipEntry("results.xlsx"))
+      z.write(bos.toByteArray); z.closeEntry(); z.close()
+    }
+    val df = ZippedTabular.readZippedXlsx(spark, dir.getAbsolutePath + "/*.zip", Seq("id", "txt"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("00", "alpha"), ("01", "beta"), ("10", "alpha"), ("11", "beta")))
+  }
+
   test("firstEntry rejects an empty archive") {
     val bos = new java.io.ByteArrayOutputStream()
     new ZipOutputStream(bos).close()
