@@ -576,18 +576,21 @@ object Queries {
       |      FROM s)
       |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
-  /** #22 LSH-bucketed ANN (scale path — probe only matching buckets). */
+  /** #22 LSH-bucketed ANN (scale path — probe only matching buckets);
+    * 4 independent hash tables at 8 bits lift single-table recall. */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = parallelize(s, t(s, dir, "embeddings"))
     val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
-    Similarity.lshTopK(queries, e, k = 5, bits = 4, dim = 64)
+    Similarity.lshTopK(queries, e, k = 5, bits = 8, dim = 64, tables = 4)
   }
 
-  /** #31 IVF ANN: k-means coarse quantizer, probe nprobe/nlist cells. */
+  /** #31 IVF ANN: k-means coarse quantizer trained on a 25% seeded
+    * sample (the quantizer needs cluster shape, not every point), probe
+    * nprobe/nlist cells. */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = parallelize(s, t(s, dir, "embeddings"))
     val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
-    IvfIndex.ivfTopK(queries, e, k = 5, nlist = 16, nprobe = 4)
+    IvfIndex.ivfTopK(queries, e, k = 5, nlist = 16, nprobe = 4, sampleFraction = 0.25)
   }
 
   /** #32 skew-resistant aggregation: two-phase salted count/sum over the

@@ -74,6 +74,37 @@ object NativeVec {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `hyperplane_bucket(vec)` — sign-bit LSH bucket id: bit i set when
+    * dot(vec, planes(i)) >= 0. One primitive loop over bits × dim per
+    * row; the declarative formulation (`bits` zip_with/aggregate chains
+    * OR-reduced) evaluates interpreted with per-element boxing and costs
+    * ~bits× more per row. Planes ride as Seq (structural equality keeps
+    * Catalyst plan canonicalization/CSE working); null on a
+    * vector/plane dimension mismatch, like cosine_sim. */
+  case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+    @transient private lazy val p: Array[Array[Double]] = planes.map(_.toArray).toArray
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val v = toDoubles(child, input)
+      if (p.length > 0 && p(0).length != v.length) return null
+      var bucket = 0L
+      var i = 0
+      while (i < p.length) {
+        val plane = p(i)
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) { dot += v(j) * plane(j); j += 1 }
+        if (dot >= 0.0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def toCol(e: Expression): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(e)
   private def exprOf(c: Column): Expression =
@@ -81,4 +112,6 @@ object NativeVec {
 
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(exprOf(a), exprOf(b)))
   def sq_dist(a: Column, b: Column): Column = toCol(SqDist(exprOf(a), exprOf(b)))
+  def hyperplane_bucket(vec: Column, planes: Array[Array[Double]]): Column =
+    toCol(HyperplaneBucket(exprOf(vec), planes.map(_.toIndexedSeq).toIndexedSeq))
 }

@@ -26,11 +26,21 @@ object IvfIndex {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** K-means centroids of the corpus (deterministic: fixed seed). */
+  /** K-means centroids of the corpus (deterministic: fixed seed).
+    *
+    * @param sampleFraction train the quantizer on a seeded sample — a
+    *   coarse quantizer needs cluster SHAPE, not every point, so at
+    *   100 TB you train on a thin sample and amortize; quality loss is
+    *   recall-tunable via nprobe. 1.0 = full corpus.
+    */
   def train(corpus: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
-            maxIter: Int = 5): Array[Array[Double]] = {
-    val feat = corpus.select(
-      array_to_vector(corpus(vecCol).cast("array<double>")).as("__features"))
+            maxIter: Int = 5, sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0)
+    val src =
+      if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus
+    val feat = src.select(
+      array_to_vector(src(vecCol).cast("array<double>")).as("__features"))
     // random init: kmeans|| init runs several extra distributed passes
     // that dominate training time at moderate nlist; quantizer quality
     // is recall-tunable via nprobe anyway
@@ -60,16 +70,25 @@ object IvfIndex {
 
   /** Approximate top-k: each query probes its `nprobe` closest cells.
     *
-    * @param queries (qIdCol, vecCol) — small, broadcastable
-    * @param corpus  (idCol, vecCol)
+    * @param queries        (qIdCol, vecCol) — small, broadcastable
+    * @param corpus         (idCol, vecCol)
+    * @param sampleFraction quantizer training sample (see [[train]]) —
+    *                       ignored when `centroids` are supplied
+    * @param centroids      precomputed quantizer: pass the result of a
+    *                       prior [[train]] to amortize training across
+    *                       query batches (the persisted-assignment path
+    *                       at scale — train once, probe repeatedly)
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int, nprobe: Int,
               qIdCol: String = "q_id", idCol: String = "vec_id",
-              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+              vecCol: String = "embedding", seed: Long = 42L,
+              sampleFraction: Double = 1.0,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val centroids = train(corpus, vecCol, nlist, seed)
-    val cents = centroidFrame(corpus, centroids)
+    val cs = centroids.getOrElse(
+      train(corpus, vecCol, nlist, seed, sampleFraction = sampleFraction))
+    val cents = centroidFrame(corpus, cs)
 
     val corpusCells = assign(corpus, idCol, vecCol, cents)
       .join(corpus.select(col(idCol), col(vecCol).as("__cv")), Seq(idCol))

@@ -21,8 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
-
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -90,30 +88,43 @@ object Similarity {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit bucket id of a vector under the given hyperplanes. */
+  /** Sign-bit bucket id of a vector under the given hyperplanes. Native
+    * expression: one bits×dim primitive loop per row (the declarative
+    * zip_with/aggregate chain evaluates interpreted, ~bits× slower). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(asDouble(vec), plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    graft.functions.NativeVec.hyperplane_bucket(vec, planes)
 
-  /** Approximate top-k: candidates only from the query's LSH bucket.
-    * One equi-join on the bucket key — at scale each probe touches
-    * ~|D|/2^bits rows. Queries whose bucket has < k entries simply return
-    * fewer rows (standard single-table LSH behaviour; add tables for
-    * recall). */
+  /** Approximate top-k: candidates only from the query's LSH bucket(s).
+    * One equi-join on the bucket key per table — at scale each probe
+    * touches ~|D|/2^bits rows per table. `tables` independent seeded
+    * hyperplane sets union their candidates (deduped before ranking):
+    * the standard recall lever — a true neighbour is missed only if it
+    * disagrees with the query in EVERY table, so recall ≈
+    * 1-(1-p^bits)^tables. Queries whose buckets hold < k entries simply
+    * return fewer rows. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int, dim: Int,
               qIdCol: String = "q_id", idCol: String = "vec_id",
-              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bits, dim, seed)
-    val q = broadcast(queries.select(col(qIdCol), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), planes).as("__bucket")))
-    val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
-    val scored = c.join(q, Seq("__bucket"))
-      .filter(col(qIdCol) =!= col(idCol))
-      .select(col(qIdCol), col(idCol), cosine(col("__qv"), col("__cv")).as("cosine"))
-    partialTopK(scored, qIdCol, idCol, "cosine", k)
+              vecCol: String = "embedding", seed: Long = 42L,
+              tables: Int = 1): DataFrame = {
+    require(tables >= 1)
+    val scoredPerTable = (0 until tables).map { t =>
+      val planes = hyperplanes(bits, dim, seed + t)
+      val q = broadcast(queries.select(col(qIdCol), col(vecCol).as("__qv"),
+        lshBucket(col(vecCol), planes).as("__bucket")))
+      val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
+        lshBucket(col(vecCol), planes).as("__bucket"))
+      c.join(q, Seq("__bucket"))
+        .filter(col(qIdCol) =!= col(idCol))
+        .select(col(qIdCol), col(idCol), cosine(col("__qv"), col("__cv")).as("cosine"))
+    }
+    // score BEFORE deduping so the dedup shuffle carries only
+    // (q_id, id, cosine), never the vectors; a pair colliding in several
+    // tables is scored per collision (cheap, map-side) but ranked once
+    val scored = scoredPerTable.reduce(_ unionAll _)
+    val unique =
+      if (tables == 1) scored // single bucket join can't duplicate a pair
+      else scored.dropDuplicates(qIdCol, idCol)
+    partialTopK(unique, qIdCol, idCol, "cosine", k)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs are

@@ -27,6 +27,25 @@ class IvfIndexSpec extends GraftSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("sample-trained quantizer keeps recall; precomputed centroids reproduce it exactly") {
+    val queries = emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sampled = IvfIndex.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4,
+      sampleFraction = 0.25)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect sampled).size.toDouble / exact.size
+    assert(recall >= 0.5, s"sample-trained IVF recall $recall too low")
+
+    // train-once / probe-repeatedly: passing the centroids back must give
+    // the identical result with no retraining
+    val cents = IvfIndex.train(emb, "embedding", nlist = 8, sampleFraction = 0.25)
+    val reused = IvfIndex.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4,
+      centroids = Some(cents))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(reused == sampled)
+  }
+
   test("probing all cells reproduces the exact top-k") {
     val queries = emb.filter(col("vec_id") < 4).select(col("vec_id").as("q_id"), col("embedding"))
     val exact = Similarity.bruteForceTopK(queries, emb, k = 3)

@@ -57,4 +57,29 @@ class SimilaritySpec extends GraftSuite {
     assert(approx.nonEmpty)
     assert(approx.map(_._1).subsetOf(exact.map(_._1)))
   }
+
+  test("multi-table lsh lifts near-neighbour recall to >= 0.9 at bits=8, tables=4") {
+    // LSH retrieval is for NEAR neighbours: plant a deterministic twin of
+    // every vector at cosine ≈ 0.98 (x_i + 0.2·x_{i+1 mod d} — per-bit
+    // agreement p ≈ 0.94, so a twin collides in some 8-bit table with
+    // prob ≈ 1-(1-p^8)^4 ≈ 0.97). The base corpus is near-orthogonal
+    // noise (max natural cosine ≈ 0.45), so NO table-count rescues
+    // far-apart pairs — recall is measured on the twins.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val twins = e.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x + 0.2 * element_at(embedding, (i + 1) % 64 + 1) AS FLOAT))")
+        .as("embedding"))
+    val corpus = e.unionAll(twins)
+    val queries = e.filter(col("vec_id") < 16).select(col("vec_id").as("q_id"), col("embedding"))
+    def twinRecall(tables: Int): Double = {
+      val hits = Similarity.lshTopK(queries, corpus, k = 5, bits = 8, dim = 64, tables = tables)
+        .filter(col("vec_id") === col("q_id") + 100000L).count()
+      hits.toDouble / 16
+    }
+    val single = twinRecall(1)
+    val multi = twinRecall(4)
+    assert(multi >= 0.9, s"multi-table twin recall $multi < 0.9 (single-table: $single)")
+    assert(multi >= single, "adding tables must not lose candidates")
+  }
 }
