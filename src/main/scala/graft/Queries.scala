@@ -115,9 +115,14 @@ object Queries {
     * against the source table. */
   private def zipExtract(s: SparkSession, dir: String): DataFrame = {
     // scratch space for the deterministic fixtures — tmpdir, not a
-    // repo-relative path (the repo may be checked out anywhere)
+    // repo-relative path (the repo may be checked out anywhere). Suffixed
+    // with the application id so concurrent runs can't clobber each
+    // other's fixtures mid-read. Driver-local writes feeding a
+    // distributed read assume a shared filesystem (true in local mode,
+    // where these fixtures are built).
     val zipDir = new java.io.File(
-      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")), "graft_zips")
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")),
+      s"graft_zips_${s.sparkContext.applicationId}")
     zipDir.mkdirs()
     // clear stale fixtures: leftover batch_*.zip from a previous run
     // would silently match the *.zip glob below

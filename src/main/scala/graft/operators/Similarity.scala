@@ -101,11 +101,15 @@ object Similarity {
     * the standard recall lever — a true neighbour is missed only if it
     * disagrees with the query in EVERY table, so recall ≈
     * 1-(1-p^bits)^tables. Queries whose buckets hold < k entries simply
-    * return fewer rows. */
+    * return fewer rows.
+    *
+    * @param roundTo round cosine to this many decimals BEFORE ranking
+    *                (rank ties then break by id) — use when comparing
+    *                against a system that ranks on rounded scores */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int, dim: Int,
               qIdCol: String = "q_id", idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 42L,
-              tables: Int = 1): DataFrame = {
+              tables: Int = 1, roundTo: Option[Int] = None): DataFrame = {
     require(tables >= 1)
     val scoredPerTable = (0 until tables).map { t =>
       val planes = hyperplanes(bits, dim, seed + t)
@@ -113,9 +117,11 @@ object Similarity {
         lshBucket(col(vecCol), planes).as("__bucket")))
       val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
         lshBucket(col(vecCol), planes).as("__bucket"))
+      val raw = cosine(col("__qv"), col("__cv"))
+      val score = roundTo.fold(raw)(d => round(raw, d))
       c.join(q, Seq("__bucket"))
         .filter(col(qIdCol) =!= col(idCol))
-        .select(col(qIdCol), col(idCol), cosine(col("__qv"), col("__cv")).as("cosine"))
+        .select(col(qIdCol), col(idCol), score.as("cosine"))
     }
     // score BEFORE deduping so the dedup shuffle carries only
     // (q_id, id, cosine), never the vectors; a pair colliding in several
@@ -131,19 +137,34 @@ object Similarity {
     * generated within buckets only (hash-partitioned on the bucket id),
     * then exact-cosine verified.
     *
-    * @param roundTo round cosine to this many decimals BEFORE the
-    *                threshold filter — use when an external system must
-    *                reproduce the exact pair set (last-ulp accumulation
-    *                differences would otherwise flip boundary pairs)
+    * @param roundTo       round cosine to this many decimals BEFORE the
+    *                      threshold filter — use when an external system must
+    *                      reproduce the exact pair set (last-ulp accumulation
+    *                      differences would otherwise flip boundary pairs)
+    * @param maxBucketSize skew guard (same contract as MinHashLSH/SimHash):
+    *                      buckets larger than this are dropped before
+    *                      pairing. Real embedding corpora cluster — a
+    *                      mega-bucket of near-identical vectors would
+    *                      otherwise go quadratic inside one join task.
     */
   def nearDupPairs(vectors: DataFrame, threshold: Double, bits: Int, dim: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   seed: Long = 42L, roundTo: Option[Int] = None): DataFrame = {
+                   seed: Long = 42L, roundTo: Option[Int] = None,
+                   maxBucketSize: Int = 10000): DataFrame = {
     val planes = hyperplanes(bits, dim, seed)
+    // (id, vec, bucket) feeds three consumers (bucket-size filter + both
+    // self-join sides) — persist so the scan + bucket hashing run once.
     val b = vectors.select(col(idCol), col(vecCol).as("__v"),
       lshBucket(col(vecCol), planes).as("__bucket"))
-    val l = b.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
-    val r = b.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skew guard: one cheap count agg, keep only sane buckets (size-1
+    // buckets can't produce a pair; over-cap buckets are pathological).
+    val sizes = b.groupBy("__bucket").count()
+      .filter(col("count").between(2, maxBucketSize))
+      .select("__bucket")
+    val pruned = b.join(sizes, Seq("__bucket"))
+    val l = pruned.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
+    val r = pruned.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
     val raw = cosine(col("__va"), col("__vb"))
     val score = roundTo.fold(raw)(d => round(raw, d))
     l.join(r, Seq("__bucket"))

@@ -23,7 +23,11 @@ object Upsert {
                            valueCols: Seq[String],
                            orderCol: Option[String]): DataFrame = {
     val u0 = updates.select(((key +: valueCols) ++ orderCol).distinct.map(col): _*)
-    val ord = orderCol.map(col).getOrElse(struct(valueCols.map(col): _*))
+    // ties in orderCol break on the value tuple (struct comparison is
+    // field-by-field), so last-write-wins stays deterministic even for
+    // duplicate (key, orderCol) pairs
+    val ord = orderCol.map(c => struct((c +: valueCols).distinct.map(col): _*))
+      .getOrElse(struct(valueCols.map(col): _*))
     u0.groupBy(col(key))
       .agg(max_by(struct(valueCols.map(col): _*), ord).as("__u"))
       .select(col(key) +: valueCols.map(c => col(s"__u.$c").as(c)): _*)
@@ -70,7 +74,9 @@ object Upsert {
     val u = updates
       .select(col(key), col(valueCol).as("__u_val"), col(tsCol).as("__u_ts"))
       .groupBy(col(key))
-      .agg(expr("max_by(__u_val, __u_ts)").as("__u_val"), max("__u_ts").as("__u_ts"))
+      // value tiebreak keeps the pick deterministic on duplicate (key, ts)
+      .agg(expr("max_by(__u_val, struct(__u_ts, __u_val))").as("__u_val"),
+        max("__u_ts").as("__u_ts"))
     val right = if (broadcastUpdates) broadcast(u) else u
     val closed = history.join(right, Seq(key), "left")
       .withColumn("valid_to",

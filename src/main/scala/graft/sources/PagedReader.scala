@@ -41,7 +41,23 @@ object PagedReader {
                  numPages: Int): Seq[(Any, Any)] = {
     val keys = df.select(col(orderCol)).orderBy(col(orderCol))
       .limit(pageSize * numPages).collect().map(_.get(0))
+    requireUniqueKeys(keys, orderCol)
     keys.grouped(pageSize).map(c => (c.head, c.last)).toSeq
+  }
+
+  /** The unique-key contract enforced loudly: a duplicate key at a page
+    * boundary would silently over-fill a page under the range predicate.
+    * Adjacent-equality over the already-sorted keys — O(n), no extra
+    * pass. (A duplicate of the LAST key lying beyond the collected window
+    * is still invisible; the caller owns true uniqueness.) */
+  private def requireUniqueKeys(sortedKeys: Array[Any], orderCol: String): Unit = {
+    var i = 1
+    while (i < sortedKeys.length) {
+      require(sortedKeys(i) != sortedKeys(i - 1),
+        s"pageBounds: duplicate key '${sortedKeys(i)}' in order column '$orderCol' — " +
+          "page ranges require a unique key")
+      i += 1
+    }
   }
 
   /** One page as a key-range predicate — reaches the parquet scan as

@@ -94,19 +94,23 @@ object ZippedTabular {
 
   // --- XLSX -----------------------------------------------------------------
 
-  private val xmlFactory: XMLInputFactory = {
-    val f = XMLInputFactory.newInstance()
-    // untrusted archive content: no DTDs, no external entities
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f
-  }
+  /** Per-thread factory: XMLInputFactory is documented not thread-safe
+    * (it caches reader state), and decode runs concurrently across
+    * executor task threads under local[32] — a shared instance can race. */
+  private val xmlFactory: ThreadLocal[XMLInputFactory] =
+    ThreadLocal.withInitial { () =>
+      val f = XMLInputFactory.newInstance()
+      // untrusted archive content: no DTDs, no external entities
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f
+    }
 
   /** sharedStrings.xml → string table: one entry per <si>, concatenating
     * its <t> runs (plain and rich-text items both land here). */
   private[sources] def parseSharedStrings(bytes: Array[Byte]): Array[String] = {
     val out = Vector.newBuilder[String]
-    val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val r = xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
     var cur: StringBuilder = null
     var inT = false
     while (r.hasNext) {
@@ -146,7 +150,7 @@ object ZippedTabular {
     * dtype inference downstream; we keep the string-typed contract). */
   private[sources] def parseSheet(bytes: Array[Byte], shared: Array[String]): Vector[Array[String]] = {
     val rows = Vector.newBuilder[Array[String]]
-    val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val r = xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
     var cells: collection.mutable.ArrayBuffer[String] = null
     var cellType: String = null
     var cellCol = -1
@@ -194,17 +198,32 @@ object ZippedTabular {
   /** Decode an XLSX payload (itself a zip of XML) into (header, rows):
     * first worksheet, first row as header — the reference's
     * `pd.read_excel` shape (feeder.py:118-122). */
+  /** Ordering key for worksheet entries: sheet number when the name is
+    * the conventional sheetN.xml (so sheet2 < sheet10), then the name —
+    * zip entry order is arbitrary, so the "first sheet" must not depend
+    * on it. */
+  private[sources] def sheetOrderKey(name: String): (Long, String) = {
+    val m = "([0-9]+)\\.xml$".r.findFirstMatchIn(name)
+    (m.map(_.group(1).toLong).getOrElse(Long.MaxValue), name)
+  }
+
   def decodeXlsx(bytes: Array[Byte]): (Array[String], Iterator[Array[String]]) = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var shared: Array[String] = Array.empty
     var sheet: Array[Byte] = null
+    var sheetName: String = null
     try {
       var e = zin.getNextEntry
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => shared = parseSharedStrings(zin.readAllBytes())
-          case n if sheet == null && n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
-            sheet = zin.readAllBytes()
+          case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+            // keep the numerically/lexicographically FIRST sheet, whatever
+            // position it holds in the archive
+            if (sheetName == null ||
+                Ordering[(Long, String)].lt(sheetOrderKey(n), sheetOrderKey(sheetName))) {
+              sheet = zin.readAllBytes(); sheetName = n
+            }
           case _ =>
         }
         e = zin.getNextEntry

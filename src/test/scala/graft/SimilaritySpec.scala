@@ -45,6 +45,24 @@ class SimilaritySpec extends GraftSuite {
     assert(!plan.contains("Cartesian"), s"cross join in plan:\n$plan")
   }
 
+  test("nearDupPairs prunes a mega-bucket instead of pairing it") {
+    // 10 identical vectors all collide in one bucket; with the cap below
+    // them the bucket is dropped, not paired — the skew guard that keeps
+    // a clustered corpus from going quadratic in one join task.
+    val mega = (1L to 10L).map(i => (i, Seq(0.5f, 0.5f, -0.1f, 0.2f)))
+    val sane = Seq((20L, Seq(0.9f, -0.2f, 0.3f, 0.1f)), (21L, Seq(0.9f, -0.2f, 0.3f, 0.1f)))
+    val vecs = (mega ++ sane).toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairs(vecs, threshold = 0.99, bits = 4, dim = 4,
+      maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // mega-bucket (size 10 > 5) pruned; the sane size-2 bucket survives
+    assert(capped == Set((20L, 21L)), s"got $capped")
+    // with a permissive cap the same corpus yields all 45 mega pairs + 1
+    val uncapped = Similarity.nearDupPairs(vecs, threshold = 0.99, bits = 4, dim = 4)
+      .count()
+    assert(uncapped == 46L)
+  }
+
   test("lsh recall vs brute force on real embeddings is sane") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
