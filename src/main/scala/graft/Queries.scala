@@ -582,11 +582,52 @@ object Queries {
       |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
   /** #22 LSH-bucketed ANN (scale path — probe only matching buckets);
-    * 4 independent hash tables at 8 bits lift single-table recall. */
+    * 4 independent hash tables at 8 bits lift single-table recall.
+    *
+    * Oracle-checked: the hyperplanes are FIXED seeded constants
+    * (Similarity.hyperplanes), so the oracle SQL interpolates them as
+    * literals and recomputes each bucket's sign bits with the identical
+    * left-fold double accumulation (list_reduce over the products,
+    * 0.0-seeded) — the per-table bucket ids match bit-for-bit, the OR of
+    * the 4 bucket equalities IS the union-of-tables candidate set, and
+    * both sides rank on the 6dp-rounded cosine (ties → vec_id). */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = parallelize(s, t(s, dir, "embeddings"))
     val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
-    Similarity.lshTopK(queries, e, k = 5, bits = 8, dim = 64, tables = 4)
+    Similarity.lshTopK(queries, e, k = 5, bits = 8, dim = 64, tables = 4,
+      roundTo = Some(6))
+  }
+
+  private val annLshSql: String = {
+    // dot(v, plane) with the exact accumulation order of
+    // NativeVec.HyperplaneBucket: products left-to-right, fold seeded 0.0
+    def dotExpr(plane: Array[Double]): String = {
+      val lit = plane.map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${plane.length + 1}), " +
+        s"i -> v[i] * ($lit)[i])), (a, b) -> a + b)"
+    }
+    def bucketExpr(planes: Array[Array[Double]]): String =
+      planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN ${dotExpr(p)} >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("(", "\n      + ", ")")
+    val bucketCols = (0 until 4).map { t =>
+      s"${bucketExpr(Similarity.hyperplanes(8, 64, 42L + t))} AS b$t"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $bucketCols
+       |  FROM e),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+       |  FROM b q JOIN b c
+       |    ON (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2 OR q.b3 = c.b3)
+       |   AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
   }
 
   /** #31 IVF ANN: k-means coarse quantizer trained on a 25% seeded
@@ -986,7 +1027,7 @@ object Queries {
     Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
-    Q("q_ann_lsh", annLsh, None),
+    Q("q_ann_lsh", annLsh, Some(annLshSql)),
     Q("q_ann_ivf", annIvf, None),
     Q("q_skew_agg", skewAgg, Some(skewAggSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
