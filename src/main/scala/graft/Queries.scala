@@ -728,10 +728,27 @@ object Queries {
        |FROM documents""".stripMargin
 
   /** #27 multimodal plumbing: binary media column + typed metadata,
-    * partition-local stub decode (rows-only + MultimodalSpec). */
+    * partition-local stub decode.
+    *
+    * Oracle-checked on the SQL-expressible half: `n_bytes` and
+    * `media_type` are pure functions of the UTF-8 payload, recomputed by
+    * DuckDB; the stub-decoded dimensions ride as `dims_ok` — a boolean
+    * the oracle pins TRUE (q_approx_distinct's sketch pattern), so a
+    * decode regression outside the stub's contract range breaks the
+    * hash. The raw width/height/checksum stay spec-bounded in
+    * MultimodalSpec. */
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.withFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        (col("width").between(16, 655) && col("height").between(16, 495)).as("dims_ok"))
+
+  private val multimodalMetaSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  TRUE AS dims_ok
+      |FROM documents""".stripMargin
 
   // ===========================================================================
   // Analytics & streaming parity (SURVEY §2 ops 28-30)
@@ -1034,7 +1051,7 @@ object Queries {
     Q("q_lang_id", langId, Some(langIdSql)),
     Q("q_token_count", tokenCount, Some(tokenCountSql)),
     Q("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
-    Q("q_multimodal_meta", multimodalMeta, None),
+    Q("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("q_events_window", eventsWindow, Some(eventsWindowSql)),
     Q("q_sessionize", sessionize, Some(sessionizeSql)),
     Q("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
