@@ -31,6 +31,30 @@ object PagedReader {
       .flatMap(p => fetch(p.toInt))
   }
 
+  /** Bounded poll-until-ready for an executor-side fetch: the reference
+    * polls its export endpoint until `state == 3`, sleeping between
+    * attempts with a hard retry cap (feeder.py:103-115). `attempt`
+    * receives the 0-based attempt index and returns Some(result) when
+    * the remote work is ready, None to keep waiting; exceptions
+    * propagate immediately (a failed request is not "not ready yet").
+    * Fails loudly after `maxAttempts`. Self-contained and serializable —
+    * compose it INSIDE a `readPagesDistributed` fetch closure so each
+    * page task carries its own bounded wait. */
+  def pollUntilReady[T](maxAttempts: Int, delayMs: Long)(attempt: Int => Option[T]): T = {
+    require(maxAttempts > 0, "maxAttempts must be positive")
+    var i = 0
+    while (i < maxAttempts) {
+      attempt(i) match {
+        case Some(t) => return t
+        case None =>
+          i += 1
+          if (i < maxAttempts && delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw new IllegalStateException(
+      s"pollUntilReady: resource not ready after $maxAttempts attempts")
+  }
+
   /** Per-page (lo, hi) key bounds for the first `numPages` pages of
     * `pageSize` rows in `orderCol` order. ONE distributed top-(P·S) pass
     * over the key column only (sort+limit collapses to
@@ -60,6 +84,77 @@ object PagedReader {
     }
   }
 
+  /** Per-page (lo, hi) bounds WITHOUT collecting P·S keys: range-
+    * partition the key column, sort within partitions, then (pass 1)
+    * count per partition and (pass 2) extract ONLY the boundary-rank
+    * keys. The driver holds O(numPages + partitions) values however many
+    * pages are requested — `pageBounds`'s collected window would be the
+    * whole key column when paging an entire table. The unique-key
+    * contract is enforced loudly here too: adjacent duplicates are
+    * detected executor-side within partitions and driver-side across
+    * partition edges, covering every adjacent pair in the paged window.
+    *
+    * Two passes = the key-column sort runs twice; callers paging a huge
+    * table repeatedly should persist `df`'s key projection first. */
+  def pageBoundsDistributed(df: DataFrame, orderCol: String, pageSize: Int,
+                            numPages: Int): Seq[(Any, Any)] = {
+    val keys = df.select(col(orderCol).as("__k"))
+      .repartitionByRange(math.max(df.sparkSession.sparkContext.defaultParallelism, 1),
+        col("__k"))
+      .sortWithinPartitions("__k")
+      .rdd.map(_.get(0))
+    // pass 1: per-partition counts → global offsets (deterministic across
+    // passes: RangePartitioner's sampling seed is derived from the
+    // partition index, so both jobs see the same partitioning)
+    val counts = keys
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = math.min(offsets.last, pageSize.toLong * numPages)
+    if (n == 0) return Seq.empty
+    val pagesEff = (((n + pageSize - 1) / pageSize).toInt).min(numPages)
+    val needed = (0 until pagesEff).flatMap { p =>
+      Seq(p.toLong * pageSize, math.min(p.toLong * pageSize + pageSize - 1, n - 1))
+    }.toSet
+    // pass 2: boundary keys + window first/last/dup per partition
+    val perPart = keys.mapPartitionsWithIndex { (i, it) =>
+      val start = offsets(i)
+      if (start >= n) Iterator.empty
+      else {
+        var rank = start
+        var prev: Any = null
+        var seen = false
+        var dup = false
+        var first: Any = null
+        var last: Any = null
+        val picked = collection.mutable.ArrayBuffer.empty[(Long, Any)]
+        while (it.hasNext && rank < n) {
+          val k = it.next()
+          if (!seen) { first = k; seen = true }
+          else if (java.util.Objects.equals(prev, k)) dup = true
+          if (needed(rank)) picked += ((rank, k))
+          prev = k; last = k; rank += 1
+        }
+        Iterator((i, first, last, dup, picked.toSeq))
+      }
+    }.collect().sortBy(_._1)
+    perPart.foreach { case (_, _, _, dup, _) =>
+      require(!dup,
+        s"pageBoundsDistributed: duplicate key in order column '$orderCol' — " +
+          "page ranges require a unique key")
+    }
+    perPart.iterator.sliding(2).withPartial(false).foreach { w =>
+      require(!java.util.Objects.equals(w.head._3, w(1)._2),
+        s"pageBoundsDistributed: duplicate key '${w(1)._2}' at a partition edge " +
+          s"in order column '$orderCol' — page ranges require a unique key")
+    }
+    val byRank = perPart.flatMap(_._5).toMap
+    (0 until pagesEff).map { p =>
+      (byRank(p.toLong * pageSize),
+        byRank(math.min(p.toLong * pageSize + pageSize - 1, n - 1)))
+    }
+  }
+
   /** One page as a key-range predicate — reaches the parquet scan as
     * PushedFilters (min/max row-group pruning), touching only the page's
     * key range instead of ranking the whole table. */
@@ -67,12 +162,13 @@ object PagedReader {
     df.filter(col(orderCol) >= lit(lo) && col(orderCol) <= lit(hi))
 
   /** The first `numPages` pages as per-page range-predicate DataFrames:
-    * one cheap bounds pass, then every page is an independent pushdown
-    * scan (the reference's PageNumber loop, feeder.py:22-47, with the
-    * page index as the parallelism axis). */
+    * one distributed bounds derivation (O(numPages) at the driver), then
+    * every page is an independent pushdown scan (the reference's
+    * PageNumber loop, feeder.py:22-47, with the page index as the
+    * parallelism axis). */
   def pages(df: DataFrame, orderCol: String, pageSize: Int,
             numPages: Int): Seq[DataFrame] =
-    pageBounds(df, orderCol, pageSize, numPages).map {
+    pageBoundsDistributed(df, orderCol, pageSize, numPages).map {
       case (lo, hi) => pageByRange(df, orderCol, lo, hi)
     }
 
