@@ -39,10 +39,32 @@ object GraftExtensions {
       arity("topk_by", 3)(args =>
         TopKAggregate.TopKBy(args(0), args(1), intArg(args(2), "k"))
           .toAggregateExpression())),
+    ("simhash_univ",
+      "simhash_univ(text) - SQL-replicable universal-hash simhash fingerprint (63 bits)",
+      arity("simhash_univ", 1)(args => NativeText.SimHashUnivExpr(args.head))),
+    ("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float/double array columns",
+      arity("cosine_sim", 2)(args => NativeVec.CosineSim(args.head, args(1)))),
+    ("sq_dist",
+      "sq_dist(a, b) - squared euclidean distance of two float/double array columns",
+      arity("sq_dist", 2)(args => NativeVec.SqDist(args.head, args(1)))),
+    ("hyperplane_bucket",
+      "hyperplane_bucket(vec, bits, dim, seed) - sign-bit LSH bucket id under seeded Gaussian hyperplanes",
+      arity("hyperplane_bucket", 4)(args =>
+        NativeVec.HyperplaneBucket(args.head,
+          NativeVec.gaussianPlanes(intArg(args(1), "bits"), intArg(args(2), "dim"),
+            longArg(args(3), "seed")).map(_.toIndexedSeq).toIndexedSeq))),
   )
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

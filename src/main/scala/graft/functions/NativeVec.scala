@@ -105,6 +105,16 @@ object NativeVec {
       copy(child = newChild)
   }
 
+  /** Deterministic Gaussian hyperplanes (seeded scala.util.Random —
+    * spec-pinned generator, identical on every JVM). Shared by the
+    * Column API (Similarity.hyperplanes) and the SQL registration, so
+    * SQL `hyperplane_bucket(vec, bits, dim, seed)` buckets exactly as
+    * the programmatic path. */
+  def gaussianPlanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
   private def toCol(e: Expression): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(e)
   private def exprOf(c: Column): Expression =

@@ -82,11 +82,11 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `bits` unit-free direction vectors
-    * of dimension `dim`, seeded — no RNG state on executors. */
-  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bits, dim)(rnd.nextGaussian())
-  }
+    * of dimension `dim`, seeded — no RNG state on executors. (Delegates
+    * to the generator shared with the SQL `hyperplane_bucket`
+    * registration.) */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    graft.functions.NativeVec.gaussianPlanes(bits, dim, seed)
 
   /** Sign-bit bucket id of a vector under the given hyperplanes. Native
     * expression: one bits×dim primitive loop per row (the declarative

@@ -91,4 +91,25 @@ class NativeTextSpec extends GraftSuite {
       .as[Seq[Long]].head()
     assert(agg == Seq(3L, 1L))
   }
+
+  test("vector + simhash_univ functions are SQL-callable and match the Column API") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c,
+        |       sq_dist(array(1.0D, 2.0D), array(1.0D, 0.0D)) AS d,
+        |       simhash_univ('a b c') AS fp""".stripMargin).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 4.0)
+    val colFp = Seq("a b c").toDF("t")
+      .select(NativeText.simhash_univ(col("t"))).head().getLong(0)
+    assert(r.getLong(2) == colFp)
+    // SQL-path seeded buckets equal the programmatic hyperplane buckets
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(8)
+    val planes = graft.operators.Similarity.hyperplanes(8, 64, 42L)
+    val both = e.select(
+      graft.functions.NativeVec.hyperplane_bucket(col("embedding"), planes).as("api"),
+      expr("hyperplane_bucket(embedding, 8, 64, 42)").as("sql")).collect()
+    assert(both.nonEmpty)
+    both.foreach(b => assert(b.getLong(0) == b.getLong(1)))
+  }
 }
