@@ -149,19 +149,25 @@ object Queries {
     xlsxDocs.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
       zipWith(f"batch_xlsx_$i%02d.zip", "results.xlsx") { out =>
         val bos = new java.io.ByteArrayOutputStream()
+        // doc_id rides as a TYPED numeric cell (t-less <v>), not a string
         ZippedTabular.writeXlsx(bos, Seq("doc_id", "text"),
-          chunk.toIndexedSeq.map(r => Seq(r.getLong(0).toString, r.getString(1))),
+          chunk.toIndexedSeq.map(r => Seq(r.getLong(0), r.getString(1))),
           sharedStrings = i % 2 == 0)
         out.write(bos.toByteArray)
       }
     }
     val base = zipDir.getAbsolutePath
-    ZippedTabular.readZippedCsv(s, base + "/batch_csv_*.zip", Seq("doc_id", "text"))
-      .unionAll(ZippedTabular.readZippedXlsx(s, base + "/batch_xlsx_*.zip", Seq("doc_id", "text")))
+    // typed read: doc_id lands as BIGINT straight from the codecs (the
+    // reference's pd.read_excel dtype inference), no post-hoc string cast
+    val zipSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    ZippedTabular.readZippedCsvTyped(s, base + "/batch_csv_*.zip", zipSchema)
+      .unionAll(ZippedTabular.readZippedXlsxTyped(s, base + "/batch_xlsx_*.zip", zipSchema))
   }
 
   private val zipExtractSql =
-    """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+    """SELECT doc_id, text
       |FROM documents WHERE doc_id < 40""".stripMargin
 
   /** #4 predicate-pushdown read (feeder.py:127-143's `where wave = N`). */

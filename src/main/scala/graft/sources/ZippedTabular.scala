@@ -8,7 +8,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Zipped-tabular extraction → DataFrame.
   *
@@ -143,21 +143,28 @@ object ZippedTabular {
     idx - 1
   }
 
-  /** One worksheet's rows as dense string arrays (sparse cells gap-fill
-    * with null via the `r` cell references). Cell types: t="s" shared
-    * string, t="inlineStr" (<is><t>), everything else takes the raw <v>
-    * text (numbers stay strings — the reference reads them with pandas'
-    * dtype inference downstream; we keep the string-typed contract). */
-  private[sources] def parseSheet(bytes: Array[Byte], shared: Array[String]): Vector[Array[String]] = {
-    val rows = Vector.newBuilder[Array[String]]
+  /** One decoded sheet cell: resolved text plus the OOXML cell-type tag —
+    * 'n' numeric (the t-less default), 's' string (shared, inline, or
+    * formula-string), 'b' boolean, 'd' ISO-8601 date. The tag is what
+    * dtype inference works from (pd.read_excel's shape, feeder.py:121). */
+  final case class XlsxCell(value: String, kind: Char)
+
+  /** One worksheet's rows as dense typed-cell arrays (sparse cells
+    * gap-fill with null via the `r` cell references). t="s" resolves the
+    * shared-string table, t="inlineStr" reads <is><t>, everything else
+    * takes the raw <v> text with its type tag preserved. (Legacy
+    * style-based date cells — numeric + numFmt — are NOT resolved to
+    * dates; writers targeting this codec use the in-spec t="d" form.) */
+  private[sources] def parseSheetCells(bytes: Array[Byte], shared: Array[String]): Vector[Array[XlsxCell]] = {
+    val rows = Vector.newBuilder[Array[XlsxCell]]
     val r = xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
-    var cells: collection.mutable.ArrayBuffer[String] = null
+    var cells: collection.mutable.ArrayBuffer[XlsxCell] = null
     var cellType: String = null
     var cellCol = -1
     var buf: StringBuilder = null
     var inV = false
     var inIsT = false
-    def put(col: Int, v: String): Unit = {
+    def put(col: Int, v: XlsxCell): Unit = {
       val c = if (col >= 0) col else cells.length
       while (cells.length <= c) cells += null
       cells(c) = v
@@ -165,7 +172,7 @@ object ZippedTabular {
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-          case "row" => cells = collection.mutable.ArrayBuffer.empty[String]
+          case "row" => cells = collection.mutable.ArrayBuffer.empty[XlsxCell]
           case "c" =>
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
             cellCol = Option(r.getAttributeValue(null, "r")).map(colIndexOf).getOrElse(-1)
@@ -180,8 +187,14 @@ object ZippedTabular {
           case "c" =>
             if (buf != null) {
               val raw = buf.toString
-              val v = if (cellType == "s") shared(raw.trim.toInt) else raw
-              put(cellCol, v)
+              val cell = cellType match {
+                case "s"                     => XlsxCell(shared(raw.trim.toInt), 's')
+                case "inlineStr" | "str"     => XlsxCell(raw, 's')
+                case "b"                     => XlsxCell(raw, 'b')
+                case "d"                     => XlsxCell(raw, 'd')
+                case _                       => XlsxCell(raw, 'n')
+              }
+              put(cellCol, cell)
             }
             buf = null; cellType = null; cellCol = -1
           case "v" => inV = false
@@ -195,6 +208,10 @@ object ZippedTabular {
     rows.result()
   }
 
+  /** String-typed view of [[parseSheetCells]]. */
+  private[sources] def parseSheet(bytes: Array[Byte], shared: Array[String]): Vector[Array[String]] =
+    parseSheetCells(bytes, shared).map(_.map(c => if (c == null) null else c.value))
+
   /** Decode an XLSX payload (itself a zip of XML) into (header, rows):
     * first worksheet, first row as header — the reference's
     * `pd.read_excel` shape (feeder.py:118-122). */
@@ -207,7 +224,8 @@ object ZippedTabular {
     (m.map(_.group(1).toLong).getOrElse(Long.MaxValue), name)
   }
 
-  def decodeXlsx(bytes: Array[Byte]): (Array[String], Iterator[Array[String]]) = {
+  /** First worksheet + shared strings out of the workbook archive. */
+  private def workbookParts(bytes: Array[Byte]): (Array[String], Array[Byte]) = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var shared: Array[String] = Array.empty
     var sheet: Array[Byte] = null
@@ -230,9 +248,49 @@ object ZippedTabular {
       }
     } finally zin.close()
     require(sheet != null, "no xl/worksheets/*.xml in xlsx payload")
+    (shared, sheet)
+  }
+
+  def decodeXlsx(bytes: Array[Byte]): (Array[String], Iterator[Array[String]]) = {
+    val (shared, sheet) = workbookParts(bytes)
     val rows = parseSheet(sheet, shared)
     require(rows.nonEmpty, "empty worksheet")
     (rows.head, rows.iterator.drop(1))
+  }
+
+  /** Typed-cell decode: header (first row, as strings) + data rows with
+    * per-cell type tags — the input to [[inferXlsxSchema]]. */
+  def decodeXlsxCells(bytes: Array[Byte]): (Array[String], Vector[Array[XlsxCell]]) = {
+    val (shared, sheet) = workbookParts(bytes)
+    val rows = parseSheetCells(sheet, shared)
+    require(rows.nonEmpty, "empty worksheet")
+    (rows.head.map(c => if (c == null) null else c.value), rows.drop(1))
+  }
+
+  private val IntegralRe = "-?[0-9]+".r
+
+  /** Per-column dtype inference over the typed cells — pd.read_excel's
+    * shape (feeder.py:121): a column whose non-null data cells are all
+    * numeric becomes LONG (all integral) or DOUBLE; all-boolean becomes
+    * BOOLEAN; all-date becomes TIMESTAMP; anything mixed stays STRING.
+    * Inference is per-workbook (driver-side or one executor task); for
+    * a many-archive distributed read pass the resulting schema to
+    * [[readZippedXlsxTyped]] like a spark.read `.schema(...)`. */
+  def inferXlsxSchema(bytes: Array[Byte]): StructType = {
+    val (header, rows) = decodeXlsxCells(bytes)
+    val fields = header.indices.map { i =>
+      val cells = rows.iterator.map(r => if (i < r.length) r(i) else null).filter(_ != null).toSeq
+      val kinds = cells.map(_.kind).distinct
+      val dt: DataType =
+        if (cells.isEmpty) StringType
+        else if (kinds == Seq('n'))
+          if (cells.forall(c => IntegralRe.matches(c.value.trim))) LongType else DoubleType
+        else if (kinds == Seq('b')) BooleanType
+        else if (kinds == Seq('d')) TimestampType
+        else StringType
+      StructField(Option(header(i)).getOrElse(s"_c$i"), dt, nullable = true)
+    }
+    StructType(fields)
   }
 
   // --- XLSX writer (fixtures / export parity) -------------------------------
@@ -250,10 +308,15 @@ object ZippedTabular {
   }
 
   /** Write a minimal single-sheet XLSX (the reference's flat export
-    * shape). `sharedStrings = true` routes cells through the shared
-    * string table; false writes inline-string cells — both forms appear
-    * in the wild and both decode paths are exercised by SourcesSpec. */
-  def writeXlsx(out: OutputStream, header: Seq[String], rows: Seq[Seq[String]],
+    * shape). `sharedStrings = true` routes STRING cells through the
+    * shared string table; false writes inline-string cells — both forms
+    * appear in the wild and both decode paths are exercised by
+    * SourcesSpec. Non-string values write as typed cells: numbers as
+    * t-less <v> (the OOXML numeric default), booleans as t="b", and
+    * java.time LocalDate/LocalDateTime as in-spec t="d" ISO cells — the
+    * forms [[inferXlsxSchema]] and [[readZippedXlsxTyped]] decode back
+    * to typed columns. Nulls skip the cell (sparse row). */
+  def writeXlsx(out: OutputStream, header: Seq[String], rows: Seq[Seq[Any]],
                 sharedStrings: Boolean = true): Unit = {
     val z = new ZipOutputStream(out)
     def entry(name: String, body: String): Unit = {
@@ -268,8 +331,19 @@ object ZippedTabular {
     val sheetRows = all.zipWithIndex.map { case (cells, ri) =>
       val cs = cells.zipWithIndex.map { case (v, ci) =>
         val ref = s"${colName(ci)}${ri + 1}"
-        if (sharedStrings) s"""<c r="$ref" t="s"><v>${sharedIdx(v)}</v></c>"""
-        else s"""<c r="$ref" t="inlineStr"><is><t>${xml(v)}</t></is></c>"""
+        def stringCell(s: String): String =
+          if (sharedStrings) s"""<c r="$ref" t="s"><v>${sharedIdx(s)}</v></c>"""
+          else s"""<c r="$ref" t="inlineStr"><is><t>${xml(s)}</t></is></c>"""
+        v match {
+          case null => ""
+          case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+          case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float |
+               _: java.math.BigDecimal | _: BigDecimal =>
+            s"""<c r="$ref"><v>$v</v></c>"""
+          case d: java.time.LocalDate => s"""<c r="$ref" t="d"><v>$d</v></c>"""
+          case d: java.time.LocalDateTime => s"""<c r="$ref" t="d"><v>$d</v></c>"""
+          case s => stringCell(s.toString)
+        }
       }.mkString
       s"""<row r="${ri + 1}">$cs</row>"""
     }.mkString
@@ -338,4 +412,62 @@ object ZippedTabular {
     * reference's actual export shape (feeder.py:118-122). */
   def readZippedXlsx(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
     readZipped(spark, path, columns, decodeXlsx)
+
+  // --- typed readers --------------------------------------------------------
+
+  /** Cell text → external row value for `dt`. Numeric text parses via
+    * BigDecimal so "5", "5.0", and scientific forms all land exactly
+    * (longValueExact refuses true fractions loudly); dates accept
+    * ISO-8601 date or date-time. */
+  private[sources] def convertCell(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case StringType  => raw
+      case LongType    => new java.math.BigDecimal(raw.trim).longValueExact()
+      case IntegerType => new java.math.BigDecimal(raw.trim).intValueExact()
+      case DoubleType  => raw.trim.toDouble
+      case FloatType   => raw.trim.toFloat
+      case BooleanType => raw.trim == "1" || raw.trim.equalsIgnoreCase("true")
+      case TimestampType =>
+        val t = raw.trim
+        val ldt =
+          try java.time.LocalDateTime.parse(t)
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDate.parse(t).atStartOfDay() }
+        java.sql.Timestamp.valueOf(ldt)
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.parse(raw.trim))
+      case other => throw new IllegalArgumentException(s"unsupported cell type $other")
+    }
+
+  private def readZippedTyped(spark: SparkSession, path: String, schema: StructType,
+                              decode: Array[Byte] => (Array[String], Iterator[Array[String]])): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val n = schema.length
+    val types = schema.fields.map(_.dataType)
+    bin.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, dataRows) = decode(firstEntry(r.getAs[Array[Byte]](0)))
+        dataRows.map(cells => Row.fromSeq(
+          (0 until n).map(i =>
+            if (i < cells.length && cells(i) != null) convertCell(cells(i), types(i))
+            else null)))
+      }
+    }(enc)
+  }
+
+  /** Schema-applying CSV reader — `spark.read.schema(...)`'s shape for
+    * the zipped codec: text cells parse to the declared types on the
+    * executors, no post-hoc string casts. */
+  def readZippedCsvTyped(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readZippedTyped(spark, path, schema, parseCsv)
+
+  /** Schema-applying XLSX reader: typed cells (numeric/bool/date) land
+    * as the declared Spark types — the reference's pd.read_excel dtype
+    * behavior (feeder.py:121), with the schema explicit the way a
+    * distributed many-archive read needs it (derive one with
+    * [[inferXlsxSchema]] on a sample workbook). */
+  def readZippedXlsxTyped(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readZippedTyped(spark, path, schema, decodeXlsx)
 }

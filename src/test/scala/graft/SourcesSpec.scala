@@ -103,6 +103,44 @@ class SourcesSpec extends GraftSuite {
     }
   }
 
+  test("typed xlsx cells: numeric/bool/date infer and round-trip as Spark types") {
+    val header = Seq("id", "score", "flag", "seen", "note")
+    val data = Seq(
+      Seq[Any](1L, 2.5, true, java.time.LocalDate.of(2024, 6, 1), "alpha"),
+      Seq[Any](2L, -0.5, false, java.time.LocalDate.of(2024, 6, 2), "beta"))
+    val bos = new java.io.ByteArrayOutputStream()
+    ZippedTabular.writeXlsx(bos, header, data)
+    // dtype inference: integral → long, fractional → double, t="b" →
+    // boolean, t="d" → timestamp, strings stay strings
+    val schema = ZippedTabular.inferXlsxSchema(bos.toByteArray)
+    assert(schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq == Seq(
+      ("id", "long"), ("score", "double"), ("flag", "boolean"),
+      ("seen", "timestamp"), ("note", "string")))
+    // distributed typed read: values land AS the declared types
+    val dir = new File("target/graft_xlsx_typed_spec")
+    dir.mkdirs()
+    val z = new ZipOutputStream(new FileOutputStream(new File(dir, "t.zip")))
+    z.putNextEntry(new ZipEntry("results.xlsx"))
+    z.write(bos.toByteArray); z.closeEntry(); z.close()
+    val got = ZippedTabular.readZippedXlsxTyped(spark, dir.getAbsolutePath + "/*.zip", schema)
+      .orderBy("id").collect()
+    assert(got(0).getLong(0) == 1L && got(0).getDouble(1) == 2.5 && got(0).getBoolean(2))
+    assert(got(0).getTimestamp(3) == java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    assert(got(1).getString(4) == "beta")
+    // the typed CSV reader applies the same schema to text payloads
+    val csv = "id,n\n7,1.5\n8,2.5\n".getBytes("UTF-8")
+    val cdir = new File("target/graft_csv_typed_spec")
+    cdir.mkdirs()
+    val cz = new ZipOutputStream(new FileOutputStream(new File(cdir, "c.zip")))
+    cz.putNextEntry(new ZipEntry("data.csv")); cz.write(csv); cz.closeEntry(); cz.close()
+    val cSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.DoubleType)))
+    val crows = ZippedTabular.readZippedCsvTyped(spark, cdir.getAbsolutePath + "/*.zip", cSchema)
+      .orderBy("id").collect()
+    assert(crows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((7L, 1.5), (8L, 2.5)))
+  }
+
   test("xlsx decode gap-fills sparse cells from cell references") {
     // row 2 skips column B: <c r="A2"> then <c r="C2">
     val sheet =
