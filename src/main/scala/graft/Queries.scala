@@ -952,15 +952,17 @@ object Queries {
       |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
       |FROM orders GROUP BY 1""".stripMargin
 
-  /** #45 exact interpolated percentiles per group (median + p95). Both
-    * engines use linear interpolation at rank p*(n-1); rounded to 6dp to
-    * absorb last-bit arithmetic differences. */
+  /** #45 exact interpolated percentiles per group (median + p95) via
+    * distributed rank selection — the built-in `percentile` aggregate
+    * buffers EVERY group value in one task (the funnel that OOMs at
+    * 100 TB); DistributedPercentiles selects only the boundary order
+    * statistics. Both engines use linear interpolation at rank p*(n-1);
+    * rounded to 6dp to absorb last-bit arithmetic differences. */
   private def percentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy("o_orderpriority")
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
+    DistributedPercentiles.exact(t(s, dir, "orders"), "o_orderpriority",
+      "o_totalprice", Seq("p50" -> 0.5, "p95" -> 0.95))
+      .select(col("o_orderpriority"),
+        round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"))
 
   private val percentilesSql =
     """SELECT o_orderpriority,
