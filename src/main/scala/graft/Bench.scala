@@ -61,7 +61,10 @@ object Bench {
           }
         }
       }
-      if (rep.nonEmpty) { times :+= name -> rep.min; raws :+= name -> rep }
+      // a query that failed ANY rep is an error, never a timing — a
+      // partial min would undercount real work (and the header contract
+      // says broken queries don't appear as timings)
+      if (rep.nonEmpty && !failed) { times :+= name -> rep.min; raws :+= name -> rep }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -27,6 +27,10 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dirs with a registered shutdown-hook cleanup (one hook per
+    * dir however many times the fixture builder runs in a session). */
+  private val scratchHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark 4 refuses natively — read them as long nanos and convert to a
     * microsecond timestamp with integer division (a double division would
@@ -120,9 +124,24 @@ object Queries {
     // other's fixtures mid-read. Driver-local writes feeding a
     // distributed read assume a shared filesystem (true in local mode,
     // where these fixtures are built).
-    val zipDir = new java.io.File(
-      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")),
-      s"graft_zips_${s.sparkContext.applicationId}")
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    // sweep fixture dirs left by crashed runs (live runs touch theirs
+    // within minutes; ours is removed by the shutdown hook below) so
+    // repeated runs can't accumulate per-appId dirs unboundedly
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_zips_") &&
+        f.lastModified < System.currentTimeMillis() - 6L * 3600 * 1000)
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete()); d.delete()
+      }
+    val zipDir = new java.io.File(tmpRoot, s"graft_zips_${s.sparkContext.applicationId}")
+    if (scratchHooked.add(zipDir.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        Option(zipDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        zipDir.delete(); ()
+      }))
+    }
     zipDir.mkdirs()
     // clear stale fixtures: leftover batch_*.zip from a previous run
     // would silently match the *.zip glob below
@@ -550,6 +569,11 @@ object Queries {
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = parallelize(s, t(s, dir, "embeddings").select("vec_id", "embedding"))
     val corpus = e.unionAll(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    // NB the default maxBucketSize (10k) prunes over-cap buckets — same
+    // contract as the MinHash/SimHash siblings. The all-pairs oracle
+    // holds while no bucket exceeds the cap (gate corpora are ~1k rows
+    // over 256 buckets); a corpus dense enough to trip it needs the cap
+    // (or bits) raised to keep exhaustive-recall semantics.
     Similarity.nearDupPairs(corpus, threshold = 0.95, bits = 8, dim = 64,
       roundTo = Some(6))
   }

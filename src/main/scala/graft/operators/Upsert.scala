@@ -25,8 +25,12 @@ object Upsert {
     val u0 = updates.select(((key +: valueCols) ++ orderCol).distinct.map(col): _*)
     // ties in orderCol break on the value tuple (struct comparison is
     // field-by-field), so last-write-wins stays deterministic even for
-    // duplicate (key, orderCol) pairs
-    val ord = orderCol.map(c => struct((c +: valueCols).distinct.map(col): _*))
+    // duplicate (key, orderCol) pairs. The struct is null when orderCol
+    // is null so max_by keeps IGNORING null-ordered update rows (the
+    // pre-tiebreak semantic: an update without an order value never
+    // wins over one with it, and an all-null key leaves base untouched).
+    val ord = orderCol.map(c =>
+        when(col(c).isNotNull, struct((c +: valueCols).distinct.map(col): _*)))
       .getOrElse(struct(valueCols.map(col): _*))
     u0.groupBy(col(key))
       .agg(max_by(struct(valueCols.map(col): _*), ord).as("__u"))

@@ -103,9 +103,11 @@ object PagedReader {
         col("__k"))
       .sortWithinPartitions("__k")
       .rdd.map(_.get(0))
-    // pass 1: per-partition counts → global offsets (deterministic across
-    // passes: RangePartitioner's sampling seed is derived from the
-    // partition index, so both jobs see the same partitioning)
+    // pass 1: per-partition counts → global offsets. Both passes MUST
+    // run over this ONE `keys` RDD: cross-pass consistency comes from
+    // reusing the same shuffle output (lineage reuse), NOT from any
+    // seed property of RangePartitioner — rebuilding the pipeline per
+    // pass could sample different range bounds and corrupt the offsets.
     val counts = keys
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().sortBy(_._1).map(_._2)
@@ -161,16 +163,28 @@ object PagedReader {
   def pageByRange(df: DataFrame, orderCol: String, lo: Any, hi: Any): DataFrame =
     df.filter(col(orderCol) >= lit(lo) && col(orderCol) <= lit(hi))
 
+  /** Bounds windows up to this many keys use the collected derivation:
+    * sort+limit collapses to TakeOrderedAndProject (per-partition heaps,
+    * one job, no shuffle of the key column) — far cheaper than a full
+    * range repartition when only a few pages are requested. Above it,
+    * the collect itself is the bottleneck and the distributed
+    * derivation wins. */
+  private val CollectedBoundsMaxKeys = 100000L
+
   /** The first `numPages` pages as per-page range-predicate DataFrames:
-    * one distributed bounds derivation (O(numPages) at the driver), then
-    * every page is an independent pushdown scan (the reference's
+    * one bounds derivation — collected (TakeOrdered) for small windows,
+    * distributed (O(numPages) at the driver) when the window is large —
+    * then every page is an independent pushdown scan (the reference's
     * PageNumber loop, feeder.py:22-47, with the page index as the
     * parallelism axis). */
   def pages(df: DataFrame, orderCol: String, pageSize: Int,
-            numPages: Int): Seq[DataFrame] =
-    pageBoundsDistributed(df, orderCol, pageSize, numPages).map {
-      case (lo, hi) => pageByRange(df, orderCol, lo, hi)
-    }
+            numPages: Int): Seq[DataFrame] = {
+    val bounds =
+      if (pageSize.toLong * numPages <= CollectedBoundsMaxKeys)
+        pageBounds(df, orderCol, pageSize, numPages)
+      else pageBoundsDistributed(df, orderCol, pageSize, numPages)
+    bounds.map { case (lo, hi) => pageByRange(df, orderCol, lo, hi) }
+  }
 
   /** Deterministic page slice (page numbers start at 1, like the
     * reference's PageNumber). Key-range form: no global window. */

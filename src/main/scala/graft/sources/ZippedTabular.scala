@@ -418,9 +418,12 @@ object ZippedTabular {
   /** Cell text → external row value for `dt`. Numeric text parses via
     * BigDecimal so "5", "5.0", and scientific forms all land exactly
     * (longValueExact refuses true fractions loudly); dates accept
-    * ISO-8601 date or date-time. */
-  private[sources] def convertCell(raw: String, dt: DataType): Any =
+    * ISO-8601 date or date-time. An empty/blank cell is null for every
+    * non-string type — `spark.read.schema(...)`'s missing-field
+    * behavior, which these readers mirror. */
+  private[graft] def convertCell(raw: String, dt: DataType): Any =
     if (raw == null) null
+    else if (raw.trim.isEmpty && dt != StringType) null
     else dt match {
       case StringType  => raw
       case LongType    => new java.math.BigDecimal(raw.trim).longValueExact()

@@ -139,6 +139,12 @@ class SourcesSpec extends GraftSuite {
     val crows = ZippedTabular.readZippedCsvTyped(spark, cdir.getAbsolutePath + "/*.zip", cSchema)
       .orderBy("id").collect()
     assert(crows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((7L, 1.5), (8L, 2.5)))
+    // a missing/empty field is null for non-string types, not a crash —
+    // spark.read.schema's behavior
+    import org.apache.spark.sql.types.{DoubleType => DT, StringType => ST}
+    assert(ZippedTabular.convertCell("", DT) == null)
+    assert(ZippedTabular.convertCell(" ", org.apache.spark.sql.types.TimestampType) == null)
+    assert(ZippedTabular.convertCell("", ST) == "")
   }
 
   test("xlsx decode gap-fills sparse cells from cell references") {

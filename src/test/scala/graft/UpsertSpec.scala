@@ -17,6 +17,21 @@ class UpsertSpec extends GraftSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
   }
 
+  test("update: orderCol ties break deterministically; null-ordered updates never win") {
+    // two updates to id=2 with the SAME ts: the max value tuple wins —
+    // deterministic however the shuffle lands
+    val tied = Seq((2L, 50.0, "t1"), (2L, 99.0, "t1")).toDF("id", "bal", "ts")
+    val out1 = Upsert.update(base, tied, "id", Seq("bal"), orderCol = Some("ts"))
+      .filter($"id" === 2L).collect()
+    assert(out1.head.getDouble(2) == 99.0)
+    // updates whose orderCol is entirely NULL are ignored (an update
+    // without an order value never overwrites base)
+    val nullOrd = Seq((2L, 77.0, null: String)).toDF("id", "bal", "ts")
+    val out2 = Upsert.update(base, nullOrd, "id", Seq("bal"), orderCol = Some("ts"))
+      .filter($"id" === 2L).collect()
+    assert(out2.head.getDouble(2) == 20.0)
+  }
+
   test("scd2Apply closes the current row and appends a new current row") {
     val history = Seq(
       (1L, 10.0, "2020-01-01", null: String),   // current, will be updated
