@@ -105,6 +105,49 @@ object NativeVec {
       copy(child = newChild)
   }
 
+  /** `nearest_cells(vec, centroids, n)` — ids of the `n` nearest
+    * centroids by squared euclidean distance (accumulation order
+    * identical to `sq_dist`), ordered (distance, id) with ties to the
+    * lower id. Turns IVF cell assignment into a MAP-ONLY projection:
+    * the |D|·nlist broadcast join + min_by aggregation (a full-corpus
+    * shuffle) collapses to one primitive loop per row. Centroids ride
+    * as Seq for Catalyst canonicalization/CSE, like HyperplaneBucket;
+    * null on a dimension mismatch. */
+  case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+    require(n >= 1, "n must be positive")
+    @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val v = toDoubles(child, input)
+      if (cs.length > 0 && cs(0).length != v.length) return null
+      val m = math.min(n, cs.length)
+      // bounded insertion keeps the m best (dist, id) pairs — nlist is a
+      // coarse-quantizer size, no heap machinery needed
+      val bestD = Array.fill(m)(Double.PositiveInfinity)
+      val bestI = Array.fill(m)(Int.MaxValue)
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        var k = m - 1
+        if (d < bestD(k) || (d == bestD(k) && i < bestI(k))) {
+          while (k > 0 && (d < bestD(k - 1) || (d == bestD(k - 1) && i < bestI(k - 1)))) {
+            bestD(k) = bestD(k - 1); bestI(k) = bestI(k - 1); k -= 1
+          }
+          bestD(k) = d; bestI(k) = i
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(bestI)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Deterministic Gaussian hyperplanes (seeded scala.util.Random —
     * spec-pinned generator, identical on every JVM). Shared by the
     * Column API (Similarity.hyperplanes) and the SQL registration, so
@@ -124,4 +167,6 @@ object NativeVec {
   def sq_dist(a: Column, b: Column): Column = toCol(SqDist(exprOf(a), exprOf(b)))
   def hyperplane_bucket(vec: Column, planes: Array[Array[Double]]): Column =
     toCol(HyperplaneBucket(exprOf(vec), planes.map(_.toIndexedSeq).toIndexedSeq))
+  def nearest_cells(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    toCol(NearestCells(exprOf(vec), centroids.map(_.toIndexedSeq).toIndexedSeq, n))
 }

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbour — the scale path
@@ -11,20 +10,19 @@ import org.apache.spark.sql.functions._
   * corpus into `nlist` cells; a query probes only its `nprobe` closest
   * cells, touching ~nprobe/nlist of the corpus.
   *
-  * Scale design: the corpus-side assignment is a broadcast
-  * nested-loop against `nlist` centroids (|D|·nlist work, map-only —
-  * NOT |D|²) followed by one min_by aggregation; probing is an equi-join
-  * on the cell id, hash-partitioned — a cell is the shuffle key, so a
+  * Scale design: corpus-side assignment is the native `nearest_cells`
+  * expression — ONE primitive loop per row, map-only, no shuffle (the
+  * earlier broadcast-join + min_by form materialized |D|·nlist rows
+  * and shuffled |D| for the aggregation); probing is an equi-join on
+  * the cell id, hash-partitioned — a cell is the shuffle key, so a
   * 1000-executor probe moves only the probed cells. Train/assign/probe
   * are separable: at 100 TB you train on a sample, persist the
   * assignment as a bucketed table, and amortize it across queries.
   */
 object IvfIndex {
 
-  private def sqDist(a: Column, b: Column): Column =
-    graft.functions.NativeVec.sq_dist(a, b)
-
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  private def nearestCells(v: Column, cs: Array[Array[Double]], n: Int): Column =
+    graft.functions.NativeVec.nearest_cells(v, cs, n)
 
   /** K-means centroids of the corpus (deterministic: fixed seed).
     *
@@ -50,23 +48,12 @@ object IvfIndex {
       .fit(feat).clusterCenters.map(_.toArray)
   }
 
-  /** Centroids as a broadcastable (cid, cvec) frame. */
-  def centroidFrame(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cid", "cvec")
-  }
-
-  /** Cell assignment: nearest centroid per vector. Broadcast NLJ over
-    * nlist centroids + one min_by aggregation on the vector id. */
+  /** Cell assignment: nearest centroid per vector — a map-only
+    * projection via `nearest_cells`, no join, no shuffle. */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
-             cents: DataFrame): DataFrame =
-    vectors.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .crossJoin(broadcast(cents))
-      .select(col(idCol), col("cid"), sqDist(col("__v"), col("cvec")).as("__d"))
-      .groupBy(col(idCol))
-      .agg(expr("min_by(cid, __d)").as("cid"))
+             centroids: Array[Array[Double]]): DataFrame =
+    vectors.select(col(idCol),
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cid"))
 
   /** Approximate top-k: each query probes its `nprobe` closest cells.
     *
@@ -88,19 +75,17 @@ object IvfIndex {
     require(nprobe >= 1 && nprobe <= nlist)
     val cs = centroids.getOrElse(
       train(corpus, vecCol, nlist, seed, sampleFraction = sampleFraction))
-    val cents = centroidFrame(corpus, cs)
 
-    val corpusCells = assign(corpus, idCol, vecCol, cents)
-      .join(corpus.select(col(idCol), col(vecCol).as("__cv")), Seq(idCol))
+    // map-only: cell id AND the vector in one projection — the old form
+    // assigned via join+agg, then joined the corpus AGAIN for vectors
+    val corpusCells = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      element_at(nearestCells(col(vecCol), cs, 1), 1).as("cid"))
 
-    val probeRank = Window.partitionBy(qIdCol).orderBy(col("__d"), col("cid"))
+    // nprobe closest cells per query, ordered (distance, cid) — the
+    // same ranking the crossJoin+window form produced, without either
     val queryProbes = queries
-      .select(col(qIdCol), asDouble(col(vecCol)).as("__qvd"), col(vecCol).as("__qv"))
-      .crossJoin(broadcast(cents))
-      .select(col(qIdCol), col("__qv"), col("cid"), sqDist(col("__qvd"), col("cvec")).as("__d"))
-      .withColumn("__pr", row_number().over(probeRank))
-      .filter(col("__pr") <= nprobe)
-      .select(col(qIdCol), col("__qv"), col("cid"))
+      .select(col(qIdCol), col(vecCol).as("__qv"),
+        explode(nearestCells(col(vecCol), cs, nprobe)).as("cid"))
 
     val scored = broadcast(queryProbes).join(corpusCells, Seq("cid"))
       .filter(col(qIdCol) =!= col(idCol))

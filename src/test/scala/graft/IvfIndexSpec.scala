@@ -8,13 +8,24 @@ class IvfIndexSpec extends GraftSuite {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
-  test("assign puts every vector in exactly one cell") {
-    val cents = IvfIndex.centroidFrame(emb, IvfIndex.train(emb, "embedding", nlist = 8))
+  test("assign puts every vector in exactly one cell, map-only (no shuffle)") {
+    val cents = IvfIndex.train(emb, "embedding", nlist = 8)
     val assigned = IvfIndex.assign(emb, "vec_id", "embedding", cents)
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
     val cells = assigned.select("cid").distinct().count()
     assert(cells > 1 && cells <= 8)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment should be shuffle-free:\n$plan")
+  }
+
+  test("nearest_cells orders cells by distance with id tiebreak") {
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(1.0, 0.0), Array(10.0, 0.0))
+    val out = Seq(Tuple1(Seq(0.9f, 0.0f))).toDF("v")
+      .select(graft.functions.NativeVec.nearest_cells(col("v"), cents, 3).as("c"))
+      .head().getSeq[Int](0)
+    // dists: c1 = c2 = 0.01 (tie → lower id first), c0 = 0.81, c3 far
+    assert(out == Seq(1, 2, 0))
   }
 
   test("ivfTopK recall vs brute force is high at nprobe=half the cells") {
