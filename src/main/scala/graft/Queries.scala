@@ -660,13 +660,84 @@ object Queries {
        |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
   }
 
-  /** #31 IVF ANN: k-means coarse quantizer trained on a 25% seeded
+  /** #31 IVF ANN: k-means coarse quantizer trained on a 25% SYSTEMATIC
     * sample (the quantizer needs cluster shape, not every point), probe
-    * nprobe/nlist cells. */
+    * nprobe/nlist cells.
+    *
+    * Oracle-checked end to end: `trainReplicable` makes every training
+    * step SQL-replayable — systematic sample (`vec_id % 4 = 0`),
+    * first-16 init, 3 Lloyd iterations with FIXED-POINT component sums
+    * (integer sums are order-independent, so Spark's distributed
+    * partial aggregation and DuckDB's serial sum agree bit-for-bit) —
+    * and the oracle below unrolls the identical iterations as CTEs,
+    * reaching the same centroids, the same cell assignment (left-fold
+    * distances, ties → lower cid), the same probes, and the same
+    * rounded-cosine ranking. */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = parallelize(s, t(s, dir, "embeddings"))
     val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
-    IvfIndex.ivfTopK(queries, e, k = 5, nlist = 16, nprobe = 4, sampleFraction = 0.25)
+    val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
+      nlist = 16, iters = 3, sampleMod = 4)
+    IvfIndex.ivfTopK(queries, e, k = 5, nlist = 16, nprobe = 4,
+      centroids = Some(cents), roundTo = Some(6))
+  }
+
+  private val annIvfSql: String = {
+    val (dim, nlist, iters, nprobe, k) = (64, 16, 3, 4, 5)
+    // squared euclidean with NearestCells' exact left-fold accumulation
+    def dist(v: String, c: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)"
+    def assignCte(name: String, src: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT t.vec_id, t.v, c.cid,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |                         ORDER BY ${dist("t.v", "c.cvec")}, c.cid) AS rn
+         |    FROM $src t CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    // fixed-point component sums → mean (s/1e6)/n in the pinned order;
+    // empty cells carry the previous centroid
+    def meanCte(prev: String, asg: String, out: String): String =
+      s"""${out}s AS (
+         |  SELECT cid, dim, sum(fx) AS s, count(*) AS n FROM (
+         |    SELECT a.cid, d.i AS dim,
+         |      CAST(floor(a.v[d.i + 1] * 1000000.0) AS BIGINT) AS fx
+         |    FROM $asg a CROSS JOIN range(0, $dim) d(i))
+         |  GROUP BY cid, dim),
+         |$out AS (
+         |  SELECT c.cid,
+         |    list(coalesce(CAST(m.s AS DOUBLE) / 1000000.0 / m.n, c.cvec[d.i + 1])
+         |         ORDER BY d.i) AS cvec
+         |  FROM $prev c CROSS JOIN range(0, $dim) d(i)
+         |  LEFT JOIN ${out}s m ON m.cid = c.cid AND m.dim = d.i
+         |  GROUP BY c.cid)""".stripMargin
+    val lloyd = (1 to iters).map { t =>
+      assignCte(s"a$t", "tr", s"c${t - 1}") + ",\n" + meanCte(s"c${t - 1}", s"a$t", s"c$t")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v AS cvec
+       |       FROM (SELECT vec_id, v FROM tr ORDER BY vec_id LIMIT $nlist)),
+       |$lloyd,
+       |${assignCte("asg", "e", s"c$iters")},
+       |probe AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT t.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |                         ORDER BY ${dist("t.v", "c.cvec")}, c.cid) AS rn
+       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) t CROSS JOIN c$iters c)
+       |  WHERE rn <= $nprobe),
+       |p AS (
+       |  SELECT pr.q_id, a.vec_id,
+       |    round(list_cosine_similarity(q.v, a.v), 6) AS cosine
+       |  FROM probe pr
+       |  JOIN e q ON q.vec_id = pr.q_id
+       |  JOIN asg a ON a.cid = pr.cid
+       |  WHERE a.vec_id <> pr.q_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= $k""".stripMargin
   }
 
   /** #32 skew-resistant aggregation: two-phase salted count/sum over the
@@ -1077,7 +1148,7 @@ object Queries {
     Q("q_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
     Q("q_ann_lsh", annLsh, Some(annLshSql)),
-    Q("q_ann_ivf", annIvf, None),
+    Q("q_ann_ivf", annIvf, Some(annIvfSql)),
     Q("q_skew_agg", skewAgg, Some(skewAggSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_lang_id", langId, Some(langIdSql)),

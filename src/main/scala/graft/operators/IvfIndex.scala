@@ -48,6 +48,52 @@ object IvfIndex {
       .fit(feat).clusterCenters.map(_.toArray)
   }
 
+  /** K-means trained so an EXTERNAL SQL engine can replay it exactly —
+    * the trick that puts IVF behind the hash-compare oracle:
+    *
+    *   - systematic sample (`idCol % sampleMod == 0`) instead of an
+    *     RNG sample: deterministic AND expressible as a WHERE clause;
+    *   - init = the `nlist` smallest-id training vectors (id order);
+    *   - Lloyd iterations where per-(cell, dim) component sums run in
+    *     FIXED POINT (`floor(v·1e6)` as long): integer sums are exact
+    *     and order-independent, so distributed partial aggregation and
+    *     a serial SQL engine reach identical sums bit-for-bit. The mean
+    *     `(s.toDouble / 1e6) / n` is then one pinned double op order.
+    *   - empty cells carry their previous centroid.
+    *
+    * Assignment inside the loop is the map-only `nearest_cells`
+    * expression (distances left-fold in double — replicable via
+    * list_reduce, like the LSH oracle). The driver holds nlist×dim
+    * doubles per iteration — nothing corpus-sized.
+    *
+    * Quantization of the TRAINING sums costs ~1e-6 per component —
+    * irrelevant to a coarse quantizer (recall is nprobe-tunable) and
+    * the price of a replayable gate. */
+  def trainReplicable(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int = 3, sampleMod: Int = 4): Array[Array[Double]] = {
+    require(nlist >= 1 && iters >= 0 && sampleMod >= 1)
+    val train = corpus.filter(col(idCol) % sampleMod === 0)
+    var cents: Array[Array[Double]] = train.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nlist).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    (0 until iters).foreach { _ =>
+      val sums = train.select(
+          element_at(nearestCells(col(vecCol), cents, 1), 1).as("cid"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .select(col("cid"), col("dim"),
+          floor(col("x").cast("double") * 1e6).cast("long").as("fx"))
+        .groupBy("cid", "dim")
+        .agg(sum("fx").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone)
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / 1e6 / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Cell assignment: nearest centroid per vector — a map-only
     * projection via `nearest_cells`, no join, no shuffle. */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
@@ -62,16 +108,21 @@ object IvfIndex {
     * @param sampleFraction quantizer training sample (see [[train]]) —
     *                       ignored when `centroids` are supplied
     * @param centroids      precomputed quantizer: pass the result of a
-    *                       prior [[train]] to amortize training across
-    *                       query batches (the persisted-assignment path
-    *                       at scale — train once, probe repeatedly)
+    *                       prior [[train]] (or [[trainReplicable]]) to
+    *                       amortize training across query batches (the
+    *                       persisted-assignment path at scale — train
+    *                       once, probe repeatedly)
+    * @param roundTo        round cosine to this many decimals BEFORE
+    *                       ranking (ties → id) — for comparison against
+    *                       a system ranking on rounded scores
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int, nprobe: Int,
               qIdCol: String = "q_id", idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 42L,
               sampleFraction: Double = 1.0,
-              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+              centroids: Option[Array[Array[Double]]] = None,
+              roundTo: Option[Int] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
     val cs = centroids.getOrElse(
       train(corpus, vecCol, nlist, seed, sampleFraction = sampleFraction))
@@ -87,10 +138,11 @@ object IvfIndex {
       .select(col(qIdCol), col(vecCol).as("__qv"),
         explode(nearestCells(col(vecCol), cs, nprobe)).as("cid"))
 
+    val raw = Similarity.cosine(col("__qv"), col("__cv"))
+    val score = roundTo.fold(raw)(d => round(raw, d))
     val scored = broadcast(queryProbes).join(corpusCells, Seq("cid"))
       .filter(col(qIdCol) =!= col(idCol))
-      .select(col(qIdCol), col(idCol),
-        Similarity.cosine(col("__qv"), col("__cv")).as("cosine"))
+      .select(col(qIdCol), col(idCol), score.as("cosine"))
     Similarity.topK(scored, qIdCol, idCol, "cosine", k)
   }
 }

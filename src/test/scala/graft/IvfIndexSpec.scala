@@ -57,6 +57,21 @@ class IvfIndexSpec extends GraftSuite {
     assert(reused == sampled)
   }
 
+  test("trainReplicable is deterministic and keeps recall") {
+    val c1 = IvfIndex.trainReplicable(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    val c2 = IvfIndex.trainReplicable(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // bit-identical re-train
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+    val queries = emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4,
+      centroids = Some(c1))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"replicable-trained IVF recall $recall too low")
+  }
+
   test("probing all cells reproduces the exact top-k") {
     val queries = emb.filter(col("vec_id") < 4).select(col("vec_id").as("q_id"), col("embedding"))
     val exact = Similarity.bruteForceTopK(queries, emb, k = 3)
