@@ -538,6 +538,37 @@ object Queries {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
+  /** #46 dedup cluster resolution: near-dup PAIRS → connected-component
+    * CLUSTERS + canonical survivor per cluster — the step that makes a
+    * dedup pair set actionable. Edges are the oracled MinHash pair set
+    * (proven equal to the all-pairs truth), so DuckDB re-derives the
+    * identical components with a recursive reachability closure and the
+    * same min-id cluster labels. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    ConnectedComponents.clusters(corpus, pairs, "doc_id")
+  }
+
+  private def dedupClustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |$dedupMinhashSql
+       |),
+       |edges AS (SELECT id_a AS v, id_b AS w FROM pairs
+       |          UNION ALL SELECT id_b AS v, id_a AS w FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT v, v FROM edges
+       |  UNION
+       |  SELECT e.v, r.r FROM edges e JOIN reach r ON r.v = e.w),
+       |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |alldocs AS (SELECT doc_id FROM documents
+       |            UNION ALL SELECT doc_id + 1000000 AS doc_id FROM documents)
+       |SELECT d.doc_id,
+       |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |  (d.doc_id = coalesce(c.cluster_id, d.doc_id)) AS is_canonical
+       |FROM alldocs d LEFT JOIN cc c USING (doc_id)""".stripMargin
+
   /** #19 n-gram Jaccard verify over a deterministic candidate-pair set. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(s, t(s, dir, "documents"))
@@ -1171,5 +1202,6 @@ object Queries {
     Q("q_upsert_scd2", upsertScd2, Some(upsertScd2Sql)),
     Q("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
     Q("q_percentiles", percentiles, Some(percentilesSql)),
+    Q("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a near-duplicate pair set — the step that
+  * turns every dedup operator's PAIRS into usable CLUSTERS: each
+  * document gets its component's minimum id as `cluster_id`, and the
+  * row where `doc_id == cluster_id` is the canonical survivor a
+  * training-data pipeline keeps.
+  *
+  * Algorithm: iterative min-label propagation. Each round every node
+  * takes the minimum label among itself and its neighbours — one
+  * symmetric equi-join plus one map-side-combinable min aggregation per
+  * round, both hash-partitioned on the node id. Rounds needed = graph
+  * diameter; near-dup components are shallow (duplicates of a common
+  * source), so convergence is a handful of rounds. The loop stops as
+  * soon as a round changes nothing (one cheap count per round) and
+  * fails loudly at `maxIter` rather than returning half-merged
+  * clusters. For adversarially deep graphs (long chains), the
+  * alternating star-contraction family (Kiveris et al., "Connected
+  * Components in MapReduce") converges in O(log n) rounds — this
+  * implementation favors the shallow-component case the dedup surface
+  * actually produces.
+  *
+  * Everything stays distributed: labels and edges shuffle on node id;
+  * the driver sees only the per-round changed-row count.
+  */
+object ConnectedComponents {
+
+  /** @param pairs undirected duplicate pairs (aCol, bCol) — ids of any
+    *              integral type
+    * @return (idCol, cluster_id): every node that appears in `pairs`,
+    *         labeled with its component's minimum id */
+  def minLabelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                          idCol: String = "doc_id",
+                          maxIter: Int = 50): DataFrame = {
+    // symmetrize once: neighbour lists see both directions
+    val fwd = pairs.select(col(aCol).as("__v"), col(bCol).as("__w"))
+    val rev = pairs.select(col(bCol).as("__v"), col(aCol).as("__w"))
+    val edges = fwd.unionAll(rev)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint (eager) after every round: an iterative DataFrame
+    // loop otherwise NESTS each round's plan inside the next — analysis
+    // cost grows per round until tree operations overflow the stack.
+    // Checkpointing materializes the round and resets the plan to a
+    // leaf. (On a shared cluster where executor loss must be survivable,
+    // swap for reliable checkpoint() on a checkpoint dir.)
+    var labels = edges.select(col("__v")).distinct()
+      .select(col("__v"), col("__v").as("__l"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbour labels flow along edges; keep the min per node
+      val viaNeighbours = edges
+        .join(labels.select(col("__v").as("__w"), col("__l")), Seq("__w"))
+        .select(col("__v"), col("__l"))
+      val next = labels.select(col("__v"), col("__l"))
+        .unionAll(viaNeighbours)
+        .groupBy("__v")
+        .agg(min("__l").as("__l"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("__l", "__prev"), Seq("__v"))
+        .filter(col("__l") =!= col("__prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"minLabelPropagation did not converge in $maxIter rounds — " +
+        "component diameter exceeds the iteration budget")
+    edges.unpersist()
+    labels.select(col("__v").as(idCol), col("__l").as("cluster_id"))
+  }
+
+  /** Cluster labels for EVERY document: paired docs get their component
+    * minimum, unpaired docs are their own singleton cluster, and
+    * `is_canonical` marks the one row per cluster a pipeline keeps. */
+  def clusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val labeled = minLabelPropagation(pairs, aCol, bCol, idCol)
+    docs.select(col(idCol))
+      .join(labeled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+}
