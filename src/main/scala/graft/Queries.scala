@@ -845,6 +845,33 @@ object Queries {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens
       |FROM documents""".stripMargin
 
+  /** #47 sequence packing: each document assigned to a fixed
+    * token-budget bin by its starting offset in the id-ordered global
+    * token stream — the LLM-training batch-assembly shape. Runs on the
+    * distributed two-phase prefix scan (no single-reducer window); the
+    * oracle recomputes the same offsets with a window cumsum, which is
+    * equivalent on (small) gate data. */
+  private def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    PrefixSum.packByBudget(docs, "doc_id", "n_tokens", budget = 2048L)
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"), col("pack_id"))
+  }
+
+  private val seqPackSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |  (cum - n_tokens) // 2048 AS pack_id
+      |FROM c""".stripMargin
+
   /** #26 document fingerprint: 55-bit polynomial rolling hash. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     parallelize(s, t(s, dir, "documents"))
@@ -1203,5 +1230,6 @@ object Queries {
     Q("q_pivot_status", pivotStatus, Some(pivotStatusSql)),
     Q("q_percentiles", percentiles, Some(percentilesSql)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("q_seq_pack", seqPack, Some(seqPackSql)),
   )
 }

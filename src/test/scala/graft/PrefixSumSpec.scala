@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PrefixSum
+
+class PrefixSumSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("distributed running total equals the window cumsum, without the global window") {
+    val df = (1 to 997).map(i => (i.toLong, (i * 7 % 13).toLong)).toDF("k", "x")
+      .repartition(8)
+    val dist = PrefixSum.runningTotal(df, "k", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = df.withColumn("cum", sum("x").over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(dist == expected)
+  }
+
+  test("packByBudget bins documents by starting offset; bins respect the budget boundary") {
+    // tokens: 1000, 1000, 1000 with budget 2048 → starts 0, 1000, 2000 → packs 0, 0, 0;
+    // the 4th doc starts at 3000 → pack 1
+    val docs = Seq((1L, 1000L), (2L, 1000L), (3L, 1000L), (4L, 500L))
+      .toDF("doc_id", "n_tokens")
+    val out = PrefixSum.packByBudget(docs, "doc_id", "n_tokens", 2048L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
+  }
+
+  test("null token counts count as zero") {
+    val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L))).toDF("doc_id", "n")
+    val out = PrefixSum.runningTotal(docs, "doc_id", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 10L), (2L, 10L), (3L, 15L)))
+  }
+}
