@@ -872,6 +872,24 @@ object Queries {
       |  (cum - n_tokens) // 2048 AS pack_id
       |FROM c""".stripMargin
 
+  /** #48 stratified data mixing: per-language sampling rates applied
+    * via a deterministic hash bucket — reproducible membership (a pure
+    * function of doc_id), stable under repartitioning, auditable after
+    * the fact, and recomputable by any engine; `df.sample()`'s
+    * partition-seeded RNG has none of those properties. */
+  private def sampleMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      "doc_id", "lang",
+      rates = Map("en" -> 1.0, "zh" -> 0.5, "es" -> 0.5, "de" -> 0.25),
+      defaultRate = 0.1)
+
+  private val sampleMixtureSql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 <
+      |  CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500
+      |            WHEN 'es' THEN 500 WHEN 'de' THEN 250 ELSE 100 END""".stripMargin
+
   /** #26 document fingerprint: 55-bit polynomial rolling hash. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     parallelize(s, t(s, dir, "documents"))
@@ -1231,5 +1249,6 @@ object Queries {
     Q("q_percentiles", percentiles, Some(percentilesSql)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q_seq_pack", seqPack, Some(seqPackSql)),
+    Q("q_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
   )
 }
