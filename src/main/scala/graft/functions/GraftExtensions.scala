@@ -54,7 +54,26 @@ object GraftExtensions {
         NativeVec.HyperplaneBucket(args.head,
           NativeVec.gaussianPlanes(intArg(args(1), "bits"), intArg(args(2), "dim"),
             longArg(args(3), "seed")).map(_.toIndexedSeq).toIndexedSeq))),
+    ("nearest_cells",
+      "nearest_cells(vec, centroids, n) - ids of the n nearest centroids (array<array<double>> literal), ordered by distance",
+      arity("nearest_cells", 3)(args =>
+        NativeVec.NearestCells(args.head, centroidsArg(args(1)), intArg(args(2), "n")))),
   )
+
+  /** A foldable ARRAY<ARRAY<DOUBLE>> argument (e.g. trained centroids
+    * interpolated into SQL) evaluated to plain Scala at build time. */
+  private def centroidsArg(e: Expression): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"centroids must be a foldable array<array<double>> literal, got $e")
+    val outer = e.eval().asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map(i => outer.getArray(i).toDoubleArray().toIndexedSeq)
+  }
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v

@@ -111,5 +111,11 @@ class NativeTextSpec extends GraftSuite {
       expr("hyperplane_bucket(embedding, 8, 64, 42)").as("sql")).collect()
     assert(both.nonEmpty)
     both.foreach(b => assert(b.getLong(0) == b.getLong(1)))
+    // nearest_cells from SQL with a literal centroid array
+    val cells = spark.sql(
+      """SELECT nearest_cells(array(0.9D, 0.0D),
+        |  array(array(0.0D, 0.0D), array(1.0D, 0.0D), array(10.0D, 0.0D)), 2) AS c"""
+        .stripMargin).head().getSeq[Int](0)
+    assert(cells == Seq(1, 0))
   }
 }
