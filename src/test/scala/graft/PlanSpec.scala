@@ -77,4 +77,30 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("Window") && !plan.contains("Cartesian"),
       s"as-of must be a running window:\n$plan")
   }
+
+  test("q_seq_pack avoids the single-reducer global window") {
+    val plan = q("q_seq_pack").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"prefix scan must not funnel through one window task:\n$plan")
+  }
+
+  test("q_percentiles avoids the buffer-everything percentile aggregate") {
+    val plan = q("q_percentiles").queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"must use distributed rank selection, not the buffering aggregate:\n$plan")
+  }
+
+  test("q_sample_mixture is a map-only scan + filter (no shuffle, no join)") {
+    val plan = q("q_sample_mixture").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"systematic sampling must stay map-only:\n$plan")
+  }
+
+  test("q_ann_ivf corpus assignment stays map-only inside the probe join plan") {
+    val plan = q("q_ann_ivf").queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"IVF has a cross join:\n$plan")
+    // one broadcast join (probes→cells); the corpus side carries its cell
+    // id from a projection, so no min_by aggregation appears anywhere
+    assert(!plan.contains("min_by"), s"assignment regressed to join+agg:\n$plan")
+  }
 }
