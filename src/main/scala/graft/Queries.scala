@@ -890,6 +890,45 @@ object Queries {
       |  CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500
       |            WHEN 'es' THEN 500 WHEN 'de' THEN 250 ELSE 100 END""".stripMargin
 
+  /** #49 PII scrubbing: count + redact emails and phone numbers. The
+    * synthetic corpus has no natural PII, so every 3rd document gets a
+    * deterministic email + phone appended (both engines construct the
+    * identical augmented text); counts and the fully-redacted text are
+    * then hash-compared — engine-portable regexes make Java regex and
+    * RE2 agree match-for-match. */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +7 (900) 123-45-"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+        .otherwise(col("text")).as("text"))
+    val emailed = regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>")
+    aug.select(col("doc_id"),
+      TextAnalysis.countPattern(col("text"), TextAnalysis.EmailRe).as("n_emails"),
+      size(regexp_extract_all(emailed, lit(TextAnalysis.PhoneRe), lit(0))).as("n_phones"),
+      TextAnalysis.redactPii(col("text")).as("text_clean"))
+  }
+
+  private val piiScrubSql = {
+    val (em, ph) = (TextAnalysis.EmailRe, TextAnalysis.PhoneRe)
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |              || '@example.com or +7 (900) 123-45-'
+       |              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |e AS (SELECT doc_id, text, regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1
+       |      FROM aug)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$ph')) AS INT) AS n_phones,
+       |  regexp_replace(t1, '$ph', '<PHONE>', 'g') AS text_clean
+       |FROM e""".stripMargin
+  }
+
   /** #26 document fingerprint: 55-bit polynomial rolling hash. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     parallelize(s, t(s, dir, "documents"))
@@ -1250,5 +1289,6 @@ object Queries {
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q_seq_pack", seqPack, Some(seqPackSql)),
     Q("q_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
+    Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
   )
 }

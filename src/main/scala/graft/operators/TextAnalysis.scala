@@ -96,4 +96,20 @@ object TextAnalysis {
     * corpus. */
   def hashedShingles(text: Column, k: Int): Column =
     graft.functions.NativeText.hashed_shingles(text, k)
+
+  /** PII redaction — the scrub pass a training corpus gets before any
+    * model sees it. Patterns are deliberately conservative and
+    * ENGINE-PORTABLE (plain character classes, no lookaround, no
+    * backreferences) so Java regex (Spark) and RE2 (DuckDB, Go tooling)
+    * match identically — auditable downstream of either engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def countPattern(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Emails first, then phones over the email-redacted text (an email's
+    * digit runs must not double-count as phones). Codegen'd, map-only. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 }

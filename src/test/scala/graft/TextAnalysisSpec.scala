@@ -66,4 +66,19 @@ class TextAnalysisSpec extends GraftSuite {
     assert(up.getInt(0) == 5) // "the ceo of ibm!" → e, e, o, o, i
     assert(up.getInt(1) == 1) // only '!'
   }
+  test("redactPii scrubs emails and phones; counts match the scrub") {
+    val df = Seq(
+      "reach me at jo.doe+spam@mail-host.org or +7 (900) 123-45-67 today",
+      "no pii here at all",
+      "two mails: a@b.io c@d.co and digits 12",
+    ).toDF("t")
+    val out = df.select(
+      TextAnalysis.countPattern(col("t"), TextAnalysis.EmailRe).as("ne"),
+      TextAnalysis.redactPii(col("t")).as("clean")).collect()
+    assert(out(0).getInt(0) == 1)
+    assert(out(0).getString(1) == "reach me at <EMAIL> or <PHONE> today")
+    assert(out(1).getString(1) == "no pii here at all")
+    assert(out(2).getInt(0) == 2)
+    assert(out(2).getString(1) == "two mails: <EMAIL> <EMAIL> and digits 12")
+  }
 }
