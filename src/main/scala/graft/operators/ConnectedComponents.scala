@@ -48,8 +48,13 @@ object ConnectedComponents {
     // Checkpointing materializes the round and resets the plan to a
     // leaf. (On a shared cluster where executor loss must be survivable,
     // swap for reliable checkpoint() on a checkpoint dir.)
-    var labels = edges.select(col("__v")).distinct()
-      .select(col("__v"), col("__v").as("__l"))
+    // init with min(self, neighbours) — one aggregation that resolves
+    // size-2 components (the dominant dedup shape: one duplicate of one
+    // source) outright, so they converge after a single propagation
+    // round instead of two
+    var labels = edges
+      .select(col("__v"), least(col("__v"), col("__w")).as("__l"))
+      .groupBy("__v").agg(min("__l").as("__l"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
