@@ -126,9 +126,11 @@ object Queries {
     // where these fixtures are built).
     val tmpRoot = new java.io.File(
       sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
-    // sweep fixture dirs left by crashed runs (live runs touch theirs
-    // within minutes; ours is removed by the shutdown hook below) so
-    // repeated runs can't accumulate per-appId dirs unboundedly
+    // sweep fixture dirs left by crashed runs so repeated runs can't
+    // accumulate per-appId dirs unboundedly. Caveat: a session idle for
+    // >6h that re-executes a HELD zipExtract plan without rebuilding
+    // (rebuilds bump the dir mtime) could lose its fixtures to a
+    // concurrent sweep — rebuild by re-calling the query in that case.
     Option(tmpRoot.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("graft_zips_") &&
         f.lastModified < System.currentTimeMillis() - 6L * 3600 * 1000)
@@ -886,7 +888,7 @@ object Queries {
 
   private val sampleMixtureSql =
     """SELECT doc_id, lang FROM documents
-      |WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 <
+      |WHERE ((doc_id % 1000003) * 1103515247 + 12345) % 1000 <
       |  CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500
       |            WHEN 'es' THEN 500 WHEN 'de' THEN 250 ELSE 100 END""".stripMargin
 
@@ -903,11 +905,14 @@ object Queries {
           lit("@example.com or +7 (900) 123-45-"),
           lpad((col("doc_id") % 100).cast("string"), 2, "0")))
         .otherwise(col("text")).as("text"))
-    val emailed = regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>")
+    // project the email-redacted text ONCE (the oracle's `t1` CTE shape);
+    // n_phones and text_clean both derive from it — one email pass, not two
     aug.select(col("doc_id"),
-      TextAnalysis.countPattern(col("text"), TextAnalysis.EmailRe).as("n_emails"),
-      size(regexp_extract_all(emailed, lit(TextAnalysis.PhoneRe), lit(0))).as("n_phones"),
-      TextAnalysis.redactPii(col("text")).as("text_clean"))
+        TextAnalysis.countPattern(col("text"), TextAnalysis.EmailRe).as("n_emails"),
+        regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>").as("__t1"))
+      .select(col("doc_id"), col("n_emails"),
+        size(regexp_extract_all(col("__t1"), lit(TextAnalysis.PhoneRe), lit(0))).as("n_phones"),
+        regexp_replace(col("__t1"), TextAnalysis.PhoneRe, "<PHONE>").as("text_clean"))
   }
 
   private val piiScrubSql = {

@@ -72,7 +72,13 @@ object GraftExtensions {
     if (!ok) throw new IllegalArgumentException(
       s"centroids must be a foldable array<array<double>> literal, got $e")
     val outer = e.eval().asInstanceOf[ArrayData]
-    (0 until outer.numElements()).map(i => outer.getArray(i).toDoubleArray().toIndexedSeq)
+    if (outer == null) throw new IllegalArgumentException("centroids literal must not be NULL")
+    (0 until outer.numElements()).map { i =>
+      val inner = outer.getArray(i)
+      if (inner == null) throw new IllegalArgumentException(
+        s"centroids literal must not contain NULL rows (row $i)")
+      inner.toDoubleArray().toIndexedSeq
+    }
   }
 
   private def intArg(e: Expression, what: String): Int = e match {

@@ -83,6 +83,8 @@ object NativeVec {
     * vector/plane dimension mismatch, like cosine_sim. */
   case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+    require(planes.isEmpty || planes.forall(_.length == planes.head.length),
+      "hyperplanes must all share one dimension")
     @transient private lazy val p: Array[Array[Double]] = planes.map(_.toArray).toArray
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
@@ -116,6 +118,10 @@ object NativeVec {
   case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], n: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
     require(n >= 1, "n must be positive")
+    // a ragged centroid array would pass the first-row dimension check
+    // and crash row-side — reject it at construction
+    require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+      "centroids must be non-empty and all share one dimension")
     @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = true

@@ -76,9 +76,15 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
-    require(converged,
-      s"minLabelPropagation did not converge in $maxIter rounds — " +
-        "component diameter exceeds the iteration budget")
+    if (!converged) {
+      // release cached blocks before failing — repeated failed calls in
+      // a long-lived session must not accumulate storage
+      edges.unpersist()
+      labels.unpersist()
+      throw new IllegalArgumentException(
+        s"minLabelPropagation did not converge in $maxIter rounds — " +
+          "component diameter exceeds the iteration budget")
+    }
     edges.unpersist()
     labels.select(col("__v").as(idCol), col("__l").as("cluster_id"))
   }

@@ -75,7 +75,8 @@ object IvfIndex {
     val train = corpus.filter(col(idCol) % sampleMod === 0)
     var cents: Array[Array[Double]] = train.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nlist).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      // element type is float OR double depending on the corpus schema
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
     (0 until iters).foreach { _ =>
       val sums = train.select(
           element_at(nearestCells(col(vecCol), cents, 1), 1).as("cid"),

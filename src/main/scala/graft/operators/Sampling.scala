@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Pre-mod keeps `id % PreMod * A + B` < 2^63 for any long id. */
+  /** Pre-mod keeps `id % PreMod * A + B` < 2^63 for any long id. The
+    * multiplier must be COPRIME to the bucket modulus (1000 = 2³·5³) or
+    * only every gcd-th bucket is reachable and the advertised 1/1000
+    * rate resolution silently degrades — hence 1103515247 (ends in 7,
+    * no factor 2 or 5), not the classic LCG 1103515245 (gcd 5). */
   private val PreMod = 1000003L
-  private val A = 1103515245L
+  private val A = 1103515247L
   private val B = 12345L
 
   /** Deterministic bucket in [0, buckets) — a pure function of the id. */

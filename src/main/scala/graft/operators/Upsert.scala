@@ -34,6 +34,10 @@ object Upsert {
       .getOrElse(struct(valueCols.map(col): _*))
     u0.groupBy(col(key))
       .agg(max_by(struct(valueCols.map(col): _*), ord).as("__u"))
+      // a key whose updates ALL had a null orderCol yields a null __u —
+      // drop it entirely: `update` must leave base untouched and `merge`
+      // must not append a phantom all-null row for it
+      .filter(col("__u").isNotNull)
       .select(col(key) +: valueCols.map(c => col(s"__u.$c").as(c)): _*)
   }
 

@@ -29,6 +29,13 @@ class SamplingSpec extends GraftSuite {
     assert(keep1.nonEmpty)
   }
 
+  test("every bucket is reachable — full 1/1000 rate resolution") {
+    val n = (1L to 10000L).toDF("id")
+      .select(Sampling.systematicBucket(col("id"), 1000).as("b"))
+      .distinct().count()
+    assert(n == 1000L, s"only $n of 1000 buckets reachable — multiplier not coprime?")
+  }
+
   test("rate 0 drops a stratum entirely; rate 1 keeps it entirely") {
     val out = Sampling.stratifiedSample(df, "id", "s", Map("a" -> 1.0, "b" -> 0.0))
     assert(out.filter(col("s") === "b").count() == 0)

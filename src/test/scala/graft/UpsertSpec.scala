@@ -30,6 +30,12 @@ class UpsertSpec extends GraftSuite {
     val out2 = Upsert.update(base, nullOrd, "id", Seq("bal"), orderCol = Some("ts"))
       .filter($"id" === 2L).collect()
     assert(out2.head.getDouble(2) == 20.0)
+    // and in merge: a NEW key whose only update is null-ordered must not
+    // append a phantom all-null row
+    val newKeyNullOrd = Seq((9L, "z", 77.0, null: String)).toDF("id", "name", "bal", "ts")
+    val merged = Upsert.merge(base, newKeyNullOrd, "id", orderCol = Some("ts"))
+    assert(merged.count() == 3)
+    assert(merged.filter($"id" === 9L).count() == 0)
   }
 
   test("scd2Apply closes the current row and appends a new current row") {
