@@ -59,18 +59,20 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbour labels flow along edges; keep the min per node
+      // neighbour labels flow along edges; keep the min per node. The
+      // node's OWN previous label rides through the same aggregation
+      // (tagged rows → conditional min), so the convergence check is a
+      // scan of the checkpointed result — no per-round compare join.
+      val self = labels.select(col("__v"), col("__l"), lit(true).as("__self"))
       val viaNeighbours = edges
         .join(labels.select(col("__v").as("__w"), col("__l")), Seq("__w"))
-        .select(col("__v"), col("__l"))
-      val next = labels.select(col("__v"), col("__l"))
-        .unionAll(viaNeighbours)
+        .select(col("__v"), col("__l"), lit(false).as("__self"))
+      val next = self.unionAll(viaNeighbours)
         .groupBy("__v")
-        .agg(min("__l").as("__l"))
+        .agg(min("__l").as("__l"),
+          min(when(col("__self"), col("__l"))).as("__prev"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("__l", "__prev"), Seq("__v"))
-        .filter(col("__l") =!= col("__prev"))
-        .count()
+      val changed = next.filter(col("__l") =!= col("__prev")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
