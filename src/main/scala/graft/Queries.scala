@@ -934,6 +934,33 @@ object Queries {
        |FROM e""".stripMargin
   }
 
+  /** #50 intra-document repetition ratio — the Gopher/RefinedWeb-style
+    * repetitive-content signal: 1 − distinct/total word 3-grams. The
+    * distinct count comes from the native hashed-shingle set (64-bit
+    * collisions negligible at gate scale — the same argument the
+    * MinHash oracle rests on); DuckDB recomputes it over string shingle
+    * sets. */
+  private def repRatio(s: SparkSession, dir: String): DataFrame =
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        greatest(TextAnalysis.tokenCount(col("text")) - 2, lit(1)).as("__total"),
+        size(TextAnalysis.hashedShingles(col("text"), 3)).as("__distinct"))
+      .select(col("doc_id"),
+        col("__total").as("n_ngrams"),
+        col("__distinct").as("n_distinct"),
+        round(lit(1.0) - col("__distinct").cast("double") / col("__total"), 6).as("rep_ratio"))
+
+  private val repRatioSql =
+    s"""WITH sh AS (
+       |  ${shingleSetsSql("documents")}),
+       |t AS (SELECT doc_id,
+       |        greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) AS n_ngrams
+       |      FROM documents)
+       |SELECT t.doc_id, CAST(t.n_ngrams AS INT) AS n_ngrams,
+       |  CAST(len(sh.s) AS INT) AS n_distinct,
+       |  round(1.0 - CAST(len(sh.s) AS DOUBLE) / t.n_ngrams, 6) AS rep_ratio
+       |FROM t JOIN sh ON sh.doc_id = t.doc_id""".stripMargin
+
   /** #26 document fingerprint: 55-bit polynomial rolling hash. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     parallelize(s, t(s, dir, "documents"))
@@ -1295,5 +1322,6 @@ object Queries {
     Q("q_seq_pack", seqPack, Some(seqPackSql)),
     Q("q_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Q("q_rep_ratio", repRatio, Some(repRatioSql)),
   )
 }

@@ -66,6 +66,19 @@ class TextAnalysisSpec extends GraftSuite {
     assert(up.getInt(0) == 5) // "the ceo of ibm!" → e, e, o, o, i
     assert(up.getInt(1) == 1) // only '!'
   }
+  test("repetition-ratio ingredients: distinct shingles vs total k-grams") {
+    // "a b c a b c": 4 total 3-grams, 3 distinct → rep_ratio 0.25
+    val r = Seq("a b c a b c").toDF("t").select(
+      size(TextAnalysis.hashedShingles(col("t"), 3)).as("d"),
+      greatest(TextAnalysis.tokenCount(col("t")) - 2, lit(1)).as("n")).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 4)
+    // short doc: one shingle over one slot → ratio 0
+    val s = Seq("a b").toDF("t").select(
+      size(TextAnalysis.hashedShingles(col("t"), 3)).as("d"),
+      greatest(TextAnalysis.tokenCount(col("t")) - 2, lit(1)).as("n")).head()
+    assert(s.getInt(0) == 1 && s.getInt(1) == 1)
+  }
+
   test("redactPii scrubs emails and phones; counts match the scrub") {
     val df = Seq(
       "reach me at jo.doe+spam@mail-host.org or +7 (900) 123-45-67 today",
