@@ -122,6 +122,48 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: a streaming fact enriches against a static dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long, Double)]
+    val enriched = input.toDF().toDF("event_id", "user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, 1L, 5.0), (11L, 2L, 7.0), (12L, 99L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").orderBy("event_id")
+        .collect().map(r => (r.getLong(1), Option(r.getString(3)).getOrElse("-")))
+      assert(out.toSeq == Seq((10L, "gold"), (11L, "basic"), (12L, "-")))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink: each micro-batch merges into the base (streaming feeder shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the reference's batch loop (fetch page → upsert) as a stream: each
+    // micro-batch applies Upsert.update against the running base table —
+    // the exact shape a JDBC/Delta sink gets in production
+    var base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal")
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("id", "bal")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        base = graft.operators.Upsert.update(base, batch, "id", Seq("bal"))
+        base.count() // materialize within the batch
+        ()
+      }
+      .start()
+    try {
+      input.addData((2L, 99.0))
+      q.processAllAvailable()
+      input.addData((1L, 55.0), (7L, 70.0)) // unmatched id dropped by UPDATE semantics
+      q.processAllAvailable()
+      val out = base.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(out.toSeq == Seq((1L, 55.0), (2L, 99.0)))
+    } finally q.stop()
+  }
+
   test("stream continuation: state persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
