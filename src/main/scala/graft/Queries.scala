@@ -1063,6 +1063,29 @@ object Queries {
       |FROM (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) e
       |ASOF LEFT JOIN l ON e.user_id = l.user_id AND l.t <= e.t""".stripMargin
 
+  /** #51 as-of join with a freshness bound: the point-in-time lookup
+    * EXPIRES when the matched row is older than the tolerance ("most
+    * recent signup within the last hour") — same single-window plan as
+    * #33, the bound applied to the carried timestamp, never a range
+    * join. */
+  private def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val left = ev.select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("prior_signup_id"))
+    AsofJoin.lastPriorMatchWithin(left, signups, "user_id", "ts", "ts",
+      "prior_signup_id", "recent_signup_id", toleranceSeconds = 3600L)
+      .select("event_id", "user_id", "recent_signup_id")
+  }
+
+  private val asofToleranceSql =
+    """WITH l AS (SELECT event_id AS sid, user_id, epoch_us(ts) AS t
+      |           FROM events WHERE event_type = 'signup')
+      |SELECT e.event_id, e.user_id,
+      |  CASE WHEN l.t >= e.t - 3600000000 THEN l.sid ELSE NULL END AS recent_signup_id
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) e
+      |ASOF LEFT JOIN l ON e.user_id = l.user_id AND l.t <= e.t""".stripMargin
+
   /** #30 top-N per group via window rank. */
   private def topnPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1323,5 +1346,6 @@ object Queries {
     Q("q_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_rep_ratio", repRatio, Some(repRatioSql)),
+    Q("q_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
   )
 }

@@ -23,7 +23,31 @@ object AsofJoin {
     */
   def lastPriorMatch(left: DataFrame, right: DataFrame, key: String,
                      leftTsCol: String, rightTsCol: String,
-                     payloadCol: String, asofCol: String): DataFrame = {
+                     payloadCol: String, asofCol: String): DataFrame =
+    carriedFrame(left, right, key, leftTsCol, rightTsCol, payloadCol)
+      .select(col("__row.*"), col("__carried.p").as(asofCol))
+
+  /** As-of with a freshness bound: like [[lastPriorMatch]] but the match
+    * EXPIRES when the matched right row is older than
+    * `toleranceSeconds` — "the most recent signup WITHIN 30 days".
+    * Same single-window single-shuffle plan; the bound is a post-carry
+    * predicate on the carried timestamp, never a range join (which
+    * would explode |L|·|R| per key). Timestamp-typed ts columns. */
+  def lastPriorMatchWithin(left: DataFrame, right: DataFrame, key: String,
+                           leftTsCol: String, rightTsCol: String,
+                           payloadCol: String, asofCol: String,
+                           toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0)
+    carriedFrame(left, right, key, leftTsCol, rightTsCol, payloadCol)
+      .select(col("__row.*"),
+        when(unix_micros(col("__carried.ts")) >=
+            unix_micros(col(s"__row.$leftTsCol")) - toleranceSeconds * 1000000L,
+          col("__carried.p")).as(asofCol))
+  }
+
+  private def carriedFrame(left: DataFrame, right: DataFrame, key: String,
+                           leftTsCol: String, rightTsCol: String,
+                           payloadCol: String): DataFrame = {
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
 
     // the payload rides inside a NON-NULL struct wrapper: a right row
@@ -53,6 +77,6 @@ object AsofJoin {
     r.unionAll(l)
       .withColumn("__carried", last(col("__pw"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__row.*"), col("__carried.p").as(asofCol))
+      .select(col("__row"), col("__carried"))
   }
 }

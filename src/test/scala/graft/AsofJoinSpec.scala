@@ -66,6 +66,21 @@ class AsofJoinSpec extends GraftSuite {
     assert(out(1).getLong(3) == 100L)
   }
 
+  test("lastPriorMatchWithin expires matches older than the tolerance") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")), // match 30 min old → kept
+      (2L, 7L, ts("2024-01-01 12:00:00")), // match 2.5 h old → expired
+      (3L, 7L, ts("2024-01-01 09:00:00")), // nothing prior → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts("2024-01-01 09:30:00"), 100L))
+      .toDF("user_id", "ts", "payload")
+    val out = AsofJoin.lastPriorMatchWithin(left, right, "user_id", "ts", "ts",
+      "payload", "p", toleranceSeconds = 3600L)
+      .orderBy("event_id").collect()
+      .map(r => if (r.isNullAt(3)) -1L else r.getLong(3))
+    assert(out.toSeq == Seq(100L, -1L, -1L))
+  }
+
   test("plan is one shuffle + window, no range-join explosion") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((7L, ts("2024-01-01 09:00:00"), 5L)).toDF("user_id", "ts", "payload")
