@@ -961,6 +961,29 @@ object Queries {
        |  round(1.0 - CAST(len(sh.s) AS DOUBLE) / t.n_ngrams, 6) AS rep_ratio
        |FROM t JOIN sh ON sh.doc_id = t.doc_id""".stripMargin
 
+  /** #52 benchmark decontamination: training docs sharing >= 5 distinct
+    * 3-shingles with the (broadcast) eval set — docs 0-19 stand in as
+    * the benchmark. DuckDB recomputes overlap over string shingle sets
+    * (hash-vs-string equivalence per the MinHash-oracle argument). */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+    Decontamination.overlapCounts(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "doc_id", "text", shingleK = 3, minShingles = 5)
+  }
+
+  private val decontaminateSql =
+    s"""WITH sh AS (
+       |  ${shingleSetsSql("documents")}),
+       |benchset AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+       |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20),
+       |ov AS (SELECT tr.doc_id, count(*) AS n
+       |       FROM tr JOIN benchset b ON b.g = tr.g GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(o.n, 0) AS INT) AS n_overlap,
+       |  coalesce(o.n, 0) >= 5 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+       |LEFT JOIN ov o USING (doc_id)""".stripMargin
+
   /** #26 document fingerprint: 55-bit polynomial rolling hash. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     parallelize(s, t(s, dir, "documents"))
@@ -1347,5 +1370,6 @@ object Queries {
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_rep_ratio", repRatio, Some(repRatioSql)),
     Q("q_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
+    Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
   )
 }
