@@ -55,7 +55,10 @@ object AsofJoin {
     // and must yield NULL — carrying the bare payload with
     // last(ignoreNulls) would skip it and fall back to an OLDER row
     val r0 = right
-      .filter(col(key).isNotNull)
+      // NULL keys AND NULL timestamps never match (ASOF comparison
+      // semantics) — an unfiltered NULL ts would sort before every left
+      // row in the carry window and ride as a bogus "prior" match
+      .filter(col(key).isNotNull && col(rightTsCol).isNotNull)
       .select(
         col(key).as("__k"), col(rightTsCol).as("__ts"), lit(0).as("__side"),
         struct(col(rightTsCol).as("ts"), col(payloadCol).as("p")).as("__pw"))

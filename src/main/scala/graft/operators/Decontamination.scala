@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Benchmark decontamination — the curation pass that keeps evaluation
   * data out of a training corpus: a training document is contaminated
   * when it shares at least `minShingles` DISTINCT word k-shingles with
-  * ANY document of the evaluation set.
+  * the POOLED shingle dictionary of the evaluation set (the union over
+  * all eval documents — the standard n-gram-overlap decontamination
+  * form; per-single-eval-document thresholds would need a per-pair
+  * count instead of one dictionary join).
   *
   * Scale shape: the EVAL side is small by nature (benchmarks are
   * thousands of documents, the corpus is billions), so its distinct

@@ -66,6 +66,16 @@ class AsofJoinSpec extends GraftSuite {
     assert(out(1).getLong(3) == 100L)
   }
 
+  test("a NULL right timestamp never matches (ASOF comparison semantics)") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, Option.empty[Timestamp], 100L), // NULL ts: must not ride as a prior match
+    ).toDF("user_id", "ts", "payload")
+    val out = AsofJoin.lastPriorMatch(left, right, "user_id", "ts", "ts",
+      "payload", "p").collect()
+    assert(out.head.isNullAt(3), "NULL-ts right row must not match")
+  }
+
   test("lastPriorMatchWithin expires matches older than the tolerance") {
     val left = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")), // match 30 min old → kept

@@ -149,8 +149,13 @@ class EventsStreamSpec extends GraftSuite {
     val q = input.toDF().toDF("id", "bal")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        base = graft.operators.Upsert.update(base, batch, "id", Seq("bal"))
-        base.count() // materialize within the batch
+        // persist + count PINS the merged result inside the batch scope —
+        // the micro-batch Dataset must not be referenced by a lazy plan
+        // after its batch completes (a real sink would write it out here)
+        val prev = base
+        base = graft.operators.Upsert.update(base, batch, "id", Seq("bal")).persist()
+        base.count()
+        prev.unpersist()
         ()
       }
       .start()
