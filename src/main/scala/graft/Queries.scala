@@ -1314,6 +1314,150 @@ object Queries {
     """SELECT a.c_custkey, levenshtein(a.c_name, b.c_name) AS edit_dist
       |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin
 
+  /** #53 CDC change application: the `view` events build a per-user
+    * balance snapshot; `purchase`/`error` events replay as an
+    * upsert/delete change feed sequenced by (ts, event_id). The feed
+    * collapses to its last change per key with one `max_by` aggregate
+    * (no window), then hits the snapshot in a single full-outer join —
+    * the general form of the reference's UPDATE-only batches
+    * (add_q5010.py:20-46) extended with deletes. */
+  private def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    // DECIMAL sum keeps the snapshot deterministic across partition
+    // orderings (double addition is order-sensitive)
+    val base = ev.filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("bal"))
+    val changes = ev.filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", lit("U")).otherwise(lit("D")).as("op"),
+        col("value").as("bal"), col("ts"), col("event_id"))
+    Cdc.apply(base, changes, "user_id", Seq("bal"), "op", Seq("ts", "event_id"))
+  }
+
+  private val cdcApplySql =
+    """WITH base AS (
+      |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bal
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |ch AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'U' ELSE 'D' END AS op,
+      |    value AS bal,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |last AS (SELECT user_id, op, bal FROM ch WHERE rn = 1)
+      |SELECT coalesce(b.user_id, l.user_id) AS user_id,
+      |  CASE WHEN l.user_id IS NOT NULL THEN l.bal ELSE b.bal END AS bal
+      |FROM base b FULL JOIN last l ON l.user_id = b.user_id
+      |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+
+  /** #54 skew-safe salted join: orders⋈customer with the fact side
+    * salted 8 ways and the dim side replicated — the hot-key defence
+    * for shuffle joins AQE's skew split doesn't cover (shuffled-hash
+    * joins, a-priori-known hot keys). The dim side carries a
+    * shuffle-hash hint so the salt actually exercises the shuffle path
+    * instead of collapsing into a broadcast. Result is provably
+    * identical to the unsalted join (the oracle is the plain join). */
+  private def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      .hint("shuffle_hash")
+    SaltedJoin.inner(orders, cust, "o_custkey", "c_custkey",
+        salt = 8, saltFrom = col("o_orderkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  private val skewJoinSql =
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** #55 TF-IDF top-3 terms per document. Scores round to 6dp BEFORE
+    * the rank window so Spark's `Math.log` and DuckDB's `ln` (which may
+    * differ in the last ulp) can never flip an ordering. */
+  private def tfidf(s: SparkSession, dir: String): DataFrame =
+    Tfidf.topTerms(parallelize(s, t(s, dir, "documents")), "doc_id", "text", k = 3)
+
+  private val tfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+      |scored AS (
+      |  SELECT p.doc_id, p.term, p.tf,
+      |    round(p.tf * ln(n.nd / d.df), 6) AS score
+      |  FROM pairs p JOIN dfreq d USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, score, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |       ORDER BY score DESC, term) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
+  /** #56 streaming ingest dedup (batch parity): earliest event per
+    * (user, type) via one `min_by` aggregate — the batch form of
+    * `dropDuplicatesWithinWatermark` (EventsStream.firstTouch; the
+    * streaming form runs in EventsStreamSpec). */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame =
+    EventsStream.firstTouch(events(s, dir))
+      .select(col("user_id"), col("event_type"), col("first_event_id"),
+        unix_micros(col("first_ts")).as("first_us"))
+
+  private val streamDedupSql =
+    """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_us
+      |FROM (SELECT user_id, event_type, event_id, ts,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |             ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  /** #57 fixed-bin histogram of event values per type: one map-side-
+    * combinable pass (bin = clamped floor-div), the profiling primitive
+    * that needs no pre-scan. (A dynamic-range histogram adds one min/max
+    * pass first — same aggregate after.) */
+  private def histogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / 50), lit(0)), lit(9)).cast("int").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", (col("bin") * 50).cast("double"))
+
+  private val histogramSql =
+    """SELECT event_type,
+      |  CAST(least(greatest(floor(value / 50), 0), 9) AS INT) AS bin,
+      |  count(*) AS cnt,
+      |  CAST(CAST(least(greatest(floor(value / 50), 0), 9) AS INT) * 50 AS DOUBLE) AS bin_lo
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** #58 incremental aggregation: the history partition (3/4 of events)
+    * is pre-reduced to its algebraic (cnt, DECIMAL sum) state; the delta
+    * partition folds in by state merge — no history rescan. The oracle
+    * recomputes the aggregate over ALL events, proving merge-of-partials
+    * ≡ full recompute. */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val history = IncrementalAgg.state(
+      ev.filter(pmod(col("event_id"), lit(4)) =!= 0), "user_id", "value")
+    val delta = IncrementalAgg.state(
+      ev.filter(pmod(col("event_id"), lit(4)) === 0), "user_id", "value")
+    IncrementalAgg.merge("user_id", history, delta)
+      .select(col("user_id"), col("cnt").as("n_events"),
+        col("total").cast("double").as("total"))
+  }
+
+  private val incrementalAggSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -1371,5 +1515,11 @@ object Queries {
     Q("q_rep_ratio", repRatio, Some(repRatioSql)),
     Q("q_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("q_cdc_apply", cdcApply, Some(cdcApplySql)),
+    Q("q_skew_join", skewJoin, Some(skewJoinSql)),
+    Q("q_tfidf", tfidf, Some(tfidfSql)),
+    Q("q_stream_dedup", streamDedup, Some(streamDedupSql)),
+    Q("q_histogram", histogram, Some(histogramSql)),
+    Q("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
   )
 }

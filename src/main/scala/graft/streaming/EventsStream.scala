@@ -28,6 +28,22 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Ingest dedup: keep the EARLIEST event per natural key — the
+    * exactly-once guard in front of an at-least-once feed. Batch form
+    * (this, oracle-checked as `q_stream_dedup`): one map-side-combinable
+    * `min_by` aggregate, no window. Streaming form:
+    * `withWatermark("ts", …).dropDuplicatesWithinWatermark(keys…)`,
+    * which keeps the first ARRIVAL and expires key state past the
+    * watermark — identical to this batch result when the feed is in
+    * event-time order (see EventsStreamSpec). */
+  def firstTouch(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id", "event_type")
+      .agg(min_by(struct(col("event_id"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("__f"))
+      .select(col("user_id"), col("event_type"),
+        col("__f.event_id").as("first_event_id"), col("__f.ts").as("first_ts"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long)
   case class SessionState(sessionCount: Int, lastTs: Long)
   case class SessionAssignment(event_id: Long, user_id: Long, session_id: Int)

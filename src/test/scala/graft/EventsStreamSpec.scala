@@ -43,6 +43,45 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("firstTouch batch form keeps the earliest event per (user, type)") {
+    val events = Seq(
+      (5L, ts("2024-01-01 10:30:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"), // earliest → kept
+      (3L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"), // ts tie → higher id loses
+      (4L, ts("2024-01-01 09:00:00"), 7L, "view", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsStream.firstTouch(events).orderBy("event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, "click", 2L), (7L, "view", 4L)))
+  }
+
+  test("streaming dedup parity: dropDuplicatesWithinWatermark keeps firstTouch's rows on an in-order feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val feed = Seq(
+      (2L, ts("2024-01-01 10:00:00"), 7L, "click"),
+      (3L, ts("2024-01-01 10:10:00"), 7L, "click"), // dup key → dropped
+      (4L, ts("2024-01-01 10:20:00"), 7L, "view"),
+      (5L, ts("2024-01-01 10:30:00"), 7L, "click"), // still within state → dropped
+    )
+    try {
+      feed.foreach { e => input.addData(e); q.processAllAvailable() }
+      val streamed = spark.table("dedup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+      val batch = EventsStream.firstTouch(
+          feed.toDF("event_id", "ts", "user_id", "event_type").withColumn("value", lit(0.0)))
+        .collect().map(r => (r.getLong(2), r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch,
+        s"stream kept $streamed but batch firstTouch kept $batch")
+    } finally q.stop()
+  }
+
   test("hourlyStats runs as a real stream: watermark drops late data, windows emit on advance") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
