@@ -1296,7 +1296,7 @@ object Queries {
   private val movingSumSql =
     """SELECT event_id, user_id,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
       |FROM events""".stripMargin
 
@@ -1343,8 +1343,10 @@ object Queries {
       |  SELECT user_id,
       |    CASE WHEN event_type = 'purchase' THEN 'U' ELSE 'D' END AS op,
       |    value AS bal,
-      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |    row_number() OVER (PARTITION BY user_id
+      |         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'error') AND user_id IS NOT NULL),
       |last AS (SELECT user_id, op, bal FROM ch WHERE rn = 1)
       |SELECT coalesce(b.user_id, l.user_id) AS user_id,
       |  CASE WHEN l.user_id IS NOT NULL THEN l.bal ELSE b.bal END AS bal
@@ -1414,7 +1416,7 @@ object Queries {
     """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_us
       |FROM (SELECT user_id, event_type, event_id, ts,
       |        row_number() OVER (PARTITION BY user_id, event_type
-      |             ORDER BY ts, event_id) AS rn
+      |             ORDER BY epoch_us(ts), event_id) AS rn
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 

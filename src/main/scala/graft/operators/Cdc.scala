@@ -41,7 +41,10 @@ object Cdc {
       .groupBy(col(key))
       .agg(max_by(payload, ord).as("__c"))
     base.join(last, Seq(key), "full_outer")
-      .filter(col("__c").isNull || col("__c")(opCol) =!= deleteOp)
+      // NULL-safe delete test: a NULL op marker is NOT deleteOp, so per
+      // the contract ("anything else = upsert") it must upsert — a bare
+      // `=!=` would evaluate NULL and silently drop the key
+      .filter(col("__c").isNull || !(col("__c")(opCol) <=> deleteOp))
       .select(
         col(key) +:
           valueCols.map(v =>

@@ -31,6 +31,9 @@ object SaltedJoin {
   def inner(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
             salt: Int, saltFrom: Column): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    // loud failure beats silently overwriting-then-dropping a caller column
+    require(!fact.columns.contains("__fsalt"), "fact already has a __fsalt column")
+    require(!dim.columns.contains("__dsalt"), "dim already has a __dsalt column")
     val f = fact.withColumn("__fsalt", pmod(xxhash64(saltFrom), lit(salt.toLong)).cast("int"))
     val d = dim.withColumn("__dsalt", explode(sequence(lit(0), lit(salt - 1))))
     f.join(d, f(factKey) === d(dimKey) && f("__fsalt") === d("__dsalt"))

@@ -43,6 +43,16 @@ class CdcSpec extends GraftSuite {
     }
   }
 
+  test("a NULL op marker upserts (anything other than deleteOp), never deletes") {
+    val changes = Seq(
+      (1L, Option.empty[String], 55.0, 1L),
+    ).toDF("id", "op", "bal", "seq")
+    val out = Cdc.apply(base, changes, "id", Seq("bal"), "op", Seq("seq"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 55.0), (2L, 20.0), (3L, 30.0)),
+      "NULL op must not silently delete the key")
+  }
+
   test("delete-as-last on a missing key emits nothing (no phantom row)") {
     val changes = Seq((9L, "D", 0.0, 1L)).toDF("id", "op", "bal", "seq")
     val out = Cdc.apply(base, changes, "id", Seq("bal"), "op", Seq("seq"))

@@ -41,10 +41,12 @@ class TfidfSpec extends GraftSuite {
     assert(out.length == 1 && out.head.getString(1) == "apple" && out.head.getLong(2) == 2L)
   }
 
-  test("the plan has no all-pairs join: df join is on the term key") {
+  test("the plan has no all-pairs join: the only cross join is the 1-row N scalar") {
     val plan = Tfidf.topTerms(docs, "doc_id", "text", k = 3)
       .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("Cartesian") || plan.contains("Join Cross"),
-      s"unexpected cartesian beyond the 1-row N join:\n$plan")
+    val crossJoins = "Join Cross".r.findAllIn(plan).size
+    assert(crossJoins == 1, s"expected exactly the 1-row N cross join, got $crossJoins:\n$plan")
+    assert("Join Inner, \\(term".r.findFirstIn(plan).isDefined,
+      s"document-frequency join must be an equi-join on the term key:\n$plan")
   }
 }
