@@ -1460,6 +1460,50 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
       |FROM events GROUP BY 1""".stripMargin
 
+  /** #59 range join: every event matched to the 6-hour "campaign
+    * windows" it falls in (campaigns = each 100th signup). NO equality
+    * key exists, so a naive join is a BroadcastNestedLoopJoin — the
+    * grid-bucket rewrite (RangeJoin) makes it a shuffled equi-join on
+    * the time bucket. The oracle compares at µs precision on both
+    * sides (epoch_us), matching Spark's timestamp grain. */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val campaigns = ev
+      .filter(col("event_type") === "signup" && pmod(col("event_id"), lit(100)) === 0)
+      .select(col("event_id").as("campaign_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("end_ts"))
+    RangeJoin.pointInInterval(ev.select("event_id", "ts"), "ts",
+        campaigns, "start_ts", "end_ts", bucketSeconds = 21600)
+      .select("event_id", "campaign_id")
+  }
+
+  private val rangeJoinSql =
+    """WITH c AS (SELECT event_id AS campaign_id, epoch_us(ts) AS s
+      |           FROM events WHERE event_type = 'signup' AND event_id % 100 = 0)
+      |SELECT e.event_id, c.campaign_id
+      |FROM (SELECT event_id, epoch_us(ts) AS t FROM events) e
+      |JOIN c ON c.s <= e.t AND e.t < c.s + 21600000000""".stripMargin
+
+  /** #60 Bloom-pruned semi-join: orders restricted to nation-3
+    * customers. The Bloom filter over the small side's keys pre-filters
+    * the fact scan (runtime-filter shape); the exact semi-join after it
+    * removes false positives, so the oracle is the plain semi-join. */
+  private def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+      .filter(col("c_nationkey") === 3)
+      .select("c_custkey")
+    BloomPrune.semiJoin(orders, cust, "o_custkey", "c_custkey",
+        expectedItems = 100000L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  private val bloomPruneSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_custkey = o.o_custkey AND c.c_nationkey = 3)""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -1523,5 +1567,7 @@ object Queries {
     Q("q_stream_dedup", streamDedup, Some(streamDedupSql)),
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
+    Q("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    Q("q_bloom_prune", bloomPrune, Some(bloomPruneSql)),
   )
 }
