@@ -43,17 +43,29 @@ object BloomPrune {
 
   /** Exact semi-join of `big` to `small`'s keys with a Bloom pre-filter
     * on the big side. `expectedItems` sizes the filter (overshooting
-    * costs bits, undershooting costs false-positive rate). */
+    * costs bits, undershooting costs false-positive rate). The small
+    * side is evaluated twice — Bloom build, then the verify join —
+    * so cache it when it's an expensive pipeline rather than a scan. */
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
                expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // xxhash64 is type-sensitive (an int and a long with equal values
+    // hash differently), so build and probe MUST hash the same type —
+    // a mismatch would silently drop true matches
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"key types must match exactly for consistent hashing: $bigKey is $bigType, $smallKey is $smallType")
+    require(!big.columns.contains("__bp_key"), "big already has a __bp_key column")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val bytes = small
       .select(bloomAgg(col(smallKey), expectedItems, numBits).as("__bf"))
       .head.getAs[Array[Byte]](0)
+    // renamed key side-steps ambiguity when bigKey == smallKey; no
+    // distinct: left_semi already emits each big row at most once
     big
       .filter(mightContain(bytes, col(bigKey)))
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_semi")
+      .join(small.select(col(smallKey).as("__bp_key")),
+        col(bigKey) === col("__bp_key"), "left_semi")
   }
 }

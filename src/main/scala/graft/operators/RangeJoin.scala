@@ -38,14 +38,24 @@ object RangeJoin {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     require(!(points.columns ++ intervals.columns).exists(_.startsWith("__rj")),
       "column names starting with __rj are reserved by RangeJoin")
+    // a shared column name would make the range-filter col() refs ambiguous
+    // (or silently emit duplicate output columns) — fail loudly instead
+    val shared = points.columns.toSet intersect intervals.columns.toSet
+    require(shared.isEmpty,
+      s"points and intervals must not share column names; both have: ${shared.mkString(", ")}")
     val bucketUs = bucketSeconds * 1000000L
     def bucketOf(c: Column): Column = floor(unix_micros(c) / bucketUs)
     val p = points.withColumn("__rjb", bucketOf(col(pointTs)))
     // end is exclusive: an interval ending exactly on a bucket boundary
-    // must NOT register in the boundary's bucket
-    val i = intervals.withColumn("__rjb",
-      explode(sequence(bucketOf(col(startCol)),
-        floor((unix_micros(col(endCol)) - 1) / bucketUs))))
+    // must NOT register in the boundary's bucket. Degenerate intervals
+    // (end <= start) contain nothing — and MUST be dropped before the
+    // explode: sequence() runs DESCENDING when start > stop, so one
+    // inverted row would fan out a bucket row per elapsed bucket
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__rjb",
+        explode(sequence(bucketOf(col(startCol)),
+          floor((unix_micros(col(endCol)) - 1) / bucketUs))))
     p.join(i, Seq("__rjb"))
       .filter(col(startCol) <= col(pointTs) && col(pointTs) < col(endCol))
       .drop("__rjb")

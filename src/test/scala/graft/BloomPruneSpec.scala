@@ -34,6 +34,23 @@ class BloomPruneSpec extends GraftSuite {
     assert(passed < 200L, s"pre-filter should reject most of 1000 non-members, passed $passed")
   }
 
+  test("same key name on both sides works (no ambiguous reference)") {
+    val big = (1L to 50L).map(i => (i, i % 10)).toDF("row_id", "k")
+    val small = Seq(1L, 2L).toDF("k")
+    val out = BloomPrune.semiJoin(big, small, "k", "k", expectedItems = 10L)
+    assert(out.count() == 10L)
+    assert(out.columns.toSeq == Seq("row_id", "k"))
+  }
+
+  test("mismatched key types fail loudly (xxhash64 is type-sensitive)") {
+    val big = Seq((1L, 1)).toDF("row_id", "fk") // fk: int
+    val small = Seq(1L).toDF("pk")              // pk: long
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.semiJoin(big, small, "fk", "pk", expectedItems = 10L)
+    }
+    assert(e.getMessage.contains("key types"))
+  }
+
   test("the might_contain filter sits on the big side before the join in the plan") {
     // parquet-backed big side: a local Seq would let ConvertToLocalRelation
     // evaluate the bloom filter at optimization time and hide it from the plan

@@ -69,4 +69,21 @@ class RangeJoinSpec extends GraftSuite {
       RangeJoin.pointInInterval(bad, "p_ts", intervals, "start_ts", "end_ts", 3600)
     }
   }
+
+  test("shared column names between the two sides fail loudly") {
+    val bad = intervals.withColumn("p_id", lit(1L))
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "p_ts", bad, "start_ts", "end_ts", 3600)
+    }
+  }
+
+  test("inverted and empty intervals match nothing and fan out nothing") {
+    val is = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2023-01-01 10:00:00")), // inverted: a year back
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00")), // empty
+    ).toDF("i_id", "start_ts", "end_ts")
+    val out = RangeJoin.pointInInterval(points, "p_ts", is, "start_ts", "end_ts",
+      bucketSeconds = 60) // inverted year / 60s would be ~525k descending buckets
+    assert(out.isEmpty)
+  }
 }
