@@ -1504,6 +1504,65 @@ object Queries {
       |WHERE EXISTS (SELECT 1 FROM customer c
       |              WHERE c.c_custkey = o.o_custkey AND c.c_nationkey = 3)""".stripMargin
 
+  /** #61 order-independent table checksum per month — the anti-entropy
+    * validation pass: md5 of the canonical row string folded to a
+    * 55-bit fingerprint (the docFingerprint pattern), summed mod a
+    * prime per group. Doubles canonicalize through fixed-point,
+    * timestamps through epoch micros, so any engine recomputes the
+    * same checksums (the oracle proves DuckDB does). */
+  private def tableChecksum(s: SparkSession, dir: String): DataFrame =
+    TableChecksum.checksumBy(t(s, dir, "orders"),
+      Seq("month" -> date_format(col("o_orderdate"), "yyyy-MM")),
+      Seq(col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").cast("string"),
+        // NTZ → TZ cast is identity under the UTC session zone
+        unix_micros(col("o_orderdate").cast("timestamp")).cast("string"),
+        col("o_orderpriority")))
+
+  private val tableChecksumSql =
+    s"""WITH c AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split_regex(md5(concat_ws(chr(1),
+       |          CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+       |          o_orderstatus,
+       |          CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+       |          CAST(epoch_us(o_orderdate) AS VARCHAR), o_orderpriority)), ''),
+       |          x -> CAST(coalesce(ascii(x), 0) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
+       |  FROM orders)
+       |SELECT month, count(*) AS n_rows,
+       |  CAST(sum(CAST(fp AS HUGEINT)) % ${TextAnalysis.FingerprintMod} AS BIGINT) AS checksum
+       |FROM c GROUP BY 1""".stripMargin
+
+  /** #62 one-pass column profile of `orders` (ANALYZE-style stats):
+    * null/distinct counts + numeric bounds for every column from ONE
+    * aggregate job, unpivoted to a row per column. Exact distincts
+    * here (oracle-checkable); `approxRsd` switches to HLL at scale. */
+  private def profileStats(s: SparkSession, dir: String): DataFrame =
+    Profiler.profile(t(s, dir, "orders"))
+
+  private val profileStatsSql = {
+    def stat(c: String, numExpr: Option[String]) = {
+      val mn = numExpr.map(e => s"CAST(min($e) AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
+      val mx = numExpr.map(e => s"CAST(max($e) AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
+      s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num
+         |FROM orders""".stripMargin
+    }
+    Seq(
+      stat("o_orderkey", Some("o_orderkey")),
+      stat("o_custkey", Some("o_custkey")),
+      stat("o_orderstatus", None),
+      stat("o_totalprice", Some("o_totalprice")),
+      stat("o_orderdate", Some("epoch_us(o_orderdate)")),
+      stat("o_orderpriority", None),
+    ).mkString("", "\nUNION ALL\n", "")
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -1569,5 +1628,7 @@ object Queries {
     Q("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Q("q_range_join", rangeJoin, Some(rangeJoinSql)),
     Q("q_bloom_prune", bloomPrune, Some(bloomPruneSql)),
+    Q("q_table_checksum", tableChecksum, Some(tableChecksumSql)),
+    Q("q_profile_stats", profileStats, Some(profileStatsSql)),
   )
 }
