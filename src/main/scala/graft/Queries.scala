@@ -1564,6 +1564,76 @@ object Queries {
   }
 
   // ===========================================================================
+  // Event analytics: funnel, retention, gap fill (SURVEY §2 ops 63-65)
+  // ===========================================================================
+
+  /** #63 ordered funnel signup → view → purchase: per user the earliest
+    * completion micros of each step, each step at-or-after the previous
+    * step's earliest completion. Every stage filters the fact rows to
+    * its step BEFORE shuffling and joins frontiers on the one funnel
+    * key (co-partitioned; AQE reuses the exchange). */
+  private def funnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.firstCompletion(
+      events(s, dir).withColumn("__us", unix_micros(col("ts"))),
+      "user_id", col("__us"),
+      Seq(
+        "t_signup_us" -> (col("event_type") === "signup"),
+        "t_view_us" -> (col("event_type") === "view"),
+        "t_purchase_us" -> (col("event_type") === "purchase")))
+
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.t >= s1.t1
+      |       WHERE e.event_type = 'view' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.t >= s2.t2
+      |       WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT s1.user_id, s1.t1 AS t_signup_us, s2.t2 AS t_view_us,
+      |  s3.t3 AS t_purchase_us,
+      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |            WHEN s2.t2 IS NOT NULL THEN 2
+      |            ELSE 1 END AS INT) AS depth
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
+  /** #64 cohort retention: users grouped by first-event date, distinct
+    * actives per day offset — the retention matrix as two hash
+    * aggregates and one co-partitioned join (no per-cohort loop). */
+  private def retention(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cohortRetention(events(s, dir), "user_id", to_date(col("ts")))
+
+  private val retentionSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS cd FROM e GROUP BY 1)
+      |SELECT strftime(c.cd, '%Y-%m-%d') AS cohort_date,
+      |  CAST(date_diff('day', c.cd, e.d) AS INT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** #65 per-user hourly gap fill: a dense zero-filled hour grid between
+    * each sampled user's first and last event — resampling via exact
+    * long bucket ids and a per-key `sequence` explode (no global
+    * calendar table, no double-precision timestamp math). */
+  private def gapFill(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.denseCounts(
+      events(s, dir).filter(col("user_id") % 29 === 0),
+      "user_id", unix_micros(col("ts")), bucketUs = 3600L * 1000000L)
+
+  private val gapFillSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b
+      |           FROM events WHERE user_id % 29 = 0),
+      |c AS (SELECT user_id, b, count(*) AS n FROM e GROUP BY 1, 2),
+      |s AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM e GROUP BY 1),
+      |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket_id FROM s)
+      |SELECT g.user_id, g.bucket_id,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket_id = c.b""".stripMargin
+
+  // ===========================================================================
   // Registry
   // ===========================================================================
 
@@ -1630,5 +1700,8 @@ object Queries {
     Q("q_bloom_prune", bloomPrune, Some(bloomPruneSql)),
     Q("q_table_checksum", tableChecksum, Some(tableChecksumSql)),
     Q("q_profile_stats", profileStats, Some(profileStatsSql)),
+    Q("q_funnel", funnel, Some(funnelSql)),
+    Q("q_retention", retention, Some(retentionSql)),
+    Q("q_gap_fill", gapFill, Some(gapFillSql)),
   )
 }
