@@ -1634,6 +1634,90 @@ object Queries {
       |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket_id = c.b""".stripMargin
 
   // ===========================================================================
+  // Corpus statistics: heavy hitters, inverted index, entropy (ops 66-68)
+  // ===========================================================================
+
+  /** #66 corpus heavy hitters: top-50 terms by DOCUMENT frequency
+    * (per-doc distinct tokens, so a term spamming one document counts
+    * once). The top-k is `orderBy(...).limit(k)` — Spark plans a
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    * the driver), never a global sort of the vocabulary. Ties at the
+    * cut break on the token string, so the result is deterministic. */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(array_distinct(
+        TextAnalysis.tokens(lower(col("text"))))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token")).limit(50)
+
+  private val heavyHittersSql =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS df FROM tok
+      |GROUP BY 1 ORDER BY df DESC, token LIMIT 50""".stripMargin
+
+  /** #67 inverted index over the mid-frequency vocabulary: token →
+    * document-frequency + comma-joined sorted posting list. The df cap
+    * is the skew guard — stopword-grade postings (the ones that would
+    * blow up a reducer) are exactly the ones an index never
+    * materializes; at scale the cap becomes posting-list sharding.
+    * Postings sort NUMERICALLY before stringifying (a lexicographic
+    * sort of stringified ids would misorder 10 before 2). */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        TextAnalysis.tokens(lower(col("text"))))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            id => id.cast("string"))).as("postings"))
+      .filter(col("df").between(2, 8))
+
+  private val invertedIndexSql =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM tok GROUP BY 1 HAVING count(*) BETWEEN 2 AND 8""".stripMargin
+
+  /** #68 per-document token-distribution Shannon entropy (the
+    * lexical-diversity quality signal): H = ln(T) − (Σ c·ln c)/T.
+    * The cross-row sum runs in FIXED POINT — Σ c·⌊ln(c)·1e6⌋ as exact
+    * long arithmetic — so the aggregate is identical under any
+    * partial-aggregation order (a double Σ c·ln c is non-associative
+    * and nondeterministic under shuffle); only the final per-doc
+    * formula touches doubles, then rounds to 6dp on both engines. */
+  private def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(
+        TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("__t"),
+        sum(col("c") * floor(log(col("c")) * 1e6).cast("long")).as("__s"))
+      .select(col("doc_id"), col("__t").as("n_tokens"),
+        round(log(col("__t")) - col("__s") / (lit(1e6) * col("__t")), 6)
+          .as("entropy"))
+
+  private val tokenEntropySql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |a AS (SELECT doc_id, sum(c) AS t,
+      |        sum(c * CAST(floor(ln(c) * 1e6) AS BIGINT)) AS s
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, CAST(t AS BIGINT) AS n_tokens,
+      |  round(ln(t) - s / (1e6 * t), 6) AS entropy
+      |FROM a""".stripMargin
+
+  // ===========================================================================
   // Registry
   // ===========================================================================
 
@@ -1703,5 +1787,8 @@ object Queries {
     Q("q_funnel", funnel, Some(funnelSql)),
     Q("q_retention", retention, Some(retentionSql)),
     Q("q_gap_fill", gapFill, Some(gapFillSql)),
+    Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Q("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
   )
 }
