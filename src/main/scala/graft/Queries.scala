@@ -871,7 +871,7 @@ object Queries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM t)
       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-      |  (cum - n_tokens) // 2048 AS pack_id
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
       |FROM c""".stripMargin
 
   /** #48 stratified data mixing: per-language sampling rates applied
@@ -1658,15 +1658,20 @@ object Queries {
       |SELECT token, count(*) AS df FROM tok
       |GROUP BY 1 ORDER BY df DESC, token LIMIT 50""".stripMargin
 
-  /** #67 inverted index over the mid-frequency vocabulary: token →
+  /** #67 inverted index over the sub-stopword vocabulary: token →
     * document-frequency + comma-joined sorted posting list. The df cap
     * is the skew guard — stopword-grade postings (the ones that would
     * blow up a reducer) are exactly the ones an index never
-    * materializes; at scale the cap becomes posting-list sharding.
-    * Postings sort NUMERICALLY before stringifying (a lexicographic
-    * sort of stringified ids would misorder 10 before 2). */
-  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    * materializes — and it is CORPUS-RELATIVE (df ≤ ⌈0.9·N_docs⌉, a
+    * 1-row scalar cross join, not a hardcoded absolute that silently
+    * empties at a different scale factor); at 100 TB the cap becomes
+    * posting-list sharding. Postings sort NUMERICALLY before
+    * stringifying (a lexicographic sort of stringified ids would
+    * misorder 10 before 2). */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
       .select(col("doc_id"), explode(array_distinct(
         TextAnalysis.tokens(lower(col("text"))))).as("token"))
       .groupBy("token")
@@ -1674,7 +1679,10 @@ object Queries {
         concat_ws(",",
           transform(sort_array(collect_list(col("doc_id"))),
             id => id.cast("string"))).as("postings"))
-      .filter(col("df").between(2, 8))
+      .crossJoin(nDocs) // 1 row: Catalyst broadcasts the scalar
+      .filter(col("df") >= 2 && col("df") <= ceil(lit(0.9) * col("n_docs")))
+      .drop("n_docs")
+  }
 
   private val invertedIndexSql =
     """WITH tok AS (
@@ -1683,7 +1691,9 @@ object Queries {
       |  FROM documents)
       |SELECT token, count(*) AS df,
       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-      |FROM tok GROUP BY 1 HAVING count(*) BETWEEN 2 AND 8""".stripMargin
+      |FROM tok GROUP BY 1
+      |HAVING count(*) >= 2
+      |   AND count(*) <= ceil(0.9 * (SELECT count(*) FROM documents))""".stripMargin
 
   /** #68 per-document token-distribution Shannon entropy (the
     * lexical-diversity quality signal): H = ln(T) − (Σ c·ln c)/T.
