@@ -16,6 +16,17 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Don't start timing on a host still busy with a previous run: PSI
+    // avg300 > 0.2 means recent CPU contention distorted-timing risk, so
+    // wait (bounded) for the 5-minute average to decay before the first
+    // measured query. The final JSON still records start/end PSI — this
+    // gate makes `psi_noisy: false` the normal case, not a lucky one.
+    var waited = 0
+    while (psiCpuAvg300() > 0.2 && waited < 3) {
+      System.err.println(s"[bench] host CPU pressure avg300=${psiCpuAvg300()} > 0.2 — waiting 60s")
+      Thread.sleep(60000)
+      waited += 1
+    }
     val psiStart = psiCpuAvg300()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -1658,42 +1658,64 @@ object Queries {
       |SELECT token, count(*) AS df FROM tok
       |GROUP BY 1 ORDER BY df DESC, token LIMIT 50""".stripMargin
 
+  /** Target length of one posting-list shard row: shard count scales
+    * WITH the corpus (S = ⌈0.9·N / target⌉), so no reducer row ever
+    * materializes more than ~this many doc ids however big N grows. */
+  private val PostingsShardTarget = 128.0
+
   /** #67 inverted index over the sub-stopword vocabulary: token →
-    * document-frequency + comma-joined sorted posting list. The df cap
-    * is the skew guard — stopword-grade postings (the ones that would
-    * blow up a reducer) are exactly the ones an index never
-    * materializes — and it is CORPUS-RELATIVE (df ≤ ⌈0.9·N_docs⌉, a
-    * 1-row scalar cross join, not a hardcoded absolute that silently
-    * empties at a different scale factor); at 100 TB the cap becomes
-    * posting-list sharding. Postings sort NUMERICALLY before
-    * stringifying (a lexicographic sort of stringified ids would
-    * misorder 10 before 2). */
+    * document-frequency + SHARDED sorted posting lists. The real skew
+    * protection is the sharding: postings group by
+    * `(token, pmod(doc_id, S))` with S = ⌈0.9·N_docs / target⌉, so the
+    * biggest admissible token (df ≈ 0.9·N) lands as S bounded rows —
+    * never one `collect_list` of 0.9·N doc ids in a single reducer, the
+    * 100-TB OOM shape. Total `df` spans shards via a token-partitioned
+    * window (≤ S rows per token — tiny). The df band only trims noise:
+    * hapaxes (df < 2) and near-universal stopwords (df > ⌈0.9·N⌉),
+    * both corpus-relative off a broadcast 1-row scalar (explicit
+    * `broadcast()`, matching Tfidf.scala — no reliance on stats
+    * estimation). Postings sort NUMERICALLY before stringifying (a
+    * lexicographic sort of stringified ids misorders 10 before 2). */
   private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     docs
       .select(col("doc_id"), explode(array_distinct(
         TextAnalysis.tokens(lower(col("text"))))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("df"),
+      .crossJoin(broadcast(nDocs))
+      .withColumn("shard", pmod(col("doc_id"),
+        greatest(lit(1L), ceil(lit(0.9) * col("n_docs") / lit(PostingsShardTarget)))))
+      .groupBy("token", "shard")
+      .agg(count(lit(1)).as("shard_df"),
         concat_ws(",",
           transform(sort_array(collect_list(col("doc_id"))),
-            id => id.cast("string"))).as("postings"))
-      .crossJoin(nDocs) // 1 row: Catalyst broadcasts the scalar
+            id => id.cast("string"))).as("postings"),
+        max(col("n_docs")).as("n_docs"))
+      .withColumn("df", sum(col("shard_df")).over(Window.partitionBy("token")))
       .filter(col("df") >= 2 && col("df") <= ceil(lit(0.9) * col("n_docs")))
-      .drop("n_docs")
+      .select(col("token"), col("shard"), col("df"), col("shard_df"),
+        col("postings"))
   }
 
   private val invertedIndexSql =
-    """WITH tok AS (
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |tok AS (
       |  SELECT DISTINCT doc_id,
       |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-      |  FROM documents)
-      |SELECT token, count(*) AS df,
-      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-      |FROM tok GROUP BY 1
-      |HAVING count(*) >= 2
-      |   AND count(*) <= ceil(0.9 * (SELECT count(*) FROM documents))""".stripMargin
+      |  FROM documents),
+      |sh AS (
+      |  SELECT token,
+      |    doc_id % CAST(greatest(1, ceil(0.9 * n.n_docs / 128.0)) AS BIGINT) AS shard,
+      |    count(*) AS shard_df,
+      |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |  FROM tok, n GROUP BY 1, 2),
+      |w AS (
+      |  SELECT token, shard,
+      |    CAST(sum(shard_df) OVER (PARTITION BY token) AS BIGINT) AS df,
+      |    CAST(shard_df AS BIGINT) AS shard_df, postings
+      |  FROM sh)
+      |SELECT token, shard, df, shard_df, postings FROM w
+      |WHERE df >= 2 AND df <= ceil(0.9 * (SELECT n_docs FROM n))""".stripMargin
 
   /** #68 per-document token-distribution Shannon entropy (the
     * lexical-diversity quality signal): H = ln(T) − (Σ c·ln c)/T.
