@@ -1749,6 +1749,72 @@ object Queries {
       |  round(ln(t) - s / (1e6 * t), 6) AS entropy
       |FROM a""".stripMargin
 
+  /** Unique in-memory Derby database per invocation — re-running the
+    * query in one session must not collide with a live reader of the
+    * previous round-trip (the returned DataFrame reads lazily). */
+  private val derbySeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** #69 LIVE JDBC round-trip — the reference's core "database feeder"
+    * semantic (feeder.py:230-243 batch INSERT; add_q5010.py:20-46 keyed
+    * UPDATE) executed against a real embedded Derby database:
+    *
+    *   1. distributed batch append: 4 writer tasks, JDBC batch size 128
+    *      (vs the reference's one INSERT per pandas row on one thread);
+    *   2. distributed keyed UPDATE: executors run batched prepared
+    *      `UPDATE ... WHERE key = ?` statements, one transaction per
+    *      partition (vs one UPDATE per spreadsheet row);
+    *   3. partitioned JDBC read-back: 4 range-partitioned scan tasks with
+    *      the key predicate generated into each partition's WHERE clause.
+    *
+    * The oracle recomputes the post-update table from the parquet source,
+    * proving insert+update round-tripped the values bit-exact. Embedded
+    * in-memory Derby is reachable from every task in local mode; against
+    * a networked database only the URL changes. Derby folds unquoted
+    * identifiers to uppercase, so the read-back renames columns to the
+    * oracle's lowercase. bench=false: measures a fixture database, not
+    * the engine. */
+  private def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // keep derby.log out of the repo checkout
+    if (sys.props.get("derby.system.home").isEmpty)
+      System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
+    val url = s"jdbc:derby:memory:graft_${s.sparkContext.applicationId}_${derbySeq.incrementAndGet()}"
+    val conn = java.sql.DriverManager.getConnection(url + ";create=true")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE feed (o_orderkey BIGINT, o_orderstatus VARCHAR(8), o_totalprice DOUBLE)")
+      // updateKeyed's contract: an index on the key, or updates full-scan
+      st.executeUpdate("CREATE INDEX feed_key ON feed(o_orderkey)")
+    } finally conn.close()
+    val subset = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    JdbcFeed.append(subset, url, "feed", numWriters = 4, batchSize = 128)
+    val fixes = subset.filter(pmod(col("o_orderkey"), lit(60)) === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"))
+    JdbcFeed.updateKeyed(fixes, url, "feed", "o_orderkey", Seq("o_orderstatus"),
+      numWriters = 4, batchSize = 128)
+    val hi = subset.agg(max("o_orderkey")).first().get(0) match {
+      case null => 1L
+      case k: Long => k + 1L
+    }
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", "feed")
+      .option("partitionColumn", "o_orderkey").option("numPartitions", "4")
+      .option("lowerBound", "0").option("upperBound", hi.toString)
+      .load()
+      .select(col("O_ORDERKEY").as("o_orderkey"),
+        col("O_ORDERSTATUS").as("o_orderstatus"),
+        col("O_TOTALPRICE").as("o_totalprice"))
+  }
+
+  private val jdbcRoundtripSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 60 = 0 THEN 'X' ELSE o_orderstatus END
+      |    AS o_orderstatus,
+      |  o_totalprice
+      |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -1822,5 +1888,6 @@ object Queries {
     Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
+    Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql), bench = false),
   )
 }

@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   *     `df.write.jdbc` batch append: executors write partitions
   *     concurrently with JDBC batching.
   *
-  * No JDBC driver jar ships in this container, so these helpers build
-  * fully-configured readers/writers (assertable in tests) and only touch
-  * the network when actually executed against a real database.
+  *   - one `UPDATE ... WHERE id = %s` per spreadsheet row on the driver
+  *     (add_q5010.py:20-46) → [[updateKeyed]]: executors run BATCHED
+  *     prepared-statement updates per partition, transactional per
+  *     partition.
+  *
+  * Executed for real in JdbcFeedSpec and `q_jdbc_roundtrip` against an
+  * embedded Derby database (the JDBC driver on this classpath); against
+  * a networked database only the URL changes.
   */
 object JdbcFeed {
 
@@ -24,7 +29,9 @@ object JdbcFeed {
     * database (feeder.py:136's `where wave = N`, but evaluated by the
     * DB instead of filtering after a full-table fetch). */
   def pushdownTable(table: String, keyCol: String, waveCol: String, wave: Int): String =
-    s"(select $keyCol from $table where $waveCol = $wave) as __keys"
+    // alias must not start with '_' — SQL-standard engines (Derby) reject
+    // leading-underscore identifiers unquoted
+    s"(select $keyCol from $table where $waveCol = $wave) as feeder_keys"
 
   /** The existing-keys lookup with the wave predicate pushed down into
     * the database as a subquery (dbtable = derived table). */
@@ -56,4 +63,58 @@ object JdbcFeed {
       .options(appendOptions(url, table, batchSize))
       .mode(SaveMode.Append)
       .save()
+
+  /** Distributed keyed UPDATE — the reference's one-UPDATE-per-row driver
+    * loop (add_q5010.py:33-40) re-expressed so EXECUTORS apply the
+    * updates: each partition opens one connection, runs a prepared
+    * `UPDATE table SET c1=?,... WHERE key=?` in JDBC batches, and commits
+    * once. Row order inside a partition is preserved; cross-partition
+    * commit order is arbitrary, so callers needing last-write-wins must
+    * collapse duplicate keys FIRST (`Upsert.latestPerKey` semantics) —
+    * exactly the contract `q_upsert_q5010` proves on the DataFrame side.
+    *
+    * Scale shape: updates RANGE-partition on the key across `numWriters`
+    * connections, so concurrent writers hold disjoint lock ranges — a
+    * hash repartition interleaves every writer's keys across the table
+    * and deadlocks under row/page locking (observed live on Derby). The
+    * database sees `numWriters` concurrent batched statements, not 10k
+    * serial round-trips; the throughput knob is (numWriters, batchSize) —
+    * the same two the reference hardcodes to (1, 1). Each JDBC batch
+    * commits as its own transaction (the reference's per-row autocommit,
+    * scaled to batches): lock hold time stays bounded by `batchSize`
+    * however large a partition is.
+    *
+    * The target table needs an index on `key` — without one every UPDATE
+    * is a locking full scan and concurrent writers deadlock regardless of
+    * partitioning (true of any RDBMS at any scale).
+    */
+  def updateKeyed(updates: DataFrame, url: String, table: String,
+                  key: String, valueCols: Seq[String],
+                  numWriters: Int = 8, batchSize: Int = 500): Unit = {
+    require(valueCols.nonEmpty, "updateKeyed needs at least one value column")
+    val sql = s"UPDATE $table SET ${valueCols.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE $key = ?"
+    updates.select((valueCols :+ key).map(col): _*)
+      .repartitionByRange(numWriters, col(key))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(sql)
+            try {
+              var pending = 0
+              rows.foreach { r =>
+                var i = 0
+                while (i <= valueCols.length) { ps.setObject(i + 1, r.get(i)); i += 1 }
+                ps.addBatch()
+                pending += 1
+                if (pending >= batchSize) { ps.executeBatch(); conn.commit(); pending = 0 }
+              }
+              if (pending > 0) { ps.executeBatch(); conn.commit() }
+            } finally ps.close()
+          } finally conn.close()
+        }
+      }
+  }
 }

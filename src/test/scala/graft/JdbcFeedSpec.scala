@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.JdbcFeed
+
+/** LIVE JDBC round-trip against embedded Derby (the driver ships in
+  * /opt/spark/jars) — the first place `JdbcFeed.append` / `updateKeyed`
+  * actually open a connection. In-memory Derby is visible to every task
+  * in local mode (one JVM); a cluster points the same code at a
+  * networked URL.
+  */
+class JdbcFeedSpec extends GraftSuite {
+  import spark.implicits._
+
+  // keep derby.log out of the repo checkout
+  System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
+
+  private def freshDb(name: String): String = {
+    val url = s"jdbc:derby:memory:spec_$name"
+    val conn = DriverManager.getConnection(url + ";create=true")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE feed (id BIGINT, status VARCHAR(8), amount DOUBLE)")
+      // updateKeyed's contract: keyed updates need an index on the key
+      // (an unindexed UPDATE is a locking full scan → writer deadlock)
+      st.executeUpdate("CREATE INDEX feed_id ON feed(id)")
+    } finally conn.close()
+    url
+  }
+
+  private def readBack(url: String) =
+    spark.read.format("jdbc").option("url", url).option("dbtable", "feed").load()
+
+  test("append executes a real distributed batch INSERT") {
+    val url = freshDb("append")
+    val batch = (1L to 100L).map(i => (i, s"s${i % 3}", i * 1.5)).toDF("id", "status", "amount")
+    // batchSize smaller than the row count per writer proves multi-batch
+    // execution; numWriters=4 proves concurrent connections work
+    JdbcFeed.append(batch, url, "feed", numWriters = 4, batchSize = 16)
+    val back = readBack(url)
+    assert(back.count() == 100)
+    // values round-trip bit-exact (BIGINT / VARCHAR / DOUBLE)
+    val r42 = back.filter(col("ID") === 42L).collect().head
+    assert(r42.getString(1) == "s0" && r42.getDouble(2) == 63.0)
+  }
+
+  test("append honors the batchsize and isolation options") {
+    // appendOptions carries the knobs; a bogus isolation level must fail
+    // loudly at execution (proving the option reaches the writer), and a
+    // legal one must succeed
+    val url = freshDb("options")
+    val batch = (1L to 10L).map(i => (i, "s", 1.0)).toDF("id", "status", "amount")
+    val opts = JdbcFeed.appendOptions(url, "feed", batchSize = 7, isolation = "READ_COMMITTED")
+    assert(opts("batchsize") == "7" && opts("isolationLevel") == "READ_COMMITTED")
+    batch.write.format("jdbc").options(opts)
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    assert(readBack(url).count() == 10)
+    intercept[Exception] {
+      batch.write.format("jdbc")
+        .options(JdbcFeed.appendOptions(url, "feed", isolation = "NOT_A_LEVEL"))
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+  }
+
+  test("updateKeyed applies batched keyed updates from executors") {
+    val url = freshDb("update")
+    val batch = (1L to 50L).map(i => (i, "old", i.toDouble)).toDF("id", "status", "amount")
+    JdbcFeed.append(batch, url, "feed", numWriters = 2, batchSize = 16)
+    // update every third row; batchSize 4 forces multiple executeBatch
+    // calls per partition
+    val fixes = (1L to 50L).filter(_ % 3 == 0)
+      .map(i => (i, "new", -i.toDouble)).toDF("id", "status", "amount")
+    JdbcFeed.updateKeyed(fixes, url, "feed", "id", Seq("status", "amount"),
+      numWriters = 3, batchSize = 4)
+    val back = readBack(url).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(back.length == 50)
+    back.foreach { case (id, status, amount) =>
+      if (id % 3 == 0) assert(status == "new" && amount == -id.toDouble, s"id=$id")
+      else assert(status == "old" && amount == id.toDouble, s"id=$id")
+    }
+  }
+
+  test("updateKeyed with no matching key is a no-op on the table") {
+    val url = freshDb("noop")
+    val batch = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "status", "amount")
+    JdbcFeed.append(batch, url, "feed", numWriters = 1)
+    JdbcFeed.updateKeyed(Seq((99L, "z")).toDF("id", "status"),
+      url, "feed", "id", Seq("status"))
+    assert(readBack(url).filter(col("STATUS").isin("a", "b")).count() == 2)
+  }
+
+  test("existingKeysReader pushes the wave predicate into the database") {
+    val url = s"jdbc:derby:memory:spec_pushdown"
+    val conn = DriverManager.getConnection(url + ";create=true")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE recruits_log (phone BIGINT, wave INT)")
+      st.executeUpdate("INSERT INTO recruits_log VALUES (111, 1), (222, 1), (333, 2)")
+    } finally conn.close()
+    val keys = JdbcFeed.existingKeysReader(spark, url, "recruits_log", "phone", "wave", 1)
+      .load().collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == Seq(111L, 222L))
+  }
+}
