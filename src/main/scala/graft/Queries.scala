@@ -999,25 +999,34 @@ object Queries {
        |FROM documents""".stripMargin
 
   /** #27 multimodal plumbing: binary media column + typed metadata,
-    * partition-local stub decode.
+    * partition-local REAL header decode (PNG IHDR parse — pure stdlib
+    * byte reads) with a stub fallback for opaque media.
     *
-    * Oracle-checked on the SQL-expressible half: `n_bytes` and
-    * `media_type` are pure functions of the UTF-8 payload, recomputed by
-    * DuckDB; the stub-decoded dimensions ride as `dims_ok` — a boolean
-    * the oracle pins TRUE (q_approx_distinct's sketch pattern), so a
-    * decode regression outside the stub's contract range breaks the
-    * hash. The raw width/height/checksum stay spec-bounded in
-    * MultimodalSpec. */
+    * Even doc_ids carry a VALID PNG container whose IHDR dimensions
+    * derive from the id, so the oracle recomputes the DECODED width/
+    * height arithmetically — a header-parse regression on any PNG row
+    * breaks the hash compare. Odd ids are opaque audio payloads: their
+    * stub dimensions ride as the `dims_ok` band check (q_approx_distinct
+    * pattern) and the decoded columns are NULL. n_bytes pins the exact
+    * container size (payload + 57 bytes of PNG framing). The checksum
+    * stays spec-bounded in MultimodalSpec. */
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.withFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        (col("width").between(16, 655) && col("height").between(16, 495)).as("dims_ok"))
+        when(col("header_decoded"), col("width")).as("img_w"),
+        when(col("header_decoded"), col("height")).as("img_h"),
+        (col("header_decoded") ||
+          (col("width").between(16, 655) && col("height").between(16, 495)))
+          .as("dims_ok"))
 
   private val multimodalMetaSql =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
-      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CAST(octet_length(encode(text))
+      |    + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 0 END AS INT) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 640 END AS INT) AS img_w,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 480 END AS INT) AS img_h,
       |  TRUE AS dims_ok
       |FROM documents""".stripMargin
 

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * (`mapPartitions`) — the one place imperative code is the right tool,
   * because codec libraries are per-buffer black boxes.
   *
-  * The actual image/audio codecs are NOT available in this environment,
-  * so `decodeStub` below is a clearly-marked deterministic fake; the
-  * Spark-side contract — schema, batch iteration shape, partitioning,
-  * output schema — is real and tested. Swapping in a real codec changes
-  * only the function body.
+  * Header decode is REAL for containerized image formats: `decodeHeader`
+  * parses PNG IHDR, JPEG SOFn, and GIF logical-screen dimensions with
+  * pure stdlib byte reads — no codec library. Full pixel decode and
+  * non-image media still fall back to `decodeStub`, a clearly-marked
+  * deterministic fake (the image/audio codec libraries are not in this
+  * environment); the Spark-side contract — schema, batch iteration
+  * shape, partitioning, output schema — is real and tested either way.
+  * Swapping in a real codec changes only the fallback body.
   *
   * Scale notes: binary payloads never pass through a shuffle here (decode
   * is map-only); feature rows are the only thing downstream aggregations
@@ -23,7 +26,9 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Output schema of the feature extractor. */
+  /** Output schema of the feature extractor. `header_decoded` marks rows
+    * whose dimensions came from a REAL container-header parse (PNG/JPEG/
+    * GIF) vs the stub fallback. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -31,14 +36,107 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("checksum", LongType, nullable = false),
+    StructField("header_decoded", BooleanType, nullable = false),
   ))
 
+  // ---- real container-header decode (pure stdlib byte reads) ----------
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Real (width, height) from a PNG / JPEG / GIF container header; None
+    * when the payload is not one of those formats (then the caller falls
+    * back to the stub). Reads only the header bytes — O(1) per PNG/GIF,
+    * O(segments) per JPEG — and never the pixel data, so it is safe on
+    * arbitrarily large payloads and on truncated/corrupt ones (any
+    * out-of-bounds read returns None, it never throws). */
+  def decodeHeader(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      if (bytes.length >= 24 && bytes.startsWith(PngSig) &&
+          new String(bytes, 12, 4, "US-ASCII") == "IHDR") {
+        // PNG: the IHDR chunk is required first; width/height big-endian
+        // at offsets 16/20
+        Some((be32(bytes, 16), be32(bytes, 20)))
+      } else if (bytes.length >= 10 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+        // JPEG: walk marker segments to the first SOFn (C0-CF minus the
+        // non-frame C4/C8/CC); height then width big-endian after the
+        // 3-byte segment header
+        var i = 2
+        while (i + 3 < bytes.length && (bytes(i) & 0xff) == 0xff) {
+          val marker = bytes(i + 1) & 0xff
+          if (marker == 0xff) { i += 1 } // fill bytes before a marker
+          else if (marker >= 0xc0 && marker <= 0xcf &&
+                   marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            return if (i + 8 < bytes.length)
+              Some((be16(bytes, i + 7), be16(bytes, i + 5))) else None
+          } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+            i += 2 // standalone markers carry no length
+          } else if (marker == 0xd9 || marker == 0xda) {
+            return None // EOI / start-of-scan before any SOF
+          } else {
+            i += 2 + be16(bytes, i + 2)
+          }
+        }
+        None
+      } else if (bytes.length >= 10 &&
+                 (new String(bytes, 0, 6, "US-ASCII") == "GIF87a" ||
+                  new String(bytes, 0, 6, "US-ASCII") == "GIF89a")) {
+        // GIF: logical screen width/height little-endian at offsets 6/8
+        Some(((bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8),
+          (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)))
+      } else None
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** A VALID minimal PNG wrapping `payload` as its (stored, not pixel-
+    * coherent) IDAT body: real signature, real IHDR with the given
+    * dimensions, real CRC32s. Header-decodes in any PNG reader; total
+    * size is exactly payload.length + 57 (8 sig + 25 IHDR + 12 IDAT
+    * framing + 12 IEND). */
+  def pngWrap(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 57)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      val tb = ctype.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+    }
+    out.write(PngSig)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+    ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+    ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8 // bit depth; then color 0, compression 0, filter 0, interlace 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", payload)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Attach a deterministic binary payload derived from the text column —
-    * stands in for a real media column when building/testing plumbing. */
-  def withFakeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * stands in for a real media column when building/testing plumbing.
+    * Even ids carry a VALID PNG container (dimensions derived from the
+    * id, so an oracle can recompute them) wrapping the text bytes; odd
+    * ids carry the raw bytes as an opaque audio payload, exercising the
+    * stub-fallback path. */
+  def withFakeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wrap = udf((id: Long, text: String) =>
+      pngWrap(text.getBytes("UTF-8"),
+        16 + (id % 640).toInt, 16 + (id % 480).toInt))
     docs.select(col(idCol),
-      encode(col(textCol), "UTF-8").as("media"),
+      when(col(idCol) % 2 === 0, wrap(col(idCol).cast("long"), col(textCol)))
+        .otherwise(encode(col(textCol), "UTF-8")).as("media"),
       when(col(idCol) % 2 === 0, "image/png").otherwise("audio/wav").as("media_type"))
+  }
 
   /** STUB decode: a real implementation would hand `bytes` to an image /
     * audio codec. This fake derives stable pseudo-dimensions + a checksum
@@ -108,9 +206,10 @@ object Multimodal {
       }(enc)
   }
 
-  /** Partition-local feature extraction over (id, media, media_type). */
+  /** Partition-local feature extraction over (id, media, media_type):
+    * REAL header decode for PNG/JPEG/GIF payloads, stub dimensions for
+    * everything else; the checksum is always the payload hash. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select(col("doc_id").cast("long"), col("media"), col("media_type"))
       .mapPartitions { rows =>
@@ -118,8 +217,11 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val mt = r.getString(2)
-          val (w, h, ck) = decodeStub(bytes)
-          Row(id, mt, bytes.length, w, h, ck)
+          val (sw, sh, ck) = decodeStub(bytes)
+          decodeHeader(bytes) match {
+            case Some((w, h)) => Row(id, mt, bytes.length, w, h, ck, true)
+            case None => Row(id, mt, bytes.length, sw, sh, ck, false)
+          }
         }
       }(enc)
   }

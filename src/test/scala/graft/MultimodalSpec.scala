@@ -8,19 +8,61 @@ class MultimodalSpec extends GraftSuite {
 
   test("withFakeMedia produces a binary column with typed metadata") {
     val docs = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
-    val m = Multimodal.withFakeMedia(docs, "doc_id", "text").collect()
-    assert(m(0).getAs[Array[Byte]]("media").sameElements("hello".getBytes("UTF-8")))
+    val m = Multimodal.withFakeMedia(docs, "doc_id", "text").orderBy("doc_id").collect()
+    // even id: a VALID PNG container wrapping the text (payload + 57
+    // bytes of framing); odd id: the raw opaque payload
+    assert(m(0).getAs[Array[Byte]]("media").length == 5 + 57)
+    assert(m(1).getAs[Array[Byte]]("media").sameElements("world".getBytes("UTF-8")))
     assert(m.map(_.getAs[String]("media_type")).toSet == Set("image/png", "audio/wav"))
   }
 
-  test("extractFeatures is deterministic and partition-local") {
-    val docs = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
+  test("decodeHeader parses real PNG / JPEG / GIF headers, rejects junk") {
+    // PNG: our own wrapper round-trips through the parser
+    assert(Multimodal.decodeHeader(
+      Multimodal.pngWrap("payload".getBytes, 640, 480)).contains((640, 480)))
+    assert(Multimodal.decodeHeader(
+      Multimodal.pngWrap(Array.emptyByteArray, 1, 99999)).contains((1, 99999)))
+    // JPEG: SOI + APP0(JFIF) + DQT skipped, then SOF0 with 300x200
+    val jpeg = Array[Int](
+      0xff, 0xd8, // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4
+      0xff, 0xdb, 0x00, 0x03, 0x00, // DQT, len 3
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0xc8, 0x01, 0x2c, 0x03, // SOF0: h=200 w=300
+    ).map(_.toByte)
+    assert(Multimodal.decodeHeader(jpeg).contains((300, 200)))
+    // progressive JPEG (SOF2) parses too; C4 (DHT) must be skipped not
+    // misread as a frame
+    val jpeg2 = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xc4, 0x00, 0x03, 0x00, // DHT, len 3 — NOT a frame header
+      0xff, 0xc2, 0x00, 0x11, 0x08, 0x00, 0x10, 0x00, 0x20, 0x01, // SOF2: h=16 w=32
+    ).map(_.toByte)
+    assert(Multimodal.decodeHeader(jpeg2).contains((32, 16)))
+    // GIF: little-endian logical screen 320x64
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0x40, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(Multimodal.decodeHeader(gif).contains((320, 64)))
+    // junk, truncated, and empty payloads: None, never a throw
+    assert(Multimodal.decodeHeader("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.decodeHeader(Multimodal.pngWrap("x".getBytes, 10, 10).take(15)).isEmpty)
+    assert(Multimodal.decodeHeader(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeHeader(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+  }
+
+  test("extractFeatures decodes real PNG dimensions and falls back to stub") {
+    val docs = Seq((0L, "hello"), (1L, "world"), (642L, "x")).toDF("doc_id", "text")
     val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
     val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
     val f2 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
     assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
-    assert(f1.forall(_.getInt(2) == 5)) // n_bytes of 5-char ascii payload
-    assert(f1.forall(r => r.getInt(3) >= 16 && r.getInt(4) >= 16))
+    // doc 0: PNG header REALLY decoded — width 16+0, height 16+0
+    assert(f1(0).getInt(3) == 16 && f1(0).getInt(4) == 16 && f1(0).getBoolean(6))
+    assert(f1(0).getInt(2) == 5 + 57)
+    // doc 642: dims wrap the id modulus (16 + 642%640 = 18, 16 + 642%480 = 178)
+    assert(f1(2).getInt(3) == 18 && f1(2).getInt(4) == 178 && f1(2).getBoolean(6))
+    // doc 1: opaque payload → stub fallback, flagged as such
+    assert(f1(1).getInt(2) == 5 && !f1(1).getBoolean(6))
+    assert(f1(1).getInt(3) >= 16 && f1(1).getInt(4) >= 16)
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("exchange"), s"decode must be map-only:\n$plan")
   }
