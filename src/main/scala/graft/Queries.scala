@@ -1824,6 +1824,90 @@ object Queries {
       |  o_totalprice
       |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin
 
+  /** #70 mergeable quantile sketch — the incremental-family percentile:
+    * the history partition (3/4 of orders) is pre-reduced to its
+    * log-bucket histogram state (QuantileSketch, DDSketch-style); the
+    * delta partition folds in by algebraic merge — no history rescan,
+    * O(log range) state per key. The oracle carries the exact
+    * interpolated percentiles (DistributedPercentiles ≡ DuckDB
+    * quantile_cont, the q_percentiles-proven pairing) plus `sketch_ok`
+    * pinned TRUE: the merged sketch must land within 3α relative of the
+    * exact values (α for the bucket width + slack for nearest-rank vs
+    * interpolated), so a sketch or merge regression breaks the hash. */
+  private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val alpha = 0.01
+    val hist = QuantileSketch.state(
+      orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 0),
+      "o_orderpriority", "o_totalprice", alpha)
+    val delta = QuantileSketch.state(
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === 0),
+      "o_orderpriority", "o_totalprice", alpha)
+    val est = QuantileSketch.quantiles(
+      QuantileSketch.merge("o_orderpriority", hist, delta),
+      "o_orderpriority", Seq("s50" -> 0.5, "s95" -> 0.95), alpha)
+    DistributedPercentiles.exact(orders, "o_orderpriority", "o_totalprice",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      .join(broadcast(est), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
+        (abs(col("s50") - col("p50")) / col("p50") <= 0.03 &&
+          abs(col("s95") - col("p95")) / col("p95") <= 0.03).as("sketch_ok"))
+  }
+
+  private val quantileSketchSql =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+      |  TRUE AS sketch_ok
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** #71 partitioned write layout: lineitem lands under
+    * `l_returnflag=<v>/` directories with per-file row counts bounded by
+    * the target (WriteLayout: one sizing aggregate + hash-slot salting +
+    * the maxRecordsPerFile backstop — no per-value single-writer funnel,
+    * no tasks×values small-file explosion). The oracle aggregates the
+    * ROUND-TRIPPED files against the source table, proving the layout
+    * relocated every row exactly once; `layout_ok` pins the file-shape
+    * contract (every value directory ≤ ⌈rows/target⌉ + hash-variance
+    * slack files) into the hash compare. bench=false: measures fixture
+    * IO, not the engine. */
+  private def writeLayout(s: SparkSession, dir: String): DataFrame = {
+    val target = 5000L
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_layout_${s.sparkContext.applicationId}_${derbySeq.incrementAndGet()}")
+    if (scratchHooked.add(out.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(out)
+      }))
+    }
+    WriteLayout.writePartitioned(
+      t(s, dir, "lineitem"), out.getAbsolutePath, Seq("l_returnflag"), target)
+    val perDirOk = Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).forall { d =>
+        val files = Option(d.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+        val rows = s.read.parquet(d.getAbsolutePath).count()
+        files <= math.ceil(rows.toDouble / target).toLong + 2
+      }
+    s.read.parquet(out.getAbsolutePath)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .withColumn("layout_ok", lit(perDirOk))
+  }
+
+  private val writeLayoutSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  TRUE AS layout_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -1898,5 +1982,7 @@ object Queries {
     Q("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Q("q_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql), bench = false),
+    Q("q_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
+    Q("q_write_layout", writeLayout, Some(writeLayoutSql), bench = false),
   )
 }
