@@ -218,36 +218,101 @@ object ZippedTabular {
   /** Ordering key for worksheet entries: sheet number when the name is
     * the conventional sheetN.xml (so sheet2 < sheet10), then the name —
     * zip entry order is arbitrary, so the "first sheet" must not depend
-    * on it. */
+    * on it. Fallback only: the workbook-declared order wins when
+    * xl/workbook.xml is present (see [[workbookParts]]). */
   private[sources] def sheetOrderKey(name: String): (Long, String) = {
     val m = "([0-9]+)\\.xml$".r.findFirstMatchIn(name)
     (m.map(_.group(1).toLong).getOrElse(Long.MaxValue), name)
   }
 
-  /** First worksheet + shared strings out of the workbook archive. */
+  /** The r:id of the FIRST <sheet> declared in xl/workbook.xml — the
+    * authoritative "first sheet" (what a spreadsheet app shows as the
+    * leftmost tab; pd.read_excel's sheet 0). Filename order is only a
+    * heuristic: a workbook whose tabs were reordered keeps its original
+    * sheetN.xml names. */
+  private[sources] def firstDeclaredSheetId(workbookXml: Array[Byte]): Option[String] = {
+    val r = xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(workbookXml))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          // the relationship id rides in the r: namespace; match by
+          // local name so unprefixed/odd-prefixed producers decode too
+          var i = 0
+          while (i < r.getAttributeCount) {
+            if (r.getAttributeLocalName(i) == "id") return Some(r.getAttributeValue(i))
+            i += 1
+          }
+          return None
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  /** Relationship id → archive path ("rId3" → "xl/worksheets/sheet3.xml")
+    * from xl/_rels/workbook.xml.rels. */
+  private[sources] def sheetRelTargets(relsXml: Array[Byte]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    val r = xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(relsXml))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
+          var id: String = null; var target: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            r.getAttributeLocalName(i) match {
+              case "Id" => id = r.getAttributeValue(i)
+              case "Target" => target = r.getAttributeValue(i)
+              case _ =>
+            }
+            i += 1
+          }
+          if (id != null && target != null) {
+            // targets are relative to xl/ unless absolute
+            val path = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+            out += id -> path
+          }
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** First worksheet + shared strings out of the workbook archive. "First"
+    * resolves by the workbook's own declaration when present (workbook.xml
+    * sheet order + the .rels id→path map — survives tab reordering); a
+    * stripped-down archive without those parts falls back to conventional
+    * sheetN.xml filename order. One streaming pass buffers candidate
+    * sheets only. */
   private def workbookParts(bytes: Array[Byte]): (Array[String], Array[Byte]) = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var shared: Array[String] = Array.empty
-    var sheet: Array[Byte] = null
-    var sheetName: String = null
+    var workbook: Array[Byte] = null
+    var rels: Array[Byte] = null
+    val sheets = collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
     try {
       var e = zin.getNextEntry
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => shared = parseSharedStrings(zin.readAllBytes())
+          case "xl/workbook.xml" => workbook = zin.readAllBytes()
+          case "xl/_rels/workbook.xml.rels" => rels = zin.readAllBytes()
           case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
-            // keep the numerically/lexicographically FIRST sheet, whatever
-            // position it holds in the archive
-            if (sheetName == null ||
-                Ordering[(Long, String)].lt(sheetOrderKey(n), sheetOrderKey(sheetName))) {
-              sheet = zin.readAllBytes(); sheetName = n
-            }
+            sheets(n) = zin.readAllBytes()
           case _ =>
         }
         e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheet != null, "no xl/worksheets/*.xml in xlsx payload")
+    require(sheets.nonEmpty, "no xl/worksheets/*.xml in xlsx payload")
+    val declared = for {
+      wb <- Option(workbook)
+      rl <- Option(rels)
+      rid <- firstDeclaredSheetId(wb)
+      path <- sheetRelTargets(rl).get(rid)
+      bytesOf <- sheets.get(path)
+    } yield bytesOf
+    val sheet = declared.getOrElse(sheets.minBy(e => sheetOrderKey(e._1))._2)
     (shared, sheet)
   }
 

@@ -103,6 +103,51 @@ class SourcesSpec extends GraftSuite {
     }
   }
 
+  test("workbook-declared sheet order wins over filename order") {
+    // two-sheet workbook whose tabs were REORDERED: workbook.xml declares
+    // sheet2.xml (rId2) as the first/leftmost tab, but sheet1.xml still
+    // exists with the old name — pd.read_excel reads the declared sheet 0,
+    // so must we
+    def sheetXml(rows: String) =
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rows</sheetData></worksheet>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Current" sheetId="5" r:id="rId2"/><sheet name="Old" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml", sheetXml(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c></row><row r="2"><c r="A2"><v>111</v></c></row>"""))
+    entry("xl/worksheets/sheet2.xml", sheetXml(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c></row><row r="2"><c r="A2"><v>222</v></c></row>"""))
+    z.close()
+    val (hdr, rows) = ZippedTabular.decodeXlsx(bos.toByteArray)
+    assert(hdr.toSeq == Seq("id"))
+    assert(rows.next().toSeq == Seq("222")) // the DECLARED first sheet
+    // a stripped archive without workbook.xml falls back to filename order
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val z2 = new java.util.zip.ZipOutputStream(bos2)
+    def entry2(name: String, body: String): Unit = {
+      z2.putNextEntry(new java.util.zip.ZipEntry(name))
+      z2.write(body.getBytes("UTF-8")); z2.closeEntry()
+    }
+    entry2("xl/worksheets/sheet10.xml", sheetXml(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c></row><row r="2"><c r="A2"><v>10</v></c></row>"""))
+    entry2("xl/worksheets/sheet2.xml", sheetXml(
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c></row><row r="2"><c r="A2"><v>2</v></c></row>"""))
+    z2.close()
+    val (_, rows2) = ZippedTabular.decodeXlsx(bos2.toByteArray)
+    assert(rows2.next().toSeq == Seq("2")) // numeric order: sheet2 < sheet10
+  }
+
   test("typed xlsx cells: numeric/bool/date infer and round-trip as Spark types") {
     val header = Seq("id", "score", "flag", "seen", "note")
     val data = Seq(
@@ -202,7 +247,7 @@ class SourcesSpec extends GraftSuite {
 
   test("pushdownTable ships the wave predicate into the database") {
     assert(JdbcFeed.pushdownTable("recruits_log", "phone", "wave", 7) ==
-      "(select phone from recruits_log where wave = 7) as __keys")
+      "(select phone from recruits_log where wave = 7) as feeder_keys")
   }
 
   test("prepareAppend partitions the batch for concurrent writers") {
