@@ -19,10 +19,13 @@ object Bench {
     // Don't start timing on a host still busy with a previous run: PSI
     // avg300 > 0.2 means recent CPU contention distorted-timing risk, so
     // wait (bounded) for the 5-minute average to decay before the first
-    // measured query. The final JSON still records start/end PSI — this
-    // gate makes `psi_noisy: false` the normal case, not a lucky one.
+    // measured query. The bound must outlast the window: avg300 decays
+    // ~exp(-t/300), so from 0.5 it needs ~270s to cross 0.2 — 7×60s
+    // covers starting pressure up to ~0.8. The final JSON still records
+    // start/end PSI — this gate makes `psi_noisy: false` the normal
+    // case, not a lucky one.
     var waited = 0
-    while (psiCpuAvg300() > 0.2 && waited < 3) {
+    while (psiCpuAvg300() > 0.2 && waited < 7) {
       System.err.println(s"[bench] host CPU pressure avg300=${psiCpuAvg300()} > 0.2 — waiting 60s")
       Thread.sleep(60000)
       waited += 1

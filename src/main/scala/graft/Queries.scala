@@ -1707,14 +1707,14 @@ object Queries {
   }
 
   private val invertedIndexSql =
-    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
       |tok AS (
       |  SELECT DISTINCT doc_id,
-      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
       |  FROM documents),
       |sh AS (
       |  SELECT token,
-      |    doc_id % CAST(greatest(1, ceil(0.9 * n.n_docs / 128.0)) AS BIGINT) AS shard,
+      |    doc_id % CAST(greatest(1, ceil(0.9 * n.n_docs / $PostingsShardTarget)) AS BIGINT) AS shard,
       |    count(*) AS shard_df,
       |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
       |  FROM tok, n GROUP BY 1, 2),
@@ -1760,8 +1760,17 @@ object Queries {
 
   /** Unique in-memory Derby database per invocation — re-running the
     * query in one session must not collide with a live reader of the
-    * previous round-trip (the returned DataFrame reads lazily). */
+    * previous round-trip (the returned DataFrame reads lazily). The
+    * PREVIOUS invocation's database is dropped when a new one is built
+    * (its reader is done by then), so a long-lived session holds at most
+    * one copy in heap instead of growing monotonically. */
   private val derbySeq = new java.util.concurrent.atomic.AtomicLong()
+  private val lastDerbyUrl = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val lastLayoutDir = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+
+  private def dropDerby(url: String): Unit =
+    try java.sql.DriverManager.getConnection(url + ";drop=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
 
   /** #69 LIVE JDBC round-trip — the reference's core "database feeder"
     * semantic (feeder.py:230-243 batch INSERT; add_q5010.py:20-46 keyed
@@ -1770,8 +1779,8 @@ object Queries {
     *   1. distributed batch append: 4 writer tasks, JDBC batch size 128
     *      (vs the reference's one INSERT per pandas row on one thread);
     *   2. distributed keyed UPDATE: executors run batched prepared
-    *      `UPDATE ... WHERE key = ?` statements, one transaction per
-    *      partition (vs one UPDATE per spreadsheet row);
+    *      `UPDATE ... WHERE key = ?` statements, one commit per batch
+    *      (vs one autocommitted UPDATE per spreadsheet row);
     *   3. partitioned JDBC read-back: 4 range-partitioned scan tasks with
     *      the key predicate generated into each partition's WHERE clause.
     *
@@ -1787,6 +1796,7 @@ object Queries {
     if (sys.props.get("derby.system.home").isEmpty)
       System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
     val url = s"jdbc:derby:memory:graft_${s.sparkContext.applicationId}_${derbySeq.incrementAndGet()}"
+    Option(lastDerbyUrl.getAndSet(url)).foreach(dropDerby)
     val conn = java.sql.DriverManager.getConnection(url + ";create=true")
     try {
       val st = conn.createStatement()
@@ -1874,16 +1884,19 @@ object Queries {
     * IO, not the engine. */
   private def writeLayout(s: SparkSession, dir: String): DataFrame = {
     val target = 5000L
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_layout_${s.sparkContext.applicationId}_${derbySeq.incrementAndGet()}")
-    if (scratchHooked.add(out.getAbsolutePath)) {
+    // drop the PREVIOUS invocation's copy (its reader is done by then):
+    // disk usage stays one table copy however often the query re-runs
+    Option(lastLayoutDir.getAndSet(out)).foreach(rm)
+    if (scratchHooked.add("graft_layout_hook")) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(out)
+        Option(lastLayoutDir.get()).foreach(rm)
       }))
     }
     WriteLayout.writePartitioned(

@@ -207,8 +207,13 @@ object Multimodal {
   }
 
   /** Partition-local feature extraction over (id, media, media_type):
-    * REAL header decode for PNG/JPEG/GIF payloads, stub dimensions for
-    * everything else; the checksum is always the payload hash. */
+    * REAL header decode for payloads DECLARED as images (media_type
+    * starting with "image/"), stub dimensions for everything else; the
+    * checksum is always the payload hash. The declared-type gate
+    * matters: image magic bytes are plain ASCII-representable (a
+    * text/audio payload can legitimately begin with "GIF89a"), so
+    * sniffing every payload would misreport opaque media as decoded
+    * images. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select(col("doc_id").cast("long"), col("media"), col("media_type"))
@@ -218,7 +223,8 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val mt = r.getString(2)
           val (sw, sh, ck) = decodeStub(bytes)
-          decodeHeader(bytes) match {
+          val header = if (mt != null && mt.startsWith("image/")) decodeHeader(bytes) else None
+          header match {
             case Some((w, h)) => Row(id, mt, bytes.length, w, h, ck, true)
             case None => Row(id, mt, bytes.length, sw, sh, ck, false)
           }

@@ -40,11 +40,24 @@ object WriteLayout {
       .withColumn("__files",
         greatest(lit(1L), ceil(col("__rows") / lit(targetRowsPerFile.toDouble))))
       .drop("__rows")
-    val dataCols = df.columns.filterNot(partitionCols.contains)
-    df.join(broadcast(counts), partitionCols)
-      // row-hash slot over the NON-partition columns: deterministic,
-      // no window, no per-value single-task funnel
-      .withColumn("__slot", pmod(xxhash64(dataCols.map(col): _*), col("__files")))
+    // NULL-SAFE join back: a NULL partition value is a legal partition
+    // (partitionBy writes it as the default-partition dir) — a plain
+    // equi-join would silently drop those rows from the written output
+    val renamed = partitionCols.foldLeft(counts)((d, c) =>
+      d.withColumnRenamed(c, s"__p_$c"))
+    val cond = partitionCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), cond)
+      .drop(partitionCols.map(c => s"__p_$c"): _*)
+      // slot salt: input-position hash (split id + in-split offset), not a
+      // data hash — duplicate-heavy data would hash identical rows into
+      // one slot and re-create the single-writer funnel, and it stays
+      // defined when every column is a partition column. Stable for a
+      // given input layout (re-planning the same frame yields the same
+      // slots); across runs it is as stable as the input's split layout,
+      // the same contract as Spark's own round-robin repartition.
+      .withColumn("__slot",
+        pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+          col("__files")))
       .drop("__files")
       .repartition(partitionCols.map(col) :+ col("__slot"): _*)
   }

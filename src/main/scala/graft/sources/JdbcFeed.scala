@@ -16,8 +16,7 @@ import org.apache.spark.sql.functions._
   *
   *   - one `UPDATE ... WHERE id = %s` per spreadsheet row on the driver
   *     (add_q5010.py:20-46) → [[updateKeyed]]: executors run BATCHED
-  *     prepared-statement updates per partition, transactional per
-  *     partition.
+  *     prepared-statement updates, one commit per batch.
   *
   * Executed for real in JdbcFeedSpec and `q_jdbc_roundtrip` against an
   * embedded Derby database (the JDBC driver on this classpath); against
@@ -66,12 +65,16 @@ object JdbcFeed {
 
   /** Distributed keyed UPDATE — the reference's one-UPDATE-per-row driver
     * loop (add_q5010.py:33-40) re-expressed so EXECUTORS apply the
-    * updates: each partition opens one connection, runs a prepared
-    * `UPDATE table SET c1=?,... WHERE key=?` in JDBC batches, and commits
-    * once. Row order inside a partition is preserved; cross-partition
-    * commit order is arbitrary, so callers needing last-write-wins must
-    * collapse duplicate keys FIRST (`Upsert.latestPerKey` semantics) —
-    * exactly the contract `q_upsert_q5010` proves on the DataFrame side.
+    * updates: each partition opens one connection and runs a prepared
+    * `UPDATE table SET c1=?,... WHERE key=?` in JDBC batches, COMMITTING
+    * PER BATCH — so a mid-partition task failure leaves earlier batches
+    * durable and the Spark retry re-applies the partition. Updates must
+    * therefore be idempotent (SET to absolute values, the reference's
+    * shape), NOT read-modify-write increments. Row order inside a
+    * partition is preserved; cross-partition commit order is arbitrary,
+    * so callers needing last-write-wins must collapse duplicate keys
+    * FIRST (`Upsert.latestPerKey` semantics) — exactly the contract
+    * `q_upsert_q5010` proves on the DataFrame side.
     *
     * Scale shape: updates RANGE-partition on the key across `numWriters`
     * connections, so concurrent writers hold disjoint lock ranges — a

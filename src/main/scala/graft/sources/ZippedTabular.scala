@@ -282,37 +282,51 @@ object ZippedTabular {
     * resolves by the workbook's own declaration when present (workbook.xml
     * sheet order + the .rels id→path map — survives tab reordering); a
     * stripped-down archive without those parts falls back to conventional
-    * sheetN.xml filename order. One streaming pass buffers candidate
-    * sheets only. */
+    * sheetN.xml filename order. Two streaming passes over the in-memory
+    * archive: pass 1 reads only the SMALL parts (workbook.xml, rels,
+    * sharedStrings) plus sheet NAMES, pass 2 extracts only the chosen
+    * sheet — memory stays one-sheet-bounded however many sheets the
+    * workbook holds. */
   private def workbookParts(bytes: Array[Byte]): (Array[String], Array[Byte]) = {
-    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var shared: Array[String] = Array.empty
     var workbook: Array[Byte] = null
     var rels: Array[Byte] = null
-    val sheets = collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+    val sheetNames = Vector.newBuilder[String]
+    val zin1 = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
-      var e = zin.getNextEntry
+      var e = zin1.getNextEntry
       while (e != null) {
         e.getName match {
-          case "xl/sharedStrings.xml" => shared = parseSharedStrings(zin.readAllBytes())
-          case "xl/workbook.xml" => workbook = zin.readAllBytes()
-          case "xl/_rels/workbook.xml.rels" => rels = zin.readAllBytes()
+          case "xl/sharedStrings.xml" => shared = parseSharedStrings(zin1.readAllBytes())
+          case "xl/workbook.xml" => workbook = zin1.readAllBytes()
+          case "xl/_rels/workbook.xml.rels" => rels = zin1.readAllBytes()
           case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
-            sheets(n) = zin.readAllBytes()
+            sheetNames += n
           case _ =>
         }
-        e = zin.getNextEntry
+        e = zin1.getNextEntry
       }
-    } finally zin.close()
-    require(sheets.nonEmpty, "no xl/worksheets/*.xml in xlsx payload")
+    } finally zin1.close()
+    val names = sheetNames.result()
+    require(names.nonEmpty, "no xl/worksheets/*.xml in xlsx payload")
     val declared = for {
       wb <- Option(workbook)
       rl <- Option(rels)
       rid <- firstDeclaredSheetId(wb)
       path <- sheetRelTargets(rl).get(rid)
-      bytesOf <- sheets.get(path)
-    } yield bytesOf
-    val sheet = declared.getOrElse(sheets.minBy(e => sheetOrderKey(e._1))._2)
+      if names.contains(path)
+    } yield path
+    val chosen = declared.getOrElse(names.minBy(sheetOrderKey))
+    var sheet: Array[Byte] = null
+    val zin2 = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin2.getNextEntry
+      while (e != null && sheet == null) {
+        if (e.getName == chosen) sheet = zin2.readAllBytes()
+        else e = zin2.getNextEntry
+      }
+    } finally zin2.close()
+    require(sheet != null, s"worksheet entry $chosen vanished between passes")
     (shared, sheet)
   }
 

@@ -63,6 +63,12 @@ class MultimodalSpec extends GraftSuite {
     // doc 1: opaque payload → stub fallback, flagged as such
     assert(f1(1).getInt(2) == 5 && !f1(1).getBoolean(6))
     assert(f1(1).getInt(3) >= 16 && f1(1).getInt(4) >= 16)
+    // an AUDIO payload whose text happens to start with image magic must
+    // NOT be sniffed as an image — the declared media_type gates decode
+    val tricky = Multimodal.extractFeatures(Multimodal.withFakeMedia(
+      Seq((3L, "GIF89a pretend audio transcript")).toDF("doc_id", "text"),
+      "doc_id", "text")).collect().head
+    assert(!tricky.getBoolean(6), "declared audio/wav must never header-decode")
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("exchange"), s"decode must be map-only:\n$plan")
   }

@@ -57,6 +57,24 @@ class WriteLayoutSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("NULL partition values are written, not silently dropped") {
+    val out = Files.createTempDirectory("graft_layout_null").toString
+    val withNulls = Seq(("a", 1L), (null, 2L), (null, 3L), ("b", 4L))
+      .toDF("part", "v")
+    WriteLayout.writePartitioned(withNulls, out, Seq("part"), 1000L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4, "NULL-partition rows must round-trip")
+    assert(back.filter(col("part").isNull).count() == 2)
+    assert(back.select(sum("v")).first().getLong(0) == 10L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  test("layout stays defined when every column is a partition column") {
+    val df = Seq(("x", "y"), ("x", "z")).toDF("a", "b")
+    val planned = WriteLayout.planLayout(df, Seq("a", "b"), 10L)
+    assert(planned.count() == 2) // no AnalysisException from an empty hash
+  }
+
   test("single partition value below target writes exactly one file") {
     val out = Files.createTempDirectory("graft_layout_one").toString
     WriteLayout.writePartitioned(
