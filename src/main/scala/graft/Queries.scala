@@ -1921,6 +1921,106 @@ object Queries {
       |  TRUE AS layout_ok
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** #72 document chunking for training-sequence construction: fixed
+    * token-budget chunks with overlap (chunk 64, overlap 16, stride 48) —
+    * the standard context-window splitter feeding `q_seq_pack`'s packer.
+    * Pure map-side explode: chunk starts come from a per-row `sequence`,
+    * the chunk text from `slice` on the already-split token array — no
+    * shuffle, no window, no re-tokenization per chunk. A document shorter
+    * than the overlap still yields its one (partial) chunk; a tail
+    * adding no new tokens beyond the previous chunk's coverage is not
+    * emitted (starts stop before n − overlap). */
+  private def docChunk(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 64; val overlap = 16; val stride = chunk - overlap
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - overlap - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / lit(stride)).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunk))).as("chunk"),
+        least(lit(chunk), col("n") - col("start")).cast("long").as("n_tokens"))
+  }
+
+  private val docChunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS start
+      |  FROM t)
+      |SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_idx,
+      |  array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ') AS chunk,
+      |  CAST(least(64, n - start) AS BIGINT) AS n_tokens
+      |FROM c""".stripMargin
+
+  /** #73 winnowing fingerprints (the MOSS scheme: Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003): hash every k-token gram (k=3), slide a window
+    * of w=4 gram hashes, keep each window's MINIMUM — guaranteeing any
+    * shared run of ≥ w+k−1 tokens between two documents shares a
+    * fingerprint, with ~2/(w+1) of grams selected. Robust near-dup
+    * signal that, unlike MinHash, localizes WHERE the overlap is.
+    *
+    * Shapes: gram construction is a map-side explode off one `sequence`
+    * +`slice`; the only window partitions by doc_id over that document's
+    * grams (bounded by document length — never a global or corpus-wide
+    * window); the gram hash is the engine-portable fingerprint fold, so
+    * DuckDB replays selection bit-exact. Output digests per document
+    * (distinct-fingerprint count + min/max) keep the result row-bounded;
+    * the exploded (doc_id, fingerprint) set feeding a pair-join is the
+    * same frame pre-aggregation. */
+  private def winnow(s: SparkSession, dir: String): DataFrame = {
+    val k = 3; val w = 4
+    val grams = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .withColumn("ng", size(col("toks")) - (k - 1))
+      .filter(col("ng") >= w)
+      .select(col("doc_id"), col("ng"),
+        posexplode(expr(
+          s"transform(sequence(1, ng), i -> concat_ws(' ', slice(toks, i, $k)))"))
+          .as(Seq("g0", "gram")))
+      .select(col("doc_id"), col("ng"), (col("g0") + 1).as("gpos"),
+        TextAnalysis.fingerprint(col("gram")).as("gh"))
+    val win = Window.partitionBy("doc_id").orderBy("gpos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("sel", min(col("gh")).over(win))
+      .filter(col("gpos") <= col("ng") - (w - 1))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sel")).as("n_fp"),
+        min(col("sel")).as("fp_min"), max(col("sel")).as("fp_max"))
+  }
+
+  private val winnowSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, toks, len(toks) - 2 AS ng FROM t
+      |  WHERE len(toks) - 2 >= 4),
+      |g AS (
+      |  SELECT doc_id, ng, CAST(i AS BIGINT) AS gpos,
+      |    array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+      |  FROM d, unnest(range(1, CAST(ng + 1 AS BIGINT))) AS u(i)),
+      |h AS (
+      |  SELECT doc_id, ng, gpos,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split_regex(gram, ''),
+      |                     c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS gh
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id, ng, gpos,
+      |    min(gh) OVER (PARTITION BY doc_id ORDER BY gpos
+      |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM h)
+      |SELECT doc_id, CAST(count(DISTINCT sel) AS BIGINT) AS n_fp,
+      |  min(sel) AS fp_min, max(sel) AS fp_max
+      |FROM w WHERE gpos <= ng - 3
+      |GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -1997,5 +2097,7 @@ object Queries {
     Q("q_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql), bench = false),
     Q("q_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Q("q_write_layout", writeLayout, Some(writeLayoutSql), bench = false),
+    Q("q_doc_chunk", docChunk, Some(docChunkSql)),
+    Q("q_winnow", winnow, Some(winnowSql)),
   )
 }
