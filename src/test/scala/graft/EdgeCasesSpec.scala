@@ -48,6 +48,29 @@ class EdgeCasesSpec extends GraftSuite {
     assert(out.toSeq == Seq((10L, 1), (11L, 2)))
   }
 
+  test("doc_chunk and winnow handle degenerate documents") {
+    // the sf fixtures have no doc shorter than winnow's k+w-1 minimum, so
+    // pin the boundary semantics on a tiny synthetic table
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_edge").toString
+    Seq((1L, "", "en", "s", 0L), (2L, "one two", "en", "s", 7L),
+        (3L, Seq.fill(70)("tok").mkString(" "), "en", "s", 280L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = SparkEntry.queries("q_doc_chunk")(spark, dir)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // empty + short docs yield their one (partial) chunk; the 70-token
+    // doc splits at stride 48 with the 16-token overlap
+    assert(chunks.toSeq == Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 64L), (3L, 1L, 22L)))
+    val fps = SparkEntry.queries("q_winnow")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs below k+w-1 = 6 tokens emit nothing; the all-identical-gram
+    // doc collapses to exactly one fingerprint
+    assert(fps.map(_._1).toSeq == Seq(3L))
+    assert(fps.head._2 == 1L && fps.head._3 == fps.head._4)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("as-of join with an empty right side null-fills every left row") {
     val left = Seq((1L, 7L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("event_id", "user_id", "ts")
