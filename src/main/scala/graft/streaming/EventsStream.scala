@@ -44,6 +44,44 @@ object EventsStream {
       .select(col("user_id"), col("event_type"),
         col("__f.event_id").as("first_event_id"), col("__f.ts").as("first_ts"))
 
+  /** Micro-batch maintenance of an ALGEBRAIC aggregate state — the
+    * streaming form of the incremental family (IncrementalAgg count/sum
+    * states, QuantileSketch histograms): each micro-batch reduces to its
+    * partial state and merges into the running state inside
+    * `foreachBatch`, so a 100-TB aggregate stays current without ever
+    * rescanning history. The running state is `localCheckpoint`ed per
+    * batch — lineage stays O(1) across an unbounded stream instead of
+    * growing one merge layer per micro-batch (the same discipline as
+    * ConnectedComponents' iteration). Pair with a durable sink for the
+    * state (e.g. WriteLayout per merge epoch) for restart recovery;
+    * exactly-once then comes from the sink's idempotent overwrite keyed
+    * by `batchId`.
+    *
+    * @param stateOf     reduce one batch to its partial state
+    * @param mergeStates fold a new partial into the running state —
+    *                    MUST be the matching algebraic merge
+    */
+  final class StateMaintainer(stateOf: DataFrame => DataFrame,
+                              mergeStates: (DataFrame, DataFrame) => DataFrame)
+      extends Serializable {
+    private val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+    /** The current merged state (None before the first batch). */
+    def current: Option[DataFrame] = Option(ref.get)
+
+    /** Fold one (micro-)batch into the running state. */
+    def absorb(batch: DataFrame): Unit = {
+      val part = stateOf(batch)
+      val merged = current.map(mergeStates(_, part)).getOrElse(part)
+      ref.set(merged.localCheckpoint(true))
+    }
+
+    /** Attach to a stream: every micro-batch is absorbed as it arrives. */
+    def attach(stream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream.outputMode("append")
+        .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) => absorb(b.toDF()))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long)
   case class SessionState(sessionCount: Int, lastTs: Long)
   case class SessionAssignment(event_id: Long, user_id: Long, session_id: Int)

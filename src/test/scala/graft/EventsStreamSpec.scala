@@ -43,6 +43,44 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("StateMaintainer folds micro-batches into the incremental-agg state") {
+    import graft.operators.{IncrementalAgg, QuantileSketch}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val m = new EventsStream.StateMaintainer(
+      IncrementalAgg.state(_, "user_id", "value"),
+      IncrementalAgg.merge("user_id", _, _))
+    val q = m.attach(input.toDF().toDF("user_id", "value")).start()
+    try {
+      // three micro-batches, overlapping keys
+      input.addData((1L, 10.0), (2L, 5.0)); q.processAllAvailable()
+      input.addData((1L, 2.5)); q.processAllAvailable()
+      input.addData((3L, 1.0), (1L, 0.5)); q.processAllAvailable()
+      val got = m.current.get.orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+      // merged state ≡ the state over the concatenation of every batch
+      assert(got.toSeq == Seq((1L, 3L, 13.0), (2L, 1L, 5.0), (3L, 1L, 1.0)))
+    } finally q.stop()
+    // the same maintainer shape drives the quantile sketch — merged
+    // stream state equals the batch state over all rows
+    val input2 = MemoryStream[(Long, Double)]
+    val qs = new EventsStream.StateMaintainer(
+      QuantileSketch.state(_, "user_id", "value"),
+      QuantileSketch.merge("user_id", _, _))
+    val q2 = qs.attach(input2.toDF().toDF("user_id", "value")).start()
+    try {
+      input2.addData((1L, 1.0), (1L, 100.0)); q2.processAllAvailable()
+      input2.addData((1L, 100.5), (2L, 7.0)); q2.processAllAvailable()
+      import spark.implicits._
+      val whole = QuantileSketch.state(
+        Seq((1L, 1.0), (1L, 100.0), (1L, 100.5), (2L, 7.0)).toDF("user_id", "value"),
+        "user_id", "value")
+      val a = qs.current.get.orderBy("user_id", "bucket").collect().map(_.toString)
+      val b = whole.orderBy("user_id", "bucket").collect().map(_.toString)
+      assert(a.toSeq == b.toSeq)
+    } finally q2.stop()
+  }
+
   test("firstTouch batch form keeps the earliest event per (user, type)") {
     val events = Seq(
       (5L, ts("2024-01-01 10:30:00"), 7L, "click", 1.0, "{}"),
