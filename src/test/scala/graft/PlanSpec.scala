@@ -103,4 +103,32 @@ class PlanSpec extends GraftSuite {
     // id from a projection, so no min_by aggregation appears anywhere
     assert(!plan.contains("min_by"), s"assignment regressed to join+agg:\n$plan")
   }
+
+  test("q_doc_chunk is a map-only explode (no shuffle, no window, no join)") {
+    val plan = q("q_doc_chunk").queryExecution.executedPlan.toString
+    // the one allowed exchange is the small-fixture parallelize()
+    // round-robin; anything keyed means chunking stopped being map-side
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"chunking must not shuffle on a key:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"chunking must be a pure explode:\n$plan")
+  }
+
+  test("q_winnow shuffles once on doc_id; the groupBy reuses the window's partitioning") {
+    val plan = q("q_winnow").queryExecution.executedPlan.toString
+    val keyed = "hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(keyed == 1,
+      s"expected exactly one doc_id exchange (window), groupBy must reuse it:\n$plan")
+    assert(plan.contains("Window"), s"winnowing needs its per-doc window:\n$plan")
+  }
+
+  test("q_quantile_sketch state aggregation is partial (map-side combinable)") {
+    val plan = q("q_quantile_sketch").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"sketch state build must combine map-side:\n$plan")
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"sketch must not fall back to the buffering percentile aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"the 5-row sketch estimate must broadcast into the exact join:\n$plan")
+  }
 }
