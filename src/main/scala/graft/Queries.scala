@@ -2021,6 +2021,38 @@ object Queries {
       |FROM w WHERE gpos <= ng - 3
       |GROUP BY 1""".stripMargin
 
+  /** #74 product-quantization ANN (the memory-bounded scale path beyond
+    * LSH/IVF): 64-dim vectors compress to 8 one-byte codes (~32×), ADC
+    * search scans reconstructions from a broadcast codebook. Training
+    * is the deterministic fixed-point Lloyd per subspace; encode is
+    * map-only (plan-audited in PqIndexSpec). Oracle shape follows the
+    * sketch pattern (q_approx_distinct): the rows are the exact
+    * brute-force queries with `recall_ok` pinned TRUE — PQ's top-50
+    * candidates must recall ≥ 20% of each query's exact top-10, a floor
+    * a broken quantizer (random codes ≈ 1-6% recall) cannot meet while
+    * healthy PQ clears it several-fold even on this isotropic
+    * worst-case corpus. Tighter mean-recall bounds live in PqIndexSpec. */
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val cbs = PqIndex.trainReplicable(e, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, sampleMod = 2)
+    val pq = PqIndex.adcTopK(queries, e, k = 50, cbs)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+    Similarity.bruteForceTopK(queries, e, k = 10, roundTo = Some(6))
+      .join(pq, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__hits"))
+      .select(col("q_id"), col("k"),
+        (col("__hits") >= lit(2L)).as("recall_ok"))
+  }
+
+  private val annPqSql =
+    """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 8""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2099,5 +2131,6 @@ object Queries {
     Q("q_write_layout", writeLayout, Some(writeLayoutSql), bench = false),
     Q("q_doc_chunk", docChunk, Some(docChunkSql)),
     Q("q_winnow", winnow, Some(winnowSql)),
+    Q("q_ann_pq", annPq, Some(annPqSql)),
   )
 }
