@@ -1758,12 +1758,14 @@ object Queries {
       |  round(ln(t) - s / (1e6 * t), 6) AS entropy
       |FROM a""".stripMargin
 
-  /** Unique in-memory Derby database per invocation — re-running the
-    * query in one session must not collide with a live reader of the
-    * previous round-trip (the returned DataFrame reads lazily). The
-    * PREVIOUS invocation's database is dropped when a new one is built
-    * (its reader is done by then), so a long-lived session holds at most
-    * one copy in heap instead of growing monotonically. */
+  /** Unique in-memory Derby database per invocation, with the PREVIOUS
+    * invocation's database dropped when a new one is built — a
+    * long-lived session holds at most one copy in heap instead of
+    * growing monotonically. Lifecycle contract (same as the write-layout
+    * scratch dir): at most ONE live result per query key — consume the
+    * returned DataFrame before re-invoking the query; re-invocation
+    * retires the prior invocation's backing storage. The sequential
+    * Verify/Bench drivers satisfy this by construction. */
   private val derbySeq = new java.util.concurrent.atomic.AtomicLong()
   private val lastDerbyUrl = new java.util.concurrent.atomic.AtomicReference[String]()
   private val lastLayoutDir = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
@@ -1891,8 +1893,9 @@ object Queries {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_layout_${s.sparkContext.applicationId}_${derbySeq.incrementAndGet()}")
-    // drop the PREVIOUS invocation's copy (its reader is done by then):
-    // disk usage stays one table copy however often the query re-runs
+    // drop the PREVIOUS invocation's copy — one-live-result lifecycle
+    // contract (see the Derby note above): disk stays one table copy
+    // however often the query re-runs
     Option(lastLayoutDir.getAndSet(out)).foreach(rm)
     if (scratchHooked.add("graft_layout_hook")) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -223,7 +223,10 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val mt = r.getString(2)
           val (sw, sh, ck) = decodeStub(bytes)
-          val header = if (mt != null && mt.startsWith("image/")) decodeHeader(bytes) else None
+          // MIME types compare case-insensitively (RFC 2045)
+          val header =
+            if (mt != null && mt.regionMatches(true, 0, "image/", 0, 6)) decodeHeader(bytes)
+            else None
           header match {
             case Some((w, h)) => Row(id, mt, bytes.length, w, h, ck, true)
             case None => Row(id, mt, bytes.length, sw, sh, ck, false)

@@ -31,14 +31,22 @@ object PqIndex {
   def trainReplicable(corpus: DataFrame, idCol: String, vecCol: String,
                       m: Int, ksub: Int, iters: Int = 2,
                       sampleMod: Int = 2): Array[Array[Array[Double]]] = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val head = corpus.select(size(col(vecCol))).limit(1).collect()
+    require(head.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = head.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    (0 until m).toArray.map { j =>
+    val cbs = (0 until m).toArray.map { j =>
       val sub = corpus.select(col(idCol),
         slice(col(vecCol), j * dsub + 1, dsub).as("__sub"))
       IvfIndex.trainReplicable(sub, idCol, "__sub", ksub, iters, sampleMod)
     }
+    // a sample smaller than ksub silently yields a truncated codebook —
+    // stored codes would then mean different cells than callers assume
+    require(cbs.forall(_.length == ksub),
+      s"training sample too small for $ksub centroids " +
+        s"(got ${cbs.map(_.length).min}; lower sampleMod or ksub)")
+    cbs
   }
 
   /** Encode vectors to (id, codes array<int>): per subspace, the index

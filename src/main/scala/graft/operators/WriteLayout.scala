@@ -51,10 +51,14 @@ object WriteLayout {
       // slot salt: input-position hash (split id + in-split offset), not a
       // data hash — duplicate-heavy data would hash identical rows into
       // one slot and re-create the single-writer funnel, and it stays
-      // defined when every column is a partition column. Stable for a
-      // given input layout (re-planning the same frame yields the same
-      // slots); across runs it is as stable as the input's split layout,
-      // the same contract as Spark's own round-robin repartition.
+      // defined when every column is a partition column. The local sort
+      // first makes the position assignment RETRY-SAFE: a recomputed map
+      // task re-derives the same order (and therefore the same slots)
+      // even when upstream lineage contains a shuffle whose iteration
+      // order differs across attempts — the exact bug class Spark fixed
+      // in its own round-robin repartition (SPARK-23207), solved the
+      // same way, at the same local-sort price.
+      .sortWithinPartitions(df.columns.map(col): _*)
       .withColumn("__slot",
         pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
           col("__files")))

@@ -69,8 +69,11 @@ object EventsStream {
     /** The current merged state (None before the first batch). */
     def current: Option[DataFrame] = Option(ref.get)
 
-    /** Fold one (micro-)batch into the running state. */
-    def absorb(batch: DataFrame): Unit = {
+    /** Fold one (micro-)batch into the running state. Synchronized: two
+      * streams attached to one maintainer deliver batches on separate
+      * query threads, and an unsynchronized read-merge-set would drop
+      * one batch's contribution (lost update). */
+    def absorb(batch: DataFrame): Unit = synchronized {
       val part = stateOf(batch)
       val merged = current.map(mergeStates(_, part)).getOrElse(part)
       ref.set(merged.localCheckpoint(true))

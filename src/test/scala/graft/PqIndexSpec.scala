@@ -31,7 +31,7 @@ class PqIndexSpec extends GraftSuite {
       s"encode must be map-only:\n$plan")
     val codes = enc.select(explode(col("codes"))).as[Int].collect()
     assert(codes.nonEmpty && codes.forall(c => c >= 0 && c < 16))
-    // 4-code arrays for every vector
+    // one code per subspace (m = 8) for every vector
     assert(enc.filter(size(col("codes")) =!= 8).count() == 0)
   }
 
