@@ -2065,6 +2065,259 @@ object Queries {
     """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 8""".stripMargin
 
+  /** #75 one-pass Pearson correlation matrix over lineitem's numeric
+    * measures — the feature-covariance profile step of a dataset audit.
+    * ALL first and second moments accumulate in ONE aggregate job as
+    * EXACT decimal sums (map-side combinable, order-independent); the
+    * non-associative double arithmetic happens only in the final
+    * per-pair formula, evaluated once off the exact sums with the same
+    * expression structure the oracle uses, so results are bit-stable
+    * under any partitioning. The 3 output rows explode from the single
+    * moment row — the scan runs once, not once per pair. */
+  private def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val dec = (c: String) => col(c).cast("decimal(18,2)").as(c)
+    val li = t(s, dir, "lineitem").select(cols.map(dec): _*)
+    val moments = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(c)).as(s"s__$c")) ++
+      (for { i <- cols.indices; j <- i until cols.size } yield
+        sum(col(cols(i)) * col(cols(j))).as(s"s__${cols(i)}__${cols(j)}"))
+    val m = li.agg(moments.head, moments.tail: _*)
+    val nD = col("n").cast("double")
+    def sD(name: String) = col(name).cast("double")
+    def variance(c: String) =
+      nD * sD(s"s__${c}__$c") - sD(s"s__$c") * sD(s"s__$c")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    m.select(col("n").cast("long").as("n"),
+        explode(array(pairs.map { case (x, y) =>
+          struct(lit(x).as("col_x"), lit(y).as("col_y"),
+            round((nD * sD(s"s__${x}__$y") - sD(s"s__$x") * sD(s"s__$y")) /
+              sqrt(variance(x) * variance(y)), 6).as("corr"))
+        }: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("n"), col("p.corr").as("corr"))
+  }
+
+  private val corrMatrixSql =
+    """WITH d AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+      |         CAST(l_discount AS DECIMAL(18,2)) AS dc
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    sum(q) AS sq, sum(p) AS sp, sum(dc) AS sd,
+      |    sum(q*q) AS sqq, sum(q*p) AS sqp, sum(q*dc) AS sqd,
+      |    sum(p*p) AS spp, sum(p*dc) AS spd, sum(dc*dc) AS sdd
+      |  FROM d)
+      |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+      |  CAST(n AS BIGINT) AS n,
+      |  round((CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)) *
+      |         (CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))), 6) AS corr
+      |FROM m
+      |UNION ALL
+      |SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+      |  round((CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)) *
+      |         (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))), 6)
+      |FROM m
+      |UNION ALL
+      |SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+      |  round((CAST(n AS DOUBLE)*CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sd AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)) *
+      |         (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))), 6)
+      |FROM m""".stripMargin
+
+  /** #76 vocabulary encoding — the tokenize-to-ids step of a training
+    * pipeline: build a top-V document-frequency vocabulary (V=512,
+    * deterministic total order df DESC, token ASC), then map every
+    * token of every document to its id (OOV → 0), preserving token
+    * order. The vocabulary is BOUNDED (V rows) and broadcast — the
+    * encode pass is a map-side hash join however large the corpus; the
+    * only corpus-sized shuffles are the df aggregation and the per-doc
+    * regroup. Per-doc state is one document's tokens (collect_list is
+    * doc-length-bounded, never corpus-bounded). */
+  private def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val V = 512
+    val toks = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("pos", "token")))
+    // df over distinct (doc, token); (df DESC, token ASC) is a total
+    // order (token unique), so limit + row_number are deterministic.
+    // The window is over the ≤V post-limit rows — bounded, not corpus.
+    val vocab = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token")).limit(V)
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("df"), asc("token"))))
+      .select("token", "id")
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            p => p.getField("id").cast("string"))).as("ids"))
+  }
+
+  private val vocabEncodeSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token,
+      |    generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+      |  FROM documents),
+      |df AS (
+      |  SELECT token, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+      |vocab AS (
+      |  SELECT token,
+      |    CAST(row_number() OVER (ORDER BY df DESC, token) AS INT) AS id
+      |  FROM df ORDER BY df DESC, token LIMIT 512),
+      |enc AS (
+      |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+      |  FROM tok t LEFT JOIN vocab v USING (token))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+      |FROM enc GROUP BY 1""".stripMargin
+
+  /** #77 BM25 relevance scoring (Robertson/Spärck Jones; k1=1.2,
+    * b=0.75) of the corpus against a fixed query-term set — the
+    * retrieval scorer that pairs with `q_inverted_index` and
+    * `q_tfidf`. tf/df/dl are exact counts; N and avgdl ride one
+    * broadcast scalar row; per-(doc,term) scores are single
+    * deterministic double expressions off those exact ints, and the
+    * cross-TERM sum runs in FIXED POINT (Σ ⌊score·1e9⌋ as long — the
+    * `q_token_entropy` pattern, and long sums are associative, so the
+    * column-wise row sum here is bit-identical to the oracle's
+    * term-row sum). Plan shape: ONE doc_id-keyed corpus aggregate
+    * carries dl and every per-term tf as columns (no (doc,term)
+    * shuffle, no corpus join); N/Σdl/df ride one broadcast scalar row
+    * whose subtree re-derives that aggregate — the standard global-
+    * normalization second pass (as in q_tfidf); persist the per-doc
+    * frame to trade memory for the rescan at very large corpora. */
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "merge", "vector")
+    val k1 = 1.2; val b = 0.75
+    val toks = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    // ONE corpus shuffle: per-doc length AND per-term tf in the same
+    // map-side-combinable aggregate (the term set is a fixed column
+    // list, so tf needs no (doc, term)-keyed second shuffle)
+    val perDocAggs = Seq(count(lit(1)).as("dl")) ++
+      terms.map(t => sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy("doc_id").agg(perDocAggs.head, perDocAggs.tail: _*)
+    // N, Σdl and every per-term df ride ONE broadcast scalar row
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    // per-term fixed-point score — summed across COLUMNS of one row, and
+    // longs are associative, so this is bit-identical to the oracle's
+    // per-term-row sum
+    val scoreFx = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val dfT = col(s"df_$t").cast("double")
+      val idf = log(lit(1.0) + (nD - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val denom = tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)
+      when(col(s"tf_$t") > 0,
+        floor(idf * (tf * lit(k1 + 1.0)) / denom * 1e9).cast("long"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val nTerms = terms.map(t =>
+      when(col(s"tf_$t") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("n_terms", nTerms)
+      .filter(col("n_terms") >= 1)
+      .select(col("doc_id"), col("n_terms"),
+        round(scoreFx / lit(1e9), 6).as("bm25"))
+  }
+
+  private val bm25Sql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM tok
+      |  WHERE token IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+      |              (CAST(df.df AS DOUBLE) + 0.5)) *
+      |    (CAST(tf.tf AS DOUBLE) * 2.2) /
+      |    (CAST(tf.tf AS DOUBLE) +
+      |      1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+      |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS score
+      |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  round(sum(CAST(floor(score * 1e9) AS BIGINT)) / 1e9, 6) AS bm25
+      |FROM scored GROUP BY 1""".stripMargin
+
+  private val lastBucketRoot =
+    new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+
+  /** #78 co-located bucketed join: both fact tables land bucketed on
+    * the join key (8 buckets, sorted), so the join runs with ZERO
+    * shuffle exchange — the write-once/join-many contract for repeated
+    * large-table joins at 100 TB (SURVEY §5; plan-audited both here —
+    * the `require` fails the query if an Exchange appears — and in
+    * BucketedJoinSpec). `hint("merge")` pins sort-merge so the plan
+    * shape is bucket-driven, not stats-driven. bench=false: the query
+    * measures fixture (re)writes, not the engine. */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val nb = 8
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val ordersTbl = s"graft_b_orders_$app"
+    val lineitemTbl = s"graft_b_lineitem_$app"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_buckets_$app")
+    Option(lastBucketRoot.getAndSet(root)).filter(_ != root).foreach(rm)
+    if (scratchHooked.add("graft_buckets_hook")) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        Option(lastBucketRoot.get()).foreach(rm)
+      }))
+    }
+    def writeBucketed(name: String, tbl: String, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      t(s, dir, name).write.mode("overwrite")
+        .format("parquet")
+        .option("path", new java.io.File(root, tbl).getAbsolutePath)
+        .bucketBy(nb, key).sortBy(key)
+        .saveAsTable(tbl)
+    }
+    writeBucketed("orders", ordersTbl, "o_orderkey")
+    writeBucketed("lineitem", lineitemTbl, "l_orderkey")
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    val joined = s.table(lineitemTbl).hint("merge")
+      .join(s.table(ordersTbl), col("l_orderkey") === col("o_orderkey"))
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    require(!joinPlan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$joinPlan")
+    joined
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o.o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2144,5 +2397,9 @@ object Queries {
     Q("q_doc_chunk", docChunk, Some(docChunkSql)),
     Q("q_winnow", winnow, Some(winnowSql)),
     Q("q_ann_pq", annPq, Some(annPqSql)),
+    Q("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
+    Q("q_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
+    Q("q_bm25", bm25, Some(bm25Sql)),
+    Q("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql), bench = false),
   )
 }

@@ -42,4 +42,13 @@ class BucketedJoinSpec extends GraftSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("q_bucketed_join registry query passes its own no-shuffle guard") {
+    // the query `require`s a shuffle-free join plan internally — reaching
+    // collect() proves the co-location contract held
+    val rows = SparkEntry.queries("q_bucketed_join")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 5, "one row per order priority")
+    assert(rows.forall(_.getDouble(2) > 0.0))
+  }
 }
