@@ -90,9 +90,21 @@ object Bench {
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val psiEnd = psiCpuAvg300()
-    // in-JSON health flag: elevated host CPU pressure distorts timings
-    val noisy = psiStart > 0.3 || psiEnd > 0.3
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_reps":$rs,"err":$es,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"psi_noisy":$noisy}""")
+    // In-JSON health flag. END pressure is NOT a usable signal: the
+    // bench's own local[N] load legally saturates the host, so avg300
+    // at exit reads 0.3+ on a perfectly quiet machine (it measured
+    // ourselves). External mid-run contention shows instead as REP
+    // INVERSION: rep 2 runs against a warmed JVM and should not be
+    // slower than rep 1 — a later rep that is >1.5× slower (and by
+    // >0.5s absolute, to ignore sub-second jitter) means something else
+    // was stealing CPU while it ran. Flag noisy when start pressure was
+    // high despite the gate, or >10% of queries inverted.
+    val inverted = raws.count { case (_, r) =>
+      r.length >= 2 && r.last > r.head * 1.5 && r.last - r.head > 0.5
+    }
+    val noisy = psiStart > 0.3 ||
+      (raws.nonEmpty && inverted.toDouble / raws.size > 0.1)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_reps":$rs,"err":$es,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}""")
     spark.stop()
   }
 }
