@@ -2318,6 +2318,180 @@ object Queries {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** #79 snapshot reconciliation (table diff): added / removed /
+    * changed rows between a base table and its next version — the
+    * post-load validation a feeder needs (did the batch apply exactly?).
+    * The "new" snapshot derives deterministically from base (keyed
+    * price bumps, keyed deletes, keyed inserts at a shifted key range)
+    * so both engines reconstruct it bit-identically. Shape: ONE
+    * co-partitioned full-outer join on the key — no row hashing pass,
+    * no broadcast of either snapshot (both sides are table-sized at
+    * 100 TB); values compare as exact DECIMAL. */
+  private def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderstatus").as("status"))
+    val bumped = base.withColumn("price",
+      when(col("k") % 13 === 0, col("price") + lit(10).cast("decimal(18,2)"))
+        .otherwise(col("price")))
+    val newSnap = bumped.filter(col("k") % 97 =!= 0)
+      .unionByName(base.filter(col("k") % 101 === 0)
+        .withColumn("k", col("k") + lit(100000000L)))
+    base.as("b").join(newSnap.as("n"), col("b.k") === col("n.k"), "full_outer")
+      .select(coalesce(col("b.k"), col("n.k")).as("o_orderkey"),
+        when(col("b.k").isNull, "added")
+          .when(col("n.k").isNull, "removed")
+          .when(col("b.price") =!= col("n.price") ||
+            col("b.status") =!= col("n.status"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        col("b.price").cast("double").as("old_price"),
+        col("n.price").cast("double").as("new_price"))
+      .filter(col("change_type") =!= "unchanged")
+  }
+
+  private val tableDiffSql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    o_orderstatus AS status
+      |  FROM orders),
+      |bumped AS (
+      |  SELECT k,
+      |    CASE WHEN k % 13 = 0 THEN price + CAST(10 AS DECIMAL(18,2)) ELSE price END AS price,
+      |    status
+      |  FROM base),
+      |news AS (
+      |  SELECT * FROM bumped WHERE k % 97 <> 0
+      |  UNION ALL
+      |  SELECT k + 100000000, price, status FROM base WHERE k % 101 = 0),
+      |d AS (
+      |  SELECT coalesce(b.k, n.k) AS o_orderkey,
+      |    CASE WHEN b.k IS NULL THEN 'added'
+      |         WHEN n.k IS NULL THEN 'removed'
+      |         WHEN b.price <> n.price OR b.status <> n.status THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type,
+      |    CAST(b.price AS DOUBLE) AS old_price,
+      |    CAST(n.price AS DOUBLE) AS new_price
+      |  FROM base b FULL OUTER JOIN news n ON b.k = n.k)
+      |SELECT * FROM d WHERE change_type <> 'unchanged'""".stripMargin
+
+  /** #80 token co-occurrence PMI over the top-V vocabulary — the
+    * corpus-statistics pass behind embedding/collocation training.
+    * Candidate pairs come from a SELF-join per document restricted to
+    * the BROADCAST 64-token vocabulary, so per-doc fan-out is bounded
+    * by V(V−1)/2 whatever the document length, and the join is
+    * co-partitioned on doc_id (one corpus shuffle — never all-pairs
+    * across docs). c_x/c_y are exact dfs carried on the vocab rows;
+    * PMI = ln(c_xy·N/(c_x·c_y)) is one deterministic double
+    * expression off exact longs. Top-100 by (c_xy DESC, pair) is a
+    * total order → deterministic cut, TakeOrderedAndProject (k-row
+    * driver merge). */
+  private def cooccurPmi(s: SparkSession, dir: String): DataFrame = {
+    val V = 64; val topK = 100
+    val docs = parallelize(s, t(s, dir, "documents"))
+    val docToks = docs.select(col("doc_id"), explode(array_distinct(
+      TextAnalysis.tokens(lower(col("text"))))).as("token"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val vocab = docToks.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token")).limit(V)
+    val vToks = docToks.join(broadcast(vocab), Seq("token"))
+    val pairs = vToks.as("a")
+      .join(vToks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .select(col("a.token").as("tok_x"), col("b.token").as("tok_y"),
+        col("a.df").as("dfx"), col("b.df").as("dfy"))
+      .groupBy("tok_x", "tok_y")
+      .agg(count(lit(1)).as("c_xy"),
+        max(col("dfx")).as("c_x"), max(col("dfy")).as("c_y"))
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("tok_x"), col("tok_y"), col("c_xy"),
+        round(log(col("c_xy").cast("double") * col("n_docs").cast("double") /
+          (col("c_x").cast("double") * col("c_y").cast("double"))), 6).as("pmi"))
+      .orderBy(desc("c_xy"), asc("tok_x"), asc("tok_y")).limit(topK)
+  }
+
+  private val cooccurPmiSql =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |df AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+      |vocab AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 64),
+      |vt AS (SELECT dt.doc_id, dt.token, v.df FROM dt JOIN vocab v USING (token)),
+      |p AS (
+      |  SELECT a.token AS tok_x, b.token AS tok_y, count(*) AS c_xy,
+      |    max(a.df) AS c_x, max(b.df) AS c_y
+      |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY 1, 2)
+      |SELECT tok_x, tok_y, CAST(c_xy AS BIGINT) AS c_xy,
+      |  round(ln(CAST(c_xy AS DOUBLE) * CAST((SELECT n_docs FROM n) AS DOUBLE) /
+      |    (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6) AS pmi
+      |FROM p ORDER BY c_xy DESC, tok_x, tok_y LIMIT 100""".stripMargin
+
+  /** #81 per-label embedding centroid + dispersion — the cluster-
+    * profile pass of an embedding-space audit. Centroid coordinates
+    * accumulate in FIXED POINT (Σ ⌊v·1e7⌋ as long per (label, dim) —
+    * exact under any partial-aggregation order); the per-vector
+    * squared distance is an ORDERED dimension fold (zip_with +
+    * aggregate, dims 1..64 — the same left fold DuckDB's list_reduce
+    * runs), and the cross-VECTOR average again sums fixed-point longs.
+    * The dimension explode is map-side combinable; centroids (labels ×
+    * dims) broadcast back — no corpus-sized join side. */
+  private def embedCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(floor(col("v").cast("double") * lit(1e7)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c",
+        col("s").cast("double") / (col("n").cast("double") * lit(1e7)))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("dist2",
+        aggregate(
+          zip_with(col("embedding"), col("cent"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("dist2") * lit(1e9)).cast("long")).as("__s"),
+        max(col("dist2")).as("__m"))
+      .select(col("label"), col("n_vecs"),
+        round(col("__s").cast("double") / (lit(1e9) * col("n_vecs").cast("double")), 6)
+          .as("avg_dist2"),
+        round(col("__m"), 6).as("max_dist2"))
+  }
+
+  private val embedCentroidSql =
+    """WITH dims AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |    unnest(embedding) AS v
+      |  FROM embeddings),
+      |cs AS (
+      |  SELECT label, dim,
+      |    sum(CAST(floor(CAST(v AS DOUBLE) * 1e7) AS BIGINT)) AS s,
+      |    count(*) AS n
+      |  FROM dims GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT label,
+      |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7) ORDER BY dim) AS c
+      |  FROM cs GROUP BY 1),
+      |d AS (
+      |  SELECT e.label,
+      |    list_reduce(list_transform(list_zip(e.embedding, c.c),
+      |      x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])),
+      |      (a, b) -> a + b) AS dist2
+      |  FROM embeddings e JOIN cent c USING (label))
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(CAST(sum(CAST(floor(dist2 * 1e9) AS BIGINT)) AS DOUBLE) /
+      |    (1e9 * CAST(count(*) AS DOUBLE)), 6) AS avg_dist2,
+      |  round(max(dist2), 6) AS max_dist2
+      |FROM d GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2401,5 +2575,8 @@ object Queries {
     Q("q_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),
     Q("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql), bench = false),
+    Q("q_table_diff", tableDiff, Some(tableDiffSql)),
+    Q("q_cooccur_pmi", cooccurPmi, Some(cooccurPmiSql)),
+    Q("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
   )
 }
