@@ -2492,6 +2492,84 @@ object Queries {
       |  round(max(dist2), 6) AS max_dist2
       |FROM d GROUP BY 1""".stripMargin
 
+  /** #82 z-score anomaly detection per event type — the monitoring
+    * primitive over a metric stream. Group moments accumulate as EXACT
+    * DECIMAL sums (one map-side-combinable aggregate over the stats
+    * pass); the per-row z uses the sample std-dev in one deterministic
+    * double expression off those sums, broadcast back — the detection
+    * pass is map-only at any scale (same two-pass shape as q_bm25's
+    * global normalization). */
+  private def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+    val nD = col("n").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        (col("v").cast("double") - s1 / nD) /
+          sqrt((nD * s2 - s1 * s1) / (nD * (nD - lit(1.0)))))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"), round(col("z"), 6).as("z"))
+  }
+
+  private val anomalyZscoreSql =
+    """WITH d AS (
+      |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v*v) AS s2
+      |  FROM d GROUP BY 1),
+      |z AS (
+      |  SELECT d.event_id, d.event_type, CAST(d.v AS DOUBLE) AS value,
+      |    (CAST(d.v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |      sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+      |            CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+      |           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS z
+      |  FROM d JOIN s USING (event_type))
+      |SELECT event_id, event_type, value, round(z, 6) AS z
+      |FROM z WHERE abs(z) > 3.0""".stripMargin
+
+  /** #83 interval (stream-stream) join, batch form: views attributed to
+    * the purchase they precede within 30 minutes, per user — the
+    * attribution join every event pipeline runs. The join is an
+    * EQUI-join on user_id with the time band as a residual predicate
+    * (co-partitioned shuffle, per-user fan-out only — never a range
+    * explosion across users), in exact epoch-micros long arithmetic.
+    * Streaming form: EventsStream.viewsBeforePurchase — the same join
+    * with watermarks bounding both sides' state (EventsStreamSpec). */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("__t", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("__t").as("pt"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("__t").as("vt"), col("event_id").as("view_id"))
+    purchases.join(views,
+        purchases("user_id") === views("user_id") &&
+          col("vt") >= col("pt") - lit(1800000000L) && col("vt") < col("pt"),
+        "left_outer")
+      .groupBy(col("purchase_id"), purchases("user_id").as("user_id"))
+      .agg(count(col("view_id")).as("n_views"))
+  }
+
+  private val streamJoinSql =
+    """WITH b AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, t AS pt FROM b
+      |      WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, t AS vt, event_id AS view_id FROM b
+      |      WHERE event_type = 'view')
+      |SELECT purchase_id, p.user_id AS user_id,
+      |  CAST(count(view_id) AS BIGINT) AS n_views
+      |FROM p LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.vt >= p.pt - 1800000000 AND v.vt < p.pt
+      |GROUP BY 1, 2""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2578,5 +2656,7 @@ object Queries {
     Q("q_table_diff", tableDiff, Some(tableDiffSql)),
     Q("q_cooccur_pmi", cooccurPmi, Some(cooccurPmiSql)),
     Q("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
+    Q("q_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
+    Q("q_stream_join", streamJoin, Some(streamJoinSql)),
   )
 }

@@ -85,6 +85,24 @@ object EventsStream {
         .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) => absorb(b.toDF()))
   }
 
+  /** Stream-stream interval join: views attributed to the purchase they
+    * precede within 30 minutes, per user. Written against plain
+    * DataFrames — batch mode (oracle-checked as the join inside
+    * `q_stream_join`) and streaming mode run the SAME plan; in
+    * streaming, the caller's `withWatermark` on BOTH inputs plus this
+    * time band lets Spark expire join state (views older than the
+    * band, purchases past the watermark) instead of buffering the
+    * streams forever. Inner form — the streaming-supported shape;
+    * the batch query wraps it with the left-outer zero-count variant. */
+  def viewsBeforePurchase(purchases: DataFrame, views: DataFrame): DataFrame =
+    purchases.as("p").join(views.as("v"),
+      col("p.user_id") === col("v.user_id") &&
+        col("v.ts") >= col("p.ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v.ts") < col("p.ts"))
+      .select(col("p.event_id").as("purchase_id"),
+        col("p.user_id").as("user_id"),
+        col("v.event_id").as("view_id"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long)
   case class SessionState(sessionCount: Int, lastTs: Long)
   case class SessionAssignment(event_id: Long, user_id: Long, session_id: Int)

@@ -216,6 +216,43 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: views attribute to purchases within the band") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val views = vIn.toDF().toDF("event_id", "ts", "user_id")
+      .withWatermark("ts", "1 hour")
+    val purchases = pIn.toDF().toDF("event_id", "ts", "user_id")
+      .withWatermark("ts", "1 hour")
+    val q = EventsStream.viewsBeforePurchase(purchases, views)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      vIn.addData(
+        (100L, ts("2024-01-01 09:40:00"), 7L), // inside the 30-min band
+        (101L, ts("2024-01-01 09:00:00"), 7L), // too early
+        (102L, ts("2024-01-01 09:50:00"), 8L), // other user
+        (103L, ts("2024-01-01 09:30:00"), 7L), // exactly band start: included
+        (104L, ts("2024-01-01 10:00:00"), 7L)) // at purchase ts: excluded
+      pIn.addData((200L, ts("2024-01-01 10:00:00"), 7L))
+      q.processAllAvailable()
+      val out = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((200L, 7L, 100L), (200L, 7L, 103L)))
+      // batch parity: the SAME function over batch frames, same rows
+      val bv = Seq((100L, ts("2024-01-01 09:40:00"), 7L),
+        (101L, ts("2024-01-01 09:00:00"), 7L),
+        (102L, ts("2024-01-01 09:50:00"), 8L),
+        (103L, ts("2024-01-01 09:30:00"), 7L),
+        (104L, ts("2024-01-01 10:00:00"), 7L)).toDF("event_id", "ts", "user_id")
+      val bp = Seq((200L, ts("2024-01-01 10:00:00"), 7L))
+        .toDF("event_id", "ts", "user_id")
+      val batch = EventsStream.viewsBeforePurchase(bp, bv).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == out)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: each micro-batch merges into the base (streaming feeder shape)") {
     implicit val sqlCtx = spark.sqlContext
     // the reference's batch loop (fetch page → upsert) as a stream: each
