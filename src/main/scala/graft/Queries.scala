@@ -2570,6 +2570,116 @@ object Queries {
       |  ON p.user_id = v.user_id AND v.vt >= p.pt - 1800000000 AND v.vt < p.pt
       |GROUP BY 1, 2""".stripMargin
 
+  /** #84 deterministic weighted sampling: P(keep) ∝ n_chars via a
+    * fixed-hash priority (the Efraimidis–Spirakis shape with the random
+    * draw replaced by the engine-portable fingerprint of the doc id —
+    * reproducible across runs, engines, AND repartitioning). priority =
+    * h/w as one double division off exact longs; the k smallest win, a
+    * total order (priority, doc_id), so the cut is deterministic and
+    * plans as TakeOrderedAndProject — per-partition top-k, k-row driver
+    * merge, no global sort however large the corpus. */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"),
+        round(TextAnalysis.fingerprint(col("doc_id").cast("string")).cast("double") /
+          col("n_chars").cast("double"), 6).as("priority"))
+      .orderBy(asc("priority"), asc("doc_id")).limit(k)
+  }
+
+  private val weightedSampleSql =
+    s"""SELECT doc_id, n_chars,
+       |  round(CAST(list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''),
+       |                     c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS DOUBLE) /
+       |    CAST(n_chars AS DOUBLE), 6) AS priority
+       |FROM documents
+       |ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
+  /** #85 asymmetric containment scoring — the near-dup signal Jaccard
+    * misses when a short document is wholly embedded in a long one
+    * (quote extraction, boilerplate wrap): containment(A⊆B) =
+    * |sh(A)∩sh(B)| / |sh(A)|. Runs over the same deterministic
+    * candidate pairs as `q_ngram_jaccard` (in production: any LSH
+    * blocking scheme) with the same hashed-shingle machinery, so the
+    * verify stage costs one per-pair set intersection — never an
+    * all-pairs scan. */
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+    val sh = docs.select(col("doc_id"),
+      TextAnalysis.hashedShingles(col("text"), 3).as("__sh"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(size(col("__sa")) === 0, lit(1.0))
+          .otherwise(round(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+            size(col("__sa")).cast("double"), 6)).as("containment"))
+      .withColumn("contained", col("containment") >= 0.9)
+  }
+
+  private val containmentSql =
+    s"""WITH sh AS (
+       |  ${shingleSetsSql("documents")}),
+       |j AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.s, b.s)) AS li, len(a.s) AS la
+       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 2 = 0)
+       |SELECT id_a, id_b,
+       |  CASE WHEN la = 0 THEN 1.0
+       |       ELSE round(CAST(li AS DOUBLE) / CAST(la AS DOUBLE), 6) END AS containment,
+       |  (CASE WHEN la = 0 THEN 1.0
+       |        ELSE round(CAST(li AS DOUBLE) / CAST(la AS DOUBLE), 6) END) >= 0.9 AS contained
+       |FROM j""".stripMargin
+
+  /** #86 time-weighted average (TWAP) per user — the correct mean of a
+    * sampled-at-irregular-intervals metric, where each value holds
+    * until the next observation. Durations are exact epoch-micros
+    * longs; values go through exact cents (v·100 as long); the weighted
+    * sum accumulates as DECIMAL(38,0) — overflow-proof and
+    * order-independent — and only the final division is double. The
+    * lead() window partitions per user (bounded), then one grouped
+    * aggregate; single-observation users carry no duration and are
+    * excluded (no 0/0). */
+  private def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("__t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("__c"))
+      .withColumn("__dur", lead(col("__t"), 1).over(w) - col("__t"))
+      .filter(col("__dur").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum((col("__c") * col("__dur")).cast("decimal(38,0)")).as("__wv"),
+        sum(col("__dur")).as("__d"))
+      .filter(col("__d") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        round(col("__wv").cast("double") / (lit(100.0) * col("__d").cast("double")), 6)
+          .as("twap"))
+  }
+
+  private val timeWeightedAvgSql =
+    """WITH b AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, c,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+      |  FROM b),
+      |g AS (
+      |  SELECT user_id, count(*) AS n_intervals,
+      |    sum(CAST(c * dur AS DECIMAL(38,0))) AS wv, sum(dur) AS d
+      |  FROM l WHERE dur IS NOT NULL GROUP BY 1)
+      |SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals,
+      |  round(CAST(wv AS DOUBLE) / (100.0 * CAST(d AS DOUBLE)), 6) AS twap
+      |FROM g WHERE d > 0""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2658,5 +2768,8 @@ object Queries {
     Q("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
     Q("q_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     Q("q_stream_join", streamJoin, Some(streamJoinSql)),
+    Q("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
+    Q("q_containment", containment, Some(containmentSql)),
+    Q("q_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
   )
 }
