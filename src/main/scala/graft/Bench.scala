@@ -64,6 +64,12 @@ object Bench {
       (1 to reps).foreach { _ =>
         if (!failed) {
           spark.catalog.clearCache()
+          // also drop RDD-level persists: iterative queries localCheckpoint
+          // per round, and those blocks outlive the query until the async
+          // ContextCleaner gets to them — left alone they pile up across
+          // 80 queries and put later reps under artificial memory pressure
+          // (observed: q_dedup_clusters 5s clean vs 26s late in a full run)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
           val t0 = System.nanoTime()
           try {
             all(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
