@@ -572,11 +572,17 @@ object Queries {
        |FROM alldocs d LEFT JOIN cc c USING (doc_id)""".stripMargin
 
   /** #19 n-gram Jaccard verify over a deterministic candidate-pair set. */
+  /** The deterministic candidate-pair set (even doc_id, +1 neighbor)
+    * that the verify-stage scorers (`q_ngram_jaccard`, `q_containment`)
+    * run over — standing in for any LSH blocking scheme's output. */
+  private def adjacentPairs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(s, t(s, dir, "documents"))
-    val pairs = docs.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-    MinHashLSH.verifyPairs(pairs, docs, "doc_id", "text", shingleK = 3)
+    MinHashLSH.verifyPairs(adjacentPairs(docs), docs, "doc_id", "text",
+      shingleK = 3)
   }
 
   private val ngramJaccardSql =
@@ -2335,9 +2341,12 @@ object Queries {
     val bumped = base.withColumn("price",
       when(col("k") % 13 === 0, col("price") + lit(10).cast("decimal(18,2)"))
         .otherwise(col("price")))
+    // inserts clone to the NEGATIVE key range (-k − 1): base keys are
+    // non-negative at every scale, so synthetic ids can never collide
+    // with a real one (a fixed positive offset would, past its size)
     val newSnap = bumped.filter(col("k") % 97 =!= 0)
       .unionByName(base.filter(col("k") % 101 === 0)
-        .withColumn("k", col("k") + lit(100000000L)))
+        .withColumn("k", -col("k") - lit(1L)))
     base.as("b").join(newSnap.as("n"), col("b.k") === col("n.k"), "full_outer")
       .select(coalesce(col("b.k"), col("n.k")).as("o_orderkey"),
         when(col("b.k").isNull, "added")
@@ -2363,7 +2372,7 @@ object Queries {
       |news AS (
       |  SELECT * FROM bumped WHERE k % 97 <> 0
       |  UNION ALL
-      |  SELECT k + 100000000, price, status FROM base WHERE k % 101 = 0),
+      |  SELECT -k - 1, price, status FROM base WHERE k % 101 = 0),
       |d AS (
       |  SELECT coalesce(b.k, n.k) AS o_orderkey,
       |    CASE WHEN b.k IS NULL THEN 'added'
@@ -2539,22 +2548,26 @@ object Queries {
     * attribution join every event pipeline runs. The join is an
     * EQUI-join on user_id with the time band as a residual predicate
     * (co-partitioned shuffle, per-user fan-out only — never a range
-    * explosion across users), in exact epoch-micros long arithmetic.
-    * Streaming form: EventsStream.viewsBeforePurchase — the same join
-    * with watermarks bounding both sides' state (EventsStreamSpec). */
+    * explosion across users); timestamp-interval arithmetic is
+    * micros-exact, matching the oracle's epoch_us form. The join itself
+    * IS EventsStream.viewsBeforePurchase — one definition of the band,
+    * run in batch here and under watermarks in streaming
+    * (EventsStreamSpec pins the parity). */
   private def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).withColumn("__t", unix_micros(col("ts")))
+    val ev = events(s, dir).select("event_id", "ts", "user_id", "event_type")
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("__t").as("pt"))
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("__t").as("vt"), col("event_id").as("view_id"))
-    purchases.join(views,
-        purchases("user_id") === views("user_id") &&
-          col("vt") >= col("pt") - lit(1800000000L) && col("vt") < col("pt"),
-        "left_outer")
-      .groupBy(col("purchase_id"), purchases("user_id").as("user_id"))
-      .agg(count(col("view_id")).as("n_views"))
+      .drop("event_type")
+    val views = ev.filter(col("event_type") === "view").drop("event_type")
+    // the SAME join the streaming form runs (one definition of the band;
+    // EventsStreamSpec pins batch/stream parity on it), wrapped with the
+    // zero-count left side batch reporting wants
+    val attributed = EventsStream.viewsBeforePurchase(purchases, views)
+      .groupBy("purchase_id").agg(count(lit(1)).as("__n"))
+    purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"))
+      .join(attributed, Seq("purchase_id"), "left_outer")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("__n"), lit(0L)).as("n_views"))
   }
 
   private val streamJoinSql =
@@ -2608,17 +2621,13 @@ object Queries {
     * all-pairs scan. */
   private def containment(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(s, t(s, dir, "documents"))
-    val sh = docs.select(col("doc_id"),
-      TextAnalysis.hashedShingles(col("text"), 3).as("__sh"))
-    docs.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        when(size(col("__sa")) === 0, lit(1.0))
-          .otherwise(round(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-            size(col("__sa")).cast("double"), 6)).as("containment"))
-      .withColumn("contained", col("containment") >= 0.9)
+    MinHashLSH.scorePairs(adjacentPairs(docs), docs, "doc_id", "text",
+        shingleK = 3) { (a, b) =>
+      val c = when(size(a) === 0, lit(1.0))
+        .otherwise(round(size(array_intersect(a, b)).cast("double") /
+          size(a).cast("double"), 6))
+      Seq(c.as("containment"), (c >= 0.9).as("contained"))
+    }
   }
 
   private val containmentSql =
@@ -2655,7 +2664,11 @@ object Queries {
       .filter(col("__dur").isNotNull)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_intervals"),
-        sum((col("__c") * col("__dur")).cast("decimal(38,0)")).as("__wv"),
+        // cast BEFORE the multiply: a long×long product of cents×micros
+        // can exceed Long.MaxValue (≈5000.00 held for a year); the
+        // DECIMAL(18,0)×DECIMAL(18,0) product is exact at (37,0)
+        sum(col("__c").cast("decimal(18,0)") * col("__dur").cast("decimal(18,0)"))
+          .as("__wv"),
         sum(col("__dur")).as("__d"))
       .filter(col("__d") > 0)
       .select(col("user_id"), col("n_intervals"),
@@ -2674,7 +2687,8 @@ object Queries {
       |  FROM b),
       |g AS (
       |  SELECT user_id, count(*) AS n_intervals,
-      |    sum(CAST(c * dur AS DECIMAL(38,0))) AS wv, sum(dur) AS d
+      |    sum(CAST(c AS DECIMAL(18,0)) * CAST(dur AS DECIMAL(18,0))) AS wv,
+      |    sum(dur) AS d
       |  FROM l WHERE dur IS NOT NULL GROUP BY 1)
       |SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals,
       |  round(CAST(wv AS DOUBLE) / (100.0 * CAST(d AS DOUBLE)), 6) AS twap

@@ -112,10 +112,14 @@ object GraftExtensions {
     }
 }
 
+/** THE single extensions entry point: native SQL functions + the
+  * engine's optimizer rules. Verify, Bench, and ExplainDump sessions
+  * all register this class, so the correctness gate and every committed
+  * plan run with both active. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.builders
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -123,4 +127,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "", "", "", "", "4.0.0", "", "built-in"),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SizePruneJaccard)
+  }
 }

@@ -127,18 +127,27 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** n-gram Jaccard verify pass over an arbitrary candidate-pair set
-    * (id_a, id_b): joins hashed shingles back and scores exact Jaccard
-    * (hash collisions at 64 bits are negligible). Used both as MinHash's
-    * verify stage and standalone over any blocking scheme. */
-  def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
-                  textCol: String, shingleK: Int): DataFrame = {
+  /** Shingle-join scaffold shared by every verify-stage scorer: joins
+    * the hashed shingle sets of both members of each candidate pair
+    * (id_a, id_b) and emits the caller's score columns over
+    * (`__sh_a`, `__sh_b`). Hash collisions at 64 bits are negligible. */
+  def scorePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                 textCol: String, shingleK: Int)(
+                 score: (Column, Column) => Seq[Column]): DataFrame = {
     val sh = docs.select(col(idCol),
       TextAnalysis.hashedShingles(col(textCol), shingleK).as("__sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.NativeText.jaccard_sets(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .select(col("id_a") +: col("id_b") +:
+        score(col("__sh_a"), col("__sh_b")): _*)
   }
+
+  /** n-gram Jaccard verify pass over an arbitrary candidate-pair set.
+    * Used both as MinHash's verify stage and standalone over any
+    * blocking scheme. */
+  def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                  textCol: String, shingleK: Int): DataFrame =
+    scorePairs(pairs, docs, idCol, textCol, shingleK)((a, b) =>
+      Seq(graft.functions.NativeText.jaccard_sets(a, b).as("jaccard")))
 }

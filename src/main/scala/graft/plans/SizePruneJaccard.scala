@@ -1,7 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, GreaterThanOrEqual, Literal, Multiply, Size}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, Expression, GreaterThanOrEqual, Literal, Multiply, Size}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -21,17 +20,22 @@ import graft.functions.NativeText.JaccardSets
   *
   * The pattern intentionally matches only a Filter whose condition IS
   * the bare `jaccard >= t` comparison: the rewritten node is an `And`,
-  * so the rule is idempotent under fixed-point optimizer batches.
+  * so the rule is idempotent under fixed-point optimizer batches. It
+  * also requires BOTH operands to be plain attributes — duplicating a
+  * computed child (e.g. an inline `hashed_shingles` call, which is
+  * CodegenFallback with no common-subexpression elimination) into the
+  * guard would re-run it per row and pessimize instead of pruning.
   *
-  * Registered via [[GraftExtensions]] (`spark.sql.extensions`) — the
-  * `SparkSessionExtensions` injection path — or ad hoc through
-  * `spark.experimental.extraOptimizations`.
+  * Registered via `graft.functions.GraftExtensions`
+  * (`spark.sql.extensions`) — the `SparkSessionExtensions` injection
+  * path — or ad hoc through `spark.experimental.extraOptimizations`.
   */
 object SizePruneJaccard extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(
         geq @ GreaterThanOrEqual(j: JaccardSets, Literal(t: Double, DoubleType)),
-        child) if t > 0.0 =>
+        child) if t > 0.0 &&
+          j.left.isInstanceOf[Attribute] && j.right.isInstanceOf[Attribute] =>
       def sz(e: Expression): Expression =
         Cast(Size(e, legacySizeOfNull = false), DoubleType)
       val tl = Literal(t, DoubleType)
@@ -39,15 +43,5 @@ object SizePruneJaccard extends Rule[LogicalPlan] {
         GreaterThanOrEqual(sz(j.left), Multiply(tl, sz(j.right))),
         GreaterThanOrEqual(sz(j.right), Multiply(tl, sz(j.left))))
       Filter(And(guard, geq), child)
-  }
-}
-
-/** `spark.sql.extensions=graft.plans.GraftExtensions` — injects the
-  * engine's optimizer rules into session construction (Verify, Bench,
-  * and ExplainDump all register it, so the correctness gate and every
-  * committed plan run with the rules active). */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit = {
-    extensions.injectOptimizerRule(_ => SizePruneJaccard)
   }
 }

@@ -77,12 +77,12 @@ class SizePruneJaccardSpec extends GraftSuite {
     SparkSession.clearActiveSession()
     try {
       // withExtensions: the explicit injection API. (The string config
-      // `spark.sql.extensions=graft.plans.GraftExtensions` used by
+      // `spark.sql.extensions=graft.functions.GraftExtensions` used by
       // Verify/Bench only applies when the session creates its own
       // SparkContext — this JVM already has one.)
       val s2 = SparkSession.builder()
         .master("local[4]")
-        .withExtensions(new graft.plans.GraftExtensions())
+        .withExtensions(new graft.functions.GraftExtensions())
         .getOrCreate()
       val df = s2.createDataFrame(
           s2.sparkContext.parallelize(Seq(Tuple2(Seq(1L, 2L), Seq(3L, 4L))), 1))
