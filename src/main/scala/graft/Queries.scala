@@ -2694,6 +2694,89 @@ object Queries {
       |  round(CAST(wv AS DOUBLE) / (100.0 * CAST(d AS DOUBLE)), 6) AS twap
       |FROM g WHERE d > 0""".stripMargin
 
+  /** #87 bigram language-model scoring — model-based quality filtering
+    * (the CCNet/KenLM-style perplexity gate, expressed with an exact
+    * in-corpus model): tokens map to a (V=256)+OOV id space, the corpus
+    * bigram/context counts train in ONE map-side-combinable aggregate
+    * (state bounded by (V+1)² however large the corpus), and each
+    * document scores its adjacent-id pairs against the BROADCAST model
+    * with add-α smoothing: p(w₂|w₁) = (c₁₂+α)/(c₁+α(V+1)), α=0.5.
+    * Per-doc cross-entropy −Σln p / n accumulates in FIXED POINT
+    * (Σ ⌊ln p·1e9⌋ longs — shuffle-order-proof). Pair construction is a
+    * map-side zip of the id array with its own tail — no window, no
+    * per-token shuffle beyond the id encode's doc regroup. */
+  private def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val V = 256; val alpha = 0.5
+    val toks = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("pos", "token")))
+    val vocab = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token")).limit(V)
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("df"), asc("token"))))
+      .select("token", "id")
+    // per-doc id sequence (order restored from pos), then map-side
+    // adjacent pairs: ids[i] zipped with ids[i+1]
+    val docIds = toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        coalesce(col("id"), lit(0)).as("id")))), p => p.getField("id")).as("ids"))
+    val pairs = docIds
+      .filter(size(col("ids")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ids")) - 1),
+        i => struct(element_at(col("ids"), i).as("id1"),
+          element_at(col("ids"), i + 1).as("id2")))).as("p"))
+      .select(col("doc_id"), col("p.id1").as("id1"), col("p.id2").as("id2"))
+    val bigrams = pairs.groupBy("id1", "id2").agg(count(lit(1)).as("c12"))
+    val contexts = bigrams.groupBy("id1").agg(sum(col("c12")).as("c1"))
+    val lnP = log((coalesce(col("c12"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("c1").cast("double") + lit(alpha * (V + 1))))
+    pairs
+      .join(broadcast(bigrams), Seq("id1", "id2"), "left")
+      .join(broadcast(contexts), Seq("id1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(lnP * lit(1e9)).cast("long")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("__s").cast("double") / (lit(1e9) * col("n_bigrams").cast("double")), 6)
+          .as("xent"))
+  }
+
+  private val bigramLmSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token,
+      |    generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+      |  FROM documents),
+      |df AS (
+      |  SELECT token, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+      |vocab AS (
+      |  SELECT token,
+      |    CAST(row_number() OVER (ORDER BY df DESC, token) AS INT) AS id
+      |  FROM df ORDER BY df DESC, token LIMIT 256),
+      |ids AS (
+      |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+      |  FROM tok t LEFT JOIN vocab v USING (token)),
+      |pairs AS (
+      |  SELECT a.doc_id, a.id AS id1, b.id AS id2
+      |  FROM ids a JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |bg AS (SELECT id1, id2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      |ctx AS (SELECT id1, sum(c12) AS c1 FROM bg GROUP BY 1),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |    ln((CAST(coalesce(bg.c12, 0) AS DOUBLE) + 0.5) /
+      |       (CAST(ctx.c1 AS DOUBLE) + 128.5)) AS lnp
+      |  FROM pairs p
+      |  LEFT JOIN bg USING (id1, id2)
+      |  JOIN ctx USING (id1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(-CAST(sum(CAST(floor(lnp * 1e9) AS BIGINT)) AS DOUBLE) /
+      |    (1e9 * CAST(count(*) AS DOUBLE)), 6) AS xent
+      |FROM scored GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2785,5 +2868,6 @@ object Queries {
     Q("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("q_containment", containment, Some(containmentSql)),
     Q("q_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
+    Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
   )
 }
