@@ -2777,6 +2777,32 @@ object Queries {
       |    (1e9 * CAST(count(*) AS DOUBLE)), 6) AS xent
       |FROM scored GROUP BY 1""".stripMargin
 
+  /** #88 representative examples per group via the native bounded
+    * `topk_by` aggregate — the "show me the top docs per language"
+    * inspection query, as an AGGREGATE rather than a window: state is
+    * an O(k) heap per group (map-side partial, heap merge), so no
+    * per-group sort of all rows and no rank window materializing every
+    * row — the window-free top-N shape `q_topn_per_group` documents as
+    * the alternative. Output order (score desc, id asc) matches the
+    * oracle's row_number tie-break exactly. */
+  private def groupExamples(s: SparkSession, dir: String): DataFrame =
+    parallelize(s, t(s, dir, "documents"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKAggregate.topk_by(col("n_chars"), col("doc_id"), 3)
+        .as("__top"))
+      .select(col("lang"), posexplode(col("__top")).as(Seq("r", "e")))
+      .select(col("lang"), (col("r") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").cast("long").as("n_chars"))
+
+  private val groupExamplesSql =
+    """SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars
+      |FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 3""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2869,5 +2895,6 @@ object Queries {
     Q("q_containment", containment, Some(containmentSql)),
     Q("q_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
+    Q("q_group_examples", groupExamples, Some(groupExamplesSql)),
   )
 }

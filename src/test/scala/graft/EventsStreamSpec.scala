@@ -253,6 +253,44 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched purchases once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val views = vIn.toDF().toDF("view_id", "vts", "v_user")
+      .withWatermark("vts", "10 minutes")
+    val purchases = pIn.toDF().toDF("purchase_id", "pts", "p_user")
+      .withWatermark("pts", "10 minutes")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("vts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("vts") < col("pts"),
+      "left_outer")
+      .select(col("purchase_id"), col("view_id"))
+    val q = joined.writeStream.format("memory").queryName("louter_out")
+      .outputMode("append").start()
+    try {
+      // a purchase with NO views in band, and one with a matching view
+      pIn.addData((200L, ts("2024-01-01 10:00:00"), 9L),
+        (201L, ts("2024-01-01 10:00:00"), 7L))
+      vIn.addData((100L, ts("2024-01-01 09:45:00"), 7L))
+      q.processAllAvailable()
+      // push both watermarks far past the band, then one more batch so
+      // the state store evicts and emits the null-padded outer row
+      pIn.addData((299L, ts("2024-01-01 13:00:00"), 1L))
+      vIn.addData((199L, ts("2024-01-01 13:00:00"), 1L))
+      q.processAllAvailable()
+      pIn.addData((298L, ts("2024-01-01 14:00:00"), 1L))
+      vIn.addData((198L, ts("2024-01-01 14:00:00"), 1L))
+      q.processAllAvailable()
+      val out = spark.table("louter_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(out.contains((201L, 100L)), s"matched pair missing: $out")
+      assert(out.contains((200L, -1L)),
+        s"unmatched purchase must emit null-padded after watermark: $out")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: each micro-batch merges into the base (streaming feeder shape)") {
     implicit val sqlCtx = spark.sqlContext
     // the reference's batch loop (fetch page → upsert) as a stream: each
