@@ -2803,6 +2803,63 @@ object Queries {
       |  FROM documents)
       |WHERE rank <= 3""".stripMargin
 
+  /** #89 fuzzy (edit-distance) join — the record-linkage match a survey
+    * feeder runs against dirty respondent identifiers: probes are the
+    * customer names with ONE deterministic digit substitution, matched
+    * back at edit distance ≤ 1. Candidate generation is PIGEONHOLE
+    * SEGMENT BLOCKING (the PassJoin/Ed-Join shape): equal-length
+    * strings within 1 substitution agree exactly on at least one of
+    * their two halves, so candidates come from an EQUI-join on
+    * (half-index, half-string) — never a cross join, work proportional
+    * to block sizes. The expensive levenshtein verify runs once per
+    * distinct candidate pair. */
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val probes = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("pos", (lit(10) + col("c_custkey") % 8).cast("int"))
+      .select(col("c_custkey").as("probe_id"),
+        concat(expr("substr(c_name, 1, pos - 1)"),
+          ((expr("CAST(substr(c_name, pos, 1) AS INT)") + 1) % 10).cast("string"),
+          expr("substr(c_name, pos + 1)")).as("probe_name"))
+    def halves(df: DataFrame, name: String): DataFrame = df
+      .select(col("*"), explode(array(
+        struct(lit(0).as("h"), substring(col(name), 1, 9).as("seg")),
+        struct(lit(1).as("h"), substring(col(name), 10, 9).as("seg")))).as("b"))
+      .select(df.columns.map(col) :+ col("b.h").as("h") :+ col("b.seg").as("seg"): _*)
+    halves(probes, "probe_name")
+      .join(halves(cust, "c_name"), Seq("h", "seg"))
+      .select("probe_id", "probe_name", "c_custkey", "c_name").distinct()
+      .filter(levenshtein(col("probe_name"), col("c_name")) <= 1)
+      .select(col("probe_id"), col("c_custkey").as("matched_key"),
+        levenshtein(col("probe_name"), col("c_name")).cast("int").as("dist"))
+  }
+
+  private val fuzzyJoinSql =
+    """WITH p0 AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(10 + c_custkey % 8 AS INT) AS pos
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |probes AS (
+      |  SELECT c_custkey AS probe_id,
+      |    substr(c_name, 1, pos - 1) ||
+      |    CAST((CAST(substr(c_name, pos, 1) AS INT) + 1) % 10 AS VARCHAR) ||
+      |    substr(c_name, pos + 1) AS probe_name
+      |  FROM p0),
+      |ph AS (
+      |  SELECT probe_id, probe_name, 0 AS h, substr(probe_name, 1, 9) AS seg FROM probes
+      |  UNION ALL
+      |  SELECT probe_id, probe_name, 1, substr(probe_name, 10, 9) FROM probes),
+      |bh AS (
+      |  SELECT c_custkey, c_name, 0 AS h, substr(c_name, 1, 9) AS seg FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, 1, substr(c_name, 10, 9) FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT probe_id, probe_name, c_custkey, c_name
+      |  FROM ph JOIN bh USING (h, seg))
+      |SELECT probe_id, c_custkey AS matched_key,
+      |  CAST(levenshtein(probe_name, c_name) AS INT) AS dist
+      |FROM cand WHERE levenshtein(probe_name, c_name) <= 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2896,5 +2953,6 @@ object Queries {
     Q("q_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("q_group_examples", groupExamples, Some(groupExamplesSql)),
+    Q("q_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql)),
   )
 }
