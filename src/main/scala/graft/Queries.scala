@@ -2860,6 +2860,236 @@ object Queries {
       |  CAST(levenshtein(probe_name, c_name) AS INT) AS dist
       |FROM cand WHERE levenshtein(probe_name, c_name) <= 1""".stripMargin
 
+  /** #90 deterministic train/val/test split assignment — the dataset-
+    * versioning primitive: membership must be a PURE FUNCTION of the
+    * row (auditable after the fact, identical on any engine, stable
+    * under repartitioning), never `randomSplit`, whose partition-seeded
+    * RNG re-deals the split when the input re-partitions. Reuses the
+    * systematic hash bucket from `Sampling` (98/1/1 by bucket range).
+    * Map-only assignment + ONE map-side-combinable aggregate; the split
+    * of any individual doc_id is re-derivable by hand from the formula. */
+  private def trainSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__b", Sampling.systematicBucket(col("doc_id"), 1000))
+      .withColumn("split",
+        when(col("__b") < 980, "train").when(col("__b") < 990, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+
+  private val trainSplitSql =
+    """SELECT CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM (SELECT lang, n_chars,
+      |        ((doc_id % 1000003) * 1103515247 + 12345) % 1000 AS b
+      |      FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** #91 hopping (sliding) window aggregation — overlapping 10-minute
+    * windows every 5 minutes over the event stream, the smoothed-rate
+    * view a tumbling window can't give. Spark's `window(ts, w, s)`
+    * explodes each row into w/s = 2 window assignments MAP-SIDE and
+    * hash-aggregates — constant fan-out, no self-join, no range join;
+    * the oracle replays the same assignment arithmetically (the two
+    * slide-aligned starts covering each timestamp, in exact epoch
+    * micros). DECIMAL value sums keep the hash gate shuffle-order-proof. */
+  private def hoppingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("__t"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("__t").cast("double").as("total_value"))
+
+  private val hoppingWindowSql =
+    """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      |assigned AS (
+      |  SELECT event_type, value,
+      |    (us // 300000000 - k) * 300000000 AS start_us
+      |  FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      |  WHERE (us // 300000000 - k) * 300000000 > us - 600000000)
+      |SELECT make_timestamp(start_us) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM assigned GROUP BY 1, 2""".stripMargin
+
+  /** #92 curriculum percentile bucketing — assign every document to a
+    * global-quartile difficulty bin of its length. The wrong plan is
+    * `ntile() OVER (ORDER BY n_chars)`: an unpartitioned window, every
+    * row through ONE reducer. Instead: exact interpolated quartile
+    * BOUNDARIES via distributed rank selection (DistributedPercentiles —
+    * O(partitions) driver state, the q_percentiles-proven DuckDB
+    * quantile_cont pairing), broadcast the 1-row bounds, and bucket
+    * map-only — the 100-TB scan never shuffles at all. */
+  private def percentileBucket(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bounds = DistributedPercentiles.exact(
+        docs.withColumn("__g", lit(1)), "__g", "n_chars",
+        Seq(("q1", 0.25), ("q2", 0.5), ("q3", 0.75)))
+      .select("q1", "q2", "q3")
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("n_chars") <= col("q1"), 0)
+          .when(col("n_chars") <= col("q2"), 1)
+          .when(col("n_chars") <= col("q3"), 2)
+          .otherwise(3).cast("int"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+  }
+
+  private val percentileBucketSql =
+    """WITH b AS (
+      |  SELECT quantile_cont(n_chars, 0.25) AS q1,
+      |         quantile_cont(n_chars, 0.50) AS q2,
+      |         quantile_cont(n_chars, 0.75) AS q3
+      |  FROM documents)
+      |SELECT lang,
+      |  CAST(CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+      |            WHEN n_chars <= q3 THEN 2 ELSE 3 END AS INT) AS bucket,
+      |  count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents CROSS JOIN b
+      |GROUP BY 1, 2""".stripMargin
+
+  /** #93 robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe alternative to q_anomaly_zscore (one wild value
+    * drags a mean/stddev band; the median/MAD band doesn't move). Two
+    * exact order statistics per event type via distributed rank
+    * selection (never a per-group value buffer), each broadcast back as
+    * a bounded stats row; the flag pass is map-only over the full scan.
+    * Threshold arithmetic is written identically in both engines
+    * ((3·1.4826)·mad, left-assoc double) so the boundary bits agree. */
+  private def madOutlier(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"))
+    val med = DistributedPercentiles.exact(ev, "event_type", "value", Seq(("med", 0.5)))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("__dev", abs(col("value") - col("med")))
+    val mad = DistributedPercentiles.exact(
+      dev.select(col("event_type"), col("__dev")), "event_type", "__dev",
+      Seq(("mad", 0.5)))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("__out",
+        (abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad")).cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("__out")).as("n_outliers"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"))
+  }
+
+  private val madOutlierSql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CAST(abs(e.value - m.med) > 3 * 1.4826 * d.mad AS INT)) AS BIGINT)
+      |    AS n_outliers,
+      |  any_value(m.med) AS med, any_value(d.mad) AS mad
+      |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |GROUP BY 1""".stripMargin
+
+  /** #94 distribution drift via the population stability index — the
+    * monitoring gate a feeder runs before loading a new batch: compare
+    * the value distribution of the later ingestion half against the
+    * earlier half, per event type. Bin counts come from ONE map-side-
+    * combinable aggregate over the fixed q_histogram grid (no pre-scan;
+    * the id cut is a broadcast 1-row min/max agg); PSI folds the ≤10
+    * per-bin terms in FIXED POINT (Σ ⌊term·1e9⌋ longs) so the cross-bin
+    * double sum is shuffle-order-proof. Laplace +1 smoothing keeps
+    * empty bins finite. PSI > 0.2 = "investigate before load". */
+  private def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    // integer `div`, not `/` + cast: double-divide-then-cast truncates on
+    // the JVM but rounds in engines that round-half-even on CAST
+    val cut = ev.agg(min("event_id").as("__mn"), max("event_id").as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("cut"))
+    val binned = ev.crossJoin(broadcast(cut))
+      .select(col("event_type"),
+        when(col("event_id") <= col("cut"), 0).otherwise(1).as("period"),
+        least(greatest(floor(col("value") / 50), lit(0)), lit(9)).cast("int").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = Window.partitionBy("event_type")
+    binned
+      .withColumn("n0", sum("c0").over(totals))
+      .withColumn("n1", sum("c1").over(totals))
+      .withColumn("p", (col("c0") + lit(1)).cast("double") / (col("n0") + lit(10)).cast("double"))
+      .withColumn("q", (col("c1") + lit(1)).cast("double") / (col("n1") + lit(10)).cast("double"))
+      .withColumn("__term", floor((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e9)).cast("long"))
+      .groupBy("event_type")
+      .agg(sum("c0").as("n_before"), sum("c1").as("n_after"),
+        round(sum("__term").cast("double") / lit(1e9), 6).as("psi"))
+  }
+
+  private val driftPsiSql =
+    """WITH cut AS (
+      |  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events),
+      |binned AS (
+      |  SELECT event_type,
+      |    CAST(least(greatest(floor(value / 50), 0), 9) AS INT) AS bin,
+      |    sum(CASE WHEN event_id <= cut THEN 1 ELSE 0 END) AS c0,
+      |    sum(CASE WHEN event_id <= cut THEN 0 ELSE 1 END) AS c1
+      |  FROM events CROSS JOIN cut GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT event_type, c0, c1,
+      |    CAST(floor((p - q) * ln(p / q) * 1e9) AS BIGINT) AS term
+      |  FROM (SELECT event_type, c0, c1,
+      |          CAST(c0 + 1 AS DOUBLE) / CAST(sum(c0) OVER (PARTITION BY event_type) + 10 AS DOUBLE) AS p,
+      |          CAST(c1 + 1 AS DOUBLE) / CAST(sum(c1) OVER (PARTITION BY event_type) + 10 AS DOUBLE) AS q
+      |        FROM binned))
+      |SELECT event_type, CAST(sum(c0) AS BIGINT) AS n_before,
+      |  CAST(sum(c1) AS BIGINT) AS n_after,
+      |  round(CAST(sum(term) AS DOUBLE) / 1e9, 6) AS psi
+      |FROM terms GROUP BY 1""".stripMargin
+
+  /** #95 kNN label classification over embeddings — the label-propagation
+    * / auto-labeling primitive: each unlabeled probe takes the majority
+    * label of its 5 nearest neighbors. Neighbor search reuses the
+    * brute-force top-k baseline (broadcast probes, one corpus pass,
+    * per-partition O(k) heap partials — no global sort; the LSH/IVF/PQ
+    * registry queries are the sub-linear scale paths for the same
+    * shape). The vote join touches only |probes|·k rows (broadcast),
+    * and the majority pick is a bounded per-probe window (≤ k rows per
+    * probe) with a deterministic tie-break: most votes, then best rank
+    * (nearest wins), then smallest label. */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val probes = e.filter(col("vec_id") < 16).select(col("vec_id").as("q_id"), col("embedding"))
+    val neigh = Similarity.bruteForceTopK(probes, e, k = 5, vecCol = "embedding",
+      roundTo = Some(6))
+    val votes = e.select(col("vec_id"), col("label"))
+      .join(broadcast(neigh.select(col("vec_id"), col("q_id"), col("rank"))), Seq("vec_id"))
+      .groupBy("q_id", "label")
+      .agg(count(lit(1)).as("votes"), min("rank").as("best_rank"))
+    val pick = Window.partitionBy("q_id")
+      .orderBy(desc("votes"), asc("best_rank"), asc("label"))
+    votes.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("q_id"), col("label").as("predicted"), col("votes").cast("int").as("votes"))
+  }
+
+  private val knnClassifySql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+      |s AS (SELECT q.q_id, e.vec_id,
+      |        round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+      |r AS (SELECT q_id, vec_id,
+      |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      |      FROM s),
+      |votes AS (
+      |  SELECT r.q_id, e.label, count(*) AS votes, min(r.rank) AS best_rank
+      |  FROM r JOIN embeddings e USING (vec_id)
+      |  WHERE r.rank <= 5 GROUP BY 1, 2)
+      |SELECT q_id, label AS predicted, CAST(votes AS INT) AS votes
+      |FROM (SELECT q_id, label, votes,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY votes DESC, best_rank, label) AS rn
+      |      FROM votes)
+      |WHERE rn = 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2954,5 +3184,11 @@ object Queries {
     Q("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("q_group_examples", groupExamples, Some(groupExamplesSql)),
     Q("q_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql)),
+    Q("q_train_split", trainSplit, Some(trainSplitSql)),
+    Q("q_hopping_window", hoppingWindow, Some(hoppingWindowSql)),
+    Q("q_percentile_bucket", percentileBucket, Some(percentileBucketSql)),
+    Q("q_mad_outlier", madOutlier, Some(madOutlierSql)),
+    Q("q_drift_psi", driftPsi, Some(driftPsiSql)),
+    Q("q_knn_classify", knnClassify, Some(knnClassifySql)),
   )
 }
