@@ -3090,6 +3090,141 @@ object Queries {
       |      FROM votes)
       |WHERE rn = 1""".stripMargin
 
+  /** #96 passage-level corpus dedup (the CCNet/C4 boilerplate-removal
+    * shape): documents split map-side into consecutive 2-token passages
+    * (`sequence`+`slice`, no shuffle, no re-tokenization), passage
+    * document-frequency counted in one two-phase aggregate, passages
+    * appearing in > 10 documents (boilerplate) removed by a LEFT ANTI
+    * join against the BROADCAST hot-passage dictionary — at 100 TB the
+    * hot set stays bounded (it is the df-heavy head, by construction
+    * ≤ corpus/10 entries and in practice a small boilerplate
+    * dictionary; were it ever large the same anti-join runs shuffled).
+    * Documents reassemble from surviving passages in passage order —
+    * order restored from the per-doc passage id, never a global sort. */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val blocks = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        (floor((size(toks) - 1) / 2) + 1).cast("long").as("n_blocks"),
+        posexplode(transform(sequence(lit(0), floor((size(toks) - 1) / 2).cast("int")),
+          i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")))
+          .as(Seq("block_id", "block")))
+    val hot = blocks.groupBy("block")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > 10)
+      .select("block")
+    blocks.join(broadcast(hot), Seq("block"), "left_anti")
+      .groupBy("doc_id")
+      .agg(first("n_blocks").as("n_blocks"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("block_id"), col("block")))),
+          p => p.getField("block")), " ").as("text_kept"))
+  }
+
+  private val lineDedupSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+      |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+      |  FROM documents),
+      |blk AS (
+      |  SELECT doc_id, CAST((pos - 1) // 2 AS INT) AS block_id,
+      |    string_agg(tok, ' ' ORDER BY pos) AS block
+      |  FROM toks GROUP BY 1, 2),
+      |nb AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY 1),
+      |hot AS (SELECT block FROM blk GROUP BY block
+      |        HAVING count(DISTINCT doc_id) > 10)
+      |SELECT b.doc_id, any_value(nb.n_blocks) AS n_blocks,
+      |  count(*) AS n_kept,
+      |  string_agg(b.block, ' ' ORDER BY b.block_id) AS text_kept
+      |FROM blk b JOIN nb USING (doc_id)
+      |WHERE b.block NOT IN (SELECT block FROM hot)
+      |GROUP BY 1""".stripMargin
+
+  /** #97 out-of-order ingestion audit — how late do events arrive
+    * relative to the high-watermark (the watermark-lag signal that
+    * sizes streaming state and bounds `withWatermark` tolerances)?
+    * Lateness = prev_max(ts) − ts over ARRIVAL order (event_id), an
+    * exclusive prefix max. The naive form — `max(ts) OVER (ORDER BY
+    * event_id ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)` — is an
+    * unpartitioned window, one reducer; `PrefixSum.runningMaxExclusive`
+    * is the two-phase distributed scan instead (O(partitions) driver
+    * combine). Tolerance 10 min = the `withWatermark` default this
+    * audit would validate. */
+  private def lateArrival(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 600000000L // 10 min
+    val ev = events(s, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    PrefixSum.runningMaxExclusive(ev, "event_id", "us")
+      .withColumn("late_us", greatest(coalesce(col("prev_max") - col("us"), lit(0L)), lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("late_us") > tolUs).cast("long")).as("n_late"),
+        max("late_us").as("max_late_us"))
+  }
+
+  private val lateArrivalSql =
+    """WITH b AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |    greatest(coalesce(max(us) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0), 0)
+      |      AS late_us
+      |  FROM b)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  max(late_us) AS max_late_us
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** #98 dead-letter routing — the feeder's "skip the rows that won't
+    * load, keep the reasons" semantic (feeder.py:157-160 reports
+    * skipped rows) upgraded to schema validation: each raw JSON payload
+    * either parses clean or routes to a dead-letter with the FIRST
+    * failing check (malformed → missing field → bad type → out of
+    * range). Corruption is injected deterministically (the fuzzy-join
+    * fixture pattern) since the synthetic feed is all-valid. Map-only
+    * codegen'd pass — validation never shuffles; the output is the
+    * dead-letter table itself, grouped for the load report. */
+  private def deadLetter(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("raw",
+        when(col("event_id") % 37 === 0, expr("substr(props, 1, length(props) - 1)"))
+          .when(col("event_id") % 41 === 0, lit("""{"j": 1}"""))
+          .when(col("event_id") % 43 === 0, lit("""{"k": "oops"}"""))
+          .otherwise(col("props")))
+    ev.withColumn("reason",
+        when(get_json_object(col("raw"), "$").isNull, "malformed_json")
+          .when(get_json_object(col("raw"), "$.k").isNull, "missing_field")
+          .when(expr("try_cast(get_json_object(raw, '$.k') AS INT)").isNull, "bad_type")
+          .when(expr("try_cast(get_json_object(raw, '$.k') AS INT)") > 95, "out_of_range")
+          .otherwise("ok"))
+      .filter(col("reason") =!= "ok")
+      .groupBy("event_type", "reason")
+      .agg(count(lit(1)).as("n"), min("event_id").as("first_event_id"))
+  }
+
+  private val deadLetterSql =
+    """WITH fed AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 37 = 0 THEN substr(props, 1, length(props) - 1)
+      |         WHEN event_id % 41 = 0 THEN '{"j": 1}'
+      |         WHEN event_id % 43 = 0 THEN '{"k": "oops"}'
+      |         ELSE props END AS raw
+      |  FROM events),
+      |checked AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN NOT json_valid(raw) THEN 'malformed_json'
+      |         WHEN json_extract_string(raw, '$.k') IS NULL THEN 'missing_field'
+      |         WHEN try_cast(json_extract_string(raw, '$.k') AS INT) IS NULL THEN 'bad_type'
+      |         WHEN try_cast(json_extract_string(raw, '$.k') AS INT) > 95 THEN 'out_of_range'
+      |         ELSE 'ok' END AS reason
+      |  FROM fed)
+      |SELECT event_type, reason, count(*) AS n, min(event_id) AS first_event_id
+      |FROM checked WHERE reason <> 'ok'
+      |GROUP BY 1, 2""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -3190,5 +3325,8 @@ object Queries {
     Q("q_mad_outlier", madOutlier, Some(madOutlierSql)),
     Q("q_drift_psi", driftPsi, Some(driftPsiSql)),
     Q("q_knn_classify", knnClassify, Some(knnClassifySql)),
+    Q("q_line_dedup", lineDedup, Some(lineDedupSql)),
+    Q("q_late_arrival", lateArrival, Some(lateArrivalSql)),
+    Q("q_dead_letter", deadLetter, Some(deadLetterSql)),
   )
 }

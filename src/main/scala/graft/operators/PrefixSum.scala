@@ -55,6 +55,45 @@ object PrefixSum {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Distributed EXCLUSIVE prefix max — "the largest value seen before
+    * this row in `orderCol` order", e.g. the high-watermark before each
+    * event in arrival order. Same two-phase scan as `runningTotal`
+    * (range-partition + per-partition pass + O(partitions) driver
+    * combine — never a single-reducer unbounded window); every input
+    * column is preserved and `outCol` (nullable long; null = no prior
+    * row) is appended. `valueCol` must be LONG and non-null. */
+  def runningMaxExclusive(df: DataFrame, orderCol: String, valueCol: String,
+                          outCol: String = "prev_max"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val vi = df.schema.fieldIndex(valueCol)
+    require(df.schema(vi).dataType == LongType, s"$valueCol must be LONG")
+    // both passes MUST reuse this one shuffled lineage (same rule as
+    // runningTotal): rebuilding could sample different range bounds
+    val keyed = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol).rdd
+    val partMax: Array[Option[Long]] = keyed.mapPartitionsWithIndex { (i, it) =>
+      var m = Long.MinValue; var any = false
+      it.foreach { r => val v = r.getLong(vi); if (v > m) m = v; any = true }
+      Iterator((i, if (any) Some(m) else None))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets: Array[Option[Long]] =
+      partMax.scanLeft(None: Option[Long]) { (acc, m) =>
+        (acc ++ m).reduceOption(_ max _)
+      }.toArray
+    val rows = keyed.mapPartitionsWithIndex { (i, it) =>
+      var cur = offsets(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ cur.map(Long.box).orNull)
+        val v = r.getLong(vi)
+        if (cur.forall(_ < v)) cur = Some(v)
+        out
+      }
+    }
+    spark.createDataFrame(rows,
+      StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = true)))
+  }
+
   /** Sequence packing: assign each document to a fixed-token-budget bin
     * by its starting offset in the global token stream — `pack_id =
     * (running_total - n_tokens) div budget`. Deterministic (id-ordered),

@@ -28,6 +28,22 @@ class PrefixSumSpec extends GraftSuite {
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
   }
 
+  test("exclusive running max equals the lagged window max, carries all columns") {
+    val df = (1 to 613).map(i => (i.toLong, ((i * 31) % 97).toLong, s"tag$i"))
+      .toDF("k", "v", "tag").repartition(8)
+    val dist = PrefixSum.runningMaxExclusive(df, "k", "v")
+      .collect().map(r => (r.getLong(0), (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(2))))
+      .toMap
+    var best = Option.empty[Long]
+    (1 to 613).foreach { i =>
+      val (pm, tag) = dist(i.toLong)
+      assert(pm == best, s"row $i: prev_max $pm != $best")
+      assert(tag == s"tag$i", "non-value columns must pass through")
+      val v = ((i * 31) % 97).toLong
+      if (best.forall(_ < v)) best = Some(v)
+    }
+  }
+
   test("null token counts count as zero") {
     val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L))).toDF("doc_id", "n")
     val out = PrefixSum.runningTotal(docs, "doc_id", "n")
