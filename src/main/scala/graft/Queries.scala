@@ -3238,6 +3238,207 @@ object Queries {
       |FROM checked WHERE reason <> 'ok'
       |GROUP BY 1, 2""".stripMargin
 
+  /** #99 session windows via the DECLARATIVE built-in — the same
+    * gap-based sessions as `q_sessionize` but as `session_window(ts,
+    * gap)`, Spark's native session aggregate: windows [ts, ts+gap)
+    * merge while they overlap, so a session ends at last_event + gap
+    * and a new event at exactly the closing boundary starts a NEW
+    * session (end-exclusive — the oracle breaks on `t - prev >= gap`
+    * where the lag-based q_sessionize breaks on `>`). One shuffle on
+    * user_id, per-key in-order merge — no unbounded window, and the
+    * same plan shape Structured Streaming uses for native streaming
+    * sessionization (vs sessionize's explicit state machine). */
+  private def sessionWindowFn(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  private val sessionWindowFnSql =
+    """WITH b AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+      |l AS (
+      |  SELECT user_id, t,
+      |    lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+      |  FROM b),
+      |m AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN pt IS NULL OR t - pt >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |sid AS (
+      |  SELECT user_id, t,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM m)
+      |SELECT user_id, make_timestamp(min(t)) AS session_start,
+      |  make_timestamp(max(t) + 1800000000) AS session_end,
+      |  count(*) AS n_events
+      |FROM sid GROUP BY user_id, sess""".stripMargin
+
+  /** #100 incremental cross-corpus dedup gate — "is this new batch
+    * already in the training set?": batch docs are admitted unless they
+    * near-dup (jaccard ≥ 0.8) an EXISTING corpus doc. Candidates come
+    * from `MinHashLSH.crossCandidatePairs` — batch bands equi-join
+    * corpus bands on (band, bucket), so NEITHER side ever self-joins
+    * and the corpus is never rescanned per batch doc (the incremental
+    * counterpart of q_dedup_minhash's self-join). Verify = exact
+    * jaccard only over candidates; rejection = broadcast-able anti
+    * join on the (small) rejected-id set. The fixture plants exact
+    * copies of corpus docs in the batch (caught in every band by
+    * construction) alongside genuinely unseen docs. */
+  private def crossDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents").select("doc_id", "text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionAll(corpus.filter(col("corpus_id") % 5 === 1)
+        .select((col("corpus_id") + 2000000L).as("doc_id"), col("text")))
+    val shB = batch.select(col("doc_id"),
+      TextAnalysis.hashedShingles(col("text"), 3).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shC = corpus.select(col("corpus_id"),
+      TextAnalysis.hashedShingles(col("text"), 3).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = MinHashLSH.crossCandidatePairs(shB, "doc_id", shC, "corpus_id",
+      bands = 8, rowsPerBand = 4, maxBucketSize = 1000)
+    val rejected = cand
+      .join(shB.select(col("doc_id"), col("__sh").as("__sh_b")), Seq("doc_id"))
+      .join(shC.select(col("corpus_id"), col("__sh").as("__sh_c")), Seq("corpus_id"))
+      .filter(graft.functions.NativeText.jaccard_sets(col("__sh_b"), col("__sh_c")) >= 0.8)
+      .select("doc_id").distinct()
+    batch.join(broadcast(rejected.withColumn("__rej", lit(1))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__rej").isNull.as("admitted"))
+  }
+
+  private val crossDedupSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id AS corpus_id, text FROM documents WHERE doc_id % 3 <> 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT corpus_id + 2000000, text FROM corpus WHERE corpus_id % 5 = 1),
+       |shb AS (
+       |  ${shingleSetsSql("batch c")}),
+       |shc AS (
+       |  SELECT corpus_id, s FROM (
+       |    ${shingleSetsSql("(SELECT corpus_id AS doc_id, text FROM corpus) c")})
+       |  t(corpus_id, s)),
+       |rej AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM shb b JOIN shc c
+       |    ON least(len(b.s), len(c.s)) * 5 >= greatest(len(b.s), len(c.s)) * 4
+       |  WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+       |    (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) >= 0.8)
+       |SELECT b.doc_id, r.doc_id IS NULL AS admitted
+       |FROM batch b LEFT JOIN rej r USING (doc_id)""".stripMargin
+
+  /** #101 Welch two-sample t-test per event type — did the value mean
+    * move between the two ingestion halves? (The mean-shift complement
+    * of q_drift_psi's shape test and q_mad_outlier's tail test.) ALL
+    * moments (n, Σv, Σv²) for both halves come from ONE map-side-
+    * combinable aggregate in exact DECIMAL — the non-associative double
+    * arithmetic (means, variances, the t statistic) happens only in the
+    * final deterministic projection, so the result is bit-stable under
+    * any partitioning. |t| > 1.96 flags a mean shift at ~95%. */
+  private def welchTtest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cut = ev.agg(min("event_id").as("__mn"), max("event_id").as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("cut"))
+    val v = col("value").cast("decimal(18,6)")
+    val m = ev.crossJoin(broadcast(cut))
+      .withColumn("__p0", col("event_id") <= col("cut"))
+      .groupBy("event_type")
+      .agg(sum(when(col("__p0"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__p0"), v).otherwise(lit(null))).as("s0"),
+        sum(when(col("__p0"), v * v).otherwise(lit(null))).as("q0"),
+        sum(when(!col("__p0"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__p0"), v).otherwise(lit(null))).as("s1"),
+        sum(when(!col("__p0"), v * v).otherwise(lit(null))).as("q1"))
+    def mean(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
+    def variance(qc: Column, sc: Column, n: Column) =
+      (qc.cast("double") - sc.cast("double") * sc.cast("double") / n.cast("double")) /
+        (n.cast("double") - 1.0)
+    m.select(col("event_type"), col("n0"), col("n1"),
+        round((mean(col("s0"), col("n0")) - mean(col("s1"), col("n1"))) /
+          sqrt(variance(col("q0"), col("s0"), col("n0")) / col("n0").cast("double") +
+            variance(col("q1"), col("s1"), col("n1")) / col("n1").cast("double")), 6)
+          .as("t_stat"))
+      .withColumn("mean_shift", abs(col("t_stat")) > 1.96)
+  }
+
+  private val welchTtestSql =
+    """WITH cut AS (
+      |  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN event_id <= cut THEN 1 ELSE 0 END) AS n0,
+      |    sum(CASE WHEN event_id <= cut THEN CAST(value AS DECIMAL(18,6)) END) AS s0,
+      |    sum(CASE WHEN event_id <= cut THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS q0,
+      |    sum(CASE WHEN event_id > cut THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN event_id > cut THEN CAST(value AS DECIMAL(18,6)) END) AS s1,
+      |    sum(CASE WHEN event_id > cut THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS q1
+      |  FROM events CROSS JOIN cut GROUP BY 1)
+      |SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      |  round(
+      |    (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+      |    sqrt(
+      |      ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE) +
+      |      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)),
+      |    6) AS t_stat,
+      |  abs(round(
+      |    (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+      |    sqrt(
+      |      ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE) +
+      |      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)),
+      |    6)) > 1.96 AS mean_shift
+      |FROM m""".stripMargin
+
+  /** #102 schema-evolution read — the long-lived-pipeline reality that
+    * a 100-TB table is written by MANY job versions: a v1 snapshot
+    * (3 columns) and a v2 snapshot (adds o_totalprice) land as separate
+    * parquet directories, and ONE `mergeSchema` read reconciles them —
+    * v1 rows surface NULL for the added column, no rewrite of old data,
+    * no reader fork. The aggregate proves the merged view: per status,
+    * total rows vs rows carrying the new column. The oracle recomputes
+    * from the source table directly (the fixtures derive from `orders`
+    * deterministically), so the gate verifies the round-trip. Fixture
+    * writes use the per-appId scratch contract (see zipExtract). */
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    val evoDir = new java.io.File(tmpRoot, s"graft_schema_${s.sparkContext.applicationId}")
+    if (scratchHooked.add(evoDir.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(evoDir)
+      }))
+    }
+    val orders = t(s, dir, "orders").withColumn("wave", col("o_orderkey") % 10)
+    orders.filter(col("wave") < 5)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$evoDir/v1")
+    orders.filter(col("wave") >= 5)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$evoDir/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$evoDir/v1", s"$evoDir/v2")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("n_with_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 10 >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_price,
+      |  CAST(sum(CASE WHEN o_orderkey % 10 >= 5
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -3341,5 +3542,9 @@ object Queries {
     Q("q_line_dedup", lineDedup, Some(lineDedupSql)),
     Q("q_late_arrival", lateArrival, Some(lateArrivalSql)),
     Q("q_dead_letter", deadLetter, Some(deadLetterSql)),
+    Q("q_session_window_fn", sessionWindowFn, Some(sessionWindowFnSql)),
+    Q("q_cross_dedup", crossDedup, Some(crossDedupSql)),
+    Q("q_welch_ttest", welchTtest, Some(welchTtestSql)),
+    Q("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql), bench = false),
   )
 }

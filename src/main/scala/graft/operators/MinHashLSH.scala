@@ -98,6 +98,35 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Distinct cross-corpus candidate pairs (idL from `left`, idR from
+    * `right`) sharing an LSH bucket in some band — the INCREMENTAL
+    * dedup shape: a new batch is checked against the existing corpus
+    * without ever self-joining either side. Only (id, band, bucket)
+    * flows through the join; buckets whose COMBINED size exceeds
+    * `maxBucketSize` are dropped (skew guard, same contract as
+    * `candidatePairs`). Output columns: (idL, idR). */
+  def crossCandidatePairs(left: DataFrame, idL: String,
+                          right: DataFrame, idR: String,
+                          bands: Int, rowsPerBand: Int,
+                          maxBucketSize: Int): DataFrame = {
+    def bandedOf(df: DataFrame, id: String): DataFrame =
+      banded(signatures(df, id, bands * rowsPerBand), "__sig", bands, rowsPerBand)
+        .select(col(id), col("band"), col("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bl = bandedOf(left, idL)
+    val br = bandedOf(right, idR)
+    val sizes = bl.groupBy("band", "bucket").count()
+      .join(br.groupBy("band", "bucket").count()
+          .withColumnRenamed("count", "count_r"),
+        Seq("band", "bucket"))
+      .filter(col("count") + col("count_r") <= maxBucketSize)
+      .select("band", "bucket")
+    bl.join(sizes, Seq("band", "bucket"))
+      .join(br, Seq("band", "bucket"))
+      .select(idL, idR)
+      .distinct()
+  }
+
   /** Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
     *
     * @param docs          (idCol, textCol) input
