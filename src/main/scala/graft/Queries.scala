@@ -3439,6 +3439,87 @@ object Queries {
       |    AS total_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** #103 footer-only statistics via parquet AGGREGATE PUSHDOWN — at
+    * 100 TB, `count/min/max` over a table should read FOOTERS, not
+    * data: with `spark.sql.parquet.aggregatePushdown` the scan node
+    * becomes `PushedAggregation: [COUNT(*), MIN(...), ...]` and I/O
+    * drops from O(data) to O(files). Ungrouped and unfiltered by
+    * design — those are the pushdown's preconditions (a residual
+    * filter or GROUP BY forces the ordinary scan). The monitoring
+    * "table heartbeat" every load cycle starts with. */
+  private def statsPushdown(s: SparkSession, dir: String): DataFrame = {
+    // aggregate pushdown lives in the V2 parquet reader, and parquet sits
+    // on the V1 list by default — flip both on an ISOLATED session clone
+    // (shared SparkContext, private conf) so no other query's plan shape
+    // changes under it
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    iso.conf.set("spark.sql.sources.useV1SourceList", "")
+    t(iso, dir, "orders")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  private val statsPushdownSql =
+    """SELECT count(*) AS n,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
+  /** #104 partition-pruned scan — the layout contract `WriteLayout`
+    * writes for: the table lands partitioned by wave
+    * (`partitionBy`), and a wave-filtered read touches ONLY that
+    * wave's directory (plan shows `PartitionFilters`, zero data files
+    * from other waves opened). At 100 TB this is the difference
+    * between scanning 1/10th and scanning everything — pruning
+    * happens at PLANNING time from directory names, before any I/O.
+    * Fixture writes use the per-appId scratch contract. */
+  private def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    val scanDir = new java.io.File(tmpRoot, s"graft_part_${s.sparkContext.applicationId}")
+    if (scratchHooked.add(scanDir.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(scanDir)
+      }))
+    }
+    t(s, dir, "orders").withColumn("wave", col("o_orderkey") % 10)
+      .write.mode("overwrite").partitionBy("wave").parquet(scanDir.getAbsolutePath)
+    s.read.parquet(scanDir.getAbsolutePath)
+      .filter(col("wave") === 3)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+  }
+
+  private val partitionedScanSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderkey % 10 = 3
+      |GROUP BY 1""".stripMargin
+
+  /** #105 CUBE aggregation — the full grouping lattice (status ×
+    * priority, both rollups, grand total) in ONE pass: Spark expands
+    * grouping sets map-side (each row feeds its 4 lattice cells) into
+    * a single hash aggregate — four separate GROUP BYs would scan four
+    * times. NULL in a group column marks the subtotal level (neither
+    * source column is nullable, so the marker is unambiguous); the
+    * sibling q_rollup_agg covers the hierarchical subset. */
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+
+  private val cubeAggSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -3546,5 +3627,8 @@ object Queries {
     Q("q_cross_dedup", crossDedup, Some(crossDedupSql)),
     Q("q_welch_ttest", welchTtest, Some(welchTtestSql)),
     Q("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql), bench = false),
+    Q("q_stats_pushdown", statsPushdown, Some(statsPushdownSql)),
+    Q("q_partitioned_scan", partitionedScan, Some(partitionedScanSql), bench = false),
+    Q("q_cube", cubeAgg, Some(cubeAggSql)),
   )
 }
