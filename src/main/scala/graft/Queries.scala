@@ -3520,6 +3520,98 @@ object Queries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** #106 BPE merge-pair counting — one iteration of byte-pair-encoding
+    * tokenizer training at corpus scale: adjacent character-pair
+    * frequencies over the VOCABULARY (word types weighted by corpus
+    * frequency, the standard BPE formulation), top candidates by count.
+    * The corpus collapses to word types FIRST (one hash aggregate —
+    * at 100 TB the type table is millions of rows, not trillions of
+    * tokens), pairs explode map-side bounded by word length, and the
+    * top-k cut is TakeOrderedAndProject (per-partition top-k, k-row
+    * driver merge — no global sort). */
+  private def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = parallelize(s, t(s, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(20)
+  }
+
+  private val bpePairsSql =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY 1),
+      |pk AS (
+      |  SELECT w, freq, CAST(unnest(range(1, length(w))) AS INT) AS k
+      |  FROM wf WHERE length(w) >= 2),
+      |p AS (SELECT substr(w, k, 2) AS pair, freq FROM pk)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM p GROUP BY 1
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** #107 language-ID confusion matrix — the classifier AUDIT every
+    * curation pipeline owes its lang filter: predicted vs labeled
+    * language counts in one aggregate over the map-only classifier
+    * pass (q_lang_id's expression, reused verbatim — audit and
+    * production can't drift apart). Off-diagonal mass localizes which
+    * languages the marker heuristic confuses; 'und' columns expose its
+    * abstention rate. */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame =
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n"))
+
+  private val langConfusionSql =
+    s"""SELECT lang, lang_guess, count(*) AS n
+       |FROM ($langIdSql) GROUP BY 1, 2""".stripMargin
+
+  /** #108 approximate-quantile audit — the scale path for percentiles
+    * over HIGH-CARDINALITY groups (DistributedPercentiles' documented
+    * boundary: its driver state is O(groups × partitions)):
+    * `approx_percentile` keeps a bounded per-group sketch inside the
+    * ordinary two-phase aggregate, no driver involvement at all. The
+    * audit checks the sketch's ACTUAL guarantee — rank error, not value
+    * error (adjacent values can sit >1% apart at small n): the rank of
+    * each returned element must land within ε·n + 2 of the target rank
+    * (ε = 1/accuracy; +2 absorbs duplicate-rank and boundary
+    * conventions). Exact values come from distributed rank selection;
+    * the oracle pins them and the flag (the q_approx_distinct
+    * contract). */
+  private def approxQuantileAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"))
+    val exact = DistributedPercentiles.exact(ev, "event_type", "value",
+      Seq(("p50", 0.5), ("p95", 0.95)))
+    val approx = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
+        .as("__a"))
+      .select(col("event_type"), element_at(col("__a"), 1).as("__a50"),
+        element_at(col("__a"), 2).as("__a95"))
+    def rankOk(rank: Column, p: Double, n: Column) =
+      abs(rank.cast("double") - lit(p) * n.cast("double")) <=
+        lit(1e-4) * n.cast("double") + lit(2.0)
+    ev.join(broadcast(approx), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("__n"),
+        sum((col("value") <= col("__a50")).cast("long")).as("__r50"),
+        sum((col("value") <= col("__a95")).cast("long")).as("__r95"))
+      .join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("p50"), col("p95"),
+        (rankOk(col("__r50"), 0.5, col("__n")) &&
+          rankOk(col("__r95"), 0.95, col("__n"))).as("approx_ok"))
+  }
+
+  private val approxQuantileAuditSql =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -3630,5 +3722,8 @@ object Queries {
     Q("q_stats_pushdown", statsPushdown, Some(statsPushdownSql)),
     Q("q_partitioned_scan", partitionedScan, Some(partitionedScanSql), bench = false),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),
+    Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    Q("q_lang_confusion", langConfusion, Some(langConfusionSql)),
+    Q("q_approx_quantile_audit", approxQuantileAudit, Some(approxQuantileAuditSql)),
   )
 }

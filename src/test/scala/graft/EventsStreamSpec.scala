@@ -43,6 +43,37 @@ class EventsStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("native session_window runs as a real stream: watermark closes sessions, append emits them") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val sessions = input.toDF().toDF("event_id", "ts", "user_id")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("native_sess")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L),
+        (2L, ts("2024-01-01 10:10:00"), 7L), // merges: within 30 min
+        (3L, ts("2024-01-01 10:00:00"), 8L))
+      q.processAllAvailable()
+      // advance event time far past the sessions + watermark → they close
+      input.addData((4L, ts("2024-01-01 13:00:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("native_sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (7L, ts("2024-01-01 10:00:00"), 2L),  // one merged 2-event session
+        (8L, ts("2024-01-01 10:00:00"), 1L)),
+        s"closed sessions wrong: $out")
+      // user 9's session is still open (nothing after it advanced the watermark)
+      assert(!out.exists(_._1 == 9L), "an open session must not emit in append mode")
+    } finally q.stop()
+  }
+
   test("StateMaintainer folds micro-batches into the incremental-agg state") {
     import graft.operators.{IncrementalAgg, QuantileSketch}
     implicit val sqlCtx = spark.sqlContext
