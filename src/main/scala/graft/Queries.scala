@@ -3612,6 +3612,62 @@ object Queries {
       |  TRUE AS approx_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  /** #109 two-sample Kolmogorov–Smirnov test between ingestion halves —
+    * the FULL-distribution drift test closing the monitoring family
+    * (PSI = binned shape, Welch = mean, KS = sup-norm CDF distance,
+    * bin-free). KS needs running ranks in global value order — the
+    * one-reducer-window trap — so it rides `PrefixSum.runningTotal`
+    * (two-phase distributed scan) with BOTH samples' counts packed into
+    * one long (half-0 rows add 2³¹, half-1 rows add 1; exact for
+    * samples < 2³¹ rows — repartition the scan per shard beyond that).
+    * The statistic itself is EXACT INTEGER arithmetic: sup|c0·n1 −
+    * c1·n0| / (n0·n1), no double accumulation anywhere; doubles appear
+    * only in the final division and the α=0.05 critical-value compare. */
+  private def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cut = ev.agg(min("event_id").as("__mn"), max("event_id").as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("cut"))
+    val marked = ev.crossJoin(broadcast(cut))
+      .select(struct(col("value"), col("event_id")).as("__ord"),
+        when(col("event_id") <= col("cut"), lit(2147483648L)).otherwise(lit(1L)).as("__x"))
+    val scanned = PrefixSum.runningTotal(marked, "__ord", "__x")
+      .select(expr("running_total div 2147483648").as("c0"),
+        pmod(col("running_total"), lit(2147483648L)).as("c1"))
+    val totals = scanned.agg(max("c0").as("n0"), max("c1").as("n1"))
+    scanned.crossJoin(broadcast(totals))
+      .agg(first(col("n0")).as("n0"), first(col("n1")).as("n1"),
+        max(abs(col("c0") * col("n1") - col("c1") * col("n0"))).as("__num"))
+      .select(col("n0"), col("n1"),
+        round(col("__num").cast("double") /
+          (col("n0").cast("double") * col("n1").cast("double")), 6).as("ks_stat"))
+      .withColumn("shifted",
+        col("ks_stat") > lit(1.36) * sqrt((col("n0") + col("n1")).cast("double") /
+          (col("n0").cast("double") * col("n1").cast("double"))))
+  }
+
+  private val ksTestSql =
+    """WITH cut AS (
+      |  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events),
+      |b AS (
+      |  SELECT value, event_id,
+      |    CASE WHEN event_id <= cut THEN 1 ELSE 0 END AS is0
+      |  FROM events CROSS JOIN cut),
+      |r AS (
+      |  SELECT sum(is0) OVER w AS c0, sum(1 - is0) OVER w AS c1
+      |  FROM b WINDOW w AS (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING)),
+      |t AS (
+      |  SELECT CAST(max(c0) AS BIGINT) AS n0, CAST(max(c1) AS BIGINT) AS n1,
+      |    CAST(max(abs(c0 * (SELECT max(c1) FROM r) -
+      |                 c1 * (SELECT max(c0) FROM r))) AS BIGINT) AS num
+      |  FROM r)
+      |SELECT n0, n1,
+      |  round(CAST(num AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6)
+      |    AS ks_stat,
+      |  round(CAST(num AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) >
+      |    1.36 * sqrt(CAST(n0 + n1 AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+      |    AS shifted
+      |FROM t""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -3725,5 +3781,6 @@ object Queries {
     Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("q_lang_confusion", langConfusion, Some(langConfusionSql)),
     Q("q_approx_quantile_audit", approxQuantileAudit, Some(approxQuantileAuditSql)),
+    Q("q_ks_test", ksTest, Some(ksTestSql)),
   )
 }

@@ -156,6 +156,33 @@ class CurationAnalyticsSpec extends GraftSuite {
     assert(psi(flat, shifted) > 0.2, "a real distribution shift must trip the 0.2 gate")
   }
 
+  // --------------------------------------------------------------- KS test
+
+  test("KS statistic matches a driver-side recomputation in exact rationals") {
+    val evs = events.select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cut = (evs.map(_._1).min + evs.map(_._1).max) / 2
+    val sorted = evs.sortBy { case (id, v) => (v, id) }
+    val n0 = evs.count(_._1 <= cut).toLong
+    val n1 = evs.length - n0
+    var c0 = 0L; var c1 = 0L; var num = 0L
+    sorted.foreach { case (id, _) =>
+      if (id <= cut) c0 += 1 else c1 += 1
+      num = math.max(num, math.abs(c0 * n1 - c1 * n0))
+    }
+    val r = q("q_ks_test").head()
+    assert((r.getLong(0), r.getLong(1)) == ((n0, n1)))
+    val expected = BigDecimal(num.toDouble / (n0.toDouble * n1.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == expected, s"ks ${r.getDouble(2)} != $expected")
+  }
+
+  test("KS runs on the distributed scan — no unpartitioned window") {
+    val plan = q("q_ks_test").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"running ranks must come from the two-phase scan:\n$plan")
+  }
+
   // --------------------------------------------------------- kNN classify
 
   test("kNN classification matches a driver-side brute-force recomputation") {
