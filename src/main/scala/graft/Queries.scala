@@ -3668,6 +3668,191 @@ object Queries {
       |    AS shifted
       |FROM t""".stripMargin
 
+  /** #110 chi-square homogeneity test — did the event-type MIX change
+    * between the two ingestion halves? (The categorical complement of
+    * the drift family: PSI = binned shape, Welch t = mean, KS = CDF,
+    * chi-square = discrete category frequencies.) Observed counts per
+    * (event_type, half) come from ONE map-side-combinable aggregate in
+    * exact longs; expected counts and per-cell (obs−exp)²/exp happen in
+    * a deterministic per-row projection over the O(types) grouped rows,
+    * and the cross-cell fold is fixed-point ⌊cell·1e9⌋ longs (the
+    * q_drift_psi pattern) so the statistic is bit-stable under any
+    * partitioning. The 95% critical value is the closed-form
+    * Wilson–Hilferty approximation — deterministic on both engines, no
+    * inverse-gamma lookup. */
+  private def chisqTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cut = ev.agg(min("event_id").as("__mn"), max("event_id").as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("cut"))
+    val g = ev.crossJoin(broadcast(cut))
+      .groupBy("event_type")
+      .agg(sum(when(col("event_id") <= col("cut"), 1L).otherwise(0L)).as("o0"),
+        sum(when(col("event_id") > col("cut"), 1L).otherwise(0L)).as("o1"))
+    val tot = g.agg(sum("o0").as("n0"), sum("o1").as("n1"), count(lit(1)).as("k"))
+    val e0 = (col("o0") + col("o1")).cast("double") * col("n0").cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val e1 = (col("o0") + col("o1")).cast("double") * col("n1").cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val d0 = col("o0").cast("double") - e0
+    val d1 = col("o1").cast("double") - e1
+    val cells = g.crossJoin(broadcast(tot))
+      .withColumn("__c", floor(lit(1e9) * (d0 * d0 / e0 + d1 * d1 / e1)).cast("long"))
+    val dof = (col("k") - 1).cast("double")
+    val whX = lit(1.0) - lit(2.0) / (lit(9.0) * dof) +
+      lit(1.645) * sqrt(lit(2.0) / (lit(9.0) * dof))
+    cells.groupBy("n0", "n1", "k")
+      .agg(sum("__c").as("__sc"))
+      .select(col("n0"), col("n1"), (col("k") - 1).cast("long").as("dof"),
+        round(col("__sc").cast("double") / 1e9, 6).as("chi2"))
+      .withColumn("shifted",
+        col("chi2") > col("dof").cast("double") *
+          { val d = col("dof").cast("double")
+            val x = lit(1.0) - lit(2.0) / (lit(9.0) * d) +
+              lit(1.645) * sqrt(lit(2.0) / (lit(9.0) * d))
+            x * x * x })
+  }
+
+  private val chisqTestSql =
+    """WITH cut AS (
+      |  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN event_id <= cut THEN 1 ELSE 0 END) AS o0,
+      |    sum(CASE WHEN event_id > cut THEN 1 ELSE 0 END) AS o1
+      |  FROM events CROSS JOIN cut GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(o0) AS BIGINT) AS n0, CAST(sum(o1) AS BIGINT) AS n1,
+      |    count(*) AS k
+      |  FROM g),
+      |c AS (
+      |  SELECT n0, n1, k,
+      |    CAST(floor(1e9 * (
+      |      (CAST(o0 AS DOUBLE) - CAST(o0 + o1 AS DOUBLE) * CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+      |      (CAST(o0 AS DOUBLE) - CAST(o0 + o1 AS DOUBLE) * CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) /
+      |      (CAST(o0 + o1 AS DOUBLE) * CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) +
+      |      (CAST(o1 AS DOUBLE) - CAST(o0 + o1 AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+      |      (CAST(o1 AS DOUBLE) - CAST(o0 + o1 AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) /
+      |      (CAST(o0 + o1 AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))) AS BIGINT) AS cc
+      |  FROM g CROSS JOIN t),
+      |s AS (
+      |  SELECT n0, n1, CAST(k - 1 AS BIGINT) AS dof,
+      |    round(CAST(sum(cc) AS DOUBLE) / 1e9, 6) AS chi2
+      |  FROM c GROUP BY 1, 2, 3)
+      |SELECT n0, n1, dof, chi2,
+      |  chi2 > CAST(dof AS DOUBLE) *
+      |    (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE)) + 1.645 * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE)))) *
+      |    (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE)) + 1.645 * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE)))) *
+      |    (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE)) + 1.645 * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE))))
+      |    AS shifted
+      |FROM s""".stripMargin
+
+  /** #111 equi-depth histogram — B buckets with (near-)equal ROW counts
+    * over `o_totalprice` (the complement of q_histogram's equi-WIDTH
+    * bins; equi-depth is what query optimizers and drift monitors want
+    * on skewed money-like columns where fixed-width bins leave most
+    * cells empty). The global row rank comes from the distributed
+    * two-phase prefix scan (`PrefixSum.withGlobalRank`: range-partition
+    * + O(partitions) driver offsets + map-side counter — NEVER the
+    * single-reducer `row_number() OVER (ORDER BY …)` window), then
+    * `bucket = (rank−1)·B div n` is a map-only projection and the
+    * per-bucket digest is one hash aggregate. The (value, key) composite
+    * order key makes ranks — and so bucket edges — fully deterministic
+    * under ties. */
+  private def equidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 8
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val ranked = PrefixSum.withGlobalRank(o, Seq("o_totalprice", "o_orderkey"), "__r")
+    val n = ranked.agg(max("__r").as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"((__r - 1) * $buckets) div __n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+  }
+
+  private val equidepthHistSql =
+    """WITH r AS (
+      |  SELECT o_totalprice,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk
+      |  FROM orders),
+      |n AS (SELECT count(*) AS n FROM orders)
+      |SELECT CAST((rk - 1) * 8 // n AS BIGINT) AS bucket,
+      |  count(*) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM r CROSS JOIN n GROUP BY 1""".stripMargin
+
+  /** #112 lag-k autocorrelation of the hourly event-count series per
+    * event type — "is traffic self-similar hour over hour?" (burst and
+    * seasonality detection; the ACF is what sizes streaming watermarks
+    * and batch cadences). The series is the DENSE per-type hour grid
+    * (gap hours are REAL zeros via the q_gap_fill `sequence` explode —
+    * skipping them would silently correlate non-adjacent hours); the
+    * lagged pairing is ONE equi-join on (event_type, hr+lag) after a
+    * constant 3× map-side lag explode — co-partitioned, no window, no
+    * per-lag rescan. All Pearson moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact longs; the only doubles are the final per-(type,lag)
+    * projection, so the result is bit-stable under any partitioning.
+    * Zero-variance series yield NULL (guarded on both engines). */
+  private def autocorr(s: SparkSession, dir: String): DataFrame = {
+    val maxLag = 3
+    val ev = events(s, dir)
+    val hc = ev
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = hc.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
+    val grid = span
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hc, Seq("event_type", "hr"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val lagged = grid
+      .select(col("event_type"), col("hr"), col("cnt").as("x"),
+        explode(array((1 to maxLag).map(lit): _*)).as("lag"))
+      .withColumn("hr", col("hr") + col("lag"))
+    val m = lagged
+      .join(grid.select(col("event_type"), col("hr"), col("cnt").as("y")),
+        Seq("event_type", "hr"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val np = col("n_pairs").cast("double")
+    val cov = np * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val vx = np * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = np * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("event_type"), col("lag").cast("int").as("lag"), col("n_pairs"),
+      when(vx > 0.0 && vy > 0.0, round(cov / sqrt(vx * vy), 6)).as("acf"))
+  }
+
+  private val autocorrSql =
+    """WITH hc AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM hc GROUP BY 1),
+      |g0 AS (
+      |  SELECT s.event_type, CAST(u.hr AS BIGINT) AS hr
+      |  FROM span s, unnest(range(s.h0, s.h1 + 1)) AS u(hr)),
+      |grid AS (
+      |  SELECT g0.event_type, g0.hr, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |  FROM g0 LEFT JOIN hc c ON c.event_type = g0.event_type AND c.hr = g0.hr),
+      |m AS (
+      |  SELECT a.event_type, l.lag, count(*) AS n_pairs,
+      |    sum(a.cnt) AS sx, sum(b.cnt) AS sy, sum(a.cnt * b.cnt) AS sxy,
+      |    sum(a.cnt * a.cnt) AS sxx, sum(b.cnt * b.cnt) AS syy
+      |  FROM grid a
+      |  CROSS JOIN (SELECT unnest(range(1, 4)) AS lag) l
+      |  JOIN grid b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag
+      |  GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+      |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+      |        AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+      |    THEN round(
+      |      (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |           (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+      |      6)
+      |  END AS acf
+      |FROM m""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -3782,5 +3967,8 @@ object Queries {
     Q("q_lang_confusion", langConfusion, Some(langConfusionSql)),
     Q("q_approx_quantile_audit", approxQuantileAudit, Some(approxQuantileAuditSql)),
     Q("q_ks_test", ksTest, Some(ksTestSql)),
+    Q("q_chisq_test", chisqTest, Some(chisqTestSql)),
+    Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
+    Q("q_autocorr", autocorr, Some(autocorrSql)),
   )
 }

@@ -108,4 +108,36 @@ object PrefixSum {
       .select(col(idCol), col(tokensCol),
         expr(s"(running_total - $tokensCol) div $budget").as("pack_id"))
   }
+
+  /** Distributed GLOBAL RANK (1..n) in `orderCols` order — the dense
+    * row-number primitive behind equi-depth histograms, distributed
+    * ntile, and deterministic pagination. Same two-phase scan as
+    * `runningTotal`: range-partition on the order key (global order
+    * without a global sort), per-partition row counts combine on the
+    * driver into O(partitions) starting offsets, then a map-side local
+    * counter. Never the single-reducer `row_number() OVER (ORDER BY …)`
+    * window. All input columns are preserved; `outCol` (long, 1-based)
+    * is appended. The composite `orderCols` must be unique per row —
+    * with duplicates the rank of equal keys is partition-placement
+    * dependent (same contract as `runningTotal`). */
+  def withGlobalRank(df: DataFrame, orderCols: Seq[String],
+                     outCol: String = "rank"): DataFrame = {
+    require(orderCols.nonEmpty)
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // both passes MUST reuse this one shuffled lineage (same rule as
+    // runningTotal): rebuilding could sample different range bounds
+    val keyed = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*).rdd
+    val partCounts = keyed
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val rows = keyed.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }
+    spark.createDataFrame(rows,
+      StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false)))
+  }
 }
