@@ -721,12 +721,22 @@ object Queries {
       centroids = Some(cents), roundTo = Some(6))
   }
 
-  private val annIvfSql: String = {
-    val (dim, nlist, iters, nprobe, k) = (64, 16, 3, 4, 5)
-    // squared euclidean with NearestCells' exact left-fold accumulation
-    def dist(v: String, c: String): String =
-      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
-        s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)"
+  /** Squared euclidean with NearestCells' exact left-fold accumulation. */
+  private def ivfDistSql(dim: Int)(v: String, c: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)"
+
+  /** DuckDB replay of `IvfIndex.trainReplicable` + full-corpus cell
+    * assignment — the CTE chain e → tr (vec_id%4 systematic sample) →
+    * c0 (first-nlist init) → `iters` Lloyd rounds with fixed-point
+    * component sums → asg (every vector's nearest final centroid).
+    * Compose after WITH; shared by the IVF ANN and SemDeDup oracles so
+    * the quantizer replay can't drift between them. `src` is the
+    * (vec_id, embedding) relation fed to the quantizer — a table name
+    * or a parenthesized subquery. */
+  private def ivfAssignCtes(dim: Int, nlist: Int, iters: Int,
+                            src: String = "embeddings"): String = {
+    val dist = ivfDistSql(dim) _
     def assignCte(name: String, src: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, v, cid FROM (
@@ -753,12 +763,18 @@ object Queries {
     val lloyd = (1 to iters).map { t =>
       assignCte(s"a$t", "tr", s"c${t - 1}") + ",\n" + meanCte(s"c${t - 1}", s"a$t", s"c$t")
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v AS cvec
        |       FROM (SELECT vec_id, v FROM tr ORDER BY vec_id LIMIT $nlist)),
        |$lloyd,
-       |${assignCte("asg", "e", s"c$iters")},
+       |${assignCte("asg", "e", s"c$iters")}""".stripMargin
+  }
+
+  private val annIvfSql: String = {
+    val (dim, nlist, iters, nprobe, k) = (64, 16, 3, 4, 5)
+    val dist = ivfDistSql(dim) _
+    s"""WITH ${ivfAssignCtes(dim, nlist, iters)},
        |probe AS (
        |  SELECT q_id, cid FROM (
        |    SELECT t.vec_id AS q_id, c.cid,
@@ -3853,6 +3869,158 @@ object Queries {
       |  END AS acf
       |FROM m""".stripMargin
 
+  /** #113 Count-Min sketch frequency audit — the mergeable
+    * constant-memory token-frequency sketch (heavy-hitter estimation
+    * when the exact per-token groupBy is too wide to keep). The sketch
+    * IS a DataFrame: d seeded polynomial hashes per token land in
+    * (row, slot) cells via a constant d× map-side explode + ONE hash
+    * aggregate — d·w rows total (here 3·512), mergeable across batches
+    * by cell-wise sum, never a driver-side array. Estimates for the
+    * top-10 exact tokens come from a broadcast probe join + min over
+    * the d cells; the audit follows the q_approx_distinct pattern:
+    * exact count, estimate, and the CM guarantee flag
+    * (exact ≤ est ≤ exact + ⌈2N/w⌉ — the ε=2/w Markov bound) computed
+    * identically on both engines. Hashes are the engine-portable
+    * char fold seeded per row, so DuckDB replays the sketch bit-exact. */
+  private def countMin(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic vocabulary is ~31 tokens: w=16 forces real slot
+    // collisions (est > exact for some probes) so the audit is
+    // non-vacuous, while the epsilon=2/w bound still pins every estimate
+    val d = 3; val w = 16
+    val toks = parallelize(s, t(s, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    def slotOf(tok: Column, i: Column): Column =
+      pmod(aggregate(split(tok, ""),
+        (i + 1).cast("long") * lit(1315423911L),
+        (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)),
+          lit(TextAnalysis.FingerprintMod))), lit(w.toLong))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val probes = exact.orderBy(col("exact").desc, col("tok")).limit(10)
+    val n = toks.agg(count(lit(1)).as("__n"))
+    val sketch = toks
+      .select(col("tok"), explode(array((0 until d).map(lit): _*)).as("i"))
+      .select(col("i"), slotOf(col("tok"), col("i")).as("slot"))
+      .groupBy("i", "slot").agg(count(lit(1)).as("cnt"))
+    val probeCells = probes
+      .select(col("tok"), col("exact"), explode(array((0 until d).map(lit): _*)).as("i"))
+      .select(col("tok"), col("exact"), col("i"), slotOf(col("tok"), col("i")).as("slot"))
+    sketch.join(broadcast(probeCells), Seq("i", "slot"))
+      .groupBy("tok", "exact").agg(min("cnt").as("est"))
+      .crossJoin(broadcast(n))
+      .select(col("tok").as("token"), col("exact"), col("est"),
+        (col("est") <= col("exact") + ceil(lit(2.0) * col("__n") / w).cast("long"))
+          .as("within_bound"))
+  }
+
+  private val countMinSql = {
+    val d = 3; val w = 16
+    def slotSql(tok: String, i: String): String =
+      s"list_reduce(list_prepend(($i + 1) * 1315423911, " +
+        s"list_transform(string_split_regex($tok, ''), " +
+        s"c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        s"(a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) % $w"
+    s"""WITH tk AS (
+       |  SELECT tok FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) > 0),
+       |exact AS (SELECT tok, count(*) AS exact FROM tk GROUP BY 1),
+       |probes AS (SELECT tok, exact FROM exact ORDER BY exact DESC, tok LIMIT 10),
+       |n AS (SELECT count(*) AS n FROM tk),
+       |sk AS (
+       |  SELECT i, ${slotSql("tok", "i")} AS slot, count(*) AS cnt
+       |  FROM tk CROSS JOIN range(0, $d) r(i) GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT tok, exact, i, ${slotSql("tok", "i")} AS slot
+       |  FROM probes CROSS JOIN range(0, $d) r(i)),
+       |est AS (
+       |  SELECT pc.tok, pc.exact, min(sk.cnt) AS est
+       |  FROM pc JOIN sk ON sk.i = pc.i AND sk.slot = pc.slot
+       |  GROUP BY 1, 2)
+       |SELECT tok AS token, CAST(exact AS BIGINT) AS exact,
+       |  CAST(est AS BIGINT) AS est,
+       |  est <= exact + CAST(ceil(2.0 * n.n / $w) AS BIGINT) AS within_bound
+       |FROM est CROSS JOIN n""".stripMargin
+  }
+
+  /** #114 per-source corpus cap — web-pipeline source balancing: no
+    * single domain may contribute more than K documents, and which K
+    * survive is a deterministic quality rank (longest first, ties →
+    * lowest doc_id). The rank never materializes: the native `topk_by`
+    * aggregate holds an O(K) heap per source (map-side partials, heap
+    * merge — no window, no per-source sort of all rows), and the
+    * surviving-id set — O(K·sources), the small side by construction —
+    * broadcast-joins back against the corpus for the kept/capped
+    * verdict. The 100-TB shape: one aggregate + one broadcast join,
+    * however skewed the source distribution. */
+  private def domainCap(s: SparkSession, dir: String): DataFrame = {
+    // the fixture corpus has exactly 25 docs per source at every SF — a
+    // cap of 15 provably bites (10 capped per source)
+    val cap = 15
+    val docs = parallelize(s, t(s, dir, "documents"))
+    val kept = docs.groupBy("source")
+      .agg(graft.functions.TopKAggregate.topk_by(
+        col("n_chars").cast("double"), col("doc_id"), cap).as("top"))
+      .select(explode(col("top.id")).as("doc_id"))
+    docs.join(broadcast(kept.withColumn("__k", lit(1))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("__k").isNotNull.as("kept"))
+  }
+
+  private val domainCapSql =
+    """SELECT doc_id, source, n_chars,
+      |  row_number() OVER (PARTITION BY source
+      |                     ORDER BY n_chars DESC, doc_id) <= 15 AS kept
+      |FROM documents""".stripMargin
+
+  /** #115 SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup for training corpora: cluster embeddings with the IVF
+    * k-means quantizer, then drop any vector whose cosine to a
+    * LOWER-id vector in the SAME cell exceeds τ (the paper's
+    * keep-one-per-semantic-duplicate rule made deterministic by id
+    * order). The cluster step is the whole scale story: the pair scan
+    * is per-cell (cells bounded by nlist scaling with the corpus) —
+    * never the corpus-wide all-pairs join — and cell assignment is the
+    * map-only `nearest_cells` projection reused from q_ann_ivf, whose
+    * replayable quantizer (systematic sample, first-16 init,
+    * fixed-point Lloyd) lets DuckDB reach the identical clustering —
+    * one shared CTE chain (`ivfAssignCtes`) for both oracles. */
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.95
+    val base = t(s, dir, "embeddings")
+    // the synthetic embeddings are isotropic (max natural pairwise cosine
+    // ~0.51) — plant exact duplicates at vec_id+10000 for every 7th vector
+    // so the τ gate provably fires; the oracle plants the same set in SQL
+    val e = parallelize(s, base.select("vec_id", "embedding")
+      .unionAll(base.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))))
+    val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
+      nlist = 16, iters = 3, sampleMod = 4)
+    val cells = IvfIndex.assign(e, "vec_id", "embedding", cents,
+      keep = Seq("embedding"))
+    val drops = cells.select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("__va"))
+      .join(cells.select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("__vb")),
+        Seq("cid"))
+      .filter(col("id_a") < col("id_b") &&
+        round(Similarity.cosine(col("__va"), col("__vb")), 6) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    IvfIndex.assign(e, "vec_id", "embedding", cents)
+      .join(broadcast(drops.withColumn("__d", lit(1))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__d").isNull.as("kept"))
+  }
+
+  private val semDedupSql =
+    s"""WITH ${ivfAssignCtes(64, 16, 3, src =
+        "(SELECT vec_id, embedding FROM embeddings UNION ALL " +
+        "SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 7 = 3)")},
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95)
+       |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS kept
+       |FROM asg a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -3970,5 +4138,8 @@ object Queries {
     Q("q_chisq_test", chisqTest, Some(chisqTestSql)),
     Q("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
     Q("q_autocorr", autocorr, Some(autocorrSql)),
+    Q("q_countmin", countMin, Some(countMinSql)),
+    Q("q_domain_cap", domainCap, Some(domainCapSql)),
+    Q("q_semdedup", semDedup, Some(semDedupSql)),
   )
 }

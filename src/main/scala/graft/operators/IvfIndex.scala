@@ -96,11 +96,13 @@ object IvfIndex {
   }
 
   /** Cell assignment: nearest centroid per vector — a map-only
-    * projection via `nearest_cells`, no join, no shuffle. */
+    * projection via `nearest_cells`, no join, no shuffle. `keep` carries
+    * extra columns (e.g. the vector itself for a downstream in-cell
+    * pair scan) through the same single projection. */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
-             centroids: Array[Array[Double]]): DataFrame =
-    vectors.select(col(idCol),
-      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cid"))
+             centroids: Array[Array[Double]], keep: Seq[String] = Nil): DataFrame =
+    vectors.select(col(idCol) +: keep.map(col) :+
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cid"): _*)
 
   /** Approximate top-k: each query probes its `nprobe` closest cells.
     *
