@@ -4021,6 +4021,137 @@ object Queries {
        |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS kept
        |FROM asg a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
 
+  /** #116 referential-integrity audit — the post-load validation a
+    * feeder pipeline runs before publishing: for each FK edge, how many
+    * fact rows reference a missing dimension key? The scenario is the
+    * 100-TB reality of LATE-ARRIVING DIMENSIONS: the audit runs against
+    * a dim snapshot that is deterministically missing every 97th
+    * customer (a dim batch that hasn't landed), so orphans provably
+    * exist and the gate is non-vacuous. Each edge is one left-anti
+    * shape — expressed as a broadcast-dim join where the dim is the
+    * small side (customer, nation) and a co-partitioned shuffle join
+    * fact-to-fact (lineitem → orders); counts fold in the same job.
+    * Output: one row per edge (n_rows, n_orphans, ok). */
+  private def fkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val customer = t(s, dir, "customer").filter(col("c_custkey") % 97 =!= 0)
+    val nation = t(s, dir, "nation")
+    def edge(name: String, fact: DataFrame, fkCol: String,
+             dim: DataFrame, pkCol: String, broadcastDim: Boolean): DataFrame = {
+      val d = dim.select(col(pkCol).as("__pk")).distinct()
+      val side = if (broadcastDim) broadcast(d) else d
+      fact.select(col(fkCol).as("__fk"))
+        .join(side, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("ok"))
+    }
+    edge("orders->customer", orders, "o_custkey", customer, "c_custkey", broadcastDim = true)
+      .unionAll(edge("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey",
+        broadcastDim = false))
+      .unionAll(edge("customer->nation", customer, "c_nationkey", nation, "n_nationkey",
+        broadcastDim = true))
+  }
+
+  private val fkIntegritySql =
+    """WITH cust AS (SELECT * FROM customer WHERE c_custkey % 97 <> 0),
+      |e1 AS (
+      |  SELECT 'orders->customer' AS edge, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |  FROM orders o LEFT JOIN cust c ON o.o_custkey = c.c_custkey),
+      |e2 AS (
+      |  SELECT 'lineitem->orders' AS edge, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |e3 AS (
+      |  SELECT 'customer->nation' AS edge, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |  FROM cust c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      |SELECT edge, n_rows, n_orphans, n_orphans = 0 AS ok
+      |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)""".stripMargin
+
+  /** #117 event transition matrix — first-order Markov statistics over
+    * each user's event sequence ("what follows what?"): per-user `lead`
+    * window (bounded by that user's activity — partitioned on user_id,
+    * never global), then ONE hash aggregate over (from, to) pairs and a
+    * per-from total via a second tiny aggregate broadcast back. Counts
+    * are exact longs; the transition probability is the only double,
+    * computed in the final projection. The sequence-mining complement
+    * to q_funnel (fixed path) and q_sessionize (gap grouping). */
+  private def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6).as("p"))
+  }
+
+  private val transitionMatrixSql =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS tot FROM m GROUP BY 1)
+      |SELECT m.from_type, m.to_type, m.n,
+      |  round(CAST(m.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+      |FROM m JOIN t ON m.from_type = t.from_type""".stripMargin
+
+  /** #118 Z-order (Morton) layout — multi-dimension data skipping: a
+    * single interleaved-bit sort key clusters BOTH o_custkey and order
+    * date, so file-level min/max stats prune scans filtered on EITHER
+    * dimension (a linear sort clusters one and scatters the other —
+    * ZorderSpec measures the contrast). The interleave is pure map-side
+    * bit arithmetic (codegen'd shifts, engine-portable); the output
+    * digests per 4096-cell Morton bucket — the file-grain a
+    * `repartitionByRange(morton)` + `maxRecordsPerFile` write would
+    * produce — with per-bucket ranges of both dimensions. Pairs with
+    * q_write_layout (size-bounded files) and q_partitioned_scan
+    * (directory pruning) as the third leg of the layout story. */
+  private def zorder(s: SparkSession, dir: String): DataFrame = {
+    val bits = 10
+    val o = t(s, dir, "orders")
+      .withColumn("__x", pmod(col("o_custkey"), lit(1024L)))
+      .withColumn("__y",
+        pmod(datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long"),
+          lit(1024L)))
+    val morton = (0 until bits).map { i =>
+      (shiftleft(shiftright(col("__x"), i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(col("__y"), i).bitwiseAND(1L), 2 * i + 1)): Column
+    }.reduce(_ + _)
+    o.withColumn("__m", morton)
+      .groupBy((col("__m") / 4096L).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("__x").as("x_lo"), max("__x").as("x_hi"),
+        min("__y").as("y_lo"), max("__y").as("y_hi"))
+  }
+
+  private val zorderSql = {
+    val bits = 10
+    val morton = (0 until bits).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT o_custkey % 1024 AS x,
+       |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) % 1024 AS y
+       |  FROM orders),
+       |m AS (SELECT x, y, $morton AS m FROM b)
+       |SELECT CAST(m // 4096 AS BIGINT) AS bucket, count(*) AS n,
+       |  min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+       |FROM m GROUP BY 1""".stripMargin
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4141,5 +4272,8 @@ object Queries {
     Q("q_countmin", countMin, Some(countMinSql)),
     Q("q_domain_cap", domainCap, Some(domainCapSql)),
     Q("q_semdedup", semDedup, Some(semDedupSql)),
+    Q("q_fk_integrity", fkIntegrity, Some(fkIntegritySql)),
+    Q("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
+    Q("q_zorder", zorder, Some(zorderSql)),
   )
 }
