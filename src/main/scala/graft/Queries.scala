@@ -4152,6 +4152,79 @@ object Queries {
        |FROM m GROUP BY 1""".stripMargin
   }
 
+  /** #119 HLL sketch store-and-merge — the mergeable-distinct contract
+    * q_approx_distinct (one-shot estimate) and q_incremental_agg
+    * (algebraic counters) both stop short of: per-wave Datasketches HLL
+    * sketches materialize as BINARY columns (storeable to parquet like
+    * any other state), and `hll_union_agg` over the stored sketches
+    * reaches the global estimate WITHOUT rescanning history — the
+    * incremental distinct-users-ever at 100 TB. The audit row pins
+    * (a) merge consistency: union-of-wave-sketches estimate within 1%
+    * of the whole-table sketch estimate (the union operator promotes
+    * internal modes, so close — not bit-identical), and
+    * (b) the union estimate within 5% of exact — both flags replayed as
+    * pinned TRUE by the oracle (the q_approx_distinct pattern), the raw
+    * estimates spec-bounded in SketchUnionSpec. */
+  private def hllUnion(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val waves = orders.withColumn("wave", col("o_orderkey") % 10)
+      .groupBy("wave").agg(hll_sketch_agg(col("o_custkey")).as("__sk"))
+    val union = waves.agg(count(lit(1)).as("n_waves"),
+      hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est_union"))
+    val direct = orders.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("__est_direct"),
+      countDistinct(col("o_custkey")).as("exact_customers"))
+    union.crossJoin(broadcast(direct))
+      .select(col("n_waves"), col("exact_customers"),
+        (abs(col("__est_union") - col("__est_direct")) /
+          col("exact_customers").cast("double") <= 0.01).as("merge_consistent"),
+        (abs(col("__est_union") - col("exact_customers")).cast("double") /
+          col("exact_customers").cast("double") <= 0.05).as("union_ok"))
+  }
+
+  private val hllUnionSql =
+    """SELECT CAST(count(DISTINCT o_orderkey % 10) AS BIGINT) AS n_waves,
+      |  count(DISTINCT o_custkey) AS exact_customers,
+      |  TRUE AS merge_consistent, TRUE AS union_ok
+      |FROM orders""".stripMargin
+
+  /** #120 trigram-index substring search — `%pattern%` acceleration
+    * (the pg_trgm idea, distributed): a LIKE scan reads every byte of a
+    * 100-TB corpus; the trigram route explodes each document ONCE into
+    * distinct char 3-grams, equi-joins the (tiny, broadcast) pattern
+    * trigram set, and only documents containing ALL of a pattern's
+    * trigrams (count == needed — necessary, not sufficient) reach the
+    * exact `contains` verify. The full-text scan happens on candidates
+    * only; the posting build is the reusable write-once index. Oracle:
+    * DuckDB runs the plain LIKE scan — same result by construction,
+    * which IS the claim (index accelerates, semantics unchanged). */
+  private def trigramSearch(s: SparkSession, dir: String): DataFrame = {
+    val patterns = Seq("join merge", "scan filter")
+    val docs = parallelize(s, t(s, dir, "documents"))
+    val tri = docs.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(lower(text)) - 2, 0)), " +
+          "i -> substring(lower(text), i, 3))"))).as("__tg"))
+    import s.implicits._
+    val patTri = patterns.flatMap { p =>
+      val tgs = p.sliding(3).toSeq.distinct
+      tgs.map(tg => (p, tg, tgs.size))
+    }.toDF("pattern", "__tg", "__need")
+    val cand = tri.join(broadcast(patTri), Seq("__tg"))
+      .groupBy("doc_id", "pattern", "__need")
+      .agg(countDistinct(col("__tg")).as("__hit"))
+      .filter(col("__hit") === col("__need"))
+    cand.join(docs.select(col("doc_id"), lower(col("text")).as("__lt")), Seq("doc_id"))
+      .filter(expr("instr(__lt, pattern) > 0"))
+      .select(col("pattern"), col("doc_id"))
+  }
+
+  private val trigramSearchSql =
+    """SELECT p.pattern, d.doc_id
+      |FROM documents d
+      |CROSS JOIN (VALUES ('join merge'), ('scan filter')) p(pattern)
+      |WHERE contains(lower(d.text), p.pattern)""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4275,5 +4348,7 @@ object Queries {
     Q("q_fk_integrity", fkIntegrity, Some(fkIntegritySql)),
     Q("q_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     Q("q_zorder", zorder, Some(zorderSql)),
+    Q("q_hll_union", hllUnion, Some(hllUnionSql)),
+    Q("q_trigram_search", trigramSearch, Some(trigramSearchSql)),
   )
 }
