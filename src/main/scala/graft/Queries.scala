@@ -4225,6 +4225,131 @@ object Queries {
       |CROSS JOIN (VALUES ('join merge'), ('scan filter')) p(pattern)
       |WHERE contains(lower(d.text), p.pattern)""".stripMargin
 
+  /** #121 interval coverage — union-of-intervals time per user (uptime /
+    * activity coverage, the dual of q_gap_fill's missing-bucket view):
+    * each event opens an interval [ts, ts + value minutes]; overlapping
+    * intervals merge into islands via the per-user EXCLUSIVE running
+    * max of interval ends (a user-bounded window — never global), an
+    * island counter from the gap flags, and one aggregate per island.
+    * All arithmetic is exact epoch micros; no double time math. The
+    * classic coalesce-overlaps shape every billing/SLA pipeline needs. */
+  private def intervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("__s"),
+        (unix_micros(col("ts")) +
+          (col("value").cast("decimal(18,2)") * 60000000L).cast("long")).as("__e"))
+    val w = Window.partitionBy("user_id").orderBy(col("__s"), col("__e"), col("event_id"))
+    val flagged = ev
+      .withColumn("__pmax", max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+    flagged.groupBy("user_id", "__island")
+      .agg(min("__s").as("__is"), max("__e").as("__ie"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered_us"))
+  }
+
+  private val intervalCoverageSql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT) AS e
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS new_island,
+      |    event_id
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, s, e,
+      |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM f),
+      |i AS (
+      |  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+      |FROM i GROUP BY 1""".stripMargin
+
+  /** #122 CUSUM changepoint detection — WHERE did the hourly rate
+    * shift? (The drift family's localization step: PSI/t/KS/chi-square
+    * say "something moved"; CUSUM points at the hour.) Over each
+    * type's dense zero-filled hourly series, the cumulative deviation
+    * S_t = Σ_{i≤t}(x_i − μ) peaks at the changepoint. Computed in
+    * EXACT integers: N_t = n·prefix_t − t·total (= n²·S_t-scaled)
+    * needs no double mean — the prefix runs in a per-type window
+    * (bounded by series length), the argmax is a deterministic
+    * (|N|, hr) ordering, and the only double is the final normalized
+    * statistic. */
+  private def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val hc = ev
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = hc.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
+    val grid = span
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hc, Seq("event_type", "hr"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val totals = grid.groupBy("event_type")
+      .agg(sum("cnt").as("__tot"), count(lit(1)).as("n_hours"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val scanned = grid
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .withColumn("__pre", sum("cnt").over(w))
+      .join(broadcast(totals), Seq("event_type"))
+      // N_t = n·prefix_t − t·total = n·S_t exactly (no double mean)
+      .withColumn("__N", col("n_hours") * col("__pre") - col("__t") * col("__tot"))
+    scanned.groupBy("event_type")
+      .agg(max("n_hours").as("n_hours"), max("__tot").as("__mtot"),
+        max_by(struct(col("hr"), abs(col("__N")).as("a")),
+          // ties on |N| resolve to the EARLIEST hour: flip hr under max_by
+          struct(abs(col("__N")), -col("hr"))).as("__peak"))
+      .select(col("event_type"), col("n_hours"),
+        col("__peak.hr").as("cp_hr"),
+        round(col("__peak.a").cast("double") /
+          (col("n_hours").cast("double") * col("__mtot").cast("double")), 6)
+          .as("cusum_stat"))
+  }
+
+  private val changepointSql =
+    """WITH hc AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM hc GROUP BY 1),
+      |g0 AS (
+      |  SELECT s.event_type, CAST(u.hr AS BIGINT) AS hr
+      |  FROM span s, unnest(range(s.h0, s.h1 + 1)) AS u(hr)),
+      |grid AS (
+      |  SELECT g0.event_type, g0.hr, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |  FROM g0 LEFT JOIN hc c ON c.event_type = g0.event_type AND c.hr = g0.hr),
+      |t AS (
+      |  SELECT event_type, sum(cnt) AS tot, count(*) AS n_hours
+      |  FROM grid GROUP BY 1),
+      |sc AS (
+      |  SELECT g.event_type, g.hr, t.n_hours, t.tot,
+      |    CAST(row_number() OVER (PARTITION BY g.event_type ORDER BY g.hr) AS BIGINT) AS tt,
+      |    sum(g.cnt) OVER (PARTITION BY g.event_type ORDER BY g.hr
+      |                     ROWS UNBOUNDED PRECEDING) AS pre
+      |  FROM grid g JOIN t ON g.event_type = t.event_type),
+      |n AS (
+      |  SELECT event_type, hr, n_hours, tot,
+      |    abs(n_hours * pre - tt * tot) AS a,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY abs(n_hours * pre - tt * tot) DESC, hr) AS rk
+      |  FROM sc)
+      |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, hr AS cp_hr,
+      |  round(CAST(a AS DOUBLE) / (CAST(n_hours AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+      |    AS cusum_stat
+      |FROM n WHERE rk = 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4350,5 +4475,7 @@ object Queries {
     Q("q_zorder", zorder, Some(zorderSql)),
     Q("q_hll_union", hllUnion, Some(hllUnionSql)),
     Q("q_trigram_search", trigramSearch, Some(trigramSearchSql)),
+    Q("q_interval_coverage", intervalCoverage, Some(intervalCoverageSql)),
+    Q("q_changepoint", changepoint, Some(changepointSql)),
   )
 }
