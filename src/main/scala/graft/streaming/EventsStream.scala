@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -129,5 +130,43 @@ object EventsStream {
           state.update(s)
           out.iterator
       }
+  }
+
+  /** The same gap sessionization on the `transformWithState` API
+    * (Spark 4's successor to flatMapGroupsWithState): typed ValueState
+    * survives across micro-batches in the state store, per-key rows
+    * arrive batched, and the processor owns its state lifecycle
+    * (`init`/`handleInputRows`). Parity with [[sessionize]] is
+    * spec-enforced — both must assign identical session ids batch over
+    * batch. At scale this is the API that adds state TTL, timers, and
+    * multiple typed state variables without a state-schema rewrite. */
+  final class SessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Event, SessionAssignment] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[SessionAssignment] = {
+      var s = if (state.exists()) state.get() else SessionState(0, Long.MinValue)
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        val t = e.ts.getTime / 1000
+        s = if (s.lastTs == Long.MinValue || t - s.lastTs > gapSeconds)
+              SessionState(s.sessionCount + 1, t)
+            else s.copy(lastTs = t)
+        SessionAssignment(e.event_id, user, s.sessionCount)
+      }
+      state.update(s)
+      out.iterator
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event], gapSeconds: Long): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -369,4 +369,41 @@ class EventsStreamSpec extends GraftSuite {
       assert(out.toSeq == Seq(1, 1, 2))
     } finally q.stop()
   }
+
+  test("transformWithState sessionizer matches flatMapGroupsWithState batch over batch") {
+    // transformWithState needs the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val sessions = EventsStream.sessionizeTws(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream.format("memory").queryName("sess_tws")
+      .outputMode("append").start()
+    try {
+      // batch 1: two users interleaved
+      input.addData(
+        EventsStream.Event(1L, ts("2024-01-01 10:00:00"), 7L),
+        EventsStream.Event(2L, ts("2024-01-01 10:05:00"), 7L),
+        EventsStream.Event(4L, ts("2024-01-01 10:00:00"), 8L))
+      q.processAllAvailable()
+      // batch 2: state must survive the micro-batch boundary — event 5
+      // continues user 7's session, event 6 opens a new one after the gap
+      input.addData(
+        EventsStream.Event(5L, ts("2024-01-01 10:09:00"), 7L),
+        EventsStream.Event(6L, ts("2024-01-01 12:00:00"), 8L))
+      q.processAllAvailable()
+      val out = spark.table("sess_tws").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(out.toSeq == Seq(
+        (1L, 7L, 1), (2L, 7L, 1), (4L, 8L, 1), (5L, 7L, 1), (6L, 8L, 2)),
+        s"tws session ids diverge: ${out.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
