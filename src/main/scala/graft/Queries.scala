@@ -4350,6 +4350,80 @@ object Queries {
       |    AS cusum_stat
       |FROM n WHERE rk = 1""".stripMargin
 
+  /** #123 UNPIVOT (melt) — wide metrics to long (metric, value) rows,
+    * the inverse of q_pivot_status: `Dataset.unpivot` plans a map-side
+    * `Expand` (each input row fans out to one row per value column) —
+    * NO shuffle, no join, schema-driven. The long form is what metric
+    * stores and drift monitors ingest; at 100 TB the zero-shuffle
+    * property is the whole point (melting is free, pivoting costs an
+    * aggregate). Oracle is the portable UNION ALL formulation. */
+  private def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey")),
+        "metric", "value")
+
+  private val unpivotMetricsSql =
+    """SELECT o_orderkey, 'o_totalprice' AS metric,
+      |  CAST(o_totalprice AS DOUBLE) AS value FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'o_custkey' AS metric,
+      |  CAST(o_custkey AS DOUBLE) AS value FROM orders""".stripMargin
+
+  /** #124 JSONL ingestion with corrupt-record routing — the reference's
+    * JSON-API ingestion (feeder.py:22-47 pulls JSON pages) upgraded to
+    * schema-on-read at scale: a JSONL fixture derived from `orders`
+    * (with every 101st line deterministically truncated mid-object)
+    * reads back under an EXPLICIT schema in PERMISSIVE mode, malformed
+    * lines routing to `_corrupt_record` instead of failing the batch —
+    * the source-level complement of q_dead_letter's semantic
+    * validation. The aggregate proves the round-trip: per-status counts
+    * with corrupt lines surfacing as their own `_corrupt` bucket,
+    * recomputed by the oracle from the source table. Fixture writes use
+    * the per-appId scratch contract (see zipExtract). */
+  private def jsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    val jlDir = new java.io.File(tmpRoot, s"graft_jsonl_${s.sparkContext.applicationId}")
+    if (scratchHooked.add(jlDir.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(jlDir)
+      }))
+    }
+    t(s, dir, "orders")
+      .select(when(col("o_orderkey") % 101 === 0, lit("{\"o_orderkey\":"))
+        .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")))).as("value"))
+      .write.mode("overwrite").text(jlDir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(jlDir.getAbsolutePath)
+      .groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("o_orderstatus")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+  }
+
+  private val jsonlIngestSql =
+    """SELECT CASE WHEN o_orderkey % 101 = 0 THEN '_corrupt'
+      |            ELSE o_orderstatus END AS status,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 101 <> 0
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4477,5 +4551,7 @@ object Queries {
     Q("q_trigram_search", trigramSearch, Some(trigramSearchSql)),
     Q("q_interval_coverage", intervalCoverage, Some(intervalCoverageSql)),
     Q("q_changepoint", changepoint, Some(changepointSql)),
+    Q("q_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),
+    Q("q_jsonl_ingest", jsonlIngest, Some(jsonlIngestSql), bench = false),
   )
 }
