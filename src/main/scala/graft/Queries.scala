@@ -4424,6 +4424,101 @@ object Queries {
       |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** #125 duplicated-span detection (the Lee et al. 2022 "Deduplicating
+    * Training Data" exact-substring signal, distributed): a token k-gram
+    * appearing in ≥2 documents marks every occurrence position
+    * duplicated; per document, overlapping/adjacent duplicated k-gram
+    * positions merge into SPANS (the island-merge shape from
+    * q_interval_coverage, bounded per doc), yielding span count,
+    * duplicated-token mass, and dup ratio per document. Shapes: gram
+    * explode is map-side off one sequence+slice; the df aggregate and
+    * the gram join are co-partitioned on the gram hash (the hot-gram
+    * dictionary is FILTERED before joining back — at 100 TB only
+    * actually-duplicated grams flow); the only window partitions by
+    * doc_id. The hash is the engine-portable fingerprint fold, so
+    * DuckDB replays span merging bit-exact. */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val toks = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val grams = toks.filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(1, n_tokens - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+          .as(Seq("g0", "gram")))
+      .select(col("doc_id"), col("n_tokens"), (col("g0") + 1).as("pos"),
+        TextAnalysis.fingerprint(col("gram")).as("gh"))
+    val hot = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= 2).select("gh")
+    val dup = grams.join(hot, Seq("gh"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("__pend",
+        max(col("pos") + (k - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pend").isNull || col("pos") > col("__pend") + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy("doc_id", "__island")
+      .agg(min("pos").as("__s"), max(col("pos") + (k - 1)).as("__e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + 1).as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  private val dupSpansSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+       |g AS (
+       |  SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+       |  FROM d, unnest(range(1, CAST(n_tokens - 3 AS BIGINT))) AS u(i)
+       |  WHERE n_tokens >= 5),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split_regex(gram, ''),
+       |                     c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS gh
+       |  FROM g),
+       |hot AS (SELECT gh FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |dup AS (SELECT h.doc_id, h.pos FROM h JOIN hot ON h.gh = hot.gh),
+       |f AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+       |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |           OR pos > max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+       |                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |         THEN 1 ELSE 0 END AS new_island
+       |  FROM dup),
+       |gi AS (
+       |  SELECT doc_id, pos,
+       |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+       |                          ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM f),
+       |sp AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos + 4) AS e
+       |  FROM gi GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens
+       |  FROM sp GROUP BY 1)
+       |SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / CAST(d.n_tokens AS DOUBLE), 6)
+       |    AS dup_ratio
+       |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4553,5 +4648,6 @@ object Queries {
     Q("q_changepoint", changepoint, Some(changepointSql)),
     Q("q_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),
     Q("q_jsonl_ingest", jsonlIngest, Some(jsonlIngestSql), bench = false),
+    Q("q_dup_spans", dupSpans, Some(dupSpansSql)),
   )
 }
