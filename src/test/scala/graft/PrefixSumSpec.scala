@@ -50,4 +50,24 @@ class PrefixSumSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, 10L), (2L, 10L), (3L, 15L)))
   }
+
+  test("property: global rank equals the local sort rank for arbitrary data/partitioning") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val rows = Gen.chooseNum(1, 120).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.alphaLowerStr.map(_.take(3))))
+    }
+    val prop = forAll(rows, Gen.chooseNum(1, 9)) { (data, parts) =>
+      // unique composite key: append an index so the order contract holds
+      val indexed = data.zipWithIndex.map { case ((v, t), i) => (v, s"$t$i") }
+      val df = indexed.toDF("v", "t").repartition(parts)
+      val got = PrefixSum.withGlobalRank(df, Seq("v", "t"), "r").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val expected = indexed.sorted.zipWithIndex.map { case ((v, t), i) => (v, t, i + 1L) }
+      Prop(got.sortBy(_._3).toSeq == expected.toSeq)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
 }
