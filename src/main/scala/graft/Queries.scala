@@ -3895,13 +3895,18 @@ object Queries {
         (i + 1).cast("long") * lit(1315423911L),
         (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)),
           lit(TextAnalysis.FingerprintMod))), lit(w.toLong))
+    // ONE pass over the token stream collapses it to (token, freq)
+    // TYPES; the sketch, the stream length, and the probes all derive
+    // from that small relation (distinct tokens ≪ stream length) — the
+    // d× explode and the hash fold run per TYPE, never per occurrence
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = exact.orderBy(col("exact").desc, col("tok")).limit(10)
-    val n = toks.agg(count(lit(1)).as("__n"))
-    val sketch = toks
-      .select(col("tok"), explode(array((0 until d).map(lit): _*)).as("i"))
-      .select(col("i"), slotOf(col("tok"), col("i")).as("slot"))
-      .groupBy("i", "slot").agg(count(lit(1)).as("cnt"))
+    val n = exact.agg(sum("exact").as("__n"))
+    val sketch = exact
+      .select(col("tok"), col("exact"), explode(array((0 until d).map(lit): _*)).as("i"))
+      .select(col("exact"), col("i"), slotOf(col("tok"), col("i")).as("slot"))
+      .groupBy("i", "slot").agg(sum("exact").as("cnt"))
     val probeCells = probes
       .select(col("tok"), col("exact"), explode(array((0 until d).map(lit): _*)).as("i"))
       .select(col("tok"), col("exact"), col("i"), slotOf(col("tok"), col("i")).as("slot"))
@@ -3997,15 +4002,19 @@ object Queries {
         .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))))
     val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
       nlist = 16, iters = 3, sampleMod = 4)
+    // one assignment pass, persisted: the pair scan reads it twice and
+    // the verdict projection once — recomputing nearest_cells over the
+    // corpus three times is pure waste at any scale
     val cells = IvfIndex.assign(e, "vec_id", "embedding", cents,
       keep = Seq("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val drops = cells.select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("__va"))
       .join(cells.select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("__vb")),
         Seq("cid"))
       .filter(col("id_a") < col("id_b") &&
         round(Similarity.cosine(col("__va"), col("__vb")), 6) >= tau)
       .select(col("id_b").as("vec_id")).distinct()
-    IvfIndex.assign(e, "vec_id", "embedding", cents)
+    cells.select(col("vec_id"), col("cid"))
       .join(broadcast(drops.withColumn("__d", lit(1))), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("__d").isNull.as("kept"))
   }
@@ -4442,6 +4451,9 @@ object Queries {
     val toks = parallelize(s, t(s, dir, "documents"))
       .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
+    // persisted: the gram tree (tokenize + explode + char-fold hash) is
+    // the expensive pass and BOTH the df aggregate and the position join
+    // read it — without the persist it would be computed twice
     val grams = toks.filter(col("n_tokens") >= k)
       .select(col("doc_id"), col("n_tokens"),
         posexplode(expr(
@@ -4449,6 +4461,7 @@ object Queries {
           .as(Seq("g0", "gram")))
       .select(col("doc_id"), col("n_tokens"), (col("g0") + 1).as("pos"),
         TextAnalysis.fingerprint(col("gram")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= 2).select("gh")
