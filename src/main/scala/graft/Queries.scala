@@ -4532,6 +4532,82 @@ object Queries {
        |    AS dup_ratio
        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** #126 canonicalization — the KEEP decision after near-dup
+    * clustering: per cluster (connected components over the MinHash-LSH
+    * pair graph, reused from q_dedup_clusters) elect the best document
+    * by quality (longest text, ties → lowest doc_id) and emit the
+    * doc → canonical mapping every downstream consumer rewrites
+    * against. The election is one `max_by` aggregate over O(cluster)
+    * rows (no window over the corpus), and the canonical map — cluster-
+    * count-sized — joins back co-partitioned on cluster_id. On the
+    * planted exact-copy corpus quality ties and the ORIGINAL wins by
+    * id — the interpretable outcome a curation pipeline wants. */
+  private def canonicalPick(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    val cc = ConnectedComponents.clusters(corpus, pairs, "doc_id")
+      .select("doc_id", "cluster_id")
+    val withQ = cc.join(corpus.select(col("doc_id"), length(col("text")).as("__q")),
+      Seq("doc_id"))
+    val canon = withQ.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("__q"), -col("doc_id"))).as("canonical_id"))
+    withQ.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("kept"))
+  }
+
+  private val canonicalPickSql =
+    s"""WITH RECURSIVE pairs AS (
+       |$dedupMinhashSql
+       |),
+       |edges AS (SELECT id_a AS v, id_b AS w FROM pairs
+       |          UNION ALL SELECT id_b AS v, id_a AS w FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT v, v FROM edges
+       |  UNION
+       |  SELECT e.v, r.r FROM edges e JOIN reach r ON r.v = e.w),
+       |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |corpus AS $dupCorpusSql,
+       |m AS (
+       |  SELECT c.doc_id, coalesce(cc.cluster_id, c.doc_id) AS cluster_id,
+       |    CAST(length(c.text) AS INT) AS q
+       |  FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id),
+       |canon AS (
+       |  SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+       |    FROM m) WHERE rn = 1)
+       |SELECT m.doc_id, c.canonical_id, m.doc_id = c.canonical_id AS kept
+       |FROM m JOIN canon c ON m.cluster_id = c.cluster_id""".stripMargin
+
+  /** #127 rolling median — robust per-key smoothing over the last 25
+    * events (the heavy-tail-safe alternative to q_moving_sum's mean
+    * family; what latency and price monitors actually plot). The frame
+    * is a bounded per-user window (25 rows — state is O(frame), never
+    * the user's history); the median interpolates even-sized frames
+    * with the same `lo + (hi−lo)·0.5` form DuckDB's quantile_cont
+    * uses, so the hash gate holds bit-for-bit at 6dp. */
+  private def rollingQuantile(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(-24, 0)
+    val sorted = sort_array(collect_list(col("value")).over(w))
+    val m = size(sorted)
+    val lo = element_at(sorted, floor((m + 1) / 2.0).cast("int"))
+    val hi = element_at(sorted, (floor(m / 2.0) + 1).cast("int"))
+    ev.select(col("event_id"), col("user_id"), col("value"),
+      round(lo + (hi - lo) * 0.5, 6).as("roll_med"))
+  }
+
+  private val rollingQuantileSql =
+    """SELECT event_id, user_id, value,
+      |  round(quantile_cont(value, 0.5) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS roll_med
+      |FROM events""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4662,5 +4738,7 @@ object Queries {
     Q("q_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),
     Q("q_jsonl_ingest", jsonlIngest, Some(jsonlIngestSql), bench = false),
     Q("q_dup_spans", dupSpans, Some(dupSpansSql)),
+    Q("q_canonical_pick", canonicalPick, Some(canonicalPickSql)),
+    Q("q_rolling_quantile", rollingQuantile, Some(rollingQuantileSql)),
   )
 }
