@@ -3891,10 +3891,9 @@ object Queries {
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
     def slotOf(tok: Column, i: Column): Column =
-      pmod(aggregate(split(tok, ""),
-        (i + 1).cast("long") * lit(1315423911L),
-        (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)),
-          lit(TextAnalysis.FingerprintMod))), lit(w.toLong))
+      pmod(graft.functions.NativeText.poly_fingerprint(tok,
+        (i + 1).cast("long") * lit(1315423911L), TextAnalysis.FingerprintMod),
+        lit(w.toLong))
     // ONE pass over the token stream collapses it to (token, freq)
     // TYPES; the sketch, the stream length, and the probes all derive
     // from that small relation (distinct tokens ≪ stream length) — the

@@ -256,6 +256,43 @@ object NativeText {
       copy(child = newChild)
   }
 
+  /** `poly_fingerprint(text, seed)` — the 61-bit polynomial rolling hash
+    * `acc ← (acc·31 + codepoint) mod m` seeded by `seed`, over the
+    * string's Unicode code points. Bit-identical to the declarative
+    * `aggregate(split(text, ''), seed, (a, c) -> pmod(a*31 + ascii(c), m))`
+    * fold (property-tested in NativeTextSpec) but a primitive loop — the
+    * HOF form dispatches a lambda and boxes a Long per character, which
+    * dominates gram-hashing passes (winnow, dup-spans, count-min).
+    * `seed` is an expression so per-row seeds (count-min's d hash rows)
+    * stay map-side. Engine-portable: DuckDB replays the same fold with
+    * list_reduce. */
+  case class PolyFingerprint(left: Expression, right: Expression, mod: Long)
+      extends BinaryExpression with CodegenFallback {
+    require(mod > 1, "modulus must be > 1")
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(left.dataType == StringType && right.dataType == LongType,
+        s"poly_fingerprint expects (STRING, BIGINT), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    override def nullSafeEval(text: Any, seed: Any): Any = {
+      val s = text.asInstanceOf[UTF8String].toString
+      var acc = seed.asInstanceOf[Long]
+      // split('', '') yields [''] and ascii('') is 0, so the declarative
+      // fold takes exactly ONE zero step on an empty string — replicate
+      if (s.isEmpty) return java.lang.Math.floorMod(acc * 31L, mod)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = java.lang.Math.floorMod(acc * 31L + cp, mod)
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-level API ---------------------------------------------------------
 
   private def toCol(e: Expression): Column =
@@ -270,4 +307,6 @@ object NativeText {
   def jaccard_sets(a: Column, b: Column): Column = toCol(JaccardSets(exprOf(a), exprOf(b)))
   def simhash64(text: Column): Column = toCol(SimHash64(exprOf(text)))
   def simhash_univ(text: Column): Column = toCol(SimHashUnivExpr(exprOf(text)))
+  def poly_fingerprint(text: Column, seed: Column, mod: Long): Column =
+    toCol(PolyFingerprint(exprOf(text), exprOf(seed), mod))
 }

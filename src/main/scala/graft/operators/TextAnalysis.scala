@@ -70,11 +70,12 @@ object TextAnalysis {
     * a long (Spark 4 runs ANSI mode — overflow would throw, not wrap). */
   val FingerprintMod = 36028797018963913L // largest prime < 2^55
 
+  /** Native expression (primitive per-codepoint loop) — bit-identical to
+    * the declarative `aggregate(split(text, ''), 0, (a, c) ->
+    * pmod(a*31 + ascii(c), mod))` fold it replaces (property-tested in
+    * NativeTextSpec), ~10-100× faster on gram-hashing passes. */
   def fingerprint(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(FingerprintMod)))
+    graft.functions.NativeText.poly_fingerprint(text, lit(0L), FingerprintMod)
 
   /** Word k-shingles: join each k-run of tokens back into a string.
     * Documents shorter than k tokens yield their single full-token

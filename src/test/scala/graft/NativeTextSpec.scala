@@ -118,4 +118,30 @@ class NativeTextSpec extends GraftSuite {
         .stripMargin).head().getSeq[Int](0)
     assert(cells == Seq(1, 0))
   }
+
+  test("poly_fingerprint is bit-identical to the declarative char fold") {
+    import org.scalacheck.Gen
+    val mod = graft.operators.TextAnalysis.FingerprintMod
+    val strGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.asciiPrintableStr.map(_.take(40)),
+      Gen.listOf(Gen.oneOf("a", "é", "ß", "日", " ", "𝄞"))
+        .map(_.mkString))
+    val cases = (1 to 60).flatMap(i =>
+      strGen.sample.map(s => (s, (i % 5).toLong * 1315423911L)))
+    val df = cases.toDF("t", "seed")
+    val decl = aggregate(split(col("t"), ""), col("seed"),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(mod)))
+    val rows = df.select(col("t"),
+      decl.as("d"),
+      NativeText.poly_fingerprint(col("t"), col("seed"), mod).as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"fold diverges on [${r.getString(0)}]: decl=${r.getLong(1)} native=${r.getLong(2)}")
+    }
+    // null text → null (UnaryExpression null semantics)
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(NativeText.poly_fingerprint(col("t"), lit(0L), mod)).head()
+    assert(nulls.isNullAt(0))
+  }
 }
