@@ -4607,6 +4607,54 @@ object Queries {
       |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS roll_med
       |FROM events""".stripMargin
 
+  /** #128 GROUPING SETS — the arbitrary-lattice member of the
+    * grouping family (q_rollup_agg = hierarchy, q_cube = full lattice):
+    * exactly the three requested cells ((status, priority), (status),
+    * ()) expand map-side in ONE pass + one hash aggregate — vs three
+    * separate scans; `grouping_id()` disambiguates the NULL-as-total
+    * rows exactly as DuckDB's GROUPING_ID() does. */
+  private def groupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        grouping_id().cast("long").as("gid"))
+
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  /** #129 ECDF / quantile normalization — map every value to its
+    * empirical cumulative probability (the rank-based feature transform
+    * robust to any distribution; what "quantile normalization" means in
+    * feature pipelines). cume_dist's single-reducer `ORDER BY` window
+    * never appears: the global rank comes from the distributed
+    * two-phase scan (`PrefixSum.withGlobalRank` on (value, event_id)),
+    * and tie-correctness (all rows of an equal value share the ecdf =
+    * count(≤ value)/n) is one window over the VALUE group — bounded by
+    * the tie count, not the table. */
+  private def ecdfNormalize(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("value"))
+    val ranked = PrefixSum.withGlobalRank(ev, Seq("value", "event_id"), "__r")
+    val n = ranked.agg(max("__r").as("__n"))
+    ranked
+      .withColumn("__cum", max("__r").over(Window.partitionBy("value")))
+      .crossJoin(broadcast(n))
+      .select(col("event_id"), col("value"),
+        round(col("__cum").cast("double") / col("__n").cast("double"), 6).as("ecdf"))
+  }
+
+  private val ecdfNormalizeSql =
+    """SELECT event_id, value,
+      |  round(cume_dist() OVER (ORDER BY value), 6) AS ecdf
+      |FROM events""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4739,5 +4787,7 @@ object Queries {
     Q("q_dup_spans", dupSpans, Some(dupSpansSql)),
     Q("q_canonical_pick", canonicalPick, Some(canonicalPickSql)),
     Q("q_rolling_quantile", rollingQuantile, Some(rollingQuantileSql)),
+    Q("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    Q("q_ecdf", ecdfNormalize, Some(ecdfNormalizeSql)),
   )
 }

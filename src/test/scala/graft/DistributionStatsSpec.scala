@@ -130,4 +130,39 @@ class DistributionStatsSpec extends GraftSuite {
     val bad = df.filter(abs(col("acf")) > 1.0 + 1e-9).count()
     assert(bad == 0, "Pearson r must stay in [-1, 1]")
   }
+
+  // ----------------------------------------------------------------- ecdf
+
+  test("ecdf is a valid tie-exact CDF: monotone, (0,1], top value at 1") {
+    val out = q("q_ecdf").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out.forall { case (_, e) => e > 0.0 && e <= 1.0 })
+    assert(out.maxBy(_._1)._2 == 1.0, "the maximum value must map to 1")
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((v1, e1), (v2, e2)) =>
+      assert(e1 <= e2, s"ECDF must be monotone: ($v1,$e1) then ($v2,$e2)")
+      if (v1 == v2) assert(e1 == e2, "equal values must share their ecdf")
+    }
+  }
+
+  test("ecdf ranks come from the two-phase scan, not a global window") {
+    val plan = q("q_ecdf").queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    // the only window partitions by value (tie groups) — never empty
+    assert(!winLines.contains("partitionBy=[]"),
+      s"no unpartitioned window allowed:\n$winLines")
+  }
+
+  // -------------------------------------------------------- grouping sets
+
+  test("grouping sets emits exactly the requested cells with consistent totals") {
+    val rows = q("q_grouping_sets").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(4)))
+    val byGid = rows.groupBy(_._4)
+    assert(byGid.keySet == Set(0L, 1L, 3L), s"cells: ${byGid.keySet}")
+    val n = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(byGid(3L).map(_._3).sum == n, "grand total row covers the table")
+    assert(byGid(1L).map(_._3).sum == n, "per-status subtotals cover the table")
+    assert(byGid(0L).map(_._3).sum == n, "finest cells cover the table")
+  }
 }
