@@ -4832,6 +4832,74 @@ object Queries {
       |                              ELSE d.dand END AS consistent
       |FROM pops p CROSS JOIN direct d""".stripMargin
 
+  /** #133 cumulative distinct users by day — "distinct-ever as of d"
+    * without a running COUNT(DISTINCT) window (which would re-scan
+    * history per day): each user collapses to a FIRST-SEEN day (one
+    * aggregate), daily new-user counts form a tiny per-day series, and
+    * the running total is a window over THAT series (O(days) rows —
+    * bounded however large the fact table). The incremental-dashboard
+    * shape: day d's value needs only day d's new users. */
+  private def cumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("day"))
+    val daily = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_users", sum("new_users").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+  }
+
+  private val cumulativeDistinctSql =
+    """WITH fs AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |d AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_users
+      |FROM d""".stripMargin
+
+  /** #134 rolling active users (DAU/WAU) — trailing-window distinct
+    * counts per day, the retention dashboard's backbone. A windowed
+    * COUNT(DISTINCT) re-buffers 7 days of users per output row; the
+    * distributed form dedups to (user, day) ONCE, then each user-day
+    * SUPPORTS the next 7 calendar days via a constant 7× map-side
+    * explode and one (day, user) distinct aggregate — fan-out is fixed,
+    * state never exceeds the dedup'd activity set. Only days inside the
+    * observed span are emitted. */
+  private def rollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val userDays = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val span = ev.agg(max(to_date(col("ts"))).as("__dmax"))
+    val supported = userDays
+      .select(col("user_id"), col("day"),
+        explode(expr("sequence(0, 6)")).as("__k"))
+      .select(col("user_id"), date_add(col("day"), col("__k")).as("__d"))
+      .crossJoin(broadcast(span))
+      .filter(col("__d") <= col("__dmax"))
+    val wau = supported.groupBy(col("__d").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = userDays.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+  }
+
+  private val rollingActiveSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+      |sup AS (
+      |  SELECT ud.user_id, ud.day + CAST(k AS INT) AS d
+      |  FROM ud CROSS JOIN range(0, 7) r(k) CROSS JOIN mx
+      |  WHERE ud.day + CAST(k AS INT) <= mx.dmax),
+      |wau AS (SELECT d AS day, count(DISTINCT user_id) AS wau FROM sup GROUP BY 1),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+      |SELECT strftime(w.day, '%Y-%m-%d') AS day,
+      |  CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau
+      |FROM wau w LEFT JOIN dau d ON w.day = d.day""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -4969,5 +5037,7 @@ object Queries {
     Q("q_scd2_lookup", scd2Lookup, Some(scd2LookupSql)),
     Q("q_rate_shrinkage", rateShrinkage, Some(rateShrinkageSql)),
     Q("q_bitmap_index", bitmapIndex, Some(bitmapIndexSql)),
+    Q("q_cumulative_distinct", cumulativeDistinct, Some(cumulativeDistinctSql)),
+    Q("q_rolling_active", rollingActive, Some(rollingActiveSql)),
   )
 }
