@@ -4900,6 +4900,75 @@ object Queries {
       |  CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau
       |FROM wau w LEFT JOIN dau d ON w.day = d.day""".stripMargin
 
+  /** #135 linear trend fit — OLS slope/intercept of the hourly event
+    * rate per type (the TREND member of the drift family: PSI/χ²/KS say
+    * "shifted", CUSUM says "when", the slope says "how fast it's
+    * drifting"). Over the dense zero-filled hourly grid, ALL regression
+    * moments (n, Σt, Σt², Σy, Σty with t the hour index) fold as exact
+    * longs in ONE aggregate; slope, intercept, and R² are computed only
+    * in the final deterministic projection. The capacity-planning
+    * number every ingestion dashboard extrapolates from. */
+  private def linearFit(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val hc = ev
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = hc.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
+    val grid = span
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hc, Seq("event_type", "hr"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .join(broadcast(span.select(col("event_type"), col("h0"))), Seq("event_type"))
+      .withColumn("__t", col("hr") - col("h0"))
+    val m = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("__t").as("st"),
+        sum(col("__t") * col("__t")).as("stt"), sum("cnt").as("sy"),
+        sum(col("__t") * col("cnt")).as("sty"),
+        sum(col("cnt") * col("cnt")).as("syy"))
+    val n = col("n_hours").cast("double")
+    val cov = n * col("sty").cast("double") - col("st").cast("double") * col("sy").cast("double")
+    val vt = n * col("stt").cast("double") - col("st").cast("double") * col("st").cast("double")
+    val vy = n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("event_type"), col("n_hours"),
+      round(cov / vt, 6).as("slope"),
+      round((col("sy").cast("double") - cov / vt * col("st").cast("double")) / n, 6)
+        .as("intercept"),
+      when(vy > 0.0, round(cov * cov / (vt * vy), 6)).as("r2"))
+  }
+
+  private val linearFitSql =
+    """WITH hc AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM hc GROUP BY 1),
+      |g0 AS (
+      |  SELECT s.event_type, CAST(u.hr AS BIGINT) AS hr, s.h0
+      |  FROM span s, unnest(range(s.h0, s.h1 + 1)) AS u(hr)),
+      |grid AS (
+      |  SELECT g0.event_type, g0.hr - g0.h0 AS t,
+      |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |  FROM g0 LEFT JOIN hc c ON c.event_type = g0.event_type AND c.hr = g0.hr),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_hours, sum(t) AS st, sum(t * t) AS stt,
+      |    sum(cnt) AS sy, sum(t * cnt) AS sty, sum(cnt * cnt) AS syy
+      |  FROM grid GROUP BY 1)
+      |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+      |  round((CAST(n_hours AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (CAST(n_hours AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) -
+      |         (CAST(n_hours AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |         (CAST(n_hours AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) *
+      |         CAST(st AS DOUBLE)) / CAST(n_hours AS DOUBLE), 6) AS intercept,
+      |  CASE WHEN CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+      |    THEN round(
+      |      (CAST(n_hours AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) *
+      |      (CAST(n_hours AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      ((CAST(n_hours AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) *
+      |       (CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS r2
+      |FROM m""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -5039,5 +5108,6 @@ object Queries {
     Q("q_bitmap_index", bitmapIndex, Some(bitmapIndexSql)),
     Q("q_cumulative_distinct", cumulativeDistinct, Some(cumulativeDistinctSql)),
     Q("q_rolling_active", rollingActive, Some(rollingActiveSql)),
+    Q("q_linear_fit", linearFit, Some(linearFitSql)),
   )
 }

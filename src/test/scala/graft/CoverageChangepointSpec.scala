@@ -48,6 +48,28 @@ class CoverageChangepointSpec extends GraftSuite {
       s"island merge must be user-bounded:\n$winLines")
   }
 
+  test("linear fit matches a driver-side OLS on the zero-filled grid") {
+    val hourly = events
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).view.mapValues { g =>
+      val h = g.map(x => x._2 -> x._3).toMap
+      val series = (h.keys.min to h.keys.max).map(h.getOrElse(_, 0L))
+      val n = series.length.toDouble
+      val ts = series.indices.map(_.toLong)
+      val (st, stt) = (ts.sum, ts.map(t => t * t).sum)
+      val (sy, sty) = (series.sum, ts.zip(series).map(p => p._1 * p._2).sum)
+      val cov = n * sty - st.toDouble * sy.toDouble
+      val vt = n * stt - st.toDouble * st.toDouble
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(cov / vt), r6((sy - cov / vt * st) / n))
+    }.toMap
+    val got = q("q_linear_fit").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expected, s"OLS diverges: $got vs $expected")
+  }
+
   test("CUSUM peak matches a driver-side integer recomputation") {
     val hourly = events
       .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
