@@ -79,4 +79,45 @@ class EdgeCasesSpec extends GraftSuite {
       .collect()
     assert(out.length == 1 && out.head.isNullAt(3))
   }
+
+  test("global rank on an empty frame is empty, on one row is rank 1") {
+    val empty = Seq.empty[(Long, Long)].toDF("v", "k")
+    assert(PrefixSum.withGlobalRank(empty, Seq("v", "k")).count() == 0)
+    val one = PrefixSum.withGlobalRank(Seq((5L, 1L)).toDF("v", "k"), Seq("v", "k"))
+      .collect()
+    assert(one.length == 1 && one.head.getLong(2) == 1L)
+  }
+
+  test("dup-spans on a corpus with no cross-doc grams reports all zeros") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_edge").toString
+    Seq((1L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+        (2L, "one two three four five six seven", "en", "s", 33L),
+        (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dup_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3, "every doc (even empty) gets a verdict row")
+    assert(out.forall(t => t._2 == 0L && t._3 == 0L),
+      "disjoint docs must carry zero duplicated spans")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("interval islands: identical timestamps and zero-length intervals merge") {
+    // two events at the same instant with zero duration → one island of
+    // zero covered time; a third disjoint event → its own island
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val dir = java.nio.file.Files.createTempDirectory("graft_iv_edge").toString
+    // the events read path treats ts as long NANOS (ts DIV 1000 → µs)
+    Seq((1L, 1000000000L, 7L, "a", 0.0, "{}"),
+        (2L, 1000000000L, 7L, "a", 0.0, "{}"),
+        (3L, 9000000000000L, 7L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_interval_coverage")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, 2L, 0L)),
+      s"two islands of zero-length coverage expected: ${out.toSeq}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
