@@ -3815,10 +3815,12 @@ object Queries {
       .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
       .agg(count(lit(1)).as("cnt"))
     val span = hc.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
+    // persisted: O(types·hours) rows read twice (lag + join side); the
+    // lineage otherwise re-aggregates the events table per read
     val grid = span
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
       .join(hc, Seq("event_type", "hr"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L))).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lagged = grid
       .select(col("event_type"), col("hr"), col("cnt").as("x"),
         explode(array((1 to maxLag).map(lit): _*)).as("lag"))
@@ -4091,11 +4093,13 @@ object Queries {
   private def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // persisted: O(types²) rows, read twice (totals + final join) — the
+    // alternative recomputes the full-table window per read
     val pairs = ev
       .withColumn("to_type", lead("event_type", 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
     pairs.join(broadcast(totals), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),
@@ -4301,10 +4305,11 @@ object Queries {
       .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
       .agg(count(lit(1)).as("cnt"))
     val span = hc.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
+    // persisted: read by the totals aggregate AND the window scan
     val grid = span
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
       .join(hc, Seq("event_type", "hr"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L))).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = grid.groupBy("event_type")
       .agg(sum("cnt").as("__tot"), count(lit(1)).as("n_hours"))
     val w = Window.partitionBy("event_type").orderBy("hr")
@@ -4547,8 +4552,10 @@ object Queries {
       shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
     val cc = ConnectedComponents.clusters(corpus, pairs, "doc_id")
       .select("doc_id", "cluster_id")
+    // persisted: read by the election and the final join — otherwise the
+    // length-scan join re-executes per read
     val withQ = cc.join(corpus.select(col("doc_id"), length(col("text")).as("__q")),
-      Seq("doc_id"))
+      Seq("doc_id")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = withQ.groupBy("cluster_id")
       .agg(max_by(col("doc_id"), struct(col("__q"), -col("doc_id"))).as("canonical_id"))
     withQ.join(canon, Seq("cluster_id"))
@@ -4708,10 +4715,12 @@ object Queries {
     * projection — bit-stable under any partitioning. */
   private def rateShrinkage(s: SparkSession, dir: String): DataFrame = {
     val thresh = 300
+    // persisted: O(sources) rows feed the moment fit AND the final
+    // projection — one documents scan instead of two
     val per = parallelize(s, t(s, dir, "documents"))
       .groupBy("source")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("n_chars") >= thresh, 1L).otherwise(0L)).as("k"))
+        sum(when(col("n_chars") >= thresh, 1L).otherwise(0L)).as("k")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mom = per.agg(count(lit(1)).as("__m"), sum("n").as("__sn"),
       sum("k").as("__sk"), sum(col("k") * col("k")).as("__skk"),
       // per-source n is constant in the fixtures; keep the general form
@@ -4775,8 +4784,10 @@ object Queries {
       .groupBy((col("o_orderkey") / 63L).cast("long").as("__blk"))
       .agg(bit_or(expr("shiftleft(1L, CAST(pmod(o_orderkey, 63) AS INT))"))
         .as("__w"))
-    val a = bits(col("o_orderstatus") === "F")
-    val b = bits(col("o_orderpriority") === "1-URGENT")
+    // persisted: each ~64×-compressed bitmap is read by its own popcount
+    // AND the conjunction join — without this the fact scan runs 4×
+    val a = bits(col("o_orderstatus") === "F").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = bits(col("o_orderpriority") === "1-URGENT").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val popA = a.agg(sum(bit_count(col("__w")).cast("long")).as("c")).select(
       lit("status_F").as("tag"), col("c"))
     val popB = b.agg(sum(bit_count(col("__w")).cast("long")).as("c")).select(
@@ -4870,7 +4881,9 @@ object Queries {
     * observed span are emitted. */
   private def rollingActive(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-    val userDays = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // persisted: the dedup'd activity set is read by the support explode
+    // AND the DAU aggregate — exactly the relation a dashboard would cache
+    val userDays = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val span = ev.agg(max(to_date(col("ts"))).as("__dmax"))
     val supported = userDays
       .select(col("user_id"), col("day"),
@@ -4910,9 +4923,11 @@ object Queries {
     * number every ingestion dashboard extrapolates from. */
   private def linearFit(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
+    // persisted: O(types·hours) rows feed the span aggregate AND the
+    // grid join — one events scan instead of two
     val hc = ev
       .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val span = hc.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
     val grid = span
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
