@@ -4984,6 +4984,211 @@ object Queries {
       |  END AS r2
       |FROM m""".stripMargin
 
+  /** #136 PageRank centrality over the event-type transition graph —
+    * "which funnel stage accumulates attention?". The corpus-sized work
+    * is ONE distributed pass (the q_transition_matrix edge aggregate:
+    * per-user lead window, bounded per user, then a (from,to) hash
+    * aggregate); the graph that comes back is O(V²) with V bounded by
+    * the event-type vocabulary, so the power iteration runs on the
+    * driver over broadcast-sized state (the IvfIndex-centroid pattern —
+    * nothing row-scale ever leaves the executors). The iteration is
+    * FIXED-POINT: rank mass is 1e9 nano-units, edge weights
+    * pre-quantized to ppm (`n·1e6 div out`), every update
+    * ⌊85·r·w/1e8⌋ in exact longs — order-independent and replayed
+    * bit-for-bit by the oracle's ten unrolled SQL steps. Products stay
+    * < 8.6e16 however big the corpus: w_ppm ≤ 1e6 by construction,
+    * Σr ≤ 1e9. Dangling/floor mass decays identically on both engines.
+    * For an UNBOUNDED node set (user-graph PageRank) the same integer
+    * update runs as K checkpointed join+agg rounds — the
+    * ConnectedComponents shape; here V is vocabulary-bounded, so that
+    * machinery would shuffle ten times for a five-node graph. */
+  private val PagerankIters = 10
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ed = ev
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = ed.groupBy("from_type").agg(sum("n").as("out_n"))
+    // O(V²) rows, V = event-type vocabulary — bounded collect, like the
+    // IVF centroid pull; the distributed aggregate above did the 100-TB
+    // part. `div` keeps the ppm quantization in exact integers.
+    val edges = ed.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        expr("CAST(n * 1000000 AS BIGINT) div out_n").as("w_ppm"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val vCount = nodes.length.toLong
+    val base = 15000000000L / (100L * vCount)
+    var rank: Map[String, Long] = nodes.map(_ -> 1000000000L / vCount).toMap
+    (0 until PagerankIters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (to, es) =>
+        to -> es.map { case (f, _, wppm) => 85L * rank(f) * wppm / 100000000L }.sum
+      }
+      rank = nodes.map(n => n -> (base + in.getOrElse(n, 0L))).toMap
+    }
+    nodes.toSeq.map(n => (n, rank(n))).toDF("event_type", "rank_nanos")
+      // division only (no rounding): both engines run the identical
+      // IEEE-754 op on exact ≤1e9 integers — bit-equal doubles
+      .withColumn("rank", col("rank_nanos").cast("double") / lit(1000000000.0))
+  }
+
+  private val pagerankSql: String = {
+    def step(i: Int): String =
+      s"""r$i AS (
+         |  SELECT n.event_type, CAST((SELECT base FROM v) + coalesce(a.acc, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.to_type AS event_type, sum(85 * p.r * e.w_ppm // 100000000) AS acc
+         |    FROM r${i - 1} p JOIN e ON e.from_type = p.event_type
+         |    GROUP BY 1) a USING (event_type))""".stripMargin
+    s"""WITH seqd AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |ed AS (SELECT from_type, to_type, count(*) AS n
+       |       FROM seqd WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT from_type, sum(n) AS out_n FROM ed GROUP BY 1),
+       |e AS (SELECT ed.from_type, ed.to_type,
+       |        CAST(ed.n * 1000000 // tot.out_n AS BIGINT) AS w_ppm
+       |      FROM ed JOIN tot USING (from_type)),
+       |nodes AS (SELECT DISTINCT from_type AS event_type FROM ed
+       |          UNION SELECT DISTINCT to_type FROM ed),
+       |v AS (SELECT count(*) AS v_count,
+       |        CAST(15000000000 // (100 * count(*)) AS BIGINT) AS base
+       |      FROM nodes),
+       |r0 AS (SELECT event_type,
+       |         CAST(1000000000 // (SELECT v_count FROM v) AS BIGINT) AS r
+       |       FROM nodes),
+       |${(1 to PagerankIters).map(step).mkString(",\n")}
+       |SELECT event_type, r AS rank_nanos, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+       |FROM r$PagerankIters""".stripMargin
+  }
+
+  /** #137 EWMA smoothing (α = 1/2, 16-lag horizon) of per-user event
+    * values — the streaming-metric smoother. A recursive filter looks
+    * un-distributable, but truncating the geometrically vanishing
+    * memory at 16 lags makes each smoothed point a FINITE dyadic dot
+    * product: ewma_t = Σ_{k<16} v_{t-k}·2^(15−k) / Σ_k 2^(15−k).
+    * Weights are exact powers of two (shiftleft, never pow doubles)
+    * and values exact cents, so the whole numerator folds as longs —
+    * shuffle-order-proof, replayed bit-for-bit by the oracle; the
+    * truncation error vs the infinite filter is ≤ 2^-16 of the value
+    * scale, below the 6dp output rounding. Shape: one per-user
+    * row_number window (bounded), a CONSTANT 16× map-side explode (the
+    * q_rolling_active fan-out discipline — no per-row re-buffering, no
+    * self-join), one (user, target-row) aggregate; the target row's
+    * identity rides its own k=0 contribution, so there is no join
+    * back, and phantom targets past the user's last event drop where
+    * that marker is null. Max |numerator| = cents·2^16 — value-domain
+    * bounded, corpus-size independent. */
+  private def ewma(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("__c"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("__rn"), col("__c"), col("event_id"),
+        col("ts"), explode(sequence(lit(0), lit(15))).as("__k"))
+      .select(col("user_id"), (col("__rn") + col("__k")).as("__tgt"),
+        col("__k"), col("event_id"), col("ts"),
+        (col("__c") * expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - __k AS INT))"))
+          .as("__wv"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - __k AS INT))").as("__wt"))
+      .groupBy("user_id", "__tgt")
+      .agg(sum("__wv").as("__sv"), sum("__wt").as("__sw"),
+        count(lit(1)).as("n_terms"),
+        max(when(col("__k") === 0, col("event_id"))).as("event_id"),
+        max(when(col("__k") === 0, col("ts"))).as("ts"))
+      .filter(col("event_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("n_terms"),
+        round(col("__sv").cast("double") / col("__sw").cast("double") / 100.0, 6)
+          .as("ewma"))
+  }
+
+  private val ewmaSql =
+    """WITH b AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+      |  FROM events),
+      |x AS (
+      |  SELECT b.user_id, b.rn + u.k AS tgt, u.k, b.event_id, b.ts,
+      |    b.c * (CAST(1 AS BIGINT) << CAST(15 - u.k AS INTEGER)) AS wv,
+      |    (CAST(1 AS BIGINT) << CAST(15 - u.k AS INTEGER)) AS wt
+      |  FROM b, unnest(range(0, 16)) AS u(k)),
+      |g AS (
+      |  SELECT user_id, tgt,
+      |    CAST(sum(wv) AS BIGINT) AS sv, CAST(sum(wt) AS BIGINT) AS sw,
+      |    CAST(count(*) AS BIGINT) AS n_terms,
+      |    max(CASE WHEN k = 0 THEN event_id END) AS event_id,
+      |    max(CASE WHEN k = 0 THEN ts END) AS ts
+      |  FROM x GROUP BY 1, 2)
+      |SELECT user_id, event_id, ts, n_terms,
+      |  round(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0, 6) AS ewma
+      |FROM g WHERE event_id IS NOT NULL""".stripMargin
+
+  /** #138 cohort LTV triangle — lifetime purchase revenue by
+    * first-seen cohort week × weeks-since-cohort, the
+    * revenue-follow-up of q_retention's activity matrix. Users collapse
+    * to their first event week in one aggregate (O(users) rows,
+    * persisted: read for cohort sizes AND the purchase join); purchases
+    * join that map on user_id (the one corpus shuffle — co-partitioned,
+    * broadcast when the user dimension is small, AQE decides); revenue
+    * folds as exact cents into O(weeks²) triangle cells; the cumulative
+    * LTV is a running window over the per-cohort offset series —
+    * O(weeks) rows, never event-scale. Week arithmetic is pure integer
+    * day-diff div 7 off Monday-truncated dates (both engines truncate
+    * weeks to Monday), so no timestamp doubles anywhere. */
+  private def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val firsts = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = firsts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("__c"))
+      .join(firsts, Seq("user_id"))
+      .withColumn("week_no",
+        expr("CAST(datediff(to_date(ts), cohort_week) div 7 AS BIGINT)"))
+      .groupBy("cohort_week", "week_no")
+      .agg(countDistinct("user_id").as("buyers"),
+        count(lit(1)).as("n_purchases"), sum("__c").as("rev_cents"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_rev_cents", sum("rev_cents")
+        .over(Window.partitionBy("cohort_week").orderBy("week_no")))
+      .select(col("cohort_week"), col("week_no"), col("cohort_size"),
+        col("buyers"), col("n_purchases"), col("rev_cents"),
+        col("cum_rev_cents"))
+  }
+
+  private val cohortLtvSql =
+    """WITH f AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |      FROM f GROUP BY 1),
+      |p AS (
+      |  SELECT f.cohort_week,
+      |    CAST(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_no,
+      |    e.user_id,
+      |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events e JOIN f USING (user_id) WHERE e.event_type = 'purchase'),
+      |g AS (
+      |  SELECT cohort_week, week_no,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS buyers,
+      |    CAST(count(*) AS BIGINT) AS n_purchases,
+      |    CAST(sum(c) AS BIGINT) AS rev_cents
+      |  FROM p GROUP BY 1, 2)
+      |SELECT g.cohort_week, g.week_no, s.cohort_size, g.buyers, g.n_purchases,
+      |  g.rev_cents,
+      |  CAST(sum(g.rev_cents) OVER (PARTITION BY g.cohort_week ORDER BY g.week_no) AS BIGINT) AS cum_rev_cents
+      |FROM g JOIN s USING (cohort_week)""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -5124,5 +5329,8 @@ object Queries {
     Q("q_cumulative_distinct", cumulativeDistinct, Some(cumulativeDistinctSql)),
     Q("q_rolling_active", rollingActive, Some(rollingActiveSql)),
     Q("q_linear_fit", linearFit, Some(linearFitSql)),
+    Q("q_pagerank", pagerank, Some(pagerankSql)),
+    Q("q_ewma", ewma, Some(ewmaSql)),
+    Q("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
   )
 }
