@@ -5189,6 +5189,159 @@ object Queries {
       |  CAST(sum(g.rev_cents) OVER (PARTITION BY g.cohort_week ORDER BY g.week_no) AS BIGINT) AS cum_rev_cents
       |FROM g JOIN s USING (cohort_week)""".stripMargin
 
+  /** #139 last-touch channel attribution — every purchase credits the
+    * user's most recent view/click within a 7-day lookback, unmatched
+    * purchases fall to 'direct'. This is exactly the as-of shape, so it
+    * reuses AsofJoin's union + last(ignoreNulls) carry: ONE shuffle on
+    * (user, time), no range explosion, the tolerance a residual
+    * predicate on the carried timestamp (q_asof_tolerance's plan).
+    * Revenue folds as exact cents; the only doubles are the final
+    * share division (tiny O(channels) row set, explicit broadcast of
+    * the 1-row total — the Tfidf scalar pattern). The per-channel
+    * aggregate is persisted: it feeds both the total and the final
+    * projection, and re-deriving it re-runs the corpus as-of. */
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("__c"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_type").as("touch_type"))
+    val byChannel = AsofJoin.lastPriorMatchWithin(purchases, touches, "user_id",
+        "ts", "ts", "touch_type", "touch", toleranceSeconds = 7L * 86400L)
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum("__c").as("rev_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = byChannel.agg(sum("n_purchases").as("__tot"))
+    byChannel.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_purchases"), col("rev_cents"),
+        round(col("n_purchases").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+  }
+
+  private val attributionSql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS t,
+      |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |           FROM events WHERE event_type = 'purchase'),
+      |tch AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |        WHERE event_type IN ('view', 'click')),
+      |a AS (
+      |  SELECT p.c,
+      |    CASE WHEN tch.t >= p.t - 604800000000 THEN tch.event_type END AS touch
+      |  FROM p ASOF LEFT JOIN tch ON p.user_id = tch.user_id AND tch.t <= p.t),
+      |g AS (SELECT coalesce(touch, 'direct') AS channel,
+      |        CAST(count(*) AS BIGINT) AS n_purchases,
+      |        CAST(sum(c) AS BIGINT) AS rev_cents
+      |      FROM a GROUP BY 1),
+      |tot AS (SELECT sum(n_purchases) AS tot FROM g)
+      |SELECT channel, n_purchases, rev_cents,
+      |  round(CAST(n_purchases AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS share
+      |FROM g, tot""".stripMargin
+
+  /** #140 inter-arrival gap percentiles per event type — the
+    * burstiness profile that sizes streaming watermarks and retry
+    * budgets (pairs with q_late_arrival's order audit and
+    * q_autocorr's seasonality). Gaps come from a per-(user, type) lag
+    * window — bounded per key, never global; the p50/p95 are EXACT
+    * interpolated order statistics via the distributed rank-selection
+    * path (DistributedPercentiles: range-partition, O(partitions)
+    * driver combine — no single-reducer sort, no buffering aggregate).
+    * n_gaps needs NO window at all: each (user, type) run of m events
+    * contributes m−1 gaps, so n_gaps = count − distinct users in one
+    * map-side-combinable aggregate. Micros stay exact in doubles
+    * (< 2^53); seconds appear only in the final rounded projection. */
+  private def interarrival(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("__t"), col("event_id"))
+    val gaps = ev
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("__t"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val counts = ev.groupBy("event_type")
+      .agg((count(lit(1)) - countDistinct("user_id")).as("n_gaps"))
+    DistributedPercentiles.exact(gaps, "event_type", "__gap",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      .join(broadcast(counts), Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("p50") / lit(1000000.0), 6).as("p50_s"),
+        round(col("p95") / lit(1000000.0), 6).as("p95_s"))
+  }
+
+  private val interarrivalSql =
+    """WITH b AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+      |           FROM events),
+      |l AS (SELECT event_type,
+      |        t - lag(t) OVER (PARTITION BY user_id, event_type
+      |                         ORDER BY t, event_id) AS gap
+      |      FROM b),
+      |g AS (SELECT event_type, gap FROM l WHERE gap IS NOT NULL)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  round(quantile_cont(CAST(gap AS DOUBLE), 0.5) / 1000000.0, 6) AS p50_s,
+      |  round(quantile_cont(CAST(gap AS DOUBLE), 0.95) / 1000000.0, 6) AS p95_s
+      |FROM g GROUP BY 1""".stripMargin
+
+  /** #141 session path mining — the top-20 five-step journey shapes
+    * ("view>click>purchase…"), the aggregate complement of
+    * q_transition_matrix's one-step probabilities. Sessions come from
+    * the q_sessionize gap rule (30 min); each session is then CUT TO
+    * ITS FIRST FIVE EVENTS with a row_number window BEFORE any
+    * collection, so the per-session state is ≤ 5 structs however long
+    * a bot session runs — the bounded-collect discipline. The path
+    * string builds from an array_sort over those ≤5 (t, id, type)
+    * structs (deterministic under any shuffle order); the top-20 cut
+    * is TakeOrderedAndProject (per-partition top-k, k-row driver
+    * merge) with the (count desc, path asc) tie-break pinned on both
+    * engines. */
+  private def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 1800L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("__t"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("__t"))
+      .withColumn("__new",
+        when(col("__t") - lag(col("__t"), 1).over(byUser) > gapMicros, 1)
+          .when(lag(col("__t"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__rn", row_number().over(bySession))
+      .filter(col("__rn") <= 5)
+      .groupBy("user_id", "session_id")
+      .agg(collect_list(struct(col("__t"), col("event_id"), col("event_type")))
+        .as("__evs"))
+      .select(expr(
+        "concat_ws('>', transform(array_sort(__evs), x -> x.event_type))")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path")).limit(20)
+  }
+
+  private val sessionPathsSql =
+    """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+      |           FROM events),
+      |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+      |      FROM b),
+      |n AS (SELECT user_id, event_id, event_type, t,
+      |        CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS nw
+      |      FROM l),
+      |sess AS (SELECT user_id, event_id, event_type, t,
+      |           sum(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |         FROM n),
+      |cut AS (SELECT user_id, session_id, event_type, t, event_id,
+      |          row_number() OVER (PARTITION BY user_id, session_id
+      |                             ORDER BY t, event_id) AS rn
+      |        FROM sess),
+      |p AS (SELECT user_id, session_id,
+      |        array_to_string(list(event_type ORDER BY t, event_id), '>') AS path
+      |      FROM cut WHERE rn <= 5 GROUP BY 1, 2)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -5332,5 +5485,8 @@ object Queries {
     Q("q_pagerank", pagerank, Some(pagerankSql)),
     Q("q_ewma", ewma, Some(ewmaSql)),
     Q("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
+    Q("q_attribution", attribution, Some(attributionSql)),
+    Q("q_interarrival", interarrival, Some(interarrivalSql)),
+    Q("q_session_paths", sessionPaths, Some(sessionPathsSql)),
   )
 }
