@@ -5342,6 +5342,126 @@ object Queries {
       |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
       |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** #142 Gini coefficient of per-user purchase revenue — the
+    * concentration/inequality audit ("how top-heavy is spend?"),
+    * the scalar complement of q_rate_shrinkage's per-source ranking.
+    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) needs every value's GLOBAL
+    * ascending rank — which comes from the distributed two-phase
+    * prefix scan (`PrefixSum.withGlobalRank`: range-partition,
+    * per-partition count, O(partitions) driver offsets), never a
+    * single-reducer row_number window. The rank·value dot product
+    * folds as DECIMAL(38,0) (rank ≤ n and cents ≤ 1e7 can overflow a
+    * long at 1e12 users) — exact and order-independent; doubles only
+    * in the final one-row projection. */
+  private def gini(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+    PrefixSum.withGlobalRank(perUser, Seq("cents", "user_id"), "__r")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("total_cents"),
+        sum(col("__r").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)"))
+          .as("__s"))
+      .select(col("n_users"), col("total_cents"),
+        round((lit(2.0) * col("__s").cast("double")
+            - (col("n_users") + 1).cast("double") * col("total_cents").cast("double"))
+          / (col("n_users").cast("double") * col("total_cents").cast("double")), 6)
+          .as("gini"))
+  }
+
+  private val giniSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |r AS (SELECT cents,
+      |        CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rk
+      |      FROM u),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(sum(cents) AS BIGINT) AS total_cents,
+      |        sum(CAST(rk AS HUGEINT) * CAST(cents AS HUGEINT)) AS s
+      |      FROM r)
+      |SELECT n_users, total_cents,
+      |  round((2.0 * CAST(s AS DOUBLE)
+      |         - CAST(n_users + 1 AS DOUBLE) * CAST(total_cents AS DOUBLE))
+      |        / (CAST(n_users AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6) AS gini
+      |FROM m""".stripMargin
+
+  /** #143 hour-of-day seasonality profile per event type — the diurnal
+    * shape that q_autocorr detects and q_linear_fit detrends:
+    * seasonal_idx = 24·cnt_h / total (1.0 = flat). ONE
+    * map-side-combinable (type, hour) aggregate over the corpus; the
+    * O(24·V) cell table is persisted (it feeds its own totals AND the
+    * final projection — re-deriving would rescan the corpus), totals
+    * broadcast back, division double only in the final projection.
+    * Session timezone is pinned UTC on both engines, so hour() agrees. */
+  private def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.groupBy("event_type").agg(sum("cnt").as("__tot"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("cnt"),
+        round(lit(24.0) * col("cnt").cast("double") / col("__tot").cast("double"), 6)
+          .as("seasonal_idx"))
+  }
+
+  private val seasonalitySql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.event_type, c.hod, c.cnt,
+      |  round(24.0 * CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS seasonal_idx
+      |FROM c JOIN t USING (event_type)""".stripMargin
+
+  /** #144 Benford first-digit audit of order totals — the
+    * fabricated-data smell test (synthetic or hand-keyed financial
+    * values drift from log-uniform leading digits). First digits come
+    * from exact integer/string ops (floor → BIGINT → first char — no
+    * log10 on the data path), ONE 9-row aggregate; expected shares are
+    * 6dp literal constants CAST to double IDENTICALLY on both engines
+    * (computing log10(1+1/d) live would race libm ulp differences
+    * through the hash gate). The digit table is persisted (feeds its
+    * own total + the final projection). */
+  private def benford(s: SparkSession, dir: String): DataFrame = {
+    val expShare = expr("""CAST(CASE digit
+      WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+      WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+      WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 ELSE 0.045757 END AS DOUBLE)""")
+    val digits = t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = digits.agg(sum("n").as("__tot"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6).as("obs_share"),
+        round(expShare, 6).as("exp_share"),
+        round(col("n").cast("double") / col("__tot").cast("double") - expShare, 6)
+          .as("excess"))
+  }
+
+  private val benfordSql =
+    """WITH d AS (
+      |  SELECT CAST(left(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1.0),
+      |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT sum(n) AS tot FROM g),
+      |e AS (SELECT g.digit, g.n,
+      |        CAST(CASE g.digit
+      |          WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+      |          WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+      |          WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 ELSE 0.045757 END AS DOUBLE) AS exp_d,
+      |        CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS obs_d
+      |      FROM g, t)
+      |SELECT digit, n, round(obs_d, 6) AS obs_share, round(exp_d, 6) AS exp_share,
+      |  round(obs_d - exp_d, 6) AS excess
+      |FROM e""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -5488,5 +5608,8 @@ object Queries {
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_interarrival", interarrival, Some(interarrivalSql)),
     Q("q_session_paths", sessionPaths, Some(sessionPathsSql)),
+    Q("q_gini", gini, Some(giniSql)),
+    Q("q_seasonality", seasonality, Some(seasonalitySql)),
+    Q("q_benford", benford, Some(benfordSql)),
   )
 }
