@@ -5462,6 +5462,172 @@ object Queries {
       |  round(obs_d - exp_d, 6) AS excess
       |FROM e""".stripMargin
 
+  /** #145 conversion-lag histogram — how long after the last view does
+    * a purchase land? The distribution that sizes attribution lookbacks
+    * (q_attribution picks the channel; this audits the 7-day window
+    * itself). Same as-of carry (one shuffle, tolerance residual), the
+    * carried payload is the view's exact epoch-micros, the lag buckets
+    * to whole hours with integer `div` — no timestamp doubles. The
+    * O(lookback-hours) histogram is persisted (feeds its own total),
+    * share divides against the broadcast 1-row matched count. */
+  private def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("__pt"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("view_t"))
+    val hist = AsofJoin.lastPriorMatchWithin(purchases, views, "user_id",
+        "ts", "ts", "view_t", "touch_t", toleranceSeconds = 7L * 86400L)
+      .filter(col("touch_t").isNotNull)
+      .select(expr("CAST((__pt - touch_t) div 3600000000 AS BIGINT)").as("lag_h"))
+      .groupBy("lag_h").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = hist.agg(sum("n").as("__tot"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("lag_h"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6).as("share"))
+  }
+
+  private val conversionLagSql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      |      WHERE event_type = 'view'),
+      |a AS (
+      |  SELECT p.t AS pt,
+      |    CASE WHEN v.t >= p.t - 604800000000 THEN v.t END AS vt
+      |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.t <= p.t),
+      |h AS (SELECT CAST((pt - vt) // 3600000000 AS BIGINT) AS lag_h,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM a WHERE vt IS NOT NULL GROUP BY 1),
+      |t AS (SELECT sum(n) AS tot FROM h)
+      |SELECT lag_h, n,
+      |  round(CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+      |FROM h, t""".stripMargin
+
+  /** #146 ingestion-completeness audit — per event type, which days of
+    * its active span are MISSING (the batch-pipeline "did every
+    * partition land?" gate; the audit complement of q_gap_fill's
+    * zero-filling). Observed (type, day) presence collapses to one
+    * distinct aggregate (persisted: feeds the span AND the anti-join);
+    * the expected grid explodes map-side from the O(types) span row
+    * (`sequence` of dates — no global calendar table); missing days =
+    * grid anti-join observed, with a ≤10-day sorted sample collected
+    * per type (bounded diagnostic, never an unbounded list). Counts
+    * stay exact; completeness is the one final division. */
+  private def completeness(s: SparkSession, dir: String): DataFrame = {
+    val obs = events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val span = obs.groupBy("event_type")
+      .agg(min("day").as("first_day"), max("day").as("last_day"),
+        count(lit(1)).as("days_present"))
+    val missing = span
+      .select(col("event_type"),
+        explode(expr("sequence(first_day, last_day)")).as("day"))
+      .join(obs, Seq("event_type", "day"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("days_missing"),
+        concat_ws(",", slice(sort_array(collect_list(col("day").cast("string"))),
+          1, 10)).as("sample_missing"))
+    span.join(missing, Seq("event_type"), "left")
+      .select(col("event_type"), col("first_day"), col("last_day"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long")
+          .as("days_expected"),
+        col("days_present"),
+        coalesce(col("days_missing"), lit(0L)).as("days_missing"),
+        coalesce(col("sample_missing"), lit("")).as("sample_missing"),
+        round(col("days_present").cast("double")
+          / (datediff(col("last_day"), col("first_day")) + 1).cast("double"), 6)
+          .as("completeness"))
+  }
+
+  private val completenessSql =
+    """WITH obs AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+      |span AS (
+      |  SELECT event_type, min(day) AS first_day, max(day) AS last_day,
+      |    CAST(count(*) AS BIGINT) AS days_present
+      |  FROM obs GROUP BY 1),
+      |grid AS (
+      |  SELECT s.event_type, CAST(u.d AS DATE) AS day
+      |  FROM span s,
+      |    unnest(generate_series(CAST(s.first_day AS TIMESTAMP),
+      |      CAST(s.last_day AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)),
+      |miss AS (
+      |  SELECT g.event_type, CAST(count(*) AS BIGINT) AS days_missing,
+      |    array_to_string(list(CAST(g.day AS VARCHAR) ORDER BY g.day)[1:10], ',')
+      |      AS sample_missing
+      |  FROM grid g LEFT JOIN obs o
+      |    ON o.event_type = g.event_type AND o.day = g.day
+      |  WHERE o.day IS NULL GROUP BY 1)
+      |SELECT s.event_type, s.first_day, s.last_day,
+      |  CAST(date_diff('day', s.first_day, s.last_day) + 1 AS BIGINT) AS days_expected,
+      |  s.days_present,
+      |  coalesce(m.days_missing, 0) AS days_missing,
+      |  coalesce(m.sample_missing, '') AS sample_missing,
+      |  round(CAST(s.days_present AS DOUBLE)
+      |        / CAST(date_diff('day', s.first_day, s.last_day) + 1 AS DOUBLE), 6)
+      |    AS completeness
+      |FROM span s LEFT JOIN miss m USING (event_type)""".stripMargin
+
+  /** #147 Pareto concentration — the smallest user set covering 80% of
+    * purchase revenue ("do 20% of users make 80% of spend?"), the
+    * set-valued complement of q_gini's scalar. Composes BOTH
+    * distributed scan primitives: global descending ranks from
+    * `PrefixSum.withGlobalRank` on (−cents, user), then the INCLUSIVE
+    * running revenue from `PrefixSum.runningTotal` over those unique
+    * ranks — two two-phase scans, O(partitions) driver state each,
+    * never a single-reducer window. The 80% threshold is exact
+    * integer ceiling arithmetic ((4T+4) div 5); a user is in the top
+    * set iff the running total BEFORE them is still under the
+    * threshold — counted in one aggregate against the broadcast
+    * 1-row total. Doubles only in the final share projections. */
+  private def paretoShare(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = perUser.agg(count(lit(1)).as("__n"), sum("cents").as("__T"))
+    val ranked = PrefixSum.withGlobalRank(
+      perUser.withColumn("__negc", -col("cents")), Seq("__negc", "user_id"), "__r")
+    PrefixSum.runningTotal(ranked, "__r", "cents")
+      .crossJoin(broadcast(tot))
+      .withColumn("__thr", expr("CAST((4 * __T + 4) div 5 AS BIGINT)"))
+      .agg(max("__n").as("n_users"), max("__T").as("total_cents"),
+        max("__thr").as("threshold_cents"),
+        sum(when(col("running_total") - col("cents") < col("__thr"), 1L)
+          .otherwise(0L)).as("top_users"),
+        min(when(col("running_total") >= col("__thr"), col("running_total")))
+          .as("covered_cents"))
+      .select(col("n_users"), col("total_cents"), col("threshold_cents"),
+        col("top_users"),
+        round(col("top_users").cast("double") / col("n_users").cast("double"), 6)
+          .as("top_share"),
+        col("covered_cents"))
+  }
+
+  private val paretoShareSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(sum(cents) AS BIGINT) AS total,
+      |        CAST((4 * sum(cents) + 4) // 5 AS BIGINT) AS thr
+      |      FROM u),
+      |r AS (SELECT cents,
+      |        CAST(sum(cents) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS rt
+      |      FROM u)
+      |SELECT t.n_users, t.total AS total_cents, t.thr AS threshold_cents,
+      |  CAST(sum(CASE WHEN r.rt - r.cents < t.thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS top_users,
+      |  round(CAST(sum(CASE WHEN r.rt - r.cents < t.thr THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(t.n_users AS DOUBLE), 6) AS top_share,
+      |  CAST(min(CASE WHEN r.rt >= t.thr THEN r.rt END) AS BIGINT) AS covered_cents
+      |FROM r, t GROUP BY t.n_users, t.total, t.thr""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -5611,5 +5777,8 @@ object Queries {
     Q("q_gini", gini, Some(giniSql)),
     Q("q_seasonality", seasonality, Some(seasonalitySql)),
     Q("q_benford", benford, Some(benfordSql)),
+    Q("q_conversion_lag", conversionLag, Some(conversionLagSql)),
+    Q("q_completeness", completeness, Some(completenessSql)),
+    Q("q_pareto_share", paretoShare, Some(paretoShareSql)),
   )
 }
