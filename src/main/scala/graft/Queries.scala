@@ -5628,6 +5628,182 @@ object Queries {
       |  CAST(min(CASE WHEN r.rt >= t.thr THEN r.rt END) AS BIGINT) AS covered_cents
       |FROM r, t GROUP BY t.n_users, t.total, t.thr""".stripMargin
 
+  /** #148 temperature-scaled source mixing weights (T=2 ⇒ p ∝ √share —
+    * the mC4/XLM-R multilingual-sampling trick): upweights the tail
+    * sources a proportional sample would starve. ONE corpus pass
+    * (map-side whitespace token counts → a per-source aggregate);
+    * everything after is O(sources). The √ weight is pinned through
+    * the hash gate as FIXED POINT: `floor(sqrt(tokens)·1e6)` — sqrt of
+    * an exact-integer double is IEEE-correctly-rounded, identical on
+    * both engines, and the long weights then sum exactly. Shares and
+    * the upsample factor are final-projection doubles against the
+    * broadcast 1-row totals. */
+  private def mixingWeights(s: SparkSession, dir: String): DataFrame = {
+    val bySource = t(s, dir, "documents")
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("__toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__toks").as("tokens"))
+      .withColumn("__w",
+        floor(sqrt(col("tokens").cast("double")) * lit(1000000.0)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = bySource.agg(sum("tokens").as("__tt"), sum("__w").as("__tw"))
+    bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("__tt").cast("double"), 6)
+          .as("raw_share"),
+        round(col("__w").cast("double") / col("__tw").cast("double"), 6)
+          .as("temp_share"),
+        round((col("__w").cast("double") / col("__tw").cast("double"))
+          / (col("tokens").cast("double") / col("__tt").cast("double")), 6)
+          .as("upsample"))
+  }
+
+  private val mixingWeightsSql =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(toks) AS BIGINT) AS tokens
+      |      FROM d GROUP BY 1),
+      |w AS (SELECT source, n_docs, tokens,
+      |        CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS wfp
+      |      FROM g),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+      |        CAST(sum(wfp) AS BIGINT) AS tw FROM w)
+      |SELECT source, n_docs, tokens,
+      |  round(CAST(tokens AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS raw_share,
+      |  round(CAST(wfp AS DOUBLE) / CAST(t.tw AS DOUBLE), 6) AS temp_share,
+      |  round((CAST(wfp AS DOUBLE) / CAST(t.tw AS DOUBLE))
+      |        / (CAST(tokens AS DOUBLE) / CAST(t.tt AS DOUBLE)), 6) AS upsample
+      |FROM w, t""".stripMargin
+
+  /** #149 Zipf law fit — "does this corpus look like natural
+    * language?": OLS of log-frequency on log-rank over the top-200
+    * corpus terms; natural text slopes ≈ −1, templated/synthetic text
+    * flattens or cliffs. The corpus-sized work is ONE term-frequency
+    * aggregate + a TakeOrderedAndProject top-k; the rank window and
+    * the regression run over the BOUNDED 200-row survivor set (the
+    * q_heavy_hitters discipline — k-row state, never a global window
+    * over the vocabulary). Log coordinates go through the
+    * q_token_entropy fixed point (⌊ln·1e6⌋ longs), so the OLS moments
+    * fold exactly; slope/R² are final-projection doubles (the ·1e6
+    * scale cancels in the ratio). */
+  private def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val topK = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(200)
+    val ranked = topK
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("freq"), asc("token"))).cast("long"))
+      .select(floor(log(col("rk")) * 1e6).cast("long").as("__x"),
+        floor(log(col("freq")) * 1e6).cast("long").as("__y"))
+    val m = ranked.agg(count(lit(1)).as("n_terms"), sum("__x").as("sx"),
+      sum("__y").as("sy"), sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"))
+    val n = col("n_terms").cast("double")
+    val cov = n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val vx = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n_terms"), round(cov / vx, 6).as("zipf_slope"),
+      round(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
+  private val zipfFitSql =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok
+      |       GROUP BY 1 ORDER BY freq DESC, token LIMIT 200),
+      |r AS (SELECT freq,
+      |        CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rk
+      |      FROM tf),
+      |c AS (SELECT CAST(floor(ln(rk) * 1e6) AS BIGINT) AS x,
+      |        CAST(floor(ln(freq) * 1e6) AS BIGINT) AS y
+      |      FROM r),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM c)
+      |SELECT n_terms,
+      |  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+      |  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / ((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+      |FROM m""".stripMargin
+
+  /** #150 burstiness (Fano factor) of the hourly event rate per type —
+    * Var/mean of counts on the DENSE zero-filled hour grid (the
+    * q_linear_fit grid, reused: a Poisson-like stream sits at F ≈ 1,
+    * bursty traffic far above — the signal that picks streaming
+    * trigger intervals). Counts and both moments fold exactly —
+    * squares through DECIMAL(38,0) (an hourly count of 1e9 at full
+    * scale squares past a long); the variance numerator n·Σc² − (Σc)²
+    * stays in exact decimal arithmetic and ONLY the final Fano/mean
+    * divisions are doubles. */
+  private def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    // persisted: O(types·hours) rows feed the span aggregate AND the
+    // grid join — one events scan instead of two
+    val hc = ev
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val span = hc.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
+    val grid = span
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hc, Seq("event_type", "hr"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val m = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("cnt").as("__s1"),
+        sum(col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+          .as("__s2"))
+    val num = (col("n_hours").cast("decimal(38,0)") * col("__s2")) -
+      (col("__s1").cast("decimal(38,0)") * col("__s1").cast("decimal(38,0)"))
+    m.select(col("event_type"), col("n_hours"),
+      round(col("__s1").cast("double") / col("n_hours").cast("double"), 6)
+        .as("mean_rate"),
+      round(num.cast("double")
+        / (col("n_hours").cast("double") * col("__s1").cast("double")), 6)
+        .as("fano"))
+  }
+
+  private val burstinessSql =
+    """WITH hc AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM hc GROUP BY 1),
+      |g0 AS (
+      |  SELECT s.event_type, CAST(u.hr AS BIGINT) AS hr
+      |  FROM span s, unnest(range(s.h0, s.h1 + 1)) AS u(hr)),
+      |grid AS (
+      |  SELECT g0.event_type, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |  FROM g0 LEFT JOIN hc c ON c.event_type = g0.event_type AND c.hr = g0.hr),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |    CAST(sum(cnt) AS BIGINT) AS s1,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS s2
+      |  FROM grid GROUP BY 1)
+      |SELECT event_type, n_hours,
+      |  round(CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) AS mean_rate,
+      |  round(CAST(CAST(n_hours AS HUGEINT) * s2
+      |             - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+      |        / (CAST(n_hours AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS fano
+      |FROM m""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -5780,5 +5956,8 @@ object Queries {
     Q("q_conversion_lag", conversionLag, Some(conversionLagSql)),
     Q("q_completeness", completeness, Some(completenessSql)),
     Q("q_pareto_share", paretoShare, Some(paretoShareSql)),
+    Q("q_mixing_weights", mixingWeights, Some(mixingWeightsSql)),
+    Q("q_zipf_fit", zipfFit, Some(zipfFitSql)),
+    Q("q_burstiness", burstiness, Some(burstinessSql)),
   )
 }
