@@ -5804,6 +5804,165 @@ object Queries {
       |        / (CAST(n_hours AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS fano
       |FROM m""".stripMargin
 
+  /** #151 market-basket association rules (support / confidence / lift)
+    * over the order→part co-purchase fact — the affinity-mining pass
+    * behind recommendations and assortment analysis. The pair join is
+    * the LSH-family discipline applied to baskets: items self-join
+    * CO-PARTITIONED on the order key, so per-order fan-out is bounded
+    * by basket size (≤7 in this schema) — never an all-pairs across
+    * orders. Item supports are O(|part|) and broadcast; the total-order
+    * count is a 1-row broadcast. Lift and confidence are FIXED-POINT
+    * ppm via exact integral division (DECIMAL(18,0) operands — a
+    * 1e9-order corpus times 1e6 stays inside DECIMAL(38,0)), so the
+    * ranking key is a total order in exact integers, and the top-20 cut
+    * is TakeOrderedAndProject (per-partition top-k, k-row driver
+    * merge), never a global sort. */
+  private def copurchase(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the distinct basket fact feeds the total count, the
+    // supports, AND both sides of the pair join — one lineitem scan
+    val it = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = it.agg(count_distinct(col("ok")).as("n_orders"))
+    val sup = it.groupBy("pk").agg(count(lit(1)).as("sup"))
+    val pairs = it.as("a")
+      .join(it.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    pairs
+      .join(broadcast(sup.select(col("pk").as("part_a"), col("sup").as("sup_a"))),
+        Seq("part_a"))
+      .join(broadcast(sup.select(col("pk").as("part_b"), col("sup").as("sup_b"))),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        expr("""(CAST(n_both AS DECIMAL(18,0)) * CAST(n_orders AS DECIMAL(18,0))
+               |  * 1000000)
+               | div (CAST(sup_a AS DECIMAL(18,0)) * CAST(sup_b AS DECIMAL(18,0)))
+               |""".stripMargin.replace("\n", " ")).as("lift_ppm"),
+        expr("(CAST(n_both AS DECIMAL(18,0)) * 1000000) div CAST(sup_a AS DECIMAL(18,0))")
+          .as("conf_ppm"))
+      .orderBy(desc("lift_ppm"), asc("part_a"), asc("part_b")).limit(20)
+  }
+
+  private val copurchaseSql =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM it),
+      |s AS (SELECT pk, CAST(count(*) AS BIGINT) AS sup FROM it GROUP BY 1),
+      |p AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_both
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_both,
+      |  CAST((CAST(n_both AS HUGEINT) * (SELECT n_orders FROM n) * 1000000)
+      |       // (CAST(sa.sup AS HUGEINT) * sb.sup) AS BIGINT) AS lift_ppm,
+      |  CAST((CAST(n_both AS HUGEINT) * 1000000) // sa.sup AS BIGINT) AS conf_ppm
+      |FROM p JOIN s sa ON sa.pk = p.part_a JOIN s sb ON sb.pk = p.part_b
+      |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin
+
+  /** #152 Pareto-front (skyline) of documents maximizing BOTH length
+    * and lexical diversity — the multi-objective "best corpus
+    * exemplars" query (no single point dominates a skyline member on
+    * both axes). The classic skyline is an all-pairs dominance scan;
+    * here the 2-D structure collapses it to ONE aggregate plus the
+    * distributed exclusive prefix max: per distinct length keep the
+    * best token count (O(distinct lengths) rows), scan lengths in
+    * DESCENDING order (the negated key) with `PrefixSum.
+    * runningMaxExclusive` — two-phase, O(partitions) driver combine,
+    * never a single-reducer window — and a length survives iff its
+    * best beats every longer length's best. Survivors are O(skyline)
+    * and broadcast back; the corpus is scanned once plus one
+    * broadcast-join pass, with NO quadratic stage anywhere. The oracle
+    * is the INDEPENDENT O(n²) `NOT EXISTS` dominance scan, so the
+    * fast path is checked against the definition, not a replay. */
+  private def skyline(s: SparkSession, dir: String): DataFrame = {
+    val d = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+          .cast("long").as("n_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = d.groupBy("n_chars").agg(max("n_toks").as("best"))
+      .withColumn("__ord", -col("n_chars"))
+    val sk = PrefixSum.runningMaxExclusive(m, "__ord", "best", "prev_best")
+      .filter(col("prev_best").isNull || col("best") > col("prev_best"))
+      .select(col("n_chars").as("__nc"), col("best"))
+    d.join(broadcast(sk),
+        col("n_chars") === col("__nc") && col("n_toks") === col("best"))
+      .select("doc_id", "n_chars", "n_toks")
+  }
+
+  private val skylineSql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+      |         AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT a.doc_id, a.n_chars, a.n_toks FROM d a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d b
+      |  WHERE b.n_chars >= a.n_chars AND b.n_toks >= a.n_toks
+      |    AND (b.n_chars > a.n_chars OR b.n_toks > a.n_toks))""".stripMargin
+
+  /** #153 Tukey IQR outlier fences on per-user spend per event type —
+    * the classic robust band (1.5·IQR beyond the quartiles), closing
+    * the robust-detection family with q_mad_outlier (median-centered)
+    * and q_anomaly_zscore (moment-based). Exactness story: spend folds
+    * to EXACT integer cents per row before summing (order-independent),
+    * the quartiles come from `DistributedPercentiles` (rank selection,
+    * no per-group value buffering), and with integer values at
+    * p ∈ {.25,.75} the interpolation is EXACT DYADIC — Spark's
+    * `(ceil−pos)·lo + (pos−floor)·hi` and DuckDB's `lo + f·(hi−lo)`
+    * land on the identical double, so fences and comparisons are
+    * bit-stable across engines with no tolerance. Fences are O(types)
+    * rows broadcast back; detection is one map-only pass + one
+    * aggregate. */
+  private def outlierIqr(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = DistributedPercentiles.exact(u, "event_type", "cents",
+      Seq("q1" -> 0.25, "q3" -> 0.75))
+    val f = q.select(col("event_type"), col("q1"), col("q3"),
+      (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+      (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    u.join(broadcast(f), Seq("event_type"))
+      .groupBy(col("event_type"),
+        round(col("q1") / 100.0, 6).as("q1_spend"),
+        round(col("q3") / 100.0, 6).as("q3_spend"),
+        round(col("lo") / 100.0, 6).as("lo_fence"),
+        round(col("hi") / 100.0, 6).as("hi_fence"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("cents") < col("lo") || col("cents") > col("hi"), 1))
+          .as("n_outliers"))
+      .select("event_type", "n_users", "n_outliers",
+        "q1_spend", "q3_spend", "lo_fence", "hi_fence")
+  }
+
+  private val outlierIqrSql =
+    """WITH u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2),
+      |q AS (
+      |  SELECT event_type, quantile_cont(cents, 0.25) AS q1,
+      |    quantile_cont(cents, 0.75) AS q3
+      |  FROM u GROUP BY 1),
+      |f AS (SELECT event_type, q1, q3, q1 - 1.5*(q3 - q1) AS lo,
+      |        q3 + 1.5*(q3 - q1) AS hi FROM q)
+      |SELECT u.event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(*) FILTER (WHERE u.cents < f.lo OR u.cents > f.hi) AS BIGINT)
+      |    AS n_outliers,
+      |  round(f.q1/100.0, 6) AS q1_spend, round(f.q3/100.0, 6) AS q3_spend,
+      |  round(f.lo/100.0, 6) AS lo_fence, round(f.hi/100.0, 6) AS hi_fence
+      |FROM u JOIN f USING (event_type)
+      |GROUP BY 1, q1_spend, q3_spend, lo_fence, hi_fence""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -5959,5 +6118,8 @@ object Queries {
     Q("q_mixing_weights", mixingWeights, Some(mixingWeightsSql)),
     Q("q_zipf_fit", zipfFit, Some(zipfFitSql)),
     Q("q_burstiness", burstiness, Some(burstinessSql)),
+    Q("q_copurchase", copurchase, Some(copurchaseSql)),
+    Q("q_skyline", skyline, Some(skylineSql)),
+    Q("q_outlier_iqr", outlierIqr, Some(outlierIqrSql)),
   )
 }
