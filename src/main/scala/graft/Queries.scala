@@ -5963,6 +5963,226 @@ object Queries {
       |FROM u JOIN f USING (event_type)
       |GROUP BY 1, q1_spend, q3_spend, lo_fence, hi_fence""".stripMargin
 
+  /** #154 triangle census of the co-purchase graph (nodes = parts,
+    * edges = pairs co-purchased in ≥2 orders) — the graph-shape audit
+    * behind community detection and recommendation quality. The naive
+    * triangle join fans out on hub nodes (a degree-d hub spawns
+    * C(d,2) wedges); the classic distributed fix is DEGREE ORDERING:
+    * direct every edge from its lower-(degree,id) endpoint, so
+    * out-degree is O(√E)-bounded and the wedge join shrinks ~2× here
+    * and asymptotically on skewed graphs — each triangle {x<y<z}
+    * counted exactly once as wedge (x→y, x→z) closed by edge y→z.
+    * Total wedge count (the clustering denominator) folds from the
+    * UNDIRECTED degrees as exact integers; the global clustering
+    * coefficient is fixed-point ppm via integral division. The oracle
+    * is the INDEPENDENT canonical id-ordered triple join — the
+    * degree-ordering trick is checked against the definition. */
+  private def triangle(s: SparkSession, dir: String): DataFrame = {
+    val it = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = it.as("a")
+      .join(it.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("ea"), col("b.pk").as("eb"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("ea", "eb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("ea").as("v"))
+      .unionAll(edges.select(col("eb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // direct each edge from the lower (deg, id) endpoint; carry the
+    // destination's (deg, id) so the wedge join can order its two legs
+    val dirEdges = edges
+      .join(deg.select(col("v").as("ea"), col("deg").as("da")), Seq("ea"))
+      .join(deg.select(col("v").as("eb"), col("deg").as("db")), Seq("eb"))
+      .select(
+        when(struct(col("da"), col("ea")) < struct(col("db"), col("eb")),
+          struct(col("ea").as("src"), col("eb").as("dst"),
+            col("db").as("ddeg")))
+          .otherwise(struct(col("eb").as("src"), col("ea").as("dst"),
+            col("da").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = dirEdges.as("e1")
+      .join(dirEdges.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.ddeg"), col("e1.dst")) <
+            struct(col("e2.ddeg"), col("e2.dst")))
+      .select(col("e1.dst").as("wa"), col("e2.dst").as("wb"))
+    val tri = wedges.join(dirEdges,
+        col("wa") === col("src") && col("wb") === col("dst"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val shape = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").cast("long").as("n_edges"),
+      sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
+    shape.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(3 * CAST(n_triangles AS DECIMAL(18,0)) * 1000000) div CAST(n_wedges AS DECIMAL(18,0))")
+          .as("clustering_ppm"))
+  }
+
+  private val triangleSql =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS ea, b.pk AS eb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |d AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT ea AS v FROM e UNION ALL SELECT eb FROM e) GROUP BY 1),
+      |tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.ea = e1.ea AND e2.eb > e1.eb
+      |       JOIN e e3 ON e3.ea = e1.eb AND e3.eb = e2.eb)
+      |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+      |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+      |  (SELECT n_triangles FROM tri) AS n_triangles,
+      |  CAST((3 * CAST((SELECT n_triangles FROM tri) AS HUGEINT) * 1000000)
+      |       // CAST(sum(deg * (deg - 1) // 2) AS HUGEINT) AS BIGINT)
+      |    AS clustering_ppm
+      |FROM d""".stripMargin
+
+  /** #155 RFM customer segmentation (recency / frequency / monetary) —
+    * the classic lifecycle-marketing cut of the order fact. Each metric
+    * is scored 1-5 by EXACT INTEGER rank banding (score = 1 +
+    * ⌊5·(rank−1)/n⌋) over `PrefixSum.withGlobalRank` — the two-phase
+    * distributed rank scan, never a single-reducer `row_number()`
+    * window, and never quantile interpolation (whose last-ulp doubles
+    * can flip a boundary customer between engines; integer ranks
+    * cannot). Rank keys append the customer id so ties are total and
+    * placement-independent. The customer dimension is orders-of-
+    * magnitude smaller than the fact it summarizes, so three rank
+    * scans over it are cheap at any scale; segments fold to exact
+    * integer sums. */
+  private def rfm(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val gmax = o.agg(max(col("o_orderdate")).as("gmax"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("cmax"),
+        count(lit(1)).as("freq"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      .crossJoin(broadcast(gmax))
+      .select(col("o_custkey"),
+        datediff(col("gmax"), col("cmax")).cast("long").as("rec_days"),
+        col("freq"), col("cents"))
+    val n = cust.agg(count(lit(1)).as("n"))
+    // rank 1 = most stale / fewest orders / lowest spend → score 1
+    val r = PrefixSum.withGlobalRank(
+      cust.withColumn("__neg", -col("rec_days")),
+      Seq("__neg", "o_custkey"), "r_rank").drop("__neg")
+    val f = PrefixSum.withGlobalRank(r, Seq("freq", "o_custkey"), "f_rank")
+    val m = PrefixSum.withGlobalRank(f, Seq("cents", "o_custkey"), "m_rank")
+    def band(rankCol: String): Column =
+      (lit(1) + expr(s"(($rankCol - 1) * 5) div n")).cast("int")
+    m.crossJoin(broadcast(n))
+      .select(col("o_custkey"), col("rec_days"), col("cents"),
+        band("r_rank").as("r_score"),
+        band("f_rank").as("f_score"),
+        band("m_rank").as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+          .when(col("m_score") === 5, "big_spender")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("r_score") <= 2, "dormant")
+          .otherwise("mid"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("rec_days")).as("sum_rec_days"))
+  }
+
+  private val rfmSql =
+    """WITH g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+      |c AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', max(o_orderdate), (SELECT gmax FROM g)) AS BIGINT)
+      |      AS rec_days,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      |r AS (
+      |  SELECT o_custkey, rec_days, cents,
+      |    row_number() OVER (ORDER BY -rec_days, o_custkey) AS r_rank,
+      |    row_number() OVER (ORDER BY freq, o_custkey) AS f_rank,
+      |    row_number() OVER (ORDER BY cents, o_custkey) AS m_rank
+      |  FROM c),
+      |sc AS (
+      |  SELECT o_custkey, rec_days, cents,
+      |    CAST(1 + (CAST(r_rank - 1 AS HUGEINT) * 5) // (SELECT n FROM n) AS INT)
+      |      AS r_score,
+      |    CAST(1 + (CAST(f_rank - 1 AS HUGEINT) * 5) // (SELECT n FROM n) AS INT)
+      |      AS f_score,
+      |    CAST(1 + (CAST(m_rank - 1 AS HUGEINT) * 5) // (SELECT n FROM n) AS INT)
+      |      AS m_score
+      |  FROM r)
+      |SELECT CASE
+      |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+      |    WHEN m_score = 5 THEN 'big_spender'
+      |    WHEN r_score >= 4 THEN 'recent'
+      |    WHEN r_score <= 2 THEN 'dormant'
+      |    ELSE 'mid' END AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(rec_days) AS BIGINT) AS sum_rec_days
+      |FROM sc GROUP BY 1""".stripMargin
+
+  /** #156 ORC round-trip with predicate pushdown — format breadth for
+    * the interchange reality that a 100-TB lakehouse rarely speaks one
+    * format: a curated slice lands as ORC (Spark's built-in second
+    * columnar format), is read back through the ORC reader with the
+    * filter PUSHED to the scan (the spec asserts `PushedFilters`; ORC
+    * row-group statistics skip non-matching stripes exactly like
+    * parquet row groups), and the aggregate proves the round-trip
+    * byte-for-byte. The oracle recomputes from the SOURCE table — the
+    * gate verifies write→read fidelity, not a replay of the same scan.
+    * Fixture writes use the per-appId scratch contract (see
+    * zipExtract). */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    val orcDir = new java.io.File(tmpRoot, s"graft_orc_${s.sparkContext.applicationId}")
+    if (scratchHooked.add(orcDir.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(orcDir)
+      }))
+    }
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+      .write.mode("overwrite").orc(orcDir.getAbsolutePath)
+    s.read.orc(orcDir.getAbsolutePath)
+      .filter(col("o_totalprice") > 150000.0)
+      .groupBy("o_orderstatus", "yr")
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("sum_cents"))
+  }
+
+  private val orcRoundtripSql =
+    """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |       AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_totalprice > 150000.0
+      |GROUP BY 1, 2""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -6121,5 +6341,8 @@ object Queries {
     Q("q_copurchase", copurchase, Some(copurchaseSql)),
     Q("q_skyline", skyline, Some(skylineSql)),
     Q("q_outlier_iqr", outlierIqr, Some(outlierIqrSql)),
+    Q("q_triangle", triangle, Some(triangleSql)),
+    Q("q_rfm", rfm, Some(rfmSql)),
+    Q("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
   )
 }
