@@ -6074,6 +6074,10 @@ object Queries {
       .select(col("o_custkey"),
         datediff(col("gmax"), col("cmax")).cast("long").as("rec_days"),
         col("freq"), col("cents"))
+      // persisted: the three rank scans below each re-walk their whole
+      // lineage (two passes each) — without this the orders groupBy
+      // recomputes six times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cust.agg(count(lit(1)).as("n"))
     // rank 1 = most stale / fewest orders / lowest spend → score 1
     val r = PrefixSum.withGlobalRank(
@@ -6182,6 +6186,214 @@ object Queries {
       |       AS BIGINT) AS sum_cents
       |FROM orders WHERE o_totalprice > 150000.0
       |GROUP BY 1, 2""".stripMargin
+
+  /** #157 CUPED variance-reduced A/B readout — the experimentation
+    * workhorse: adjust each user's post-period metric by their
+    * PRE-period baseline (θ = cov(pre,post)/var(pre), pooled) so arm
+    * means compare with the between-user variance removed. Exactness
+    * story: per-user pre/post spend folds to integer cents split at
+    * the EXACT integer-micros midpoint of the observed time span; all
+    * second moments accumulate as DECIMAL(38,0) (order-independent;
+    * a 1e9-user corpus with 1e13-scale per-user products stays inside
+    * 38 digits); θ and the adjusted means go through doubles only in
+    * the FINAL textually-parallel expressions, so both engines execute
+    * the identical IEEE operation sequence. One fact scan, O(arms)
+    * output, every join a 1-row broadcast. */
+  private def cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val span = ev.agg(min("us").as("mn"), max("us").as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val users = ev.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .select(col("user_id"), (col("user_id") % 2).cast("int").as("arm"),
+        col("x"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pooled = users.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    users.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("na"),
+        sum(col("x").cast("decimal(38,0)")).as("sxa"),
+        sum(col("y").cast("decimal(38,0)")).as("sya"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("na").cast("long").as("n_users"),
+        expr("""round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6)""")
+          .as("mean_post"),
+        expr("""round((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+               | - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+               |   * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+               |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6)
+               |""".stripMargin.replace("\n", " ")).as("mean_post_adj"),
+        expr("""round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)""")
+          .as("theta"))
+  }
+
+  private val cupedSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+      |u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+      |    CAST(sum(CASE WHEN us < (SELECT mid FROM mid) THEN cents ELSE 0 END)
+      |         AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN us >= (SELECT mid FROM mid) THEN cents ELSE 0 END)
+      |         AS BIGINT) AS y
+      |  FROM ev GROUP BY 1, 2),
+      |p AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM u)
+      |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+      |  round(CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |        / 100.0, 6) AS mean_post,
+      |  round((CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |   - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+      |      / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+      |     * (CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |        - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE))) / 100.0, 6)
+      |    AS mean_post_adj,
+      |  round(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+      |        / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE), 6) AS theta
+      |FROM u, p GROUP BY arm, p.n, p.sx, p.sy, p.sxy, p.sxx""".stripMargin
+
+  /** #158 winsorized (clamped) per-user spend per event type — the
+    * curation alternative to q_outlier_iqr's DROP: clip to the
+    * [p12.5, p87.5] band and keep the row. The percentiles are
+    * DELIBERATELY dyadic (1/8, 7/8): at dyadic p over integer cents,
+    * Spark's `(ceil−pos)·lo + (pos−floor)·hi` and DuckDB's
+    * `lo + f·(hi−lo)` are BOTH exact in binary floating point, so the
+    * clamp thresholds are bit-identical across engines and every
+    * clamped value is an exact multiple of 2⁻³ — double sums of such
+    * values are exact and order-independent, no tolerance needed.
+    * Thresholds come from `DistributedPercentiles` (rank selection, no
+    * per-group buffering), are O(types) rows, and broadcast back;
+    * clamping is one map-only pass. */
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = DistributedPercentiles.exact(u, "event_type", "cents",
+      Seq("lo" -> 0.125, "hi" -> 0.875))
+    u.join(broadcast(q), Seq("event_type"))
+      .select(col("event_type"),
+        when(col("cents") < col("lo"), col("lo"))
+          .when(col("cents") > col("hi"), col("hi"))
+          .otherwise(col("cents").cast("double")).as("w"),
+        (col("cents") < col("lo")).cast("int").as("is_lo"),
+        (col("cents") > col("hi")).cast("int").as("is_hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("is_lo")).as("n_clamped_lo"),
+        sum(col("is_hi")).as("n_clamped_hi"),
+        round(sum(col("w")) / 100.0, 6).as("winsorized_spend"))
+  }
+
+  private val winsorizeSql =
+    """WITH u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2),
+      |q AS (
+      |  SELECT event_type, quantile_cont(cents, 0.125) AS lo,
+      |    quantile_cont(cents, 0.875) AS hi
+      |  FROM u GROUP BY 1)
+      |SELECT u.event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(*) FILTER (WHERE u.cents < q.lo) AS BIGINT) AS n_clamped_lo,
+      |  CAST(count(*) FILTER (WHERE u.cents > q.hi) AS BIGINT) AS n_clamped_hi,
+      |  round(sum(CASE WHEN u.cents < q.lo THEN q.lo
+      |                 WHEN u.cents > q.hi THEN q.hi
+      |                 ELSE CAST(u.cents AS DOUBLE) END) / 100.0, 6)
+      |    AS winsorized_spend
+      |FROM u JOIN q USING (event_type) GROUP BY 1""".stripMargin
+
+  /** #159 erasure (right-to-be-forgotten) audit — the governance pass a
+    * 100-TB lakehouse runs before a purge: given a deletion registry
+    * (here the deterministic custkey % 13 = 0 slice of `customer`),
+    * report per table how many rows the purge removes, how many
+    * survive, and an exact integral fingerprint of the survivors. The
+    * registry is a BROADCAST dimension (explicit hint) for the direct
+    * hits on `orders` and `events`; the CASCADE to `lineitem` flows
+    * through the purged order keys as a plain anti-join — at scale
+    * that set is O(fact/13), far too big to broadcast, and AQE may
+    * still downgrade it when it happens to be small. Survivor
+    * fingerprints are exact integer sums of the table keys —
+    * order-independent, engine-portable. */
+  private def erasureAudit(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "customer")
+      .filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("__id"))
+    val ev = events(s, dir).select(col("user_id"), col("event_id"))
+    val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
+    def audit(name: String, df: DataFrame, key: Column, fp: Column,
+              purged: DataFrame, purgeKey: Column, bcast: Boolean): DataFrame = {
+      val dim = if (bcast) broadcast(purged) else purged
+      val kept = df.join(dim, key === purgeKey, "left_anti")
+      val total = df.agg(count(lit(1)).as("n_total"))
+      kept.agg(count(lit(1)).as("n_kept"),
+          coalesce(sum(fp), lit(0L)).as("survivor_fp"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("table_name"), col("n_total"),
+          (col("n_total") - col("n_kept")).as("n_purged"), col("n_kept"),
+          col("survivor_fp"))
+    }
+    val purgedOrders = ord.join(broadcast(ids),
+        col("o_custkey") === col("__id"), "left_semi")
+      .select(col("o_orderkey").as("__ok"))
+    audit("events", ev, col("user_id"), col("event_id"), ids, col("__id"),
+        bcast = true)
+      .unionAll(audit("orders", ord, col("o_custkey"), col("o_orderkey"),
+        ids, col("__id"), bcast = true))
+      .unionAll(audit("lineitem", li, col("l_orderkey"),
+        col("l_orderkey") * 8 + col("l_linenumber"), purgedOrders,
+        col("__ok"), bcast = false))
+  }
+
+  private val erasureAuditSql =
+    """WITH ids AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 13 = 0),
+      |po AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT id FROM ids))
+      |SELECT 'events' AS table_name,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM events
+      |   WHERE user_id IN (SELECT id FROM ids)) AS n_purged,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM events
+      |   WHERE user_id NOT IN (SELECT id FROM ids)) AS n_kept,
+      |  (SELECT coalesce(CAST(sum(event_id) AS BIGINT), 0) FROM events
+      |   WHERE user_id NOT IN (SELECT id FROM ids)) AS survivor_fp
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |   WHERE o_custkey IN (SELECT id FROM ids)),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT id FROM ids)),
+      |  (SELECT coalesce(CAST(sum(o_orderkey) AS BIGINT), 0) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT id FROM ids))
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+      |   WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)),
+      |  (SELECT coalesce(CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT), 0)
+      |   FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))""".stripMargin
 
   // ===========================================================================
   // Registry
@@ -6344,5 +6556,8 @@ object Queries {
     Q("q_triangle", triangle, Some(triangleSql)),
     Q("q_rfm", rfm, Some(rfmSql)),
     Q("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    Q("q_cuped", cuped, Some(cupedSql)),
+    Q("q_winsorize", winsorize, Some(winsorizeSql)),
+    Q("q_erasure_audit", erasureAudit, Some(erasureAuditSql)),
   )
 }
