@@ -6395,6 +6395,156 @@ object Queries {
       |   FROM lineitem
       |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))""".stripMargin
 
+  /** #160 BPE tokenizer TRAINING — K=5 merge rounds at corpus scale,
+    * extending q_bpe_pairs (one counting round) to the full iterative
+    * loop every in-house tokenizer build runs. Scale shape: the corpus
+    * collapses to WORD TYPES first (one hash aggregate — millions of
+    * rows at 100 TB, not trillions of tokens) and every round is one
+    * bounded-fanout pair count over the type table + a 1-ROW collect
+    * (the argmax pair; driver state is O(K), the IVF-centroid
+    * precedent). Words carry a space-delimited symbol string; a merge
+    * applies as literal `replace` of ` a b ` with ` ab ` run TWICE —
+    * replace scans left-to-right non-overlapping (identically in both
+    * engines), and the second pass picks up the pair straddling a
+    * replacement boundary in even runs (for runs ≥5 of one symbol the
+    * token POSITIONS can differ from canonical greedy BPE, the counts
+    * don't — the semantics is "two-pass replace", deterministic and
+    * engine-portable). Ties break (count desc, pair asc) so the merge
+    * table is a total order; the oracle replays all K rounds UNROLLED
+    * in SQL. */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    var cur = parallelize(s, t(s, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("rep"),
+        col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to K) {
+      val best = cur
+        .select(col("freq"), expr("filter(split(rep, ' '), x -> x <> '')").as("l"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(l) - 1), " +
+            "i -> struct(element_at(l, i) AS a, element_at(l, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((i, a, b, cnt))
+      val merged = call_function("replace",
+        call_function("replace", col("rep"), lit(s" $a $b "), lit(s" $a$b ")),
+        lit(s" $a $b "), lit(s" $a$b "))
+      cur = cur.select(merged.as("rep"), col("freq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    import s.implicits._
+    merges.result().toDF("merge_idx", "sym_a", "sym_b", "cnt")
+  }
+
+  private val bpeTrainSql: String = {
+    // every CTE MATERIALIZED: the w0→w5 chain re-evaluates exponentially
+    // under DuckDB's default inlining (each round references its
+    // predecessor several times) — materialization makes the replay
+    // O(K) passes like the Spark side
+    val base =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS rep,
+        |    CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      val (p, b, wPrev, wCur) = (s"p$i", s"b$i", s"w${i - 1}", s"w$i")
+      s"""$p AS MATERIALIZED (
+         |  SELECT l[j] AS a, l[j + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS j
+         |        FROM (SELECT list_filter(string_split(rep, ' '), x -> x <> '') AS l,
+         |                     freq FROM $wPrev))
+         |  GROUP BY 1, 2),
+         |$b AS MATERIALIZED (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1),
+         |$wCur AS MATERIALIZED (
+         |  SELECT replace(replace(rep,
+         |      ' ' || (SELECT a FROM $b) || ' ' || (SELECT b FROM $b) || ' ',
+         |      ' ' || (SELECT a FROM $b) || (SELECT b FROM $b) || ' '),
+         |      ' ' || (SELECT a FROM $b) || ' ' || (SELECT b FROM $b) || ' ',
+         |      ' ' || (SELECT a FROM $b) || (SELECT b FROM $b) || ' ') AS rep,
+         |    freq FROM $wPrev)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map { i =>
+      s"SELECT CAST($i AS INT) AS merge_idx, a AS sym_a, b AS sym_b, cnt FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"$base,\n$rounds\n$out"
+  }
+
+  /** #161 Simpson concentration index of sources per language — the
+    * corpus-composition audit ("is this language dominated by one
+    * crawl source?") behind source-mixing decisions. Two hash
+    * aggregates, both map-side combinable: (lang, source) counts, then
+    * the per-lang fold Σnᵢ(nᵢ−1)/(N(N−1)) entirely in exact integers
+    * (DECIMAL(38,0) — a 1e9-doc language squares past BIGINT), ppm by
+    * integral division. Single-doc languages are excluded (the index
+    * is undefined at N=1) identically on both engines. */
+  private def simpson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_sources"),
+        expr("""(CAST(sum(n * (n - 1)) AS DECIMAL(38,0)) * 1000000)
+               | div (CAST(sum(n) AS DECIMAL(38,0)) * (sum(n) - 1))
+               |""".stripMargin.replace("\n", " ")).as("simpson_ppm"))
+      .filter(col("n_docs") > 1)
+
+  private val simpsonSql =
+    """WITH d AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST((CAST(sum(n * (n - 1)) AS HUGEINT) * 1000000)
+      |       // (CAST(sum(n) AS HUGEINT) * (sum(n) - 1)) AS BIGINT)
+      |    AS simpson_ppm
+      |FROM d GROUP BY 1 HAVING sum(n) > 1""".stripMargin
+
+  /** #162 month-over-month revenue growth — the KPI trend table every
+    * reporting layer derives from the order fact. The fact collapses
+    * to O(months) rows FIRST (one map-side-combinable aggregate), so
+    * the unpartitioned ordered window that computes the lag runs over
+    * a calendar-bounded set (~84 rows however big the fact is) — the
+    * single-partition window is bounded by TIME, not data. Growth is
+    * fixed-point ppm vs the previous OBSERVED month (gaps skip to the
+    * last month with revenue), exact integral division on
+    * DECIMAL(38,0) operands (a 1e15-cent month × 1e6 passes BIGINT);
+    * the first month's growth is NULL on both engines. */
+  private def momGrowth(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("rev_cents"))
+    // O(months) rows post-aggregate: the global-order window is bounded
+    m.withColumn("prev_cents", lag(col("rev_cents"), 1).over(Window.orderBy("month")))
+      .select(col("month"), col("rev_cents"), col("prev_cents"),
+        expr("""(CAST(rev_cents - prev_cents AS DECIMAL(38,0)) * 1000000)
+               | div CAST(prev_cents AS DECIMAL(38,0))
+               |""".stripMargin.replace("\n", " ")).as("growth_ppm"))
+  }
+
+  private val momGrowthSql =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT month, rev_cents,
+      |  lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents,
+      |  CAST((CAST(rev_cents - lag(rev_cents, 1) OVER (ORDER BY month) AS HUGEINT)
+      |        * 1000000)
+      |       // CAST(lag(rev_cents, 1) OVER (ORDER BY month) AS HUGEINT) AS BIGINT)
+      |    AS growth_ppm
+      |FROM m""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -6559,5 +6709,8 @@ object Queries {
     Q("q_cuped", cuped, Some(cupedSql)),
     Q("q_winsorize", winsorize, Some(winsorizeSql)),
     Q("q_erasure_audit", erasureAudit, Some(erasureAuditSql)),
+    Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    Q("q_simpson", simpson, Some(simpsonSql)),
+    Q("q_mom_growth", momGrowth, Some(momGrowthSql)),
   )
 }
