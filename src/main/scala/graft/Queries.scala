@@ -6412,8 +6412,10 @@ object Queries {
     * engine-portable). Ties break (count desc, pair asc) so the merge
     * table is a total order; the oracle replays all K rounds UNROLLED
     * in SQL. */
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val K = 5
+  /** Shared BPE training loop: returns the K merges AND the final
+    * merged word-type table (rep, freq) for the apply side. */
+  private def bpeMergeLoop(s: SparkSession, dir: String, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var cur = parallelize(s, t(s, dir, "documents"))
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -6422,7 +6424,7 @@ object Queries {
         col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (i <- 1 to K) {
+    for (i <- 1 to k) {
       val best = cur
         .select(col("freq"), expr("filter(split(rep, ' '), x -> x <> '')").as("l"))
         .select(col("freq"), explode(expr(
@@ -6440,11 +6442,19 @@ object Queries {
       cur = cur.select(merged.as("rep"), col("freq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    import s.implicits._
-    merges.result().toDF("merge_idx", "sym_a", "sym_b", "cnt")
+    (merges.result(), cur)
   }
 
-  private val bpeTrainSql: String = {
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeMergeLoop(s, dir, 5)
+    import s.implicits._
+    merges.toDF("merge_idx", "sym_a", "sym_b", "cnt")
+  }
+
+  /** The unrolled K=5 oracle CTE chain (w0→w5 + per-round argmaxes),
+    * shared by the train oracle (reads b1..b5) and the apply oracle
+    * (reads w5). */
+  private val bpeChainSql: String = {
     // every CTE MATERIALIZED: the w0→w5 chain re-evaluates exponentially
     // under DuckDB's default inlining (each round references its
     // predecessor several times) — materialization makes the replay
@@ -6473,10 +6483,14 @@ object Queries {
          |      ' ' || (SELECT a FROM $b) || (SELECT b FROM $b) || ' ') AS rep,
          |    freq FROM $wPrev)""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  private val bpeTrainSql: String = {
     val out = (1 to 5).map { i =>
       s"SELECT CAST($i AS INT) AS merge_idx, a AS sym_a, b AS sym_b, cnt FROM b$i"
     }.mkString("\nUNION ALL ")
-    s"$base,\n$rounds\n$out"
+    s"$bpeChainSql\n$out"
   }
 
   /** #161 Simpson concentration index of sources per language — the
@@ -6544,6 +6558,158 @@ object Queries {
       |       // CAST(lag(rev_cents, 1) OVER (ORDER BY month) AS HUGEINT) AS BIGINT)
       |    AS growth_ppm
       |FROM m""".stripMargin
+
+  /** #163 BPE tokenizer APPLY — the inference side of q_bpe_train:
+    * re-tokenize the corpus under the 5 trained merges and report the
+    * top-20 vocabulary tokens by corpus frequency. At scale this is
+    * the shape that matters: training collects O(K) driver state, but
+    * apply is a MAP-ONLY pass (the merge table rides into the literal
+    * replace chain; no shuffle until the final count), and the top-20
+    * cut is TakeOrderedAndProject. Token frequency folds word-type
+    * counts (freq-weighted), exact integers. Oracle replays the same
+    * chain (shared MATERIALIZED CTEs) and unnests the final symbol
+    * table. */
+  private def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val (_, words) = bpeMergeLoop(s, dir, 5)
+    words
+      .select(col("freq"),
+        explode(expr("filter(split(rep, ' '), x -> x <> '')")).as("token"))
+      .groupBy("token").agg(sum("freq").as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(20)
+  }
+
+  private val bpeApplySql: String =
+    s"""$bpeChainSql
+       |SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS freq
+       |FROM (SELECT unnest(list_filter(string_split(rep, ' '), x -> x <> '')) AS tok,
+       |             freq FROM w5)
+       |GROUP BY 1 ORDER BY freq DESC, token LIMIT 20""".stripMargin
+
+  /** #164 raking (iterative proportional fitting) — the survey
+    * post-stratification weighting at the heart of CATI analytics
+    * (reference: the feeder's wave/questionnaire domain,
+    * feeder.py:16-259): fit per-cell weights so the weighted customer
+    * sample reproduces the ORDER-volume margins over nation ×
+    * market segment. Determinism is absolute: weights live in ppm
+    * FIXED POINT, each half-step rescales by the exact integer
+    * rational (margin·1e6/weighted-sum) with round-half-up expressed
+    * as `(2·num + den) div (2·den)` — no floating point anywhere in
+    * the iteration, so both engines walk the identical integer state
+    * through all 5 double-steps (oracle: unrolled MATERIALIZED CTEs).
+    * Scale shape: the fact collapses to O(cells) rows first (here
+    * 25×5); margins are O(dims) and broadcast; the loop never touches
+    * the fact again. */
+  private def raking(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val cells = cust.groupBy(col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", lit(1000000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oc = ord.join(cust.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowT = oc.groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("rt"))
+    val colT = oc.groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("ct"))
+    var w = cells
+    for (_ <- 1 to 5) {
+      val rs = w.groupBy("nk")
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w")).as("rs"))
+      w = w.join(broadcast(rs), Seq("nk")).join(broadcast(rowT), Seq("nk"))
+        .select(col("nk"), col("seg"), col("n"), expr(
+          """(2 * CAST(w AS DECIMAL(38,0)) * rt * 1000000 + rs)
+            | div (2 * CAST(rs AS DECIMAL(38,0)))
+            |""".stripMargin.replace("\n", " ")).as("w"))
+      val cs = w.groupBy("seg")
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w")).as("cs"))
+      w = w.join(broadcast(cs), Seq("seg")).join(broadcast(colT), Seq("seg"))
+        .select(col("nk"), col("seg"), col("n"), expr(
+          """(2 * CAST(w AS DECIMAL(38,0)) * ct * 1000000 + cs)
+            | div (2 * CAST(cs AS DECIMAL(38,0)))
+            |""".stripMargin.replace("\n", " ")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    w.select(col("nk").cast("long").as("nationkey"), col("seg").as("segment"),
+      col("n").as("n_cust"), col("w").as("w_ppm"),
+      round(expr("CAST(n AS DECIMAL(38,0)) * w") / 1e6, 6).as("weighted_cust"))
+  }
+
+  private val rakingSql: String = {
+    val base =
+      """WITH cells0 AS MATERIALIZED (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(1000000 AS BIGINT) AS w
+        |  FROM customer GROUP BY 1, 2),
+        |oc AS MATERIALIZED (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |rt AS MATERIALIZED (SELECT nk, CAST(count(*) AS BIGINT) AS rt FROM oc GROUP BY 1),
+        |ct AS MATERIALIZED (SELECT seg, CAST(count(*) AS BIGINT) AS ct FROM oc GROUP BY 1)"""
+        .stripMargin
+    val rounds = (1 to 5).map { i =>
+      val (prev, ri, ci) = (if (i == 1) "cells0" else s"cells${i - 1}", s"r$i", s"cells$i")
+      s"""$ri AS MATERIALIZED (
+         |  SELECT p.nk, p.seg, p.n,
+         |    CAST((2 * CAST(p.w AS HUGEINT) * rt.rt * 1000000 + rs.rs)
+         |         // (2 * CAST(rs.rs AS HUGEINT)) AS BIGINT) AS w
+         |  FROM $prev p
+         |  JOIN (SELECT nk, sum(CAST(n AS HUGEINT) * w) AS rs FROM $prev GROUP BY 1) rs
+         |    ON rs.nk = p.nk
+         |  JOIN rt ON rt.nk = p.nk),
+         |$ci AS MATERIALIZED (
+         |  SELECT p.nk, p.seg, p.n,
+         |    CAST((2 * CAST(p.w AS HUGEINT) * ct.ct * 1000000 + cs.cs)
+         |         // (2 * CAST(cs.cs AS HUGEINT)) AS BIGINT) AS w
+         |  FROM $ri p
+         |  JOIN (SELECT seg, sum(CAST(n AS HUGEINT) * w) AS cs FROM $ri GROUP BY 1) cs
+         |    ON cs.seg = p.seg
+         |  JOIN ct ON ct.seg = p.seg)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(nk AS BIGINT) AS nationkey, seg AS segment, n AS n_cust,
+       |  w AS w_ppm, round(CAST(CAST(n AS HUGEINT) * w AS DOUBLE) / 1e6, 6)
+       |    AS weighted_cust
+       |FROM cells5""".stripMargin
+  }
+
+  /** #165 capture-recapture coverage estimate (Chapman) — "how many
+    * documents does the full population hold, given two independent
+    * crawls?": two deterministic capture slices, overlap via one
+    * aggregate, N̂ = (n₁+1)(n₂+1)/(m+1) − 1 in exact integral
+    * arithmetic, plus the true count and the estimator's signed error
+    * in ppm — the audit for crawl/dedup recall claims. One map-only
+    * pass over the id column; O(1) output. */
+  private def captureRecapture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_true"),
+        sum((col("doc_id") % 3 === 0).cast("long")).as("n1"),
+        sum((col("doc_id") % 5 < 2).cast("long")).as("n2"),
+        sum((col("doc_id") % 3 === 0 && col("doc_id") % 5 < 2).cast("long"))
+          .as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        expr("(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)) div (m + 1) - 1")
+          .as("n_hat"),
+        expr("""(((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)) div (m + 1) - 1 - n_true)
+               | * 1000000) div n_true""".stripMargin.replace("\n", " "))
+          .as("err_ppm"))
+
+  private val captureRecaptureSql =
+    """WITH c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+      |    CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n1,
+      |    CAST(count(*) FILTER (WHERE doc_id % 5 < 2) AS BIGINT) AS n2,
+      |    CAST(count(*) FILTER (WHERE doc_id % 3 = 0 AND doc_id % 5 < 2) AS BIGINT)
+      |      AS m
+      |  FROM documents)
+      |SELECT n_true, n1, n2, m,
+      |  CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1 AS BIGINT) AS n_hat,
+      |  CAST((((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1 - n_true)
+      |        * 1000000) // n_true AS BIGINT) AS err_ppm
+      |FROM c""".stripMargin
 
   // ===========================================================================
   // Registry
@@ -6712,5 +6878,8 @@ object Queries {
     Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("q_simpson", simpson, Some(simpsonSql)),
     Q("q_mom_growth", momGrowth, Some(momGrowthSql)),
+    Q("q_bpe_apply", bpeApply, Some(bpeApplySql)),
+    Q("q_raking", raking, Some(rakingSql)),
+    Q("q_capture_recapture", captureRecapture, Some(captureRecaptureSql)),
   )
 }
