@@ -5977,17 +5977,23 @@ object Queries {
     * coefficient is fixed-point ppm via integral division. The oracle
     * is the INDEPENDENT canonical id-ordered triple join — the
     * degree-ordering trick is checked against the definition. */
-  private def triangle(s: SparkSession, dir: String): DataFrame = {
+  /** Undirected co-purchase edges (parts co-bought in ≥2 orders),
+    * ea < eb — shared by the graph-analytics family (#154, #166). */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val it = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = it.as("a")
+    it.as("a")
       .join(it.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("ea"), col("b.pk").as("eb"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= 2)
       .select("ea", "eb")
+  }
+
+  private def triangle(s: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("ea").as("v"))
       .unionAll(edges.select(col("eb").as("v")))
@@ -6216,8 +6222,9 @@ object Queries {
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(col("x").cast("decimal(38,0)")).as("sx"),
       sum(col("y").cast("decimal(38,0)")).as("sy"),
-      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      // cast BEFORE the product: per-user cents can square past BIGINT
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
     users.groupBy(col("arm"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("na"),
         sum(col("x").cast("decimal(38,0)")).as("sxa"),
@@ -6711,6 +6718,211 @@ object Queries {
       |        * 1000000) // n_true AS BIGINT) AS err_ppm
       |FROM c""".stripMargin
 
+  /** #166 degree assortativity of the co-purchase graph — "do hub
+    * products co-sell with hubs?" (Newman's r, the structure signal
+    * behind recommendation diversity). Reuses #154's edge builder; the
+    * degree join is two broadcast-sized lookups (O(nodes) degrees);
+    * every edge contributes its endpoint-degree pair SYMMETRIZED
+    * (both orientations), which collapses Pearson to
+    * r = (MΣxy−(Σx)²)/(MΣx²−(Σx)²) on exact DECIMAL(38,0) folds —
+    * doubles only in the single final division, textually parallel in
+    * both engines. */
+  private def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("ea").as("v"))
+      .unionAll(edges.select(col("eb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val pairs = edges
+      .join(deg.select(col("v").as("ea"), col("deg").as("da")), Seq("ea"))
+      .join(deg.select(col("v").as("eb"), col("deg").as("db")), Seq("eb"))
+      .select(col("da"), col("db"))
+    // symmetrize: each undirected edge contributes (da,db) and (db,da)
+    pairs.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(pairs.select(col("db").as("x"), col("da").as("y")))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        // cast BEFORE the product: hub degrees can square past BIGINT
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        expr("""round(CAST(m * sxy - sx * sx AS DOUBLE)
+               | / CAST(m * sxx - sx * sx AS DOUBLE), 6)
+               |""".stripMargin.replace("\n", " ")).as("assortativity"))
+  }
+
+  private val assortativitySql =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS ea, b.pk AS eb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |d AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT ea AS v FROM e UNION ALL SELECT eb FROM e) GROUP BY 1),
+      |pr AS (
+      |  SELECT da.deg AS x, db.deg AS y
+      |  FROM e JOIN d da ON da.v = e.ea JOIN d db ON db.v = e.eb
+      |  UNION ALL
+      |  SELECT db.deg, da.deg
+      |  FROM e JOIN d da ON da.v = e.ea JOIN d db ON db.v = e.eb),
+      |mm AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS m,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM pr)
+      |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+      |  round(CAST(m * sxy - sx * sx AS DOUBLE)
+      |        / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+      |FROM mm""".stripMargin
+
+  /** #167 deterministic bootstrap CI for mean user spend per event
+    * type — error bars without randomness: B=32 half-sample replicates
+    * selected by an engine-portable ARITHMETIC hash (modular multiply;
+    * no engine hash function crosses Spark↔DuckDB), each replicate
+    * mean held in ppm FIXED POINT via the exact `(2·num+den) div
+    * (2·den)` rounding, and the across-replicate spread folded from
+    * exact integer sums — the only doubles are the final sqrt/division
+    * (IEEE-identical in both engines). Scale shape: the B-way fanout
+    * is a map-side explode bounded by B, two hash aggregates, O(types)
+    * output. */
+  private def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val reps = u.select(col("event_type"), col("user_id"), col("cents"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .filter(expr("((user_id % 1000003) * 2654435761 + b * 40503) % 2147483647 % 2 = 0"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("nb"), sum("cents").as("sb"))
+      .select(col("event_type"),
+        expr("(2 * CAST(sb AS DECIMAL(38,0)) * 1000000 + nb) div (2 * CAST(nb AS DECIMAL(38,0)))")
+          .as("m"))
+    reps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        sum(col("m").cast("decimal(38,0)")).as("sm"),
+        // cast BEFORE the square: m is ppm-cents (~1e13), m² overflows
+        // BIGINT long before the decimal fold
+        sum(col("m").cast("decimal(38,0)") * col("m")).as("smm"))
+      .select(col("event_type"), col("n_reps"),
+        expr("round(CAST(sm AS DOUBLE) / CAST(n_reps AS DOUBLE) / 1e8, 6)")
+          .as("boot_mean"),
+        expr("""round((CAST(sm AS DOUBLE) / CAST(n_reps AS DOUBLE)
+               | - 2.0 * sqrt(CAST(n_reps * smm - sm * sm AS DOUBLE)
+               |              / CAST(n_reps * (n_reps - 1) AS DOUBLE))) / 1e8, 6)
+               |""".stripMargin.replace("\n", " ")).as("ci_lo"),
+        expr("""round((CAST(sm AS DOUBLE) / CAST(n_reps AS DOUBLE)
+               | + 2.0 * sqrt(CAST(n_reps * smm - sm * sm AS DOUBLE)
+               |              / CAST(n_reps * (n_reps - 1) AS DOUBLE))) / 1e8, 6)
+               |""".stripMargin.replace("\n", " ")).as("ci_hi"))
+  }
+
+  private val bootstrapCiSql =
+    """WITH u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, b.b,
+      |    CAST(count(*) AS BIGINT) AS nb, CAST(sum(cents) AS BIGINT) AS sb
+      |  FROM u, unnest(range(0, 32)) AS b(b)
+      |  WHERE ((user_id % 1000003) * 2654435761 + b.b * 40503) % 2147483647 % 2 = 0
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type,
+      |    (2 * CAST(sb AS HUGEINT) * 1000000 + nb) // (2 * CAST(nb AS HUGEINT)) AS m
+      |  FROM r),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n_reps,
+      |    CAST(sum(m) AS HUGEINT) AS sm, CAST(sum(m * m) AS HUGEINT) AS smm
+      |  FROM m GROUP BY 1)
+      |SELECT event_type, CAST(n_reps AS BIGINT) AS n_reps,
+      |  round(CAST(sm AS DOUBLE) / CAST(n_reps AS DOUBLE) / 1e8, 6) AS boot_mean,
+      |  round((CAST(sm AS DOUBLE) / CAST(n_reps AS DOUBLE)
+      |   - 2.0 * sqrt(CAST(n_reps * smm - sm * sm AS DOUBLE)
+      |                / CAST(n_reps * (n_reps - 1) AS DOUBLE))) / 1e8, 6) AS ci_lo,
+      |  round((CAST(sm AS DOUBLE) / CAST(n_reps AS DOUBLE)
+      |   + 2.0 * sqrt(CAST(n_reps * smm - sm * sm AS DOUBLE)
+      |                / CAST(n_reps * (n_reps - 1) AS DOUBLE))) / 1e8, 6) AS ci_hi
+      |FROM g""".stripMargin
+
+  /** #168 Wald–Wolfowitz runs test on the monthly revenue direction —
+    * "is the up/down sequence random, or trending/mean-reverting?":
+    * the month table is O(calendar) rows (mom-growth precedent), signs
+    * and run boundaries fold as exact integers through the bounded lag
+    * window, and the z-statistic's expectation/variance formulas run
+    * in doubles only at the END, textually parallel in both engines.
+    * Flat months (rev == prev) are excluded from the sign sequence
+    * identically on both sides. */
+  private def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("rev"))
+    val signs = m
+      .withColumn("prev", lag(col("rev"), 1).over(Window.orderBy("month")))
+      .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
+      .withColumn("up", (col("rev") > col("prev")).cast("long"))
+      .withColumn("chg",
+        (lag(col("up"), 1).over(Window.orderBy("month")).isNull ||
+          lag(col("up"), 1).over(Window.orderBy("month")) =!= col("up"))
+          .cast("long"))
+    signs.agg(sum("up").as("n_up"),
+        (count(lit(1)) - sum("up")).as("n_down"),
+        sum("chg").as("n_runs"))
+      .select(col("n_up"), col("n_down"), col("n_runs"),
+        expr("""round(CAST(n_runs AS DOUBLE)
+               | - (2.0 * CAST(n_up * n_down AS DOUBLE)
+               |    / CAST(n_up + n_down AS DOUBLE) + 1.0), 6)
+               |""".stripMargin.replace("\n", " ")).as("excess_runs"),
+        expr("""round((CAST(n_runs AS DOUBLE)
+               |  - (2.0 * CAST(n_up * n_down AS DOUBLE)
+               |     / CAST(n_up + n_down AS DOUBLE) + 1.0))
+               | / sqrt(2.0 * CAST(n_up * n_down AS DOUBLE)
+               |   * (2.0 * CAST(n_up * n_down AS DOUBLE) - CAST(n_up + n_down AS DOUBLE))
+               |   / (CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE)
+               |      * CAST(n_up + n_down - 1 AS DOUBLE))), 6)
+               |""".stripMargin.replace("\n", " ")).as("z"))
+  }
+
+  private val runsTestSql =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT month, rev, lag(rev, 1) OVER (ORDER BY month) AS prev
+      |  FROM m),
+      |sg AS (
+      |  SELECT month, CAST(rev > prev AS BIGINT) AS up
+      |  FROM d WHERE prev IS NOT NULL AND rev <> prev),
+      |ch AS (
+      |  SELECT up,
+      |    CAST(lag(up, 1) OVER (ORDER BY month) IS NULL
+      |         OR lag(up, 1) OVER (ORDER BY month) <> up AS BIGINT) AS chg
+      |  FROM sg),
+      |ag AS (
+      |  SELECT CAST(sum(up) AS BIGINT) AS n_up,
+      |    CAST(count(*) - sum(up) AS BIGINT) AS n_down,
+      |    CAST(sum(chg) AS BIGINT) AS n_runs
+      |  FROM ch)
+      |SELECT n_up, n_down, n_runs,
+      |  round(CAST(n_runs AS DOUBLE)
+      |   - (2.0 * CAST(n_up * n_down AS DOUBLE)
+      |      / CAST(n_up + n_down AS DOUBLE) + 1.0), 6) AS excess_runs,
+      |  round((CAST(n_runs AS DOUBLE)
+      |    - (2.0 * CAST(n_up * n_down AS DOUBLE)
+      |       / CAST(n_up + n_down AS DOUBLE) + 1.0))
+      |   / sqrt(2.0 * CAST(n_up * n_down AS DOUBLE)
+      |     * (2.0 * CAST(n_up * n_down AS DOUBLE) - CAST(n_up + n_down AS DOUBLE))
+      |     / (CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE)
+      |        * CAST(n_up + n_down - 1 AS DOUBLE))), 6) AS z
+      |FROM ag""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -6881,5 +7093,8 @@ object Queries {
     Q("q_bpe_apply", bpeApply, Some(bpeApplySql)),
     Q("q_raking", raking, Some(rakingSql)),
     Q("q_capture_recapture", captureRecapture, Some(captureRecaptureSql)),
+    Q("q_assortativity", assortativity, Some(assortativitySql)),
+    Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
+    Q("q_runs_test", runsTest, Some(runsTestSql)),
   )
 }
