@@ -6923,6 +6923,191 @@ object Queries {
       |        * CAST(n_up + n_down - 1 AS DOUBLE))), 6) AS z
       |FROM ag""".stripMargin
 
+  /** #169 classical seasonal decomposition of monthly revenue
+    * (trend / seasonal / residual) — the reporting-layer companion to
+    * q_mom_growth. The fact collapses to the O(calendar) month table
+    * first; the 13-month centered moving average runs as a BOUNDED
+    * rows-window (full windows only — edge months carry NULL trend);
+    * everything stays in ppm-cents FIXED POINT (trend via the exact
+    * `(2·num+den) div (2·den)` rounding; detrended and seasonal values
+    * exact integers; the per-calendar-month seasonal mean uses the
+    * same integral rounding, truncation on negatives identical in both
+    * engines), so the decomposition is bit-stable with doubles only in
+    * the final /1e8 display divisions. */
+  private def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("rev"))
+    val w = Window.orderBy("month").rowsBetween(-6, 6)
+    val tr = m
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("rev")).over(w))
+      .withColumn("trend_ppm",
+        when(col("__n") === 13,
+          expr("(2 * CAST(__s AS DECIMAL(38,0)) * 1000000 + 13) div 26")))
+      .withColumn("det_ppm",
+        col("rev").cast("decimal(38,0)") * 1000000L - col("trend_ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seas = tr.filter(col("det_ppm").isNotNull)
+      .groupBy(substring(col("month"), 6, 2).as("moy"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("det_ppm")).as("sd"))
+      .select(col("moy"),
+        expr("(2 * CAST(sd AS DECIMAL(38,0)) + k) div (2 * CAST(k AS DECIMAL(38,0)))")
+          .as("seasonal_ppm"))
+    tr.join(broadcast(seas), substring(col("month"), 6, 2) === col("moy"))
+      .select(col("month"),
+        round(col("rev") / 100.0, 6).as("revenue"),
+        round(col("trend_ppm") / 1e8, 6).as("trend"),
+        round(col("seasonal_ppm") / 1e8, 6).as("seasonal"),
+        round((col("det_ppm") - col("seasonal_ppm")) / 1e8, 6).as("residual"))
+  }
+
+  private val seasonalDecomposeSql =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |tr AS (
+      |  SELECT month, rev,
+      |    CASE WHEN count(*) OVER win = 13 THEN
+      |      (2 * CAST(sum(rev) OVER win AS HUGEINT) * 1000000 + 13) // 26
+      |    END AS trend_ppm
+      |  FROM m
+      |  WINDOW win AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+      |dt AS (
+      |  SELECT month, rev, trend_ppm,
+      |    CAST(rev AS HUGEINT) * 1000000 - trend_ppm AS det_ppm
+      |  FROM tr),
+      |se AS (
+      |  SELECT substr(month, 6, 2) AS moy,
+      |    (2 * CAST(sum(det_ppm) AS HUGEINT) + count(*))
+      |      // (2 * CAST(count(*) AS HUGEINT)) AS seasonal_ppm
+      |  FROM dt WHERE det_ppm IS NOT NULL GROUP BY 1)
+      |SELECT month, round(CAST(rev AS DOUBLE) / 100.0, 6) AS revenue,
+      |  round(CAST(trend_ppm AS DOUBLE) / 1e8, 6) AS trend,
+      |  round(CAST(seasonal_ppm AS DOUBLE) / 1e8, 6) AS seasonal,
+      |  round(CAST(det_ppm - seasonal_ppm AS DOUBLE) / 1e8, 6) AS residual
+      |FROM dt JOIN se ON substr(month, 6, 2) = se.moy""".stripMargin
+
+  /** #170 growth accounting (new / retained / resurrected / churned
+    * users per week) — the canonical product-analytics decomposition
+    * of week-over-week active users. Activity collapses to distinct
+    * (user, Monday-week) rows once; every classification reads the
+    * per-user ordered week sequence through BOUNDED lag windows (a
+    * user's weeks ≤ calendar weeks); churn events are EMITTED rows
+    * (prev active, now silent → churned at prev+7d, including after
+    * the final week when the observation window extends past it) so
+    * the output grid needs no dense generation. Counts are exact; the
+    * identity new+retained+resurrected = WAU holds by construction
+    * (spec-checked). */
+  private def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val wk = events(s, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gmax = wk.agg(max("wk").as("gmax"))
+    val uw = Window.partitionBy("user_id").orderBy("wk")
+    val seq0 = wk.withColumn("prev", lag(col("wk"), 1).over(uw))
+      .crossJoin(broadcast(gmax))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val active = seq0.select(col("wk"),
+      when(col("prev").isNull, "new")
+        .when(datediff(col("wk"), col("prev")) === 7, "retained")
+        .otherwise("resurrected").as("kind"))
+    // churn at prev+7 for every gap, and after each user's final week
+    val churnGaps = seq0
+      .filter(col("prev").isNotNull && datediff(col("wk"), col("prev")) > 7)
+      .select(date_add(col("prev"), 7).as("wk"), lit("churned").as("kind"))
+    val churnLast = seq0
+      .withColumn("nxt", lead(col("wk"), 1).over(uw))
+      .filter(col("nxt").isNull && datediff(col("gmax"), col("wk")) >= 7)
+      .select(date_add(col("wk"), 7).as("wk"), lit("churned").as("kind"))
+    active.unionAll(churnGaps).unionAll(churnLast)
+      .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"))
+      .agg(sum((col("kind") === "new").cast("long")).as("n_new"),
+        sum((col("kind") === "retained").cast("long")).as("n_retained"),
+        sum((col("kind") === "resurrected").cast("long")).as("n_resurrected"),
+        sum((col("kind") === "churned").cast("long")).as("n_churned"))
+  }
+
+  private val growthAccountingSql =
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |g AS (SELECT max(wk) AS gmax FROM wk),
+      |sq AS (
+      |  SELECT user_id, wk,
+      |    lag(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+      |    lead(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+      |  FROM wk),
+      |ev AS (
+      |  SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+      |              WHEN wk - prev = 7 THEN 'retained'
+      |              ELSE 'resurrected' END AS kind
+      |  FROM sq
+      |  UNION ALL
+      |  SELECT prev + 7, 'churned' FROM sq
+      |  WHERE prev IS NOT NULL AND wk - prev > 7
+      |  UNION ALL
+      |  SELECT wk + 7, 'churned' FROM sq, g
+      |  WHERE nxt IS NULL AND g.gmax - wk >= 7)
+      |SELECT strftime(wk, '%Y-%m-%d') AS week,
+      |  CAST(count(*) FILTER (WHERE kind = 'new') AS BIGINT) AS n_new,
+      |  CAST(count(*) FILTER (WHERE kind = 'retained') AS BIGINT) AS n_retained,
+      |  CAST(count(*) FILTER (WHERE kind = 'resurrected') AS BIGINT)
+      |    AS n_resurrected,
+      |  CAST(count(*) FILTER (WHERE kind = 'churned') AS BIGINT) AS n_churned
+      |FROM ev GROUP BY 1""".stripMargin
+
+  /** #171 CSV round-trip ingestion — the last mainstream interchange
+    * format (parquet, ORC, zipped-CSV/XLSX, JSONL are ops 1/156/3/124):
+    * a curated slice lands as HEADERED CSV (deterministic formatting:
+    * totalprice serialized as exact integer cents so no float-text
+    * round-trip ambiguity exists), reads back through Spark's CSV
+    * reader with an EXPLICIT schema (no inference pass — at 100 TB
+    * schema inference is a full extra scan), and the aggregate proves
+    * the round-trip. Oracle recomputes from the SOURCE table. Fixture
+    * writes use the per-appId scratch contract. */
+  private def csvIngest(s: SparkSession, dir: String): DataFrame = {
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    val csvDir = new java.io.File(tmpRoot, s"graft_csv_${s.sparkContext.applicationId}")
+    if (scratchHooked.add(csvDir.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(csvDir)
+      }))
+    }
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .write.mode("overwrite").option("header", "true")
+      .csv(csvDir.getAbsolutePath)
+    s.read.schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+        "cents LONG, d STRING")
+      .option("header", "true")
+      .csv(csvDir.getAbsolutePath)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy(col("o_orderstatus"), substring(col("d"), 1, 4).as("yr"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+  }
+
+  private val csvIngestSql =
+    """SELECT o_orderstatus, substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |       AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_orderstatus <> 'P'
+      |GROUP BY 1, 2""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -7096,5 +7281,8 @@ object Queries {
     Q("q_assortativity", assortativity, Some(assortativitySql)),
     Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("q_runs_test", runsTest, Some(runsTestSql)),
+    Q("q_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),
+    Q("q_growth_accounting", growthAccounting, Some(growthAccountingSql)),
+    Q("q_csv_ingest", csvIngest, Some(csvIngestSql)),
   )
 }
