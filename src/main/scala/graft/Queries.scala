@@ -6603,45 +6603,58 @@ object Queries {
     * as `(2·num + den) div (2·den)` — no floating point anywhere in
     * the iteration, so both engines walk the identical integer state
     * through all 5 double-steps (oracle: unrolled MATERIALIZED CTEs).
-    * Scale shape: the fact collapses to O(cells) rows first (here
-    * 25×5); margins are O(dims) and broadcast; the loop never touches
-    * the fact again. */
+    * Scale shape: the fact collapses DISTRIBUTED to O(cells) rows and
+    * O(dims) margins — both bounded by the DIMENSION cardinalities
+    * (nations × segments), not the data — then the IPF loop runs on
+    * the driver over exact BigInt state (the k-means-centroid
+    * pattern: iterating 10 half-steps as Spark jobs over a 125-row
+    * frame is pure scheduler overhead at any scale; the fact is
+    * touched exactly twice, here and in the margins). */
   private def raking(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
     val ord = t(s, dir, "orders")
-    val cells = cust.groupBy(col("c_nationkey").as("nk"),
-        col("c_mktsegment").as("seg"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("w", lit(1000000L))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oc = ord.join(cust.select(col("c_custkey"), col("c_nationkey"),
+    // both margins from ONE distributed pass: orders⋈customer collapsed
+    // to O(cells) rows; row/column sums folded on the driver
+    val ocCells: Array[(Long, String, BigInt)] = ord
+      .join(cust.select(col("c_custkey"), col("c_nationkey"),
         col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rowT = oc.groupBy(col("c_nationkey").as("nk"))
-      .agg(count(lit(1)).as("rt"))
-    val colT = oc.groupBy(col("c_mktsegment").as("seg"))
-      .agg(count(lit(1)).as("ct"))
-    var w = cells
+      .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getAs[Number]("nk").longValue, r.getString(1),
+        BigInt(r.getLong(2))))
+    val rt: Map[Long, BigInt] =
+      ocCells.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val ct: Map[String, BigInt] =
+      ocCells.groupBy(_._2).map { case (k, xs) => k -> xs.map(_._3).sum }
+    // driver-side IPF over the collected cell table; a cell whose
+    // nation (resp. segment) has no orders drops at its first
+    // half-step, AFTER contributing to that step's weighted sum —
+    // textually faithful to the unrolled oracle's inner joins
+    var state: Seq[(Long, String, Long, BigInt)] =
+      cust.groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getAs[Number]("nk").longValue, r.getString(1),
+          r.getLong(2), BigInt(1000000)))
     for (_ <- 1 to 5) {
-      val rs = w.groupBy("nk")
-        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w")).as("rs"))
-      w = w.join(broadcast(rs), Seq("nk")).join(broadcast(rowT), Seq("nk"))
-        .select(col("nk"), col("seg"), col("n"), expr(
-          """(2 * CAST(w AS DECIMAL(38,0)) * rt * 1000000 + rs)
-            | div (2 * CAST(rs AS DECIMAL(38,0)))
-            |""".stripMargin.replace("\n", " ")).as("w"))
-      val cs = w.groupBy("seg")
-        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w")).as("cs"))
-      w = w.join(broadcast(cs), Seq("seg")).join(broadcast(colT), Seq("seg"))
-        .select(col("nk"), col("seg"), col("n"), expr(
-          """(2 * CAST(w AS DECIMAL(38,0)) * ct * 1000000 + cs)
-            | div (2 * CAST(cs AS DECIMAL(38,0)))
-            |""".stripMargin.replace("\n", " ")).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rs = state.groupBy(_._1).map { case (k, xs) =>
+        k -> xs.map(x => BigInt(x._3) * x._4).sum }
+      state = state.flatMap { case (nk, seg, n, w) =>
+        rt.get(nk).map(r => (nk, seg, n,
+          (2 * w * r * 1000000 + rs(nk)) / (2 * rs(nk))))
+      }
+      val cs = state.groupBy(_._2).map { case (k, xs) =>
+        k -> xs.map(x => BigInt(x._3) * x._4).sum }
+      state = state.flatMap { case (nk, seg, n, w) =>
+        ct.get(seg).map(c => (nk, seg, n,
+          (2 * w * c * 1000000 + cs(seg)) / (2 * cs(seg))))
+      }
     }
-    w.select(col("nk").cast("long").as("nationkey"), col("seg").as("segment"),
-      col("n").as("n_cust"), col("w").as("w_ppm"),
-      round(expr("CAST(n AS DECIMAL(38,0)) * w") / 1e6, 6).as("weighted_cust"))
+    import s.implicits._
+    state.map { case (nk, seg, n, w) => (nk, seg, n, w.toLong) }
+      .toDF("nk", "seg", "n", "w")
+      .select(col("nk").as("nationkey"), col("seg").as("segment"),
+        col("n").as("n_cust"), col("w").as("w_ppm"),
+        round(expr("CAST(n AS DECIMAL(38,0)) * w") / 1e6, 6).as("weighted_cust"))
   }
 
   private val rakingSql: String = {
