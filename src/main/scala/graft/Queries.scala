@@ -7121,6 +7121,183 @@ object Queries {
       |FROM orders WHERE o_orderstatus <> 'P'
       |GROUP BY 1, 2""".stripMargin
 
+  /** #172 k-anonymity audit (k=5) — the privacy gate a training-data
+    * release pipeline runs before publishing: equivalence classes over
+    * the quasi-identifiers (nation, market segment, account-balance
+    * band), classes smaller than k are re-identification risks. One
+    * distributed groupBy (class count bounded by the QI-domain product,
+    * not the data); totals fold to one broadcast row. The band uses
+    * `floor` before the cast on BOTH engines (DuckDB CAST rounds, Spark
+    * truncates — floor makes the value integral first; IEEE division by
+    * 1000.0 is bit-identical cross-engine). */
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cls = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("class_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cls.agg(count(lit(1)).as("n_classes"),
+      coalesce(sum(when(col("class_n") < 5, col("class_n"))), lit(0L))
+        .as("rows_at_risk"))
+    cls.filter(col("class_n") < 5)
+      .crossJoin(broadcast(tot))
+      .select(col("nationkey"), col("segment"), col("bal_band"),
+        col("class_n"), col("n_classes"), col("rows_at_risk"))
+  }
+
+  private val kAnonymitySql =
+    """WITH cls AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |    c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    CAST(count(*) AS BIGINT) AS class_n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+      |    CAST(coalesce(sum(class_n) FILTER (WHERE class_n < 5), 0) AS BIGINT)
+      |      AS rows_at_risk
+      |  FROM cls)
+      |SELECT nationkey, segment, bal_band, class_n, n_classes, rows_at_risk
+      |FROM cls, tot WHERE class_n < 5""".stripMargin
+
+  /** #173 Spearman rank correlation between event time and value per
+    * event type — "is spend drifting monotonically over time?", the
+    * distribution-free companion to #135's OLS trend. Ranks come from
+    * TWO runs of the distributed two-phase scan
+    * (`PrefixSum.withGlobalRank`, never a single-reducer ORDER BY
+    * window), both keyed with event_type LEADING, so each type's rows
+    * are contiguous with IDENTICAL per-type offsets in both rankings —
+    * the offsets cancel in d = rank_ts − rank_value and no per-group
+    * offset bookkeeping exists at all. Timestamps rank on the RAW
+    * nanosecond longs (µs truncation would collapse distinct ns into
+    * placement-dependent ties; the oracle uses `epoch_ns`); ties are
+    * total via the event_id tie-break, making this the deterministic
+    * distinct-rank Spearman variant (no tie-averaging; documented).
+    * Σd² folds in DECIMAL(38,0); ρ is ppm fixed point via integral
+    * division (Spark `div` and DuckDB `//` both truncate toward zero,
+    * so negative ρ agrees). */
+  private def spearman(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val ra = PrefixSum.withGlobalRank(
+      ev.select(col("event_id"), col("event_type"), col("ts")),
+      Seq("event_type", "ts", "event_id"), "ra")
+    val rb = PrefixSum.withGlobalRank(
+      ev.select(col("event_id"), col("event_type"), col("value")),
+      Seq("event_type", "value", "event_id"), "rb")
+    ra.join(rb.select(col("event_id"), col("rb")), Seq("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ra - rb AS DECIMAL(38,0)) * (ra - rb)")).as("__s"))
+      .select(col("event_type"), col("n"),
+        col("__s").cast("long").as("sum_d2"),
+        expr("""((CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)
+               |  - 6 * __s) * 1000000)
+               | div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))
+               |""".stripMargin.replace("\n", " ")).cast("long").as("rho_ppm"))
+  }
+
+  private val spearmanSql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, epoch_ns(ts) AS tns, value FROM events),
+      |ra AS (
+      |  SELECT event_id, event_type,
+      |    CAST(row_number() OVER (ORDER BY event_type, tns, event_id) AS BIGINT)
+      |      AS ra
+      |  FROM e),
+      |rb AS (
+      |  SELECT event_id,
+      |    CAST(row_number() OVER (ORDER BY event_type, value, event_id) AS BIGINT)
+      |      AS rb
+      |  FROM e),
+      |d AS (
+      |  SELECT ra.event_type, CAST(ra.ra - rb.rb AS HUGEINT) AS d
+      |  FROM ra JOIN rb USING (event_id)),
+      |ag AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(d * d) AS s
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, n, CAST(s AS BIGINT) AS sum_d2,
+      |  CAST(((CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) - 6 * s)
+      |        * 1000000)
+      |       // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
+      |    AS rho_ppm
+      |FROM ag""".stripMargin
+
+  /** #174 Mann–Whitney U test: weekend vs weekday event values per
+    * event type — the rank-sum counterpart to #101's Welch t (robust to
+    * the value distribution; the A/B readout when normality is off the
+    * table). The combined per-type ranking reuses the two-phase scan
+    * with event_type leading; HERE the per-type offsets do NOT cancel
+    * (U needs the in-type rank sum), so offsets fold from the O(types)
+    * per-type counts on the driver — the exclusive-prefix-sum-over-
+    * groups pattern — and broadcast back. Ties are total via the
+    * event_id tie-break (deterministic distinct-rank U variant, no
+    * tie correction; documented); weekend is ISO dow ≥ 6 computed from
+    * the raw nanosecond epoch by pure integer arithmetic (day index
+    * mod 7; 1970-01-01 was a Thursday) — no engine calendar function
+    * crosses the oracle boundary. U and the rank sums are exact
+    * integers; z is double only in the final sqrt/round. */
+  private def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        // epoch day = ns div 86400e9 (ts ≥ 0); 1970-01-01 = Thursday →
+        // ISO dow = (day + 3) mod 7 + 1; weekend = dow ≥ 6
+        (pmod(expr("ts div 86400000000000") + 3, lit(7)) + 1 >= 6)
+          .as("wkend"))
+    val ranked = PrefixSum.withGlobalRank(ev,
+      Seq("event_type", "value", "event_id"), "r")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-type starting offsets: O(types) rows, exclusive prefix sum
+    // in type order on the driver
+    val counts = ranked.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    import s.implicits._
+    val offDf = offsets.toDF("event_type", "off")
+    ranked.join(broadcast(offDf), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("wkend").cast("long")).as("n1"),
+        sum((!col("wkend")).cast("long")).as("n2"),
+        sum(when(col("wkend"), col("r") - col("off"))).as("r1"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("r1 - (CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) div 2")
+          .cast("long").as("u"),
+        expr("""round((CAST(r1 - (CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) div 2
+               |   AS DOUBLE)
+               |  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+               | / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               |   * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0), 6)
+               |""".stripMargin.replace("\n", " ")).as("z"))
+  }
+
+  private val mannWhitneySql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    ((epoch_ns(ts) // 86400000000000 + 3) % 7 + 1) >= 6 AS wkend
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, wkend,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value, event_id) AS BIGINT) AS r
+      |  FROM e),
+      |ag AS (
+      |  SELECT event_type,
+      |    CAST(count(*) FILTER (WHERE wkend) AS BIGINT) AS n1,
+      |    CAST(count(*) FILTER (WHERE NOT wkend) AS BIGINT) AS n2,
+      |    CAST(sum(r) FILTER (WHERE wkend) AS HUGEINT) AS r1
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n1, n2,
+      |  CAST(r1 - (CAST(n1 AS HUGEINT) * (n1 + 1)) // 2 AS BIGINT) AS u,
+      |  round((CAST(r1 - (CAST(n1 AS HUGEINT) * (n1 + 1)) // 2 AS DOUBLE)
+      |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |   / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |     * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0), 6) AS z
+      |FROM ag""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -7297,5 +7474,8 @@ object Queries {
     Q("q_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),
     Q("q_growth_accounting", growthAccounting, Some(growthAccountingSql)),
     Q("q_csv_ingest", csvIngest, Some(csvIngestSql)),
+    Q("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    Q("q_spearman", spearman, Some(spearmanSql)),
+    Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql)),
   )
 }
