@@ -7298,6 +7298,159 @@ object Queries {
       |     * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0), 6) AS z
       |FROM ag""".stripMargin
 
+  /** #175 k-core decomposition (k=3, 6 unrolled peel rounds) of the
+    * co-purchase graph — the cohesion audit behind "which products sit
+    * in a dense co-sell cluster" (and the standard graph-sparsification
+    * preprocessing step). Each round drops nodes of degree < k and
+    * keeps only edges between survivors; both engines unroll the SAME
+    * fixed round count (the oracle is 6 MATERIALIZED CTE generations),
+    * so convergence-before-round-6 shows as repeated rows — exactly
+    * comparable. The per-round frame is edges-only and SHRINKS
+    * monotonically; degree counts are partial-aggregated, the survivor
+    * filter is two left-semi joins (never a collected node set).
+    * localCheckpoint (eager) per round — a persist alone leaves each
+    * round's logical plan NESTED ~3× inside the next (e2 references e
+    * twice via keep plus once directly), i.e. 3^rounds plan growth
+    * that OOMs the driver during analysis; checkpointing resets the
+    * plan to a leaf, exactly the ConnectedComponents.scala:45 idiom. */
+  private def kcore(s: SparkSession, dir: String): DataFrame = {
+    val K = 3
+    val rounds = 6
+    var e = copurchaseEdges(s, dir).localCheckpoint(true)
+    val out = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for (r <- 1 to rounds) {
+      val keep = e.select(col("ea").as("v"))
+        .unionAll(e.select(col("eb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= K).select("v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nNodes = keep.count()
+      val e2 = e
+        .join(keep.withColumnRenamed("v", "ea"), Seq("ea"), "left_semi")
+        .join(keep.withColumnRenamed("v", "eb"), Seq("eb"), "left_semi")
+        .select("ea", "eb")
+        .localCheckpoint(true)
+      val nEdges = e2.count()
+      out += ((r.toLong, nNodes, nEdges))
+      e.unpersist()
+      keep.unpersist()
+      e = e2
+    }
+    e.unpersist()
+    import s.implicits._
+    out.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
+  private val kcoreSql: String = {
+    val base =
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.pk AS ea, b.pk AS eb
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    val gens = (1 to 6).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT v FROM (
+         |    SELECT ea AS v FROM e${r - 1} UNION ALL SELECT eb FROM e${r - 1})
+         |  GROUP BY 1 HAVING count(*) >= 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT ea, eb FROM e${r - 1}
+         |  WHERE ea IN (SELECT v FROM k$r) AND eb IN (SELECT v FROM k$r))"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 6).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k$r) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$base,\n$gens\n$rows"
+  }
+
+  /** #176 event throttling / rate-limit dedup — "at most one event per
+    * user per 10-minute window, keep the earliest" (the debounce every
+    * event-collection pipeline applies before fan-in). ONE partial-
+    * aggregated groupBy on (user, window): the winner is
+    * `min(struct(ts, event_id))` — an O(1) agg state, never a
+    * row_number window over the raw stream — and the suppressed count
+    * falls out of the same pass. Windows index by raw-ns integer
+    * division (ts ≥ 0, so truncation = floor on both engines). */
+  private def throttle(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("win", expr("ts div 600000000000"))
+      .groupBy("user_id", "win")
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), (col("win") * 600000000000L).as("win_ns"),
+        col("first.event_id").as("kept_event_id"),
+        (col("n") - 1).as("n_suppressed"))
+  }
+
+  private val throttleSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+      |w AS (
+      |  SELECT user_id, tns // 600000000000 AS win, event_id,
+      |    row_number() OVER (PARTITION BY user_id, tns // 600000000000
+      |                       ORDER BY tns, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, tns // 600000000000) AS n
+      |  FROM e)
+      |SELECT user_id, CAST(win * 600000000000 AS BIGINT) AS win_ns,
+      |  event_id AS kept_event_id, CAST(n - 1 AS BIGINT) AS n_suppressed
+      |FROM w WHERE rn = 1""".stripMargin
+
+  /** #177 cross-source vocabulary overlap (pairwise Jaccard) — "how
+    * lexically similar are my corpus sources?", the corpus-mixing
+    * diagnostic that pairs with #148's temperature weights. The
+    * per-source vocabulary collapses to DISTINCT (source, token) once;
+    * the pairwise intersection is a token-keyed join whose fan-out is
+    * bounded by #sources² PER TOKEN (a stopword costs C(S,2) rows, not
+    * a posting list); sizes are O(sources) and broadcast. Jaccard is
+    * ppm fixed point over exact set sizes. */
+  private def sourceJaccard(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("""(CAST(n_common AS DECIMAL(38,0)) * 1000000)
+               | div (n_a + n_b - n_common)""".stripMargin.replace("\n", " "))
+          .cast("long").as("jaccard_ppm"))
+  }
+
+  private val sourceJaccardSql =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |v AS (SELECT DISTINCT source, tok FROM tok),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |c AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+      |  CAST((CAST(n_common AS HUGEINT) * 1000000)
+      |       // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_ppm
+      |FROM c JOIN sz sa ON sa.source = src_a
+      |       JOIN sz sb ON sb.source = src_b""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -7477,5 +7630,8 @@ object Queries {
     Q("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     Q("q_spearman", spearman, Some(spearmanSql)),
     Q("q_mann_whitney", mannWhitney, Some(mannWhitneySql)),
+    Q("q_kcore", kcore, Some(kcoreSql)),
+    Q("q_throttle", throttle, Some(throttleSql)),
+    Q("q_source_jaccard", sourceJaccard, Some(sourceJaccardSql)),
   )
 }
