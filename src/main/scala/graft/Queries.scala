@@ -7451,6 +7451,115 @@ object Queries {
       |FROM c JOIN sz sa ON sa.source = src_a
       |       JOIN sz sb ON sb.source = src_b""".stripMargin
 
+  /** #178 common-neighbor link prediction on the co-purchase graph —
+    * "customers who bought these together also bought", the classic
+    * collaborative-filter candidate generator (and the simplest link
+    * predictor). Wedge enumeration through the shared neighbor (the
+    * triangle-family join shape: fan-out bounded by per-node degree²,
+    * never all-pairs), existing edges removed by ONE left-anti join,
+    * candidates thresholded at ≥2 common neighbors to bound output.
+    * At 100 TB the degree² fan-out is capped the usual way (top-d
+    * neighbor truncation) — here the co-purchase graph is already
+    * degree-bounded by order size. */
+  private def linkPredict(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("ea").as("v"), col("eb").as("n"))
+      .unionAll(e.select(col("eb").as("v"), col("ea").as("n")))
+    adj.as("x")
+      .join(adj.as("y"), col("x.n") === col("y.n") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+      .join(e.withColumnRenamed("ea", "a").withColumnRenamed("eb", "b"),
+        Seq("a", "b"), "left_anti")
+  }
+
+  private val linkPredictSql =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT a.pk AS ea, b.pk AS eb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT ea AS v, eb AS n FROM e
+      |        UNION ALL SELECT eb, ea FROM e),
+      |cand AS (
+      |  SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS cn
+      |  FROM adj x JOIN adj y ON x.n = y.n AND x.v < y.v
+      |  GROUP BY 1, 2)
+      |SELECT a, b, cn FROM cand
+      |WHERE cn >= 2
+      |  AND NOT EXISTS (SELECT 1 FROM e WHERE ea = a AND eb = b)""".stripMargin
+
+  /** #179 revenue drawdown — running peak and peak-to-current gap on
+    * the daily revenue series (the monitoring primitive behind "how
+    * far below the best day are we"). The fact collapses to O(days)
+    * FIRST via one map-side-combinable aggregate; the unpartitioned
+    * running-max window then runs over a calendar-bounded frame
+    * (~2.4k rows however big the fact is) — bounded by TIME, not
+    * data, the q_mom_growth scale argument. Exact cents throughout. */
+  private def drawdown(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("rev_cents"))
+    d.withColumn("peak_cents",
+        max(col("rev_cents")).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("rev_cents"), col("peak_cents"),
+        (col("peak_cents") - col("rev_cents")).as("dd_cents"))
+  }
+
+  private val drawdownSql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT day, rev_cents,
+      |  max(rev_cents) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents,
+      |  max(rev_cents) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev_cents
+      |    AS dd_cents
+      |FROM d""".stripMargin
+
+  /** #180 compaction planner — bin-pack small "files" into
+    * target-size output groups (the 100-TB small-files remedy that
+    * pairs with q_write_layout's producer side). File stats collapse
+    * to O(files) rows first (distributed aggregate); the contiguous
+    * cumulative-sum binning — bin = (cumsum − 1) div target, so a
+    * chunk straddling a boundary lands with its cumulative END — is
+    * one ordered window over that O(files) frame, bounded by layout
+    * size, not data. Chunks stand in for files (orderkey div 512);
+    * rows stand in for bytes: the PLAN shape is what's exercised. */
+  private def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 8192L
+    val files = t(s, dir, "lineitem")
+      .groupBy(expr("l_orderkey div 512").as("chunk"))
+      .agg(count(lit(1)).as("n_rows"))
+    files.withColumn("cum",
+        sum(col("n_rows")).over(Window.orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", expr(s"(cum - 1) div $target"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"))
+  }
+
+  private val compactionPlanSql =
+    """WITH f AS (
+      |  SELECT l_orderkey // 512 AS chunk, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT chunk, n_rows,
+      |    sum(n_rows) OVER (ORDER BY chunk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM f)
+      |SELECT (cum - 1) // 8192 AS bin, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(n_rows) AS BIGINT) AS total_rows
+      |FROM c GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -7633,5 +7742,8 @@ object Queries {
     Q("q_kcore", kcore, Some(kcoreSql)),
     Q("q_throttle", throttle, Some(throttleSql)),
     Q("q_source_jaccard", sourceJaccard, Some(sourceJaccardSql)),
+    Q("q_link_predict", linkPredict, Some(linkPredictSql)),
+    Q("q_drawdown", drawdown, Some(drawdownSql)),
+    Q("q_compaction_plan", compactionPlan, Some(compactionPlanSql)),
   )
 }
