@@ -31,14 +31,39 @@ object Queries {
     * dir however many times the fixture builder runs in a session). */
   private val scratchHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 refuses natively — read them as long nanos and convert to a
-    * microsecond timestamp with integer division (a double division would
-    * lose precision above 2^53 ns). Matches DuckDB's ns→µs truncation. */
+  /** The events table: normalize `ts` to a session-TZ TimestampType
+    * regardless of how the parquet files encode it. Seen encodings:
+    *   - timestamp[us] (naive) → Spark reads TIMESTAMP_NTZ; cast to
+    *     TIMESTAMP (identity on the stored micros — every entry point
+    *     pins spark.sql.session.timeZone=UTC).
+    *   - TIMESTAMP(NANOS), which Spark 4 refuses natively → read as
+    *     long nanos under the legacy flag and truncate to micros with
+    *     integer division (a double division would lose precision
+    *     above 2^53 ns). Matches DuckDB's ns→µs truncation.
+    * Schema inspection, not a session-wide conf, picks the branch, so
+    * the loader is side-effect-free on the current µs-encoded data. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw =
+      try t(s, dir, "events")
+      catch {
+        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          // legacy nanos files: the flag must stay set for execution-time
+          // schema conversion, so it is only ever touched on this branch
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t(s, dir, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
+
+  /** events with `ts` additionally exposed as epoch-microsecond long
+    * (`ts_us`) for queries doing pure integer time arithmetic that must
+    * match a DuckDB `epoch_ns`/`epoch_us` oracle bit-for-bit. */
+  private def eventsMicros(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
 
   /** Ensure a minimum scan parallelism for CPU-heavy per-row work.
     * Small local fixtures arrive as ONE parquet split, which would pin
@@ -5161,7 +5186,11 @@ object Queries {
       .join(broadcast(sizes), Seq("cohort_week"))
       .withColumn("cum_rev_cents", sum("rev_cents")
         .over(Window.partitionBy("cohort_week").orderBy("week_no")))
-      .select(col("cohort_week"), col("week_no"), col("cohort_size"),
+      // ISO string, not DateType: the house convention for day/week
+      // outputs (parquet date32 and DuckDB DATE reach the driver's
+      // hash compare as different dtypes)
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_no"), col("cohort_size"),
         col("buyers"), col("n_purchases"), col("rev_cents"),
         col("cum_rev_cents"))
   }
@@ -5184,7 +5213,8 @@ object Queries {
       |    CAST(count(*) AS BIGINT) AS n_purchases,
       |    CAST(sum(c) AS BIGINT) AS rev_cents
       |  FROM p GROUP BY 1, 2)
-      |SELECT g.cohort_week, g.week_no, s.cohort_size, g.buyers, g.n_purchases,
+      |SELECT strftime(g.cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  g.week_no, s.cohort_size, g.buyers, g.n_purchases,
       |  g.rev_cents,
       |  CAST(sum(g.rev_cents) OVER (PARTITION BY g.cohort_week ORDER BY g.week_no) AS BIGINT) AS cum_rev_cents
       |FROM g JOIN s USING (cohort_week)""".stripMargin
@@ -5532,7 +5562,12 @@ object Queries {
         concat_ws(",", slice(sort_array(collect_list(col("day").cast("string"))),
           1, 10)).as("sample_missing"))
     span.join(missing, Seq("event_type"), "left")
-      .select(col("event_type"), col("first_day"), col("last_day"),
+      // ISO strings for the day bounds (house convention — DateType
+      // output reaches the driver's hash compare as a different dtype
+      // than DuckDB DATE)
+      .select(col("event_type"),
+        date_format(col("first_day"), "yyyy-MM-dd").as("first_day"),
+        date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
         (datediff(col("last_day"), col("first_day")) + 1).cast("long")
           .as("days_expected"),
         col("days_present"),
@@ -5562,7 +5597,9 @@ object Queries {
       |  FROM grid g LEFT JOIN obs o
       |    ON o.event_type = g.event_type AND o.day = g.day
       |  WHERE o.day IS NULL GROUP BY 1)
-      |SELECT s.event_type, s.first_day, s.last_day,
+      |SELECT s.event_type,
+      |  strftime(s.first_day, '%Y-%m-%d') AS first_day,
+      |  strftime(s.last_day, '%Y-%m-%d') AS last_day,
       |  CAST(date_diff('day', s.first_day, s.last_day) + 1 AS BIGINT) AS days_expected,
       |  s.days_present,
       |  coalesce(m.days_missing, 0) AS days_missing,
@@ -7169,17 +7206,16 @@ object Queries {
     * window), both keyed with event_type LEADING, so each type's rows
     * are contiguous with IDENTICAL per-type offsets in both rankings —
     * the offsets cancel in d = rank_ts − rank_value and no per-group
-    * offset bookkeeping exists at all. Timestamps rank on the RAW
-    * nanosecond longs (µs truncation would collapse distinct ns into
-    * placement-dependent ties; the oracle uses `epoch_ns`); ties are
+    * offset bookkeeping exists at all. Timestamps rank on the stored
+    * timestamp itself (ordering is identical to the oracle's
+    * `epoch_ns` ordering — epoch extraction is monotone); ties are
     * total via the event_id tie-break, making this the deterministic
     * distinct-rank Spearman variant (no tie-averaging; documented).
     * Σd² folds in DECIMAL(38,0); ρ is ppm fixed point via integral
     * division (Spark `div` and DuckDB `//` both truncate toward zero,
     * so negative ρ agrees). */
   private def spearman(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
+    val ev = events(s, dir)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
     val ra = PrefixSum.withGlobalRank(
       ev.select(col("event_id"), col("event_type"), col("ts")),
@@ -7235,17 +7271,17 @@ object Queries {
     * groups pattern — and broadcast back. Ties are total via the
     * event_id tie-break (deterministic distinct-rank U variant, no
     * tie correction; documented); weekend is ISO dow ≥ 6 computed from
-    * the raw nanosecond epoch by pure integer arithmetic (day index
+    * the epoch-microsecond integer by pure arithmetic (day index
     * mod 7; 1970-01-01 was a Thursday) — no engine calendar function
-    * crosses the oracle boundary. U and the rank sums are exact
+    * crosses the oracle boundary (the oracle's `epoch_ns // 86400e9`
+    * yields the same day index). U and the rank sums are exact
     * integers; z is double only in the final sqrt/round. */
   private def mannWhitney(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
+    val ev = eventsMicros(s, dir)
       .select(col("event_id"), col("event_type"), col("value"),
-        // epoch day = ns div 86400e9 (ts ≥ 0); 1970-01-01 = Thursday →
+        // epoch day = µs div 86400e6 (ts ≥ 0); 1970-01-01 = Thursday →
         // ISO dow = (day + 3) mod 7 + 1; weekend = dow ≥ 6
-        (pmod(expr("ts div 86400000000000") + 3, lit(7)) + 1 >= 6)
+        (pmod(expr("ts_us div 86400000000") + 3, lit(7)) + 1 >= 6)
           .as("wkend"))
     val ranked = PrefixSum.withGlobalRank(ev,
       Seq("event_type", "value", "event_id"), "r")
@@ -7374,15 +7410,16 @@ object Queries {
     * aggregated groupBy on (user, window): the winner is
     * `min(struct(ts, event_id))` — an O(1) agg state, never a
     * row_number window over the raw stream — and the suppressed count
-    * falls out of the same pass. Windows index by raw-ns integer
-    * division (ts ≥ 0, so truncation = floor on both engines). */
+    * falls out of the same pass. Windows index by epoch-µs integer
+    * division (ts ≥ 0, so truncation = floor on both engines); the
+    * reported window start stays in ns units to match the oracle's
+    * `epoch_ns // 6e11` form (µs and ns division agree on the index). */
   private def throttle(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("win", expr("ts div 600000000000"))
+    eventsMicros(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("win", expr("ts_us div 600000000"))
       .groupBy("user_id", "win")
-      .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("first"),
         count(lit(1)).as("n"))
       .select(col("user_id"), (col("win") * 600000000000L).as("win_ns"),
         col("first.event_id").as("kept_event_id"),
@@ -7530,19 +7567,20 @@ object Queries {
     * pairs with q_write_layout's producer side). File stats collapse
     * to O(files) rows first (distributed aggregate); the contiguous
     * cumulative-sum binning — bin = (cumsum − 1) div target, so a
-    * chunk straddling a boundary lands with its cumulative END — is
-    * one ordered window over that O(files) frame, bounded by layout
-    * size, not data. Chunks stand in for files (orderkey div 512);
-    * rows stand in for bytes: the PLAN shape is what's exercised. */
+    * chunk straddling a boundary lands with its cumulative END — runs
+    * on the distributed two-phase scan (`PrefixSum.runningTotal`),
+    * never an unpartitioned window: at 100 TB "files" is millions of
+    * rows and a single-reducer ORDER BY cumsum is exactly the shape
+    * this repo's PrefixSum exists to avoid. Binning stays map-side.
+    * Chunks stand in for files (orderkey div 512); rows stand in for
+    * bytes: the PLAN shape is what's exercised. */
   private def compactionPlan(s: SparkSession, dir: String): DataFrame = {
     val target = 8192L
     val files = t(s, dir, "lineitem")
       .groupBy(expr("l_orderkey div 512").as("chunk"))
       .agg(count(lit(1)).as("n_rows"))
-    files.withColumn("cum",
-        sum(col("n_rows")).over(Window.orderBy("chunk")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("bin", expr(s"(cum - 1) div $target"))
+    PrefixSum.runningTotal(files, "chunk", "n_rows")
+      .withColumn("bin", expr(s"(running_total - 1) div $target"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"))
   }
@@ -7556,9 +7594,232 @@ object Queries {
       |    sum(n_rows) OVER (ORDER BY chunk
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM f)
-      |SELECT (cum - 1) // 8192 AS bin, CAST(count(*) AS BIGINT) AS n_files,
+      |SELECT CAST((cum - 1) // 8192 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_files,
       |  CAST(sum(n_rows) AS BIGINT) AS total_rows
       |FROM c GROUP BY 1""".stripMargin
+
+  /** #181 event streaks (gaps-and-islands) — maximal runs of the same
+    * event_type per user in time order, the classic sessionless
+    * behavioral run-length cut ("how long do users stay in one
+    * activity?"). Both windows are PARTITIONED BY user (per-user data
+    * is bounded however large the corpus — never an unpartitioned
+    * ORDER BY); runs collapse to one row each before the final
+    * O(types) aggregate. Ordering ties are total via event_id. */
+  private def streaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("brk",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("run_id", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_len"),
+        sum(col("len")).as("n_events"))
+  }
+
+  private val streaksSql =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts, event_id) = event_type
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, run_id, event_type, CAST(count(*) AS BIGINT) AS len
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS max_len,
+      |  CAST(sum(len) AS BIGINT) AS n_events
+      |FROM g GROUP BY 1""".stripMargin
+
+  /** #182 2-D histogram (day-of-week × value band) — the heatmap
+    * binning behind every "when and how big" dashboard. Both bin
+    * indexes are MAP-SIDE integer arithmetic (dow by pure epoch-day
+    * math off the µs integer — no engine calendar function crosses
+    * the oracle boundary; band by floor-div of the double, floored
+    * BEFORE the cast, both engines truncating identically), so the
+    * whole query is one partial-aggregated groupBy shuffling ≤ 70
+    * bounded cells. Revenue folds as exact cents. */
+  private def hist2d(s: SparkSession, dir: String): DataFrame = {
+    eventsMicros(s, dir)
+      .select(
+        (pmod(expr("ts_us div 86400000000") + 3, lit(7)) + 1)
+          .cast("int").as("dow"),
+        least(greatest(floor(col("value") / 50.0), lit(0.0)), lit(9.0))
+          .cast("int").as("band"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("__c"))
+      .groupBy("dow", "band")
+      .agg(count(lit(1)).as("n_events"), sum("__c").as("cents"))
+  }
+
+  private val hist2dSql =
+    """SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS INT) AS dow,
+      |  CAST(least(greatest(floor(value / 50.0), 0.0), 9.0) AS INT) AS band,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** #183 dataset card — the per-source summary block a training-data
+    * release ships (docs, chars, tokens, language mix, dominant
+    * language share). One tokenizing pass collapses to O(source×lang)
+    * rows; the dominant language is an O(1) `min(struct(-count,
+    * lang))` agg state per source (argmax with a total asc-lang
+    * tie-break — never a per-source sort); shares are ppm fixed point
+    * over exact counts. */
+  private def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val byLang = parallelize(s, t(s, dir, "documents"))
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextAnalysis.tokenCount(lower(col("text"))).cast("long").as("__t"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"),
+        sum("__t").as("toks"))
+    byLang.groupBy("source")
+      .agg(sum("docs").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum("chars").as("total_chars"), sum("toks").as("total_tokens"),
+        min(struct((-col("docs")).as("nc"), col("lang").as("l"))).as("__top"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_chars"), col("total_tokens"),
+        col("__top.l").as("top_lang"),
+        expr("(-__top.nc * 1000000) div n_docs").as("top_lang_ppm"),
+        expr("total_chars div n_docs").as("mean_chars"))
+  }
+
+  private val dataCardSql =
+    """WITH bl AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+      |      AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, lang, docs,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY docs DESC, lang) AS rn
+      |  FROM bl)
+      |SELECT b.source, CAST(sum(b.docs) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_langs,
+      |  CAST(sum(b.chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(b.toks) AS BIGINT) AS total_tokens,
+      |  max(CASE WHEN t.rn = 1 THEN t.lang END) AS top_lang,
+      |  CAST(max(CASE WHEN t.rn = 1 THEN t.docs END) * 1000000
+      |       // sum(b.docs) AS BIGINT) AS top_lang_ppm,
+      |  CAST(sum(b.chars) // sum(b.docs) AS BIGINT) AS mean_chars
+      |FROM bl b JOIN top t ON b.source = t.source AND b.lang = t.lang
+      |GROUP BY 1""".stripMargin
+
+  /** #184 zone-map pruning audit — "how much would min/max file stats
+    * skip for this predicate?", the planning complement of
+    * q_write_layout / q_zorder / q_compaction_plan. Zone maps fold in
+    * ONE partial-aggregated pass over the fact (per-chunk min/max/
+    * count plus the in-range count — no second scan of candidate
+    * chunks); the skip decision and totals are O(chunks). Chunks
+    * stand in for files (orderkey div 512), matching the compaction
+    * planner's layout model. */
+  private def zonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1995-07-01 00:00:00").cast("timestamp")
+    val zm = t(s, dir, "lineitem")
+      .select(expr("l_orderkey div 512").as("chunk"),
+        col("l_shipdate").cast("timestamp").as("sd"))
+      .groupBy("chunk")
+      .agg(min("sd").as("mn"), max("sd").as("mx"), count(lit(1)).as("n"),
+        sum(when(col("sd") >= lo && col("sd") < hi, 1L).otherwise(0L))
+          .as("n_match"))
+      .withColumn("skip", col("mx") < lo || col("mn") >= hi)
+    zm.agg(count(lit(1)).as("n_chunks"),
+        sum(col("skip").cast("long")).as("n_skipped"),
+        sum("n").as("rows_total"),
+        sum(when(!col("skip"), col("n")).otherwise(0L)).as("rows_scanned"),
+        sum("n_match").as("rows_matched"))
+      .withColumn("prune_ppm", expr("(n_skipped * 1000000) div n_chunks"))
+  }
+
+  private val zonemapPruneSql =
+    """WITH zm AS (
+      |  SELECT l_orderkey // 512 AS chunk,
+      |    min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+      |                    AND l_shipdate < TIMESTAMP '1995-07-01'
+      |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM lineitem GROUP BY 1),
+      |f AS (
+      |  SELECT *, (mx < TIMESTAMP '1995-01-01'
+      |             OR mn >= TIMESTAMP '1995-07-01') AS skip
+      |  FROM zm)
+      |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+      |  CAST(sum(n) AS BIGINT) AS rows_total,
+      |  CAST(sum(CASE WHEN skip THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+      |  CAST(sum(n_match) AS BIGINT) AS rows_matched,
+      |  CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) * 1000000 // count(*)
+      |    AS BIGINT) AS prune_ppm
+      |FROM f""".stripMargin
+
+  /** #185 KMV (k-minimum-values) distinct sketch — the mergeable
+    * distinct-count estimator that complements q_approx_distinct's
+    * HLL: keep the k smallest values of a uniform hash; estimate
+    * (k−1)·M/h(k). The hash is the engine-portable polynomial
+    * fingerprint (the q_weighted_sample fold), values dedup in a
+    * partial-aggregated groupBy, and the k-smallest cut plans as
+    * TakeOrderedAndProject — per-partition top-k, k-row driver merge,
+    * no global sort however large the corpus. All arithmetic is
+    * exact-integer; the exact distinct rides along as the audit
+    * column. */
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val m = TextAnalysis.FingerprintMod
+    val hashes = events(s, dir)
+      .select(TextAnalysis.fingerprint(col("user_id").cast("string")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("__dummy")).select("h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = hashes.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+    val exact = hashes.agg(count(lit(1)).as("exact_distinct"))
+    sketch.crossJoin(broadcast(exact))
+      .select(col("k_used"), col("kth_hash"), col("exact_distinct"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"((k_used - 1) * CAST($m AS DECIMAL(38,0))) div kth_hash")
+            .cast("long")).as("est_distinct"))
+      .withColumn("err_ppm",
+        expr("(abs(est_distinct - exact_distinct) * 1000000) div exact_distinct"))
+  }
+
+  private val kmvDistinctSql =
+    s"""WITH h AS (
+       |  SELECT DISTINCT list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split_regex(CAST(user_id AS VARCHAR), ''),
+       |                     c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS h
+       |  FROM events),
+       |sk AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_used,
+       |    CAST(max(h) AS BIGINT) AS kth_hash
+       |  FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM h),
+       |est AS (
+       |  SELECT k_used, kth_hash, exact_distinct,
+       |    CASE WHEN k_used < 256 THEN k_used
+       |         ELSE CAST(((k_used - 1) *
+       |           CAST(${TextAnalysis.FingerprintMod} AS HUGEINT)) // kth_hash
+       |           AS BIGINT) END AS est_distinct
+       |  FROM sk, ex)
+       |SELECT k_used, kth_hash, exact_distinct, est_distinct,
+       |  CAST((abs(est_distinct - exact_distinct) * 1000000)
+       |       // exact_distinct AS BIGINT) AS err_ppm
+       |FROM est""".stripMargin
 
   // ===========================================================================
   // Registry
@@ -7745,5 +8006,10 @@ object Queries {
     Q("q_link_predict", linkPredict, Some(linkPredictSql)),
     Q("q_drawdown", drawdown, Some(drawdownSql)),
     Q("q_compaction_plan", compactionPlan, Some(compactionPlanSql)),
+    Q("q_streaks", streaks, Some(streaksSql)),
+    Q("q_hist2d", hist2d, Some(hist2dSql)),
+    Q("q_data_card", dataCard, Some(dataCardSql)),
+    Q("q_zonemap_prune", zonemapPrune, Some(zonemapPruneSql)),
+    Q("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
   )
 }

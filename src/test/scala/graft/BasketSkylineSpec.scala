@@ -58,7 +58,6 @@ class BasketSkylineSpec extends GraftSuite {
   }
 
   test("IQR fences and outlier counts match an exact driver replay") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cents = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_type"), col("user_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))

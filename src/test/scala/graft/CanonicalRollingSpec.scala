@@ -26,9 +26,8 @@ class CanonicalRollingSpec extends GraftSuite {
   }
 
   test("rolling median matches a driver-side frame walk") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"), col("value"))
+    val ev = eventsTable(dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val expected = ev.groupBy(_._2).values.flatMap { g =>
       val ordered = g.sortBy(e => (e._3, e._1))

@@ -10,9 +10,7 @@ class CompletenessParetoSpec extends GraftSuite {
   private def q(key: String) = SparkEntry.queries(key)(spark, dir)
 
   private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsTable(dir)
   }
 
   test("conversion lags are within the 7-day window and shares sum to 1") {
@@ -38,7 +36,7 @@ class CompletenessParetoSpec extends GraftSuite {
       val days = obs.filter(_._1 == t).map(_._2)
       val (d0, d1) = (days.min, days.max)
       val expected = d0.until(d1.plusDays(1), java.time.temporal.ChronoUnit.DAYS)
-      assert(r.getDate(1).toLocalDate == d0 && r.getDate(2).toLocalDate == d1)
+      assert(r.getString(1) == d0.toString && r.getString(2) == d1.toString)
       assert(r.getLong(3) == expected, s"$t days_expected")
       assert(r.getLong(4) == days.length, s"$t days_present")
       assert(r.getLong(5) == expected - days.length, s"$t days_missing")

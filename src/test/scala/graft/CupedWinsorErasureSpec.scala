@@ -11,9 +11,8 @@ class CupedWinsorErasureSpec extends GraftSuite {
   private def q(key: String) = SparkEntry.queries(key)(spark, dir)
 
   private def userCents(): Array[(Long, Long, Long)] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+    eventsTable(dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
   }

@@ -14,9 +14,7 @@ class CurationAnalyticsSpec extends GraftSuite {
 
   private def docs = spark.read.parquet(s"$dir/documents.parquet")
   private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsTable(dir)
   }
 
   // ------------------------------------------------------------ train split

@@ -62,11 +62,9 @@ class DecomposeGrowthCsvSpec extends GraftSuite {
   }
 
   test("growth accounting matches a driver replay; identity holds") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val wk = spark.read.parquet(s"$dir/events.parquet")
+    val wk = eventsTable(dir)
       .select(col("user_id"),
-        to_date(date_trunc("week", timestamp_micros(expr("ts DIV 1000"))))
-          .as("wk"))
+        to_date(date_trunc("week", col("ts"))).as("wk"))
       .distinct().collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
     val gmax = wk.map(_._2).maxBy(_.toEpochDay)

@@ -15,9 +15,7 @@ class DistributionStatsSpec extends GraftSuite {
   private def q(key: String) = SparkEntry.queries(key)(spark, dir)
 
   private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsTable(dir)
   }
 
   // ------------------------------------------------------- global rank scan

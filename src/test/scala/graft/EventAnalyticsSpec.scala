@@ -50,9 +50,7 @@ class EventAnalyticsSpec extends GraftSuite {
   // ---- Retention -----------------------------------------------------------
 
   test("retention: offset-0 cell counts the whole cohort once") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = eventsTable("/root/testdata/sf0.001")
     val out = TimeSeries.cohortRetention(ev, "user_id", to_date(col("ts")))
     val zero = out.filter(col("day_offset") === 0)
       .agg(sum("n_users")).first().getLong(0)

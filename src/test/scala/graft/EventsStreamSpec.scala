@@ -182,7 +182,6 @@ class EventsStreamSpec extends GraftSuite {
   }
 
   test("file-source streaming parity: readStream over the events parquet matches batch") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     // the file-stream source needs a DIRECTORY of files
     val streamDir = new java.io.File("target/stream_events")
@@ -193,7 +192,7 @@ class EventsStreamSpec extends GraftSuite {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def fix(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      df.withColumn("ts", col("ts").cast("timestamp"))
     val stream = fix(spark.readStream.schema(schema).parquet(streamDir.getPath))
     val q = graft.streaming.EventsStream.hourlyStats(stream)
       .writeStream.format("memory").queryName("file_stream_out")

@@ -37,7 +37,6 @@ class GraphStatsSpec extends GraftSuite {
   }
 
   test("bootstrap CI matches the fixed-point replay and brackets the mean") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cents = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_type"), col("user_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))

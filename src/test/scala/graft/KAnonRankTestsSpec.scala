@@ -34,9 +34,8 @@ class KAnonRankTestsSpec extends GraftSuite {
 
   /** (type, tie-broken rank pairs) replay shared by both rank tests. */
   private def eventRows() = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    eventsTable(dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
   }
@@ -66,7 +65,7 @@ class KAnonRankTestsSpec extends GraftSuite {
 
   test("mann-whitney matches a driver replay; U1 + U2 = n1*n2") {
     val rows = eventRows()
-    def wkend(ns: Long): Boolean = ((ns / 86400000000000L + 3) % 7 + 1) >= 6
+    def wkend(us: Long): Boolean = ((us / 86400000000L + 3) % 7 + 1) >= 6
     val expected = rows.groupBy(_._2).map { case (ty, xs) =>
       val ranked = xs.sortBy(x => (x._4, x._1)).zipWithIndex
         .map { case (x, i) => (wkend(x._3), i + 1L) }

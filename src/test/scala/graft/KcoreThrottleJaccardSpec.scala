@@ -43,12 +43,11 @@ class KcoreThrottleJaccardSpec extends GraftSuite {
   }
 
   test("throttle matches a driver replay; kept + suppressed = total") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rows = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_id"), col("ts"))
+    val rows = eventsTable(dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val expected = rows.groupBy(x => (x._1, x._3 / 600000000000L))
+    val expected = rows.groupBy(x => (x._1, x._3 / 600000000L))
       .map { case ((u, w), xs) =>
         val first = xs.minBy(x => (x._3, x._2))
         (u, w * 600000000000L, first._2, xs.length - 1L)

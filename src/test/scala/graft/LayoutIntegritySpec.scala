@@ -40,10 +40,9 @@ class LayoutIntegritySpec extends GraftSuite {
   }
 
   test("transition counts match a driver-side per-user sequence walk") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000, r.getString(3)))
+    val ev = eventsTable(dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val expected = ev.groupBy(_._1).values.flatMap { g =>
       g.sortBy(e => (e._3, e._2)).sliding(2).collect {
         case Array(a, b) => (a._4, b._4)

@@ -9,9 +9,7 @@ class MixingZipfSpec extends GraftSuite {
   private def q(key: String) = SparkEntry.queries(key)(spark, dir)
 
   private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsTable(dir)
   }
 
   test("mixing weights compress the share range toward the tail (T=2)") {

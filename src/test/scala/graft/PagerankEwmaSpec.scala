@@ -9,9 +9,7 @@ class PagerankEwmaSpec extends GraftSuite {
   private def q(key: String) = SparkEntry.queries(key)(spark, dir)
 
   private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsTable(dir)
   }
 
   test("pagerank: one row per transition-graph node, bounded exact mass") {
@@ -63,7 +61,7 @@ class PagerankEwmaSpec extends GraftSuite {
 
   test("cohort LTV triangle: partition of purchase revenue, running cums") {
     val rows = q("q_cohort_ltv").collect()
-      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
     val totalCents = events.filter(col("event_type") === "purchase")
       .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")))

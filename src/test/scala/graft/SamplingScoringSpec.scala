@@ -66,9 +66,9 @@ class SamplingScoringSpec extends GraftSuite {
   test("TWAP matches a driver-side hand computation per user") {
     val rows = SparkEntry.queries("q_sessionize")(spark, dir) // warms events conf
     rows.take(1)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = eventsTable(dir)
       .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("t"),
+        unix_micros(col("ts")).as("t"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val expect = ev.groupBy(_._2).flatMap { case (user, es) =>
