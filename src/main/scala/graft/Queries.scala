@@ -7821,6 +7821,190 @@ object Queries {
        |       // exact_distinct AS BIGINT) AS err_ppm
        |FROM est""".stripMargin
 
+  /** #186 behavioral entropy — per-user Shannon entropy of the
+    * event-type distribution, the activity-diversity score behind
+    * engagement segmentation (H = 0: single-minded; ln 5: uniform over
+    * the 5 types). Two partial-aggregated groupBys — per-(user,type)
+    * counts then an O(types)-wide fold per user; the only doubles are
+    * the ≤ types-per-user `c·ln c` terms inside one rounded
+    * projection (H = ln n − Σc·ln c / n, the single-pass identity —
+    * no p=c/n division per term). */
+  private def sessionEntropy(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__s"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(log(col("n_events").cast("double"))
+          - col("__s") / col("n_events").cast("double"), 6).as("entropy"))
+  }
+
+  private val sessionEntropySql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  round(ln(CAST(sum(c) AS DOUBLE))
+      |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+      |      / CAST(sum(c) AS DOUBLE), 6) AS entropy
+      |FROM c GROUP BY 1""".stripMargin
+
+  /** #187 reciprocal-rank fusion — merge two retrieval rankings
+    * (length-prior and token-count here; BM25/ANN lists in production)
+    * into one fused ordering: RRF(d) = Σ 1/(60+rank_i(d)). Both ranks
+    * come from the distributed two-phase scan
+    * (`PrefixSum.withGlobalRank` — never a single-reducer row_number
+    * window); the fusion is exact integer ppm (truncating division on
+    * both engines); the final cut plans as TakeOrderedAndProject —
+    * per-partition top-k, k-row driver merge, no global sort. */
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.tokenCount(lower(col("text"))).cast("long").as("__t"))
+    val ra = PrefixSum.withGlobalRank(
+      docs.withColumn("__negc", -col("n_chars")),
+      Seq("__negc", "doc_id"), "rank_chars").drop("__negc")
+    val rb = PrefixSum.withGlobalRank(
+      ra.withColumn("__negt", -col("__t")),
+      Seq("__negt", "doc_id"), "rank_tokens").drop("__negt", "__t", "n_chars")
+    rb.select(col("doc_id"), col("rank_chars"), col("rank_tokens"),
+        (expr("1000000 div (60 + rank_chars)")
+          + expr("1000000 div (60 + rank_tokens)")).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(100)
+  }
+
+  private val rrfFusionSql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS t
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+      |      AS rank_chars,
+      |    CAST(row_number() OVER (ORDER BY t DESC, doc_id) AS BIGINT)
+      |      AS rank_tokens
+      |  FROM d)
+      |SELECT doc_id, rank_chars, rank_tokens,
+      |  CAST(1000000 // (60 + rank_chars)
+      |       + 1000000 // (60 + rank_tokens) AS BIGINT) AS rrf_ppm
+      |FROM r ORDER BY rrf_ppm DESC, doc_id LIMIT 100""".stripMargin
+
+  /** #188 local clustering coefficients — per-node triangle density on
+    * the co-purchase graph, the node-level refinement of q_triangle's
+    * global coefficient (community cores vs bridge nodes). Triangles
+    * enumerate ONCE through the degree-ordered wedge join (out-degree
+    * O(√E)-bounded — q_triangle's plan, with an inner join instead of
+    * the semi so each closed wedge credits its THREE endpoints via a
+    * bounded 3-element explode); per-node counts and the C(deg,2)
+    * denominator fold as exact integers, coefficient in ppm. The
+    * oracle recounts per-node credits from the canonical id-ordered
+    * triple join — the degree-ordering trick is again checked against
+    * the definition. */
+  private def localClustering(s: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("ea").as("v"))
+      .unionAll(edges.select(col("eb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirEdges = edges
+      .join(deg.select(col("v").as("ea"), col("deg").as("da")), Seq("ea"))
+      .join(deg.select(col("v").as("eb"), col("deg").as("db")), Seq("eb"))
+      .select(
+        when(struct(col("da"), col("ea")) < struct(col("db"), col("eb")),
+          struct(col("ea").as("src"), col("eb").as("dst"), col("db").as("ddeg")))
+          .otherwise(struct(col("eb").as("src"), col("ea").as("dst"),
+            col("da").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tris = dirEdges.as("e1")
+      .join(dirEdges.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.ddeg"), col("e1.dst")) <
+            struct(col("e2.ddeg"), col("e2.dst")))
+      .select(col("e1.src").as("x"), col("e1.dst").as("wa"),
+        col("e2.dst").as("wb"))
+      .join(dirEdges.select(col("src").as("wa"), col("dst").as("wb")),
+        Seq("wa", "wb"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("x"), col("wa"), col("wb"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_ppm",
+        expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+  }
+
+  private val localClusteringSql =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS ea, b.pk AS eb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |d AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT ea AS v FROM e UNION ALL SELECT eb FROM e) GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+      |  FROM e e1 JOIN e e2 ON e2.ea = e1.ea AND e2.eb > e1.eb
+      |       JOIN e e3 ON e3.ea = e1.eb AND e3.eb = e2.eb),
+      |pn AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+      |SELECT d.v, d.deg, coalesce(pn.n_tri, 0) AS n_tri,
+      |  CAST((2 * coalesce(pn.n_tri, 0) * 1000000)
+      |       // (d.deg * (d.deg - 1)) AS BIGINT) AS coeff_ppm
+      |FROM d LEFT JOIN pn ON d.v = pn.v
+      |WHERE d.deg >= 2""".stripMargin
+
+  /** #189 peak detection — strict local maxima in the daily revenue
+    * series per event type, the alerting primitive behind "what
+    * spiked?". The fact collapses to O(types × days) FIRST (one
+    * partial-aggregated groupBy); the lag/lead windows run over that
+    * calendar-bounded frame — bounded by TIME, not data (the
+    * q_drawdown argument). Endpoints count as peaks against a −1
+    * sentinel (revenue is non-negative); exact cents throughout; days
+    * as ISO strings (house convention). */
+  private def peakDetect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .withColumn("prev_cents", coalesce(lag("cents", 1).over(w), lit(-1L)))
+      .withColumn("next_cents", coalesce(lead("cents", 1).over(w), lit(-1L)))
+      .filter(col("cents") > col("prev_cents") &&
+        col("cents") > col("next_cents"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents"), col("prev_cents"), col("next_cents"))
+  }
+
+  private val peakDetectSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT event_type, day, cents,
+      |    coalesce(lag(cents) OVER (PARTITION BY event_type ORDER BY day), -1)
+      |      AS prev_cents,
+      |    coalesce(lead(cents) OVER (PARTITION BY event_type ORDER BY day), -1)
+      |      AS next_cents
+      |  FROM daily)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+      |  CAST(prev_cents AS BIGINT) AS prev_cents,
+      |  CAST(next_cents AS BIGINT) AS next_cents
+      |FROM x WHERE cents > prev_cents AND cents > next_cents""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -8011,5 +8195,9 @@ object Queries {
     Q("q_data_card", dataCard, Some(dataCardSql)),
     Q("q_zonemap_prune", zonemapPrune, Some(zonemapPruneSql)),
     Q("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    Q("q_session_entropy", sessionEntropy, Some(sessionEntropySql)),
+    Q("q_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
+    Q("q_local_clustering", localClustering, Some(localClusteringSql)),
+    Q("q_peak_detect", peakDetect, Some(peakDetectSql)),
   )
 }

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * Executed for real in JdbcFeedSpec and `q_jdbc_roundtrip` against an
   * embedded Derby database (the JDBC driver on this classpath); against
   * a networked database only the URL changes.
+  *
+  * PostgreSQL dialect note (the reference's actual target,
+  * feeder.py:230-243 via psycopg2): everything here is plain
+  * JDBC + ANSI SQL, so switching means only `url=jdbc:postgresql://…`
+  * plus the driver jar — Spark's JdbcDialects then maps types
+  * (Postgres TEXT/SMALLINT vs Derby VARCHAR/SMALLINT) automatically.
+  * The one semantic the reference relies on that Derby lacks is
+  * `INSERT … ON CONFLICT`; the feeder never uses it (it pre-filters by
+  * the existing-keys anti-join, reproduced by `q_dedup_antijoin`), so
+  * no dialect branch is needed in this code.
   */
 object JdbcFeed {
 
