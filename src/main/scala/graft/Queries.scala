@@ -8005,6 +8005,214 @@ object Queries {
       |  CAST(next_cents AS BIGINT) AS next_cents
       |FROM x WHERE cents > prev_cents AND cents > next_cents""".stripMargin
 
+  /** #190 class weights — label-balance audit + balanced
+    * inverse-frequency weights (N / (L·c), the sklearn
+    * "class_weight='balanced'" rule) for the labeled embedding set,
+    * the first knob a fine-tuning run turns on a skewed label mix.
+    * One partial-aggregated groupBy bounded by the label domain; the
+    * 1-row totals broadcast (the Tfidf scalar pattern); weights in
+    * ppm fixed point over exact counts. */
+  private def classWeights(s: SparkSession, dir: String): DataFrame = {
+    val byLabel = t(s, dir, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val tot = byLabel.agg(sum("n").as("__N"), count(lit(1)).as("__L"))
+    byLabel.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        expr("(n * 1000000) div __N").as("share_ppm"),
+        expr("(__N * 1000000) div (__L * n)").as("weight_ppm"))
+  }
+
+  private val classWeightsSql =
+    """WITH c AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n
+      |  FROM embeddings GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS L
+      |      FROM c)
+      |SELECT c.label, c.n,
+      |  CAST((c.n * 1000000) // t.N AS BIGINT) AS share_ppm,
+      |  CAST((t.N * 1000000) // (t.L * c.n) AS BIGINT) AS weight_ppm
+      |FROM c, t""".stripMargin
+
+  /** #191 embedding-norm audit — per-label L2-norm statistics plus a
+    * degenerate-vector count (near-zero norms: the collapsed/padded
+    * rows that silently poison cosine retrieval). The per-row norm is
+    * a deterministic LEFT FOLD over the array (Spark `aggregate` and
+    * DuckDB `list_reduce` accumulate in identical element order with
+    * identical float→double widening — the q_ann_lsh oracle already
+    * proves this bit-parity), then QUANTIZED to an integer µ-norm
+    * BEFORE any cross-row aggregation, so every per-label stat is
+    * exact integer arithmetic — no order-dependent double sums cross
+    * the oracle boundary. Map-side projection + one bounded groupBy. */
+  private def embedNormAudit(s: SparkSession, dir: String): DataFrame = {
+    val normq = floor(sqrt(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      * 1e6).cast("long")
+    t(s, dir, "embeddings")
+      .select(col("label"), normq.as("nq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("nq").as("min_norm_u"),
+        max("nq").as("max_norm_u"),
+        expr("sum(nq) div count(1)").as("mean_norm_u"),
+        sum(when(col("nq") < 1000L, 1L).otherwise(0L)).as("n_degenerate"))
+  }
+
+  private val embedNormAuditSql =
+    """WITH q AS (
+      |  SELECT label,
+      |    CAST(floor(sqrt(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+      |      (a, b) -> a + b)) * 1e6) AS BIGINT) AS nq
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(nq) AS BIGINT) AS min_norm_u,
+      |  CAST(max(nq) AS BIGINT) AS max_norm_u,
+      |  CAST(sum(nq) // count(*) AS BIGINT) AS mean_norm_u,
+      |  CAST(sum(CASE WHEN nq < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_degenerate
+      |FROM q GROUP BY 1""".stripMargin
+
+  /** #192 join-skew audit — the pre-flight key-distribution profile
+    * run before any big join: per-key row counts (one partial
+    * aggregate), then max / mean / exact p99 over the COUNTS frame
+    * (O(keys), orders of magnitude below the fact) — the p99 via the
+    * distributed two-phase rank scan, never a single-reducer
+    * percentile window. `skew_ratio_ppm` (max/mean) and the derived
+    * salt factor are what q_skew_join's salting consumes; exact
+    * integer arithmetic throughout. */
+  private def joinSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(count(lit(1)).as("__nk"), sum("c").as("__nr"),
+      max("c").as("__mx"))
+    val ranked = PrefixSum.withGlobalRank(counts, Seq("c", "k"), "__r")
+    val p99 = ranked.crossJoin(broadcast(tot))
+      .filter(col("__r") === expr("(__nk * 99 + 99) div 100"))
+      .select(col("c").as("__p99"))
+    tot.crossJoin(broadcast(p99))
+      .select(col("__nk").as("n_keys"), col("__nr").as("n_rows"),
+        col("__mx").as("max_rows"),
+        expr("__nr div __nk").as("mean_rows"), col("__p99").as("p99_rows"),
+        expr("(__mx * 1000000) div (__nr div __nk)").as("skew_ratio_ppm"),
+        greatest(lit(1L), expr("__mx div (4 * (__nr div __nk))"))
+          .as("salt_factor"))
+  }
+
+  private val joinSkewAuditSql =
+    """WITH c AS (
+      |  SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nk, CAST(sum(c) AS BIGINT) AS nr,
+      |    CAST(max(c) AS BIGINT) AS mx
+      |  FROM c),
+      |r AS (
+      |  SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS rn
+      |  FROM c),
+      |p AS (
+      |  SELECT r.c AS p99 FROM r, t WHERE r.rn = (t.nk * 99 + 99) // 100)
+      |SELECT t.nk AS n_keys, t.nr AS n_rows, t.mx AS max_rows,
+      |  CAST(t.nr // t.nk AS BIGINT) AS mean_rows,
+      |  p.p99 AS p99_rows,
+      |  CAST((t.mx * 1000000) // (t.nr // t.nk) AS BIGINT) AS skew_ratio_ppm,
+      |  CAST(greatest(1, t.mx // (4 * (t.nr // t.nk))) AS BIGINT)
+      |    AS salt_factor
+      |FROM t, p""".stripMargin
+
+  /** #193 quality gate — the reason-coded accept/reject filter a
+    * curation pipeline runs first (and must EXPLAIN: per-reason
+    * rejection counts drive threshold tuning). All four signals are
+    * map-side integer arithmetic off one projection (engine-portable
+    * regex counts — the q_pii_scrub parity rules); a document can trip
+    * several reasons, so the per-reason counts are independent sums,
+    * not a partition; one bounded final aggregate. */
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+    val digit = length(regexp_replace(col("text"), "[^0-9]", ""))
+    t(s, dir, "documents")
+      .select(
+        (col("n_chars") < 100).as("f_short"),
+        (col("n_chars") > 20000).as("f_long"),
+        (alpha * 2 < col("n_chars")).as("f_low_alpha"),
+        (digit * 10 > col("n_chars") * 3).as("f_digit_heavy"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("f_short") && !col("f_long") && !col("f_low_alpha")
+          && !col("f_digit_heavy"), 1L).otherwise(0L)).as("n_accepted"),
+        sum(col("f_short").cast("long")).as("n_too_short"),
+        sum(col("f_long").cast("long")).as("n_too_long"),
+        sum(col("f_low_alpha").cast("long")).as("n_low_alpha"),
+        sum(col("f_digit_heavy").cast("long")).as("n_digit_heavy"))
+  }
+
+  private val qualityGateSql =
+    """WITH f AS (
+      |  SELECT n_chars < 100 AS f_short, n_chars > 20000 AS f_long,
+      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2
+      |      < n_chars AS f_low_alpha,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 10
+      |      > n_chars * 3 AS f_digit_heavy
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN NOT f_short AND NOT f_long AND NOT f_low_alpha
+      |                 AND NOT f_digit_heavy THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_accepted,
+      |  CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+      |  CAST(sum(CASE WHEN f_long THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+      |  CAST(sum(CASE WHEN f_low_alpha THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_alpha,
+      |  CAST(sum(CASE WHEN f_digit_heavy THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_digit_heavy
+      |FROM f""".stripMargin
+
+  /** #194 k-NN graph construction — each vector's top-3 cosine
+    * neighbors WITHIN its IVF cell, the build step of graph-based ANN
+    * indexes (HNSW/NSG seeds) and of SemDeDup-style cluster analysis.
+    * The pair scan is per-cell (q_semdedup's scale argument: cells
+    * bound candidates, never a corpus-wide all-pairs join); the
+    * per-vector cut is the native bounded-heap `topk_by` AGGREGATE —
+    * O(k) state, map-side partials, no per-vector sort — and its
+    * (score desc, id asc) order matches the oracle's row_number
+    * tie-break on the 6dp-rounded cosine exactly. Cell assignment
+    * reuses the replayable quantizer, so DuckDB reaches the identical
+    * clustering (shared `ivfAssignCtes` chain). Singleton-cell
+    * vectors have no neighbors and drop out on both engines. */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings")
+      .select("vec_id", "embedding"))
+    val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
+      nlist = 16, iters = 3, sampleMod = 4)
+    val cells = IvfIndex.assign(e, "vec_id", "embedding", cents,
+      keep = Seq("embedding"))
+    cells.select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("__va"))
+      .join(cells.select(col("cid"), col("vec_id").as("id_b"),
+        col("embedding").as("__vb")), Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"),
+        round(Similarity.cosine(col("__va"), col("__vb")), 6).as("cos"),
+        col("id_b"))
+      .groupBy("id_a")
+      .agg(graft.functions.TopKAggregate.topk_by(col("cos"), col("id_b"), 3)
+        .as("__top"))
+      .select(col("id_a").as("vec_id"), posexplode(col("__top")).as(Seq("r", "e")))
+      .select(col("vec_id"), (col("r") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
+  }
+
+  private val knnGraphSql =
+    s"""WITH ${ivfAssignCtes(64, 16, 3)},
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT va, vb, cos,
+       |    CAST(row_number() OVER (PARTITION BY va
+       |                            ORDER BY cos DESC, vb) AS INT) AS rank
+       |  FROM p)
+       |SELECT va AS vec_id, rank, vb AS neighbor_id, cos AS cosine
+       |FROM r WHERE rank <= 3""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -8199,5 +8407,10 @@ object Queries {
     Q("q_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     Q("q_local_clustering", localClustering, Some(localClusteringSql)),
     Q("q_peak_detect", peakDetect, Some(peakDetectSql)),
+    Q("q_class_weights", classWeights, Some(classWeightsSql)),
+    Q("q_embed_norm_audit", embedNormAudit, Some(embedNormAuditSql)),
+    Q("q_join_skew_audit", joinSkewAudit, Some(joinSkewAuditSql)),
+    Q("q_quality_gate", qualityGate, Some(qualityGateSql)),
+    Q("q_knn_graph", knnGraph, Some(knnGraphSql)),
   )
 }
