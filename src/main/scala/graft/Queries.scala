@@ -6017,14 +6017,20 @@ object Queries {
   /** Undirected co-purchase edges (parts co-bought in ≥2 orders),
     * ea < eb — shared by the graph-analytics family (#154, #166). */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val it = t(s, dir, "lineitem")
+    // pairs are generated MAP-SIDE from each order's (bounded) sorted
+    // part set — one groupBy shuffle instead of shuffling the item list
+    // twice through a self-equi-join; the C(n,2) fan-out per order is
+    // identical either way (order size bounds it, not the corpus)
+    t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    it.as("a")
-      .join(it.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("ea"), col("b.pk").as("eb"))
-      .agg(count(lit(1)).as("n_co"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS ea, y AS eb))))"""
+          .stripMargin.replace("\n", " "))).as("e"))
+      .select(col("e.ea").as("ea"), col("e.eb").as("eb"))
+      .groupBy("ea", "eb").agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= 2)
       .select("ea", "eb")
   }
@@ -7770,19 +7776,25 @@ object Queries {
   /** #185 KMV (k-minimum-values) distinct sketch — the mergeable
     * distinct-count estimator that complements q_approx_distinct's
     * HLL: keep the k smallest values of a uniform hash; estimate
-    * (k−1)·M/h(k). The hash is the engine-portable polynomial
-    * fingerprint (the q_weighted_sample fold), values dedup in a
-    * partial-aggregated groupBy, and the k-smallest cut plans as
-    * TakeOrderedAndProject — per-partition top-k, k-row driver merge,
-    * no global sort however large the corpus. All arithmetic is
-    * exact-integer; the exact distinct rides along as the audit
-    * column. */
+    * (k−1)·M/h(k). The hash is MULTIPLICATIVE mod the fingerprint
+    * prime — `(id · A) mod M` with a full-range odd multiplier — NOT
+    * the polynomial string fold: short digit strings fold to tiny
+    * clustered values (no avalanche), which wrecks the order
+    * statistic the estimator reads (measured: est off by 10^9× at
+    * sf0.1). Values dedup in a partial-aggregated groupBy; the
+    * k-smallest cut plans as TakeOrderedAndProject — per-partition
+    * top-k, k-row driver merge, no global sort however large the
+    * corpus. The estimate and error stay in DECIMAL(38,0) until the
+    * final bounded cast (a degenerate h(k) would overflow BIGINT
+    * intermediates under ANSI). */
   private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val k = 256
-    val m = TextAnalysis.FingerprintMod
+    val m = TextAnalysis.FingerprintMod // largest prime < 2^55
+    val a = 6364136223846793005L // full-range odd multiplier (PCG's)
     val hashes = events(s, dir)
-      .select(TextAnalysis.fingerprint(col("user_id").cast("string")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("__dummy")).select("h")
+      .select(expr(s"CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * $a, $m) AS BIGINT)")
+        .as("h"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = hashes.orderBy("h").limit(k)
       .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
@@ -7792,17 +7804,17 @@ object Queries {
         when(col("k_used") < k, col("k_used"))
           .otherwise(expr(s"((k_used - 1) * CAST($m AS DECIMAL(38,0))) div kth_hash")
             .cast("long")).as("est_distinct"))
-      .withColumn("err_ppm",
-        expr("(abs(est_distinct - exact_distinct) * 1000000) div exact_distinct"))
+      .withColumn("err_ppm", expr(
+        """CAST(least((abs(CAST(est_distinct AS DECIMAL(38,0)) - exact_distinct)
+          |  * 1000000) div exact_distinct,
+          |  CAST(1000000000000 AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
   }
 
   private val kmvDistinctSql =
     s"""WITH h AS (
-       |  SELECT DISTINCT list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split_regex(CAST(user_id AS VARCHAR), ''),
-       |                     c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
-       |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS h
+       |  SELECT DISTINCT CAST((CAST(user_id AS HUGEINT) * 6364136223846793005)
+       |    % ${TextAnalysis.FingerprintMod} AS BIGINT) AS h
        |  FROM events),
        |sk AS (
        |  SELECT CAST(count(*) AS BIGINT) AS k_used,
@@ -7817,8 +7829,8 @@ object Queries {
        |           AS BIGINT) END AS est_distinct
        |  FROM sk, ex)
        |SELECT k_used, kth_hash, exact_distinct, est_distinct,
-       |  CAST((abs(est_distinct - exact_distinct) * 1000000)
-       |       // exact_distinct AS BIGINT) AS err_ppm
+       |  CAST(least((abs(CAST(est_distinct AS HUGEINT) - exact_distinct)
+       |       * 1000000) // exact_distinct, 1000000000000) AS BIGINT) AS err_ppm
        |FROM est""".stripMargin
 
   /** #186 behavioral entropy — per-user Shannon entropy of the
@@ -8213,6 +8225,277 @@ object Queries {
        |SELECT va AS vec_id, rank, vb AS neighbor_id, cos AS cosine
        |FROM r WHERE rank <= 3""".stripMargin
 
+  /** #195 tokenizer fertility — tokens-per-word by language, the
+    * fertility audit every multilingual training run does before
+    * fixing a tokenizer (high fertility = the tokenizer fragments that
+    * language; drives vocab rebalancing). Both counts are map-side off
+    * ONE projection (whitespace words vs BPE-ish pre-tokens — the
+    * q_token_count parity rules); one label-domain-bounded groupBy;
+    * fertility in ppm over exact sums. */
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("lang"),
+        TextAnalysis.tokenCount(lower(col("text"))).cast("long").as("__w"),
+        size(TextAnalysis.bpeTokens(lower(col("text")))).cast("long").as("__b"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__w").as("n_words"),
+        sum("__b").as("n_tokens"))
+      .withColumn("fertility_ppm", expr("(n_tokens * 1000000) div n_words"))
+  }
+
+  private val tokenizerFertilitySql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+      |    AS BIGINT) AS n_words,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+      |    AS BIGINT) AS n_tokens,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+      |       * 1000000
+      |       // sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+      |    AS BIGINT) AS fertility_ppm
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** #196 prefix autocomplete index — top-3 completions per 3-char
+    * token prefix by corpus frequency, the suggest-as-you-type index a
+    * search box builds offline. Token TYPES collapse first (the BPE
+    * discipline: one corpus-scale aggregate, then everything downstream
+    * is O(vocab)); the per-prefix cut is a row_number window over that
+    * vocab-bounded frame PARTITIONED by prefix — bounded by the type
+    * count per prefix, never event-scale. Tie-break (count desc, token
+    * asc) is total on both engines. */
+  private def prefixAutocomplete(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("prefix")
+      .orderBy(col("cnt").desc, col("token"))
+    parallelize(s, t(s, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) >= 3)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix", substring(col("token"), 1, 3))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("prefix"), col("rank"), col("token"), col("cnt"))
+  }
+
+  private val prefixAutocompleteSql =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok WHERE length(token) >= 3 GROUP BY 1),
+      |r AS (
+      |  SELECT substring(token, 1, 3) AS prefix, token, cnt,
+      |    CAST(row_number() OVER (PARTITION BY substring(token, 1, 3)
+      |                            ORDER BY cnt DESC, token) AS INT) AS rank
+      |  FROM c)
+      |SELECT prefix, rank, token, cnt FROM r WHERE rank <= 3""".stripMargin
+
+  /** #197 churn hazard — per-week discrete hazard rate: of the users
+    * active in week w, how many were never seen again (their LAST
+    * active week is w)? The survival-analysis refinement of
+    * q_retention's cohort matrix. Everything collapses to the
+    * O(users × weeks) distinct-activity frame first; last-weeks are
+    * one more aggregate; the final join is O(weeks). The current week
+    * is CENSORED, not churned — flagged, never dropped (exact cents of
+    * honesty the naive query misses). ISO-string weeks. */
+  private def churnHazard(s: SparkSession, dir: String): DataFrame = {
+    val uw = events(s, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val active = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
+    val last = uw.groupBy("user_id").agg(max("wk").as("wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_last"))
+    val gmax = uw.agg(max("wk").as("__gmax"))
+    active.join(last, Seq("wk"), "left")
+      .crossJoin(broadcast(gmax))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("n_active"),
+        coalesce(col("n_last"), lit(0L)).as("n_churned"),
+        expr("(coalesce(n_last, 0) * 1000000) div n_active")
+          .as("hazard_ppm"),
+        (col("wk") === col("__gmax")).as("censored"))
+  }
+
+  private val churnHazardSql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |a AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active
+      |      FROM uw GROUP BY 1),
+      |l AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_last FROM (
+      |        SELECT user_id, max(wk) AS wk FROM uw GROUP BY 1) GROUP BY 1),
+      |g AS (SELECT max(wk) AS gmax FROM uw)
+      |SELECT strftime(a.wk, '%Y-%m-%d') AS week, a.n_active,
+      |  coalesce(l.n_last, 0) AS n_churned,
+      |  CAST((coalesce(l.n_last, 0) * 1000000) // a.n_active AS BIGINT)
+      |    AS hazard_ppm,
+      |  a.wk = g.gmax AS censored
+      |FROM a LEFT JOIN l ON a.wk = l.wk, g""".stripMargin
+
+  /** #198 functional-dependency audit — "does X determine Y?" for
+    * declared candidate FDs, the schema-inference/data-contract check
+    * a profiler runs before trusting a key. Each FD is ONE
+    * partial-aggregated groupBy on the determinant plus an O(keys)
+    * fold — never a self-join; holding AND failing candidates are
+    * included so the gate is non-vacuous both ways. */
+  private def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("__d"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("__d").as("max_distinct"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+          col("max_distinct"), (col("n_violating") === 0L).as("holds"))
+    fd("customer: c_custkey -> c_name", t(s, dir, "customer"),
+        "c_custkey", "c_name")
+      .unionAll(fd("nation: n_nationkey -> n_regionkey", t(s, dir, "nation"),
+        "n_nationkey", "n_regionkey"))
+      .unionAll(fd("orders: o_custkey -> o_orderstatus", t(s, dir, "orders"),
+        "o_custkey", "o_orderstatus"))
+      .unionAll(fd("lineitem: l_orderkey -> l_suppkey", t(s, dir, "lineitem"),
+        "l_orderkey", "l_suppkey"))
+  }
+
+  private val fdAuditSql =
+    """WITH f1 AS (
+      |  SELECT 'customer: c_custkey -> c_name' AS fd,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+      |    CAST(max(d) AS BIGINT) AS max_distinct
+      |  FROM (SELECT c_custkey, count(DISTINCT c_name) AS d
+      |        FROM customer GROUP BY 1)),
+      |f2 AS (
+      |  SELECT 'nation: n_nationkey -> n_regionkey' AS fd,
+      |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(max(d) AS BIGINT)
+      |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS d
+      |        FROM nation GROUP BY 1)),
+      |f3 AS (
+      |  SELECT 'orders: o_custkey -> o_orderstatus' AS fd,
+      |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(max(d) AS BIGINT)
+      |  FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS d
+      |        FROM orders GROUP BY 1)),
+      |f4 AS (
+      |  SELECT 'lineitem: l_orderkey -> l_suppkey' AS fd,
+      |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(max(d) AS BIGINT)
+      |  FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS d
+      |        FROM lineitem GROUP BY 1)),
+      |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      |      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+      |SELECT fd, n_keys, n_violating, max_distinct,
+      |  n_violating = 0 AS holds
+      |FROM u""".stripMargin
+
+  /** #199 systematic event downsampling — keep every 4th event per
+    * user in time order (the deterministic stream thinning applied
+    * before expensive enrichment; systematic > random here because
+    * replays and A/B halves must agree). The rank window is
+    * PARTITIONED by user (bounded per-user frames); the verdict
+    * aggregates to an O(types) summary so the gate checks global AND
+    * per-type rates. Ties total via event_id. */
+  private def eventDownsample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__r", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(col("__r"), lit(4)) === 1, 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("keep_ppm", expr("(n_kept * 1000000) div n_total"))
+  }
+
+  private val eventDownsampleSql =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN rn % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN rn % 4 = 1 THEN 1 ELSE 0 END) * 1000000
+      |       // count(*) AS BIGINT) AS keep_ppm
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** #200 corpus build — the END-TO-END curation funnel run as one
+    * query: quality gate (#193's signals) → exact dedup (md5
+    * fingerprint, min-id survivor — #16's discipline) → sequence
+    * packing (#47's `PrefixSum.packByBudget`, 2048-token bins), with
+    * the per-stage funnel counts every corpus release report leads
+    * with. Every stage is the already-proven scale shape: map-side
+    * gate, one hash-groupBy dedup (min-struct state, no window), the
+    * two-phase distributed prefix scan for pack assignment; stage
+    * totals are 1-row broadcasts. The oracle replays the identical
+    * funnel in CTEs. */
+  private def corpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+    val digit = length(regexp_replace(col("text"), "[^0-9]", ""))
+    val accepted = docs
+      .filter(!(col("n_chars") < 100 || col("n_chars") > 20000 ||
+        alpha * 2 < col("n_chars") || digit * 10 > col("n_chars") * 3))
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+        TextAnalysis.tokenCount(lower(col("text"))).cast("long").as("ntok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unique = accepted.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("ntok"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.ntok").as("ntok"))
+    val packed = PrefixSum.packByBudget(unique, "doc_id", "ntok", 2048L)
+    val stats = packed.agg(count(lit(1)).as("n_unique"),
+      sum("ntok").as("n_tokens"),
+      countDistinct(col("pack_id")).as("n_packs"))
+    val nIn = docs.agg(count(lit(1)).as("__in"))
+    val nAcc = accepted.agg(count(lit(1)).as("__acc"))
+    stats.crossJoin(broadcast(nIn)).crossJoin(broadcast(nAcc))
+      .select(col("__in").as("n_input"), col("__acc").as("n_accepted"),
+        col("n_unique"), col("n_tokens"), col("n_packs"),
+        expr("((__acc - n_unique) * 1000000) div __acc").as("dup_ppm"),
+        expr("(n_unique * 1000000) div __in").as("yield_ppm"))
+  }
+
+  private val corpusBuildSql =
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    (n_chars < 100 OR n_chars > 20000
+      |     OR length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 < n_chars
+      |     OR length(regexp_replace(text, '[^0-9]', '', 'g')) * 10 > n_chars * 3)
+      |      AS rej
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS ntok
+      |  FROM g WHERE NOT rej),
+      |u AS (
+      |  SELECT min(doc_id) AS doc_id,
+      |    min_by(ntok, doc_id) AS ntok
+      |  FROM a GROUP BY fp),
+      |p AS (
+      |  SELECT doc_id, ntok,
+      |    sum(ntok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM u),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_unique,
+      |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT CAST((cum - ntok) // 2048 AS BIGINT)) AS BIGINT)
+      |      AS n_packs
+      |  FROM p),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_input FROM documents),
+      |acc AS (SELECT CAST(count(*) AS BIGINT) AS n_accepted FROM a)
+      |SELECT tot.n_input, acc.n_accepted, st.n_unique, st.n_tokens, st.n_packs,
+      |  CAST(((acc.n_accepted - st.n_unique) * 1000000) // acc.n_accepted
+      |    AS BIGINT) AS dup_ppm,
+      |  CAST((st.n_unique * 1000000) // tot.n_input AS BIGINT) AS yield_ppm
+      |FROM st, tot, acc""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -8412,5 +8695,11 @@ object Queries {
     Q("q_join_skew_audit", joinSkewAudit, Some(joinSkewAuditSql)),
     Q("q_quality_gate", qualityGate, Some(qualityGateSql)),
     Q("q_knn_graph", knnGraph, Some(knnGraphSql)),
+    Q("q_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
+    Q("q_prefix_autocomplete", prefixAutocomplete, Some(prefixAutocompleteSql)),
+    Q("q_churn_hazard", churnHazard, Some(churnHazardSql)),
+    Q("q_fd_audit", fdAudit, Some(fdAuditSql)),
+    Q("q_event_downsample", eventDownsample, Some(eventDownsampleSql)),
+    Q("q_corpus_build", corpusBuild, Some(corpusBuildSql)),
   )
 }
