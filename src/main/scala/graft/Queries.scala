@@ -1956,7 +1956,9 @@ object Queries {
         val files = Option(d.listFiles()).getOrElse(Array.empty)
           .count(f => f.isFile && f.getName.endsWith(".parquet"))
         val rows = s.read.parquet(d.getAbsolutePath).count()
-        files <= math.ceil(rows.toDouble / target).toLong + 2
+        // planLayout packs slots to 0.9·target (hash-variance headroom),
+        // so the expected count is ⌈rows/(0.9·target)⌉ — same slack
+        files <= (rows * 10 + 9 * target - 1) / (9 * target) + 2
       }
     s.read.parquet(out.getAbsolutePath)
       .groupBy("l_returnflag")

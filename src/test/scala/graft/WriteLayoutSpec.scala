@@ -25,9 +25,11 @@ class WriteLayoutSpec extends GraftSuite {
     val bigFiles = parquetFiles(s"$out/part=big")
     val smallFiles = parquetFiles(s"$out/part=small")
     assert(bigFiles.nonEmpty && smallFiles.nonEmpty)
-    // big: 5000 rows / 1000 target = 5 slots; hash variance may split a
-    // slot via the maxRecordsPerFile backstop, never balloon the count
-    assert(bigFiles.length >= 5 && bigFiles.length <= 8,
+    // big: 5000 rows / (0.9 * 1000) headroom packing = 6 slots; two
+    // light slots in one write task can merge into one file (floor
+    // ⌈rows/target⌉ = 5) and the maxRecordsPerFile backstop can split
+    // a heavy one — bounded both ways, never ballooning
+    assert(bigFiles.length >= 5 && bigFiles.length <= 9,
       s"big has ${bigFiles.length} files")
     assert(smallFiles.length == 1, s"small has ${smallFiles.length} files")
     // HARD bound: no file exceeds the target row count
@@ -48,7 +50,7 @@ class WriteLayoutSpec extends GraftSuite {
     val slots = planned.groupBy("part")
       .agg(countDistinct(col("__slot")).as("n_slots"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(slots("big") == 5, s"big got ${slots("big")} slots")
+    assert(slots("big") == 6, s"big got ${slots("big")} slots")
     assert(slots("small") == 1)
     // deterministic: same plan twice yields identical slot assignment
     val a = planned.orderBy("part", "v").collect().map(_.toString).toSeq
