@@ -8498,6 +8498,239 @@ object Queries {
       |  CAST((st.n_unique * 1000000) // tot.n_input AS BIGINT) AS yield_ppm
       |FROM st, tot, acc""".stripMargin
 
+  /** #201 shingle novelty — per-document originality: the fraction of
+    * a doc's distinct 3-shingles that appear in NO other document (the
+    * inverse of q_rep_ratio's within-doc repetition and q_dup_spans'
+    * cross-doc sharing). The shingle dictionary is ONE corpus
+    * aggregate over 64-bit hashed shingles (8-byte shuffle keys, the
+    * MinHashLSH discipline); the join back is co-partitioned on the
+    * shingle. The oracle replays over string shingles — injective, so
+    * df counts agree (the q_ngram_jaccard equivalence). */
+  private def shingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.hashedShingles(lower(col("text")), 3)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dict, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ppm", expr("(n_unique * 1000000) div n_shingles"))
+  }
+
+  private val shingleNoveltySql =
+    s"""WITH s AS (
+       |${shingleSetsSql("(SELECT doc_id, lower(text) AS text FROM documents)")}),
+       |e AS (SELECT doc_id, unnest(s) AS sh FROM s),
+       |d AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1)
+       |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |    AS BIGINT) AS novelty_ppm
+       |FROM e JOIN d USING (sh) GROUP BY 1""".stripMargin
+
+  /** #202 Hill tail-index estimator — the heavy-tail exponent of the
+    * purchase-value distribution over the top-k order statistics
+    * (α̂ = k / Σ ln(x_i/x_{k+1})), the parametric companion to
+    * q_zipf_fit's rank-frequency slope. The only corpus-scale work is
+    * the top-(k+1) cut — TakeOrderedAndProject, per-partition top-k,
+    * k-row driver merge; everything after runs on k+1 rows with the
+    * threshold as a 1-row broadcast. Logs are quantized ⌊ln·1e9⌋
+    * per row (the q_bigram_lm parity rule) and fold as exact longs. */
+  private def hillTail(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val top = events(s, dir)
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("c"),
+        col("event_id"))
+      .filter(col("c") > 0)
+      .orderBy(col("c").desc, col("event_id")).limit(k + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thresh = top.agg(min("c").as("__ck"))
+    top.crossJoin(broadcast(thresh))
+      // strictly above the threshold: value ties with x_(k+1) drop out
+      // on both engines, so k_used can be < k under heavy ties
+      .filter(col("c") > col("__ck"))
+      .select(
+        (floor(log(col("c").cast("double")) * 1e9).cast("long")
+          - floor(log(col("__ck").cast("double")) * 1e9).cast("long")).as("lq"),
+        col("__ck"))
+      .groupBy("__ck")
+      .agg(count(lit(1)).as("k_used"), sum("lq").as("__s"))
+      .select(col("k_used"), col("__ck").as("xk_cents"),
+        expr("CAST((k_used * CAST(1000000000000000 AS DECIMAL(38,0))) div __s AS BIGINT)")
+          .as("alpha_ppm"))
+  }
+
+  private val hillTailSql =
+    """WITH t AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    event_id
+      |  FROM events WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+      |  ORDER BY c DESC, event_id LIMIT 101),
+      |th AS (SELECT CAST(min(c) AS BIGINT) AS ck FROM t),
+      |q AS (
+      |  SELECT CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+      |       - CAST(floor(ln(CAST(th.ck AS DOUBLE)) * 1e9) AS BIGINT) AS lq,
+      |    th.ck
+      |  FROM t, th WHERE t.c > th.ck)
+      |SELECT CAST(count(*) AS BIGINT) AS k_used, ck AS xk_cents,
+      |  CAST((count(*) * CAST(1000000000000000 AS HUGEINT)) // sum(lq)
+      |    AS BIGINT) AS alpha_ppm
+      |FROM q GROUP BY ck""".stripMargin
+
+  /** #203 mutual information — MI(event_type; day-of-week) in nats,
+    * ppb fixed point: the dependence screen that pairs with
+    * q_session_entropy (marginal diversity) and q_chisq_test (the
+    * null-hypothesis side of the same table). The contingency table
+    * is ONE partial-aggregated groupBy bounded by |types|×7; the
+    * per-cell log-ratio quantizes ⌊ln·1e9⌋ (engine ln parity, the
+    * q_bigram_lm rule) and the weighted sum folds in DECIMAL(38,0) —
+    * exact at any corpus size. */
+  private def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsMicros(s, dir)
+      .select(col("event_type"),
+        (pmod(expr("ts_us div 86400000000") + 3, lit(7)) + 1)
+          .cast("int").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ri = cells.groupBy("event_type").agg(sum("nij").as("ni"))
+    val cj = cells.groupBy("dow").agg(sum("nij").as("nj"))
+    val tot = cells.agg(sum("nij").as("__N"))
+    cells.join(broadcast(ri), Seq("event_type"))
+      .join(broadcast(cj), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .select(col("nij"), col("__N"),
+        floor(log(col("nij").cast("double") * col("__N").cast("double")
+          / (col("ni").cast("double") * col("nj").cast("double"))) * 1e9)
+          .cast("long").as("t"))
+      .agg(max("__N").as("n_events"),
+        expr("CAST(sum(CAST(nij AS DECIMAL(38,0)) * t) div max(__N) AS BIGINT)")
+          .as("mi_ppb"))
+  }
+
+  private val mutualInfoSql =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS INT) AS dow,
+      |    CAST(count(*) AS BIGINT) AS nij
+      |  FROM events GROUP BY 1, 2),
+      |ri AS (SELECT event_type, CAST(sum(nij) AS BIGINT) AS ni FROM c GROUP BY 1),
+      |cj AS (SELECT dow, CAST(sum(nij) AS BIGINT) AS nj FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(nij) AS BIGINT) AS N FROM c),
+      |q AS (
+      |  SELECT c.nij, t.N,
+      |    CAST(floor(ln(CAST(c.nij AS DOUBLE) * CAST(t.N AS DOUBLE)
+      |      / (CAST(ri.ni AS DOUBLE) * CAST(cj.nj AS DOUBLE))) * 1e9)
+      |      AS BIGINT) AS lt
+      |  FROM c JOIN ri USING (event_type) JOIN cj USING (dow), t)
+      |SELECT max(N) AS n_events,
+      |  CAST(sum(CAST(nij AS HUGEINT) * lt) // max(N) AS BIGINT) AS mi_ppb
+      |FROM q""".stripMargin
+
+  /** #204 A/B assignment + sample-ratio-mismatch gate — deterministic
+    * 50/50 user bucketing (the KMV multiplicative hash, then parity)
+    * plus the χ²(1) SRM check every experiment platform runs before
+    * trusting a readout. Users dedup in one partial-aggregated pass;
+    * the arm split is map-side; the SRM statistic
+    * ((n₀−n₁)²/(n₀+n₁)) and its 3.8415 critical value compare in ppm
+    * fixed point — exact integers end to end. */
+  private def abSrm(s: SparkSession, dir: String): DataFrame = {
+    val a = 6364136223846793005L
+    val m = TextAnalysis.FingerprintMod
+    events(s, dir).select(col("user_id")).distinct()
+      .select(expr(s"pmod(CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * $a, $m) AS BIGINT), 2)")
+        .as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("n_users"),
+        max(when(col("arm") === 0, col("n"))).as("n_arm0"),
+        max(when(col("arm") === 1, col("n"))).as("n_arm1"))
+      .withColumn("srm_stat_ppm", expr(
+        "((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000) div (n_arm0 + n_arm1)"))
+      .withColumn("srm_flag", col("srm_stat_ppm") > 3841459L)
+  }
+
+  private val abSrmSql =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |a AS (
+       |  SELECT CAST((CAST(user_id AS HUGEINT) * 6364136223846793005)
+       |    % ${TextAnalysis.FingerprintMod} % 2 AS BIGINT) AS arm
+       |  FROM u),
+       |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+       |w AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_users,
+       |    CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_arm0,
+       |    CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_arm1
+       |  FROM g)
+       |SELECT n_users, n_arm0, n_arm1,
+       |  CAST(((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000)
+       |       // (n_arm0 + n_arm1) AS BIGINT) AS srm_stat_ppm,
+       |  ((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000)
+       |    // (n_arm0 + n_arm1) > 3841459 AS srm_flag
+       |FROM w""".stripMargin
+
+  /** #205 negative sampling — deterministic non-purchased candidates
+    * per customer (the recommender-training counterpart of
+    * q_train_split's hash draws: negatives must be REPRODUCIBLE across
+    * runs and engines, so the draw is the multiplicative hash, never
+    * rand()). Eight hash candidates per sampled customer fan out
+    * map-side off a 1-row part-count broadcast; the already-purchased
+    * filter is one anti-join against the distinct purchase fact; the
+    * ≤4 cut is a row_number window over the ≤8-row per-customer frame
+    * — bounded fan-out everywhere, no corpus-scale window. */
+  private def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val a = 6364136223846793005L
+    val m = TextAnalysis.FingerprintMod
+    val orders = t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
+    val cust = orders.select("o_custkey").distinct()
+    val np = t(s, dir, "part").agg(count(lit(1)).as("__np"))
+    val cand = cust.crossJoin(broadcast(np))
+      .select(col("o_custkey"), explode(sequence(lit(0), lit(7))).as("i"),
+        col("__np"))
+      .select(col("o_custkey"), col("i"),
+        expr(s"CAST(pmod(pmod(CAST(o_custkey * 8 + i AS DECIMAL(38,0)) * $a, $m), __np) AS BIGINT)")
+          .as("part_key"))
+      .groupBy("o_custkey", "part_key").agg(min("i").as("i"))
+    val purchased = orders.select("o_custkey", "o_orderkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey").as("part_key"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("i", "part_key")
+    cand.join(purchased, Seq("o_custkey", "part_key"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .filter(col("neg_rank") <= 4)
+      .select(col("o_custkey"), col("neg_rank"), col("part_key"))
+  }
+
+  private val negativeSamplingSql =
+    s"""WITH cust AS (
+       |  SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 50 = 0),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS np FROM part),
+       |cand AS (
+       |  SELECT c.o_custkey, u.i,
+       |    CAST((CAST(c.o_custkey * 8 + u.i AS HUGEINT) * 6364136223846793005)
+       |      % ${TextAnalysis.FingerprintMod} % p.np AS BIGINT) AS part_key
+       |  FROM cust c, (SELECT unnest(range(0, 8)) AS i) u, p),
+       |ded AS (
+       |  SELECT o_custkey, part_key, min(i) AS i
+       |  FROM cand GROUP BY 1, 2),
+       |pur AS (
+       |  SELECT DISTINCT o.o_custkey, l.l_partkey
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  WHERE o.o_custkey % 50 = 0),
+       |neg AS (
+       |  SELECT d.o_custkey, d.part_key, d.i
+       |  FROM ded d LEFT JOIN pur
+       |    ON pur.o_custkey = d.o_custkey AND pur.l_partkey = d.part_key
+       |  WHERE pur.o_custkey IS NULL),
+       |r AS (
+       |  SELECT o_custkey, part_key,
+       |    CAST(row_number() OVER (PARTITION BY o_custkey
+       |                            ORDER BY i, part_key) AS INT) AS neg_rank
+       |  FROM neg)
+       |SELECT o_custkey, neg_rank, part_key FROM r WHERE neg_rank <= 4""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -8703,5 +8936,10 @@ object Queries {
     Q("q_fd_audit", fdAudit, Some(fdAuditSql)),
     Q("q_event_downsample", eventDownsample, Some(eventDownsampleSql)),
     Q("q_corpus_build", corpusBuild, Some(corpusBuildSql)),
+    Q("q_shingle_novelty", shingleNovelty, Some(shingleNoveltySql)),
+    Q("q_hill_tail", hillTail, Some(hillTailSql)),
+    Q("q_mutual_info", mutualInfo, Some(mutualInfoSql)),
+    Q("q_ab_srm", abSrm, Some(abSrmSql)),
+    Q("q_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
   )
 }
