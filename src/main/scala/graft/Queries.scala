@@ -8731,6 +8731,60 @@ object Queries {
        |  FROM neg)
        |SELECT o_custkey, neg_rank, part_key FROM r WHERE neg_rank <= 4""".stripMargin
 
+  /** #206 binary media-file ingest — the FILE-SOURCE leg of the
+    * multimodal path (q_multimodal_meta decodes an in-table binary
+    * COLUMN; this ingests media as FILES): a deterministic PNG fixture
+    * set on disk, read through Spark's `binaryFile` source (whole
+    * files distribute to executors — the ZippedTabular discipline),
+    * header-decoded partition-locally via the same stdlib IHDR parse.
+    * Fixture dimensions and sizes derive from the file index, so the
+    * oracle recomputes every decoded value arithmetically from
+    * `range()` without touching the filesystem — a decode regression
+    * on any file breaks the hash compare. bench=false: measures
+    * fixture IO, not the engine. */
+  private def binaryIngest(s: SparkSession, dir: String): DataFrame = {
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    val scratch = new java.io.File(tmpRoot,
+      s"graft_binimg_${s.sparkContext.applicationId}")
+    if (!scratch.exists()) {
+      scratch.mkdirs()
+      (0 until 40).foreach { i =>
+        val payload = ("px" * (i + 1)).getBytes("US-ASCII")
+        val png = Multimodal.pngWrap(payload, 16 + (i % 7) * 3, 9 + (i % 5) * 2)
+        java.nio.file.Files.write(
+          new java.io.File(scratch, f"img_$i%03d.png").toPath, png)
+      }
+    }
+    if (scratchHooked.add("graft_binimg_hook")) {
+      val doomed = scratch
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(doomed)
+      }))
+    }
+    val media = s.read.format("binaryFile")
+      .load(scratch.getAbsolutePath + "/*.png")
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("media"), lit("image/png").as("media_type"))
+    Multimodal.extractFeatures(media)
+      .select(col("doc_id").as("img_idx"), col("n_bytes"),
+        col("width"), col("height"), col("header_decoded"))
+  }
+
+  private val binaryIngestSql =
+    """SELECT CAST(i AS BIGINT) AS img_idx,
+      |  CAST(2 * (i + 1) + 57 AS INT) AS n_bytes,
+      |  CAST(16 + (i % 7) * 3 AS INT) AS width,
+      |  CAST(9 + (i % 5) * 2 AS INT) AS height,
+      |  TRUE AS header_decoded
+      |FROM (SELECT unnest(range(0, 40)) AS i)""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -8941,5 +8995,6 @@ object Queries {
     Q("q_mutual_info", mutualInfo, Some(mutualInfoSql)),
     Q("q_ab_srm", abSrm, Some(abSrmSql)),
     Q("q_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
+    Q("q_binary_ingest", binaryIngest, Some(binaryIngestSql), bench = false),
   )
 }
