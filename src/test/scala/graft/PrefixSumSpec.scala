@@ -70,4 +70,29 @@ class PrefixSumSpec extends GraftSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(result.passed, s"property failed: ${result.status}")
   }
+
+  test("property: running total and pack assignment match an in-memory scan") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val rows = Gen.chooseNum(1, 150).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 500L))
+    }
+    val prop = forAll(rows, Gen.chooseNum(1, 9), Gen.chooseNum(64L, 1024L)) {
+      (tokens, parts, budget) =>
+        val indexed = tokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val df = indexed.toDF("id", "n").repartition(parts)
+        val cums = tokens.scanLeft(0L)(_ + _).tail
+        val expTotals = indexed.map(_._1).zip(cums).toMap
+        val expPacks = indexed.map(_._1).zip(
+          cums.zip(tokens).map { case (c, t) => (c - t) / budget }).toMap
+        val gotTotals = PrefixSum.runningTotal(df, "id", "n")
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val gotPacks = PrefixSum.packByBudget(df, "id", "n", budget)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        Prop(gotTotals == expTotals && gotPacks == expPacks)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
 }
