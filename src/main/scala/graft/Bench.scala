@@ -96,10 +96,12 @@ object Bench {
     // full-precision line with per-rep arrays + 200-char error messages
     // overflowed that window in rounds 4-6 (`parsed: null`). Millisecond
     // precision and 80-char errors keep ~180 queries within a few KB;
-    // the full-precision record (incl. queries_reps) goes to a file.
-    def ms(v: Double): String = f"$v%.3f"
+    // the untruncated record (incl. queries_reps) goes to a file.
+    // Locale.ROOT: the default-locale interpolator would emit a comma
+    // decimal separator on non-English JVMs and corrupt the JSON.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = times.map { case (k, v) => s"${jstr(k)}:${ms(v)}" }.mkString("{", ",", "}")
-    val rs = raws.map { case (k, v) => s"${jstr(k)}:${v.map(ms).mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val psiEnd = psiCpuAvg300()
@@ -118,10 +120,15 @@ object Bench {
     val noisy = psiStart > 0.3 ||
       (raws.nonEmpty && inverted.toDouble / raws.size > 0.1)
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"err":$es,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
-    // full record (per-rep timings included) survives on disk even if
-    // the driver's stdout capture truncates
+    // the on-disk record is genuinely FULL: full-precision doubles
+    // (Double.toString is locale-independent), per-rep raws, and
+    // untruncated error messages — it survives even if the driver's
+    // stdout capture truncates
     try {
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_reps":$rs,"err":$es,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
+      val fq = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      val fr = raws.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
+      val fe = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fq,"queries_reps":$fr,"err":$fe,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -42,7 +42,7 @@ object Queries {
     *     above 2^53 ns). Matches DuckDB's ns→µs truncation.
     * Schema inspection, not a session-wide conf, picks the branch, so
     * the loader is side-effect-free on the current µs-encoded data. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val raw =
       try t(s, dir, "events")
@@ -64,6 +64,13 @@ object Queries {
     * match a DuckDB `epoch_ns`/`epoch_us` oracle bit-for-bit. */
   private def eventsMicros(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+
+  /** ISO day-of-week from an epoch-µs column by pure integer
+    * arithmetic (1970-01-01 was a Thursday): dow = (day + 3) mod 7 + 1
+    * — no engine calendar function crosses the oracle boundary.
+    * Shared by #174 Mann–Whitney, #182 hist2d, #203 mutual info. */
+  private def isoDowExpr(tsUsCol: String): String =
+    s"pmod($tsUsCol div 86400000000 + 3, 7) + 1"
 
   /** Ensure a minimum scan parallelism for CPU-heavy per-row work.
     * Small local fixtures arrive as ONE parquet split, which would pin
@@ -7287,10 +7294,7 @@ object Queries {
   private def mannWhitney(s: SparkSession, dir: String): DataFrame = {
     val ev = eventsMicros(s, dir)
       .select(col("event_id"), col("event_type"), col("value"),
-        // epoch day = µs div 86400e6 (ts ≥ 0); 1970-01-01 = Thursday →
-        // ISO dow = (day + 3) mod 7 + 1; weekend = dow ≥ 6
-        (pmod(expr("ts_us div 86400000000") + 3, lit(7)) + 1 >= 6)
-          .as("wkend"))
+        (expr(isoDowExpr("ts_us")) >= 6).as("wkend"))
     val ranked = PrefixSum.withGlobalRank(ev,
       Seq("event_type", "value", "event_id"), "r")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -7661,8 +7665,7 @@ object Queries {
   private def hist2d(s: SparkSession, dir: String): DataFrame = {
     eventsMicros(s, dir)
       .select(
-        (pmod(expr("ts_us div 86400000000") + 3, lit(7)) + 1)
-          .cast("int").as("dow"),
+        expr(isoDowExpr("ts_us")).cast("int").as("dow"),
         least(greatest(floor(col("value") / 50.0), lit(0.0)), lit(9.0))
           .cast("int").as("band"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("__c"))
@@ -7775,6 +7778,17 @@ object Queries {
       |    AS BIGINT) AS prune_ppm
       |FROM f""".stripMargin
 
+  /** Engine-portable multiplicative hash mod the fingerprint prime —
+    * `(x · A) mod M` with a full-range odd multiplier (PCG's): uniform
+    * avalanche on sequential integer keys, exact on both engines
+    * (DECIMAL(38,0) on Spark, HUGEINT on DuckDB). Shared by #185 KMV,
+    * #204 A/B bucketing, #205 negative sampling. */
+  private val HashMult = 6364136223846793005L
+  private def multHashExpr(c: String): String =
+    s"CAST(pmod(CAST($c AS DECIMAL(38,0)) * $HashMult, ${TextAnalysis.FingerprintMod}) AS BIGINT)"
+  private def multHashDuck(c: String): String =
+    s"CAST((CAST($c AS HUGEINT) * $HashMult) % ${TextAnalysis.FingerprintMod} AS BIGINT)"
+
   /** #185 KMV (k-minimum-values) distinct sketch — the mergeable
     * distinct-count estimator that complements q_approx_distinct's
     * HLL: keep the k smallest values of a uniform hash; estimate
@@ -7792,10 +7806,8 @@ object Queries {
   private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val k = 256
     val m = TextAnalysis.FingerprintMod // largest prime < 2^55
-    val a = 6364136223846793005L // full-range odd multiplier (PCG's)
     val hashes = events(s, dir)
-      .select(expr(s"CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * $a, $m) AS BIGINT)")
-        .as("h"))
+      .select(expr(multHashExpr("user_id")).as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = hashes.orderBy("h").limit(k)
@@ -7815,8 +7827,7 @@ object Queries {
 
   private val kmvDistinctSql =
     s"""WITH h AS (
-       |  SELECT DISTINCT CAST((CAST(user_id AS HUGEINT) * 6364136223846793005)
-       |    % ${TextAnalysis.FingerprintMod} AS BIGINT) AS h
+       |  SELECT DISTINCT ${multHashDuck("user_id")} AS h
        |  FROM events),
        |sk AS (
        |  SELECT CAST(count(*) AS BIGINT) AS k_used,
@@ -7839,19 +7850,21 @@ object Queries {
     * event-type distribution, the activity-diversity score behind
     * engagement segmentation (H = 0: single-minded; ln 5: uniform over
     * the 5 types). Two partial-aggregated groupBys — per-(user,type)
-    * counts then an O(types)-wide fold per user; the only doubles are
-    * the ≤ types-per-user `c·ln c` terms inside one rounded
-    * projection (H = ln n − Σc·ln c / n, the single-pass identity —
-    * no p=c/n division per term). */
+    * counts then an O(types)-wide fold per user. The cross-row sum
+    * runs in FIXED POINT (Σ c·⌊ln(c)·1e6⌋ as exact longs — the
+    * q_token_entropy rule: a double Σ c·ln c is non-associative and
+    * nondeterministic under shuffle); only the final per-user formula
+    * H = ln n − Σ/(n·1e6) touches doubles, then rounds to 6dp. */
   private def sessionEntropy(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
       .groupBy("user_id")
       .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__s"))
+        sum(col("c") * floor(log(col("c")) * 1e6).cast("long")).as("__s"))
       .select(col("user_id"), col("n_events"), col("n_types"),
         round(log(col("n_events").cast("double"))
-          - col("__s") / col("n_events").cast("double"), 6).as("entropy"))
+          - col("__s") / (lit(1e6) * col("n_events").cast("double")), 6)
+          .as("entropy"))
   }
 
   private val sessionEntropySql =
@@ -7861,8 +7874,8 @@ object Queries {
       |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
       |  CAST(count(*) AS BIGINT) AS n_types,
       |  round(ln(CAST(sum(c) AS DOUBLE))
-      |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
-      |      / CAST(sum(c) AS DOUBLE), 6) AS entropy
+      |    - sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+      |      / (1e6 * CAST(sum(c) AS DOUBLE)), 6) AS entropy
       |FROM c GROUP BY 1""".stripMargin
 
   /** #187 reciprocal-rank fusion — merge two retrieval rankings
@@ -8134,6 +8147,23 @@ object Queries {
       |    AS salt_factor
       |FROM t, p""".stripMargin
 
+  /** The four curation-gate signals, shared by #193 (per-reason
+    * counts) and #200 (the funnel's accept predicate) so the two
+    * queries cannot drift; the SQL fragment mirrors them for both
+    * oracles. */
+  private def gateAlphaCount: Column =
+    length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+  private def gateDigitCount: Column =
+    length(regexp_replace(col("text"), "[^0-9]", ""))
+  private def gateReject: Column =
+    col("n_chars") < 100 || col("n_chars") > 20000 ||
+      gateAlphaCount * 2 < col("n_chars") ||
+      gateDigitCount * 10 > col("n_chars") * 3
+  private val gateRejectSql: String =
+    "(n_chars < 100 OR n_chars > 20000" +
+      " OR length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 < n_chars" +
+      " OR length(regexp_replace(text, '[^0-9]', '', 'g')) * 10 > n_chars * 3)"
+
   /** #193 quality gate — the reason-coded accept/reject filter a
     * curation pipeline runs first (and must EXPLAIN: per-reason
     * rejection counts drive threshold tuning). All four signals are
@@ -8142,8 +8172,8 @@ object Queries {
     * several reasons, so the per-reason counts are independent sums,
     * not a partition; one bounded final aggregate. */
   private def qualityGate(s: SparkSession, dir: String): DataFrame = {
-    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-    val digit = length(regexp_replace(col("text"), "[^0-9]", ""))
+    val alpha = gateAlphaCount
+    val digit = gateDigitCount
     t(s, dir, "documents")
       .select(
         (col("n_chars") < 100).as("f_short"),
@@ -8436,11 +8466,8 @@ object Queries {
     * funnel in CTEs. */
   private def corpusBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(s, t(s, dir, "documents"))
-    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-    val digit = length(regexp_replace(col("text"), "[^0-9]", ""))
     val accepted = docs
-      .filter(!(col("n_chars") < 100 || col("n_chars") > 20000 ||
-        alpha * 2 < col("n_chars") || digit * 10 > col("n_chars") * 3))
+      .filter(!gateReject)
       .select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
         TextAnalysis.tokenCount(lower(col("text"))).cast("long").as("ntok"))
@@ -8462,17 +8489,13 @@ object Queries {
   }
 
   private val corpusBuildSql =
-    """WITH g AS (
-      |  SELECT doc_id, text,
-      |    (n_chars < 100 OR n_chars > 20000
-      |     OR length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2 < n_chars
-      |     OR length(regexp_replace(text, '[^0-9]', '', 'g')) * 10 > n_chars * 3)
-      |      AS rej
+    s"""WITH g AS (
+      |  SELECT doc_id, text, $gateRejectSql AS rej
       |  FROM documents),
       |a AS (
       |  SELECT doc_id,
-      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+      |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
       |      AS ntok
       |  FROM g WHERE NOT rej),
       |u AS (
@@ -8590,8 +8613,7 @@ object Queries {
   private def mutualInfo(s: SparkSession, dir: String): DataFrame = {
     val cells = eventsMicros(s, dir)
       .select(col("event_type"),
-        (pmod(expr("ts_us div 86400000000") + 3, lit(7)) + 1)
-          .cast("int").as("dow"))
+        expr(isoDowExpr("ts_us")).cast("int").as("dow"))
       .groupBy("event_type", "dow").agg(count(lit(1)).as("nij"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ri = cells.groupBy("event_type").agg(sum("nij").as("ni"))
@@ -8636,11 +8658,8 @@ object Queries {
     * ((n₀−n₁)²/(n₀+n₁)) and its 3.8415 critical value compare in ppm
     * fixed point — exact integers end to end. */
   private def abSrm(s: SparkSession, dir: String): DataFrame = {
-    val a = 6364136223846793005L
-    val m = TextAnalysis.FingerprintMod
     events(s, dir).select(col("user_id")).distinct()
-      .select(expr(s"pmod(CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * $a, $m) AS BIGINT), 2)")
-        .as("arm"))
+      .select(expr(s"pmod(${multHashExpr("user_id")}, 2)").as("arm"))
       .groupBy("arm").agg(count(lit(1)).as("n"))
       .agg(sum("n").as("n_users"),
         max(when(col("arm") === 0, col("n"))).as("n_arm0"),
@@ -8653,8 +8672,7 @@ object Queries {
   private val abSrmSql =
     s"""WITH u AS (SELECT DISTINCT user_id FROM events),
        |a AS (
-       |  SELECT CAST((CAST(user_id AS HUGEINT) * 6364136223846793005)
-       |    % ${TextAnalysis.FingerprintMod} % 2 AS BIGINT) AS arm
+       |  SELECT ${multHashDuck("user_id")} % 2 AS arm
        |  FROM u),
        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
        |w AS (
@@ -8679,8 +8697,6 @@ object Queries {
     * ≤4 cut is a row_number window over the ≤8-row per-customer frame
     * — bounded fan-out everywhere, no corpus-scale window. */
   private def negativeSampling(s: SparkSession, dir: String): DataFrame = {
-    val a = 6364136223846793005L
-    val m = TextAnalysis.FingerprintMod
     val orders = t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
     val cust = orders.select("o_custkey").distinct()
     val np = t(s, dir, "part").agg(count(lit(1)).as("__np"))
@@ -8688,7 +8704,7 @@ object Queries {
       .select(col("o_custkey"), explode(sequence(lit(0), lit(7))).as("i"),
         col("__np"))
       .select(col("o_custkey"), col("i"),
-        expr(s"CAST(pmod(pmod(CAST(o_custkey * 8 + i AS DECIMAL(38,0)) * $a, $m), __np) AS BIGINT)")
+        expr(s"pmod(${multHashExpr("o_custkey * 8 + i")}, __np)")
           .as("part_key"))
       .groupBy("o_custkey", "part_key").agg(min("i").as("i"))
     val purchased = orders.select("o_custkey", "o_orderkey")
@@ -8709,8 +8725,7 @@ object Queries {
        |p AS (SELECT CAST(count(*) AS BIGINT) AS np FROM part),
        |cand AS (
        |  SELECT c.o_custkey, u.i,
-       |    CAST((CAST(c.o_custkey * 8 + u.i AS HUGEINT) * 6364136223846793005)
-       |      % ${TextAnalysis.FingerprintMod} % p.np AS BIGINT) AS part_key
+       |    ${multHashDuck("c.o_custkey * 8 + u.i")} % p.np AS part_key
        |  FROM cust c, (SELECT unnest(range(0, 8)) AS i) u, p),
        |ded AS (
        |  SELECT o_custkey, part_key, min(i) AS i
@@ -8747,7 +8762,17 @@ object Queries {
       sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
     val scratch = new java.io.File(tmpRoot,
       s"graft_binimg_${s.sparkContext.applicationId}")
-    if (!scratch.exists()) {
+    // sentinel-gated build: a crash mid-write leaves no _DONE marker,
+    // so the next call REBUILDS instead of serving a partial fixture
+    // set forever (which would fail the oracle with a confusing
+    // row-count mismatch far from the broken build site)
+    val done = new java.io.File(scratch, "_DONE")
+    if (!done.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(scratch)
       scratch.mkdirs()
       (0 until 40).foreach { i =>
         val payload = ("px" * (i + 1)).getBytes("US-ASCII")
@@ -8755,8 +8780,9 @@ object Queries {
         java.nio.file.Files.write(
           new java.io.File(scratch, f"img_$i%03d.png").toPath, png)
       }
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
     }
-    if (scratchHooked.add("graft_binimg_hook")) {
+    if (scratchHooked.add(scratch.getAbsolutePath)) {
       val doomed = scratch
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {

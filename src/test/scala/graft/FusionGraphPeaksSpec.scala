@@ -13,9 +13,11 @@ class FusionGraphPeaksSpec extends GraftSuite {
     val ev = eventsTable(dir).select(col("user_id"), col("event_type"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val expected = ev.groupBy(_._1).map { case (u, xs) =>
-      val counts = xs.groupBy(_._2).values.map(_.length.toDouble)
+      val counts = xs.groupBy(_._2).values.map(_.length.toLong)
       val n = xs.length.toDouble
-      val h = math.log(n) - counts.map(c => c * math.log(c)).sum / n
+      // the fixed-point fold the query uses: Σ c·⌊ln(c)·1e6⌋ as longs
+      val s = counts.map(c => c * math.floor(math.log(c.toDouble) * 1e6).toLong).sum
+      val h = math.log(n) - s / (1e6 * n)
       u -> ((xs.length.toLong, counts.size.toLong,
         BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
     }

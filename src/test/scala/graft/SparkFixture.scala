@@ -22,25 +22,10 @@ object TestSpark {
 abstract class GraftSuite extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 
-  /** The events table with `ts` normalized to TimestampType — same
-    * contract as the main loader (Queries.events): µs-encoded files
-    * (TIMESTAMP_NTZ under UTC session tz) cast straight through;
-    * legacy TIMESTAMP(NANOS) files read as long nanos under the
-    * legacy flag and truncate to micros. */
-  def eventsTable(dir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    def read() = spark.read.parquet(s"$dir/events.parquet")
-    val raw =
-      try read()
-      catch {
-        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          read()
-      }
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-  }
+  /** The events table with `ts` normalized to TimestampType — THE
+    * loader the queries use (Queries.events), not a copy: the spec
+    * replays must see bit-identical rows to the queries under every
+    * encoding the loader adapts to. */
+  def eventsTable(dir: String): org.apache.spark.sql.DataFrame =
+    Queries.events(spark, dir)
 }
