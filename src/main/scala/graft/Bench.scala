@@ -14,8 +14,43 @@ object Bench {
       "avg300=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(-1.0)
     } catch { case _: Throwable => -1.0 }
 
+  /** Coarse query families for round-over-round subtotals: the registry
+    * grows every round, so per-query comparison breaks, but family
+    * subtotals (graph, LSH/dedup, ANN, feeder, series, …) stay
+    * comparable. Explicit membership for the iterative/graph sets whose
+    * names don't pattern-match; prefix heuristics for the rest. */
+  private val graphFamily = Set(
+    "q_pagerank", "q_kcore", "q_triangle", "q_assortativity", "q_copurchase",
+    "q_local_clustering", "q_link_predict", "q_transition_matrix",
+    "q_dedup_clusters", "q_canonical_pick")
+  private val lshFamily = Set(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+    "q_dedup_embed", "q_containment", "q_cross_dedup", "q_line_dedup",
+    "q_dup_spans", "q_winnow", "q_decontaminate", "q_shingle_novelty",
+    "q_semdedup", "q_doc_fingerprint")
+  private val annFamily = Set(
+    "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_knn_classify",
+    "q_knn_graph", "q_embed_centroid", "q_embed_norm_audit")
+  private val feederFamily = Set(
+    "q_feeder_load", "q_paged_ingest", "q_zip_extract", "q_pushdown_filter",
+    "q_dedup_antijoin", "q_status_map", "q_date_norm", "q_null_norm",
+    "q_clamp_truncate", "q_wide_projection", "q_batch_append",
+    "q_upsert_q5010", "q_month_repair", "q_wave_sweep", "q_wave_derive",
+    "q_jdbc_roundtrip", "q_write_layout", "q_dedup_skipped", "q_upsert_scd2",
+    "q_cdc_apply")
+  private def familyOf(name: String): String =
+    if (graphFamily(name)) "graph"
+    else if (lshFamily(name)) "lsh"
+    else if (annFamily(name)) "ann"
+    else if (feederFamily(name)) "feeder"
+    else "other"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // A stale full record from a previous run must not be mistaken for
+    // this run's output if the write below fails.
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("target/bench_full.json"))
+    catch { case _: Throwable => () }
     // Don't start timing on a host still busy with a previous run: PSI
     // avg300 > 0.2 means recent CPU contention distorted-timing risk, so
     // wait (bounded) for the 5-minute average to decay before the first
@@ -92,18 +127,26 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // Keep the stdout line SMALL: the driver tail-captures output, and a
-    // full-precision line with per-rep arrays + 200-char error messages
-    // overflowed that window in rounds 4-6 (`parsed: null`). Millisecond
-    // precision and 80-char errors keep ~180 queries within a few KB;
-    // the untruncated record (incl. queries_reps) goes to a file.
+    // Keep the stdout line SMALL — and this time provably so. The driver
+    // tail-captures only the LAST 2,000 characters of output, and a
+    // per-query map over ~200 queries is ~8 KB however tersely printed
+    // (rounds 4-7: `parsed: null`, the driver's perf signal blind). The
+    // stdout line therefore carries a compact SUMMARY only: totals,
+    // counts, mean, the top-10 slowest queries (the ones a reader acts
+    // on), and per-family subtotals so round-over-round comparison
+    // survives registry growth without per-query parsing. The complete
+    // per-query record (full precision, per-rep raws, untruncated
+    // errors) lives in target/bench_full.json.
     // Locale.ROOT: the default-locale interpolator would emit a comma
     // decimal separator on non-English JVMs and corrupt the JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = times.map { case (k, v) => s"${jstr(k)}:${ms(v)}" }.mkString("{", ",", "}")
-    val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
+    val mean = if (times.nonEmpty) total / times.size else 0.0
+    val fams = times.groupBy { case (k, _) => familyOf(k) }.toSeq.sortBy(_._1)
+      .map { case (f, ts) =>
+        s"${jstr(f)}:{\"n\":${ts.size},\"sec\":${ms(ts.map(_._2).sum)}}"
+      }.mkString("{", ",", "}")
     val psiEnd = psiCpuAvg300()
     // In-JSON health flag. END pressure is NOT a usable signal: the
     // bench's own local[N] load legally saturates the host, so avg300
@@ -119,7 +162,21 @@ object Bench {
     }
     val noisy = psiStart > 0.3 ||
       (raws.nonEmpty && inverted.toDouble / raws.size > 0.1)
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"err":$es,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
+    def summaryLine(topK: Int, errK: Int): String = {
+      val q = times.sortBy(-_._2).take(topK)
+        .map { case (k, v) => s"${jstr(k)}:${ms(v)}" }.mkString("{", ",", "}")
+      val e = errs.take(errK).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"n":${times.size},"n_err":${errs.size},"mean_s":${ms(mean)},"queries":$q,"families":$fams,"err":$e,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
+    }
+    // Hard size backstop: if (pathologically long names / error text) the
+    // top-10 form still exceeds ~1.8 KB, degrade to top-3/1-err — the
+    // driver window is 2,000 chars and the line MUST fit inside it with
+    // room for sbt's trailing [success] line.
+    val line = {
+      val l10 = summaryLine(10, 5)
+      if (l10.length <= 1800) l10 else summaryLine(3, 1)
+    }
     // the on-disk record is genuinely FULL: full-precision doubles
     // (Double.toString is locale-independent), per-rep raws, and
     // untruncated error messages — it survives even if the driver's
@@ -128,10 +185,15 @@ object Bench {
       val fq = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val fr = raws.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
       val fe = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fq,"queries_reps":$fr,"err":$fe,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fq,"queries_reps":$fr,"families":$fams,"err":$fe,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        // never silent: losing the full record without a trace would make
+        // a stale/absent file look like a clean run
+        System.err.println(s"[bench] WARN failed to write target/bench_full.json: ${e.getMessage}")
+    }
     println(line)
     spark.stop()
   }

@@ -31,6 +31,16 @@ object Queries {
     * dir however many times the fixture builder runs in a session). */
   private val scratchHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-scratch-path build locks: sentinel-gated fixture builds are
+    * check-then-act (test _DONE, rm, rebuild), so two concurrent callers
+    * sharing a SparkSession (parallel suites) could interleave and one
+    * would read a half-built directory that already carries the marker.
+    * One JVM-level monitor per path serializes the build. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def buildLock(path: String): Object =
+    buildLocks.computeIfAbsent(path, _ => new Object)
+
   /** The events table: normalize `ts` to a session-TZ TimestampType
     * regardless of how the parquet files encode it. Seen encodings:
     *   - timestamp[us] (naive) → Spark reads TIMESTAMP_NTZ; cast to
@@ -44,20 +54,57 @@ object Queries {
     * the loader is side-effect-free on the current µs-encoded data. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val raw =
-      try t(s, dir, "events")
-      catch {
-        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
-          // legacy nanos files: the flag must stay set for execution-time
-          // schema conversion, so it is only ever touched on this branch
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          t(s, dir, "events")
-      }
+    // The legacy TIMESTAMP(NANOS) branch is selected by probing the
+    // parquet FOOTER, not by catching Spark's refusal and matching the
+    // exception message — a Spark upgrade that rewords/localizes/wraps
+    // the error must not silently disable the branch (round-7 ADVICE).
+    if (eventsTsIsNanos(s, dir))
+      // the flag must stay set for execution-time schema conversion, so
+      // it is only ever touched on this branch
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
+
+  /** Cached per-dir footer probe: does `dir/events.parquet` annotate its
+    * `ts` field TIMESTAMP(NANOS)? Reads ONE footer of the first file —
+    * O(KB) metadata IO, never data — and caches, so the ~90 events-family
+    * queries pay it once per dir per JVM. Any probe failure (missing
+    * table, exotic layout) answers false and lets the normal read path
+    * surface its own error. */
+  private val nanosProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsNanos(s: SparkSession, dir: String): Boolean =
+    nanosProbe.computeIfAbsent(dir, { _ =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+        val fs = p.getFileSystem(conf)
+        val first =
+          if (fs.getFileStatus(p).isFile) Some(p)
+          else fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+        first.exists { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try {
+            val schema = r.getFooter.getFileMetaData.getSchema
+            schema.containsField("ts") && {
+              val t = schema.getType(schema.getFieldIndex("ts"))
+              t.isPrimitive && (t.getLogicalTypeAnnotation match {
+                case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  a.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                case _ => false
+              })
+            }
+          } finally r.close()
+        }
+      } catch { case _: Throwable => false }
+    }: java.util.function.Function[String, java.lang.Boolean])
 
   /** events with `ts` additionally exposed as epoch-microsecond long
     * (`ts_us`) for queries doing pure integer time arithmetic that must
@@ -531,16 +578,38 @@ object Queries {
     MinHashLSH.nearDupPairs(dupCorpus(s, dir), "doc_id", "text",
       shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
 
+  /** The minhash oracle's all-pairs Jaccard truth, made to SCALE: the
+    * naive self-join is |D|²/2 `list_intersect`s and timed out DuckDB at
+    * sf0.1 (round-7 residual). Candidates now come from PREFIX FILTERING
+    * (Bayardo et al., AllPairs; Chaudhuri et al., SSJoin) — provably
+    * LOSSLESS for J ≥ t: under any global total order on tokens (here
+    * lexicographic via list_sort), a pair with J(A,B) ≥ t shares
+    * |A∩B| ≥ ⌈t·|A|⌉ elements, so the smallest shared token sits within
+    * the first |A| − ⌈t·|A|⌉ + 1 tokens of A (and likewise of B) — both
+    * prefixes contain it, and the prefix-token equi-join emits the pair.
+    * Exact verification (the same intersect formula as before) runs over
+    * candidates only; MATERIALIZED pins each stage so DuckDB can't
+    * re-inline the shingle scan per reference. */
   private val dedupMinhashSql =
-    s"""WITH sh AS (
-       |  ${shingleSetsSql(s"$dupCorpusSql c")}),
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT doc_id, list_sort(s) AS s FROM (
+       |  ${shingleSetsSql(s"$dupCorpusSql c")})),
+       |pre AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(s[1:greatest(len(s) - CAST(ceil(0.8 * len(s)) AS BIGINT) + 1, 1)])
+       |      AS tok
+       |  FROM sh),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
        |j AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  SELECT c.id_a, c.id_b,
        |         len(list_intersect(a.s, b.s)) AS li, len(a.s) AS la, len(b.s) AS lb
-       |  FROM sh a JOIN sh b
-       |    ON a.doc_id < b.doc_id
-       |   -- j >= 0.8 needs min(|A|,|B|)/max(|A|,|B|) >= 0.8: cheap exact prefilter
-       |   AND least(len(a.s), len(b.s)) * 5 >= greatest(len(a.s), len(b.s)) * 4)
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b
+       |  -- j >= 0.8 needs min(|A|,|B|)/max(|A|,|B|) >= 0.8: cheap exact prefilter
+       |  WHERE least(len(a.s), len(b.s)) * 5 >= greatest(len(a.s), len(b.s)) * 4)
        |SELECT id_a, id_b, CAST(li AS DOUBLE) / (la + lb - li) AS jaccard
        |FROM j WHERE CAST(li AS DOUBLE) / (la + lb - li) >= 0.8""".stripMargin
 
@@ -585,17 +654,41 @@ object Queries {
     ConnectedComponents.clusters(corpus, pairs, "doc_id")
   }
 
+  /** Iteration-UNROLLED min-label propagation over a `pairs(id_a,id_b)`
+    * CTE — the scalable replacement for the recursive reachability
+    * closure, whose working set is O(Σ|component|²) and timed DuckDB out
+    * at sf0.1 (round-7 residual; the q_kcore/q_pagerank unrolling
+    * precedent). Round k: l_k(v) = least(l_{k-1}(v), min over neighbors
+    * of l_{k-1}) — after R rounds every node carries the min id within R
+    * hops, which is the component min whenever the distance from any
+    * node to its component's min-id node is ≤ R. The planted dedup
+    * corpus has components of diameter ≤ 3; R = 12 leaves 4× headroom,
+    * and UNDER-convergence cannot pass silently — the driver's hash
+    * compare against Spark's fixed-point ConnectedComponents would
+    * mismatch. Emits CTEs `edges`, `l0`..`lR`, `cc(doc_id, cluster_id)`.
+    */
+  private def ccUnrolledSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT l.v, least(l.lbl, coalesce(n.m, l.lbl)) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN (
+         |    SELECT e.v, min(l2.lbl) AS m
+         |    FROM edges e JOIN l${k - 1} l2 ON l2.v = e.w
+         |    GROUP BY e.v) n ON n.v = l.v)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED (
+       |  SELECT id_a AS v, id_b AS w FROM pairs
+       |  UNION ALL SELECT id_b AS v, id_a AS w FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM edges),
+       |$steps,
+       |cc AS (SELECT v AS doc_id, lbl AS cluster_id FROM l$rounds)""".stripMargin
+  }
+
   private def dedupClustersSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |$dedupMinhashSql
        |),
-       |edges AS (SELECT id_a AS v, id_b AS w FROM pairs
-       |          UNION ALL SELECT id_b AS v, id_a AS w FROM pairs),
-       |reach(v, r) AS (
-       |  SELECT DISTINCT v, v FROM edges
-       |  UNION
-       |  SELECT e.v, r.r FROM edges e JOIN reach r ON r.v = e.w),
-       |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |${ccUnrolledSql(12)},
        |alldocs AS (SELECT doc_id FROM documents
        |            UNION ALL SELECT doc_id + 1000000 AS doc_id FROM documents)
        |SELECT d.doc_id,
@@ -4598,16 +4691,10 @@ object Queries {
   }
 
   private val canonicalPickSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |$dedupMinhashSql
        |),
-       |edges AS (SELECT id_a AS v, id_b AS w FROM pairs
-       |          UNION ALL SELECT id_b AS v, id_a AS w FROM pairs),
-       |reach(v, r) AS (
-       |  SELECT DISTINCT v, v FROM edges
-       |  UNION
-       |  SELECT e.v, r.r FROM edges e JOIN reach r ON r.v = e.w),
-       |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |${ccUnrolledSql(12)},
        |corpus AS $dupCorpusSql,
        |m AS (
        |  SELECT c.doc_id, coalesce(cc.cluster_id, c.doc_id) AS cluster_id,
@@ -7222,8 +7309,11 @@ object Queries {
     * are contiguous with IDENTICAL per-type offsets in both rankings —
     * the offsets cancel in d = rank_ts − rank_value and no per-group
     * offset bookkeeping exists at all. Timestamps rank on the stored
-    * timestamp itself (ordering is identical to the oracle's
-    * `epoch_ns` ordering — epoch extraction is monotone); ties are
+    * timestamp, which Spark holds at MICROSECOND precision under every
+    * supported events encoding (the legacy ns loader truncates ns→µs),
+    * so the oracle ranks on `epoch_us` — NOT `epoch_ns`, which under a
+    * ns-encoded file would order sub-µs-distinct ties differently than
+    * the µs-truncated Spark side and diverge Σd²; ties are
     * total via the event_id tie-break, making this the deterministic
     * distinct-rank Spearman variant (no tie-averaging; documented).
     * Σd² folds in DECIMAL(38,0); ρ is ppm fixed point via integral
@@ -7252,10 +7342,10 @@ object Queries {
 
   private val spearmanSql =
     """WITH e AS (
-      |  SELECT event_id, event_type, epoch_ns(ts) AS tns, value FROM events),
+      |  SELECT event_id, event_type, epoch_us(ts) AS tus, value FROM events),
       |ra AS (
       |  SELECT event_id, event_type,
-      |    CAST(row_number() OVER (ORDER BY event_type, tns, event_id) AS BIGINT)
+      |    CAST(row_number() OVER (ORDER BY event_type, tus, event_id) AS BIGINT)
       |      AS ra
       |  FROM e),
       |rb AS (
@@ -7783,10 +7873,12 @@ object Queries {
     * avalanche on sequential integer keys, exact on both engines
     * (DECIMAL(38,0) on Spark, HUGEINT on DuckDB). Shared by #185 KMV,
     * #204 A/B bucketing, #205 negative sampling. */
-  private val HashMult = 6364136223846793005L
-  private def multHashExpr(c: String): String =
+  // private[graft] so the property suite exercises the PRODUCTION
+  // expression strings, not a copy that could drift
+  private[graft] val HashMult = 6364136223846793005L
+  private[graft] def multHashExpr(c: String): String =
     s"CAST(pmod(CAST($c AS DECIMAL(38,0)) * $HashMult, ${TextAnalysis.FingerprintMod}) AS BIGINT)"
-  private def multHashDuck(c: String): String =
+  private[graft] def multHashDuck(c: String): String =
     s"CAST((CAST($c AS HUGEINT) * $HashMult) % ${TextAnalysis.FingerprintMod} AS BIGINT)"
 
   /** #185 KMV (k-minimum-values) distinct sketch — the mergeable
@@ -8704,7 +8796,10 @@ object Queries {
       .select(col("o_custkey"), explode(sequence(lit(0), lit(7))).as("i"),
         col("__np"))
       .select(col("o_custkey"), col("i"),
-        expr(s"pmod(${multHashExpr("o_custkey * 8 + i")}, __np)")
+        // +1: partkey domain is 1..np, so pmod alone would emit a
+        // nonexistent part 0 (never filterable by the anti-join) and
+        // never sample part np
+        expr(s"pmod(${multHashExpr("o_custkey * 8 + i")}, __np) + 1")
           .as("part_key"))
       .groupBy("o_custkey", "part_key").agg(min("i").as("i"))
     val purchased = orders.select("o_custkey", "o_orderkey")
@@ -8725,7 +8820,7 @@ object Queries {
        |p AS (SELECT CAST(count(*) AS BIGINT) AS np FROM part),
        |cand AS (
        |  SELECT c.o_custkey, u.i,
-       |    ${multHashDuck("c.o_custkey * 8 + u.i")} % p.np AS part_key
+       |    ${multHashDuck("c.o_custkey * 8 + u.i")} % p.np + 1 AS part_key
        |  FROM cust c, (SELECT unnest(range(0, 8)) AS i) u, p),
        |ded AS (
        |  SELECT o_custkey, part_key, min(i) AS i
@@ -8765,22 +8860,27 @@ object Queries {
     // sentinel-gated build: a crash mid-write leaves no _DONE marker,
     // so the next call REBUILDS instead of serving a partial fixture
     // set forever (which would fail the oracle with a confusing
-    // row-count mismatch far from the broken build site)
+    // row-count mismatch far from the broken build site). The whole
+    // check-then-act runs under the per-path JVM lock — without it two
+    // concurrent callers (parallel suites on one session) can interleave
+    // rm/mkdirs/writes and one reads a half-built dir bearing the marker.
     val done = new java.io.File(scratch, "_DONE")
-    if (!done.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
+    buildLock(scratch.getAbsolutePath).synchronized {
+      if (!done.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(scratch)
+        scratch.mkdirs()
+        (0 until 40).foreach { i =>
+          val payload = ("px" * (i + 1)).getBytes("US-ASCII")
+          val png = Multimodal.pngWrap(payload, 16 + (i % 7) * 3, 9 + (i % 5) * 2)
+          java.nio.file.Files.write(
+            new java.io.File(scratch, f"img_$i%03d.png").toPath, png)
+        }
+        java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
       }
-      rm(scratch)
-      scratch.mkdirs()
-      (0 until 40).foreach { i =>
-        val payload = ("px" * (i + 1)).getBytes("US-ASCII")
-        val png = Multimodal.pngWrap(payload, 16 + (i % 7) * 3, 9 + (i % 5) * 2)
-        java.nio.file.Files.write(
-          new java.io.File(scratch, f"img_$i%03d.png").toPath, png)
-      }
-      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
     }
     if (scratchHooked.add(scratch.getAbsolutePath)) {
       val doomed = scratch

@@ -80,9 +80,13 @@ class NoveltyTailExperimentSpec extends GraftSuite {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_partkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val np = spark.read.parquet(s"$dir/part.parquet").count()
     got.foreach { case (cust, rank, part) =>
       assert(cust % 50 == 0)
       assert(rank >= 1 && rank <= 4)
+      // candidates must land in the REAL partkey domain (1..np): part 0
+      // doesn't exist and would silently dodge the purchased anti-join
+      assert(part >= 1 && part <= np, s"part_key $part outside 1..$np")
       assert(!purchased.contains((cust, part)),
         s"customer $cust sampled an actually-purchased part $part")
     }
