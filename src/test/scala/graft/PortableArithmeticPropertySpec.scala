@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the engine-portable arithmetic ~30 oracles lean
+  * on: the multiplicative hash (`Queries.multHashExpr`/`multHashDuck` —
+  * KMV, A/B bucketing, negative sampling), the ⌊ln·scale⌋ fixed-point
+  * folds (token entropy, zipf fit, bigram LM, hill tail), and the
+  * `(2n+d) div (2d)` round-half-up (raking, bootstrap CI, seasonal
+  * decompose). One silent overflow or sign surprise in any of these
+  * breaks many gates at once, so each is pinned against an exact
+  * BigInt/BigDecimal JVM reference over adversarial ranges —
+  * Long.Min/Max edges, negatives, denormal-adjacent doubles — not just
+  * the friendly values the fixtures happen to produce. The PRODUCTION
+  * expression strings are evaluated (private[graft] accessors), never a
+  * re-derivation that could drift. */
+class PortableArithmeticPropertySpec extends GraftSuite {
+  import spark.implicits._
+
+  private val M = BigInt(operators.TextAnalysis.FingerprintMod)
+  private val A = BigInt(Queries.HashMult)
+
+  private def check(p: Prop, n: Int = 15): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("multiplicative hash: Spark formula == BigInt pmod on the FULL Long range") {
+    // DECIMAL(38,0) headroom is part of the contract: |x·A| ≤
+    // 2^63·6.37e18 ≈ 5.9e37 < 10^38−1, so the product can never
+    // overflow-null even at Long.MinValue. BigInt.mod is non-negative
+    // for a positive modulus — exactly Spark's pmod.
+    val edges = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue,
+      Long.MinValue + 1, M.toLong, -M.toLong, M.toLong - 1, M.toLong + 1)
+    val gen = Gen.frequency(3 -> Gen.oneOf(edges), 7 -> Gen.long)
+    val prop = forAll(Gen.listOfN(48, gen)) { xs0 =>
+      val xs = (edges ++ xs0).distinct
+      val got = xs.toDF("x")
+        .selectExpr("x", s"${Queries.multHashExpr("x")} AS h")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      xs.forall { x => got(x) == ((BigInt(x) * A) mod M).toLong }
+    }
+    check(prop)
+  }
+
+  test("multHashDuck % semantics == pmod on the non-negative call-site domain") {
+    // DuckDB HUGEINT % keeps the dividend's sign (as does BigInt.%);
+    // Spark's side uses pmod. They agree exactly iff the hashed key is
+    // non-negative — which every call site (user_id, custkey-derived)
+    // guarantees. Pure JVM replay of both formulas' arithmetic.
+    val prop = forAll(Gen.chooseNum(0L, Long.MaxValue)) { x =>
+      val prod = BigInt(x) * A
+      (prod % M).toLong == (prod mod M).toLong
+    }
+    check(prop, 500)
+    // ... and the domain restriction is REAL, not hypothetical:
+    val neg = BigInt(-3L) * A
+    assert((neg % M) != (neg mod M),
+      "a negative key WOULD diverge between engines — call sites must stay >= 0")
+  }
+
+  test("⌊ln·1e6⌋ and ⌊ln·1e9⌋ folds match the JVM reference incl. denormal edges") {
+    // Spark's ln/floor lower to java.lang.Math on the JVM, so this pins
+    // the fixed-point quantization (floor-then-cast ordering, scale
+    // headroom) rather than the log itself: even ln(Double.MIN_VALUE)
+    // ≈ −744.44 scales to ~−7.4e11 at 1e9 — far inside BIGINT.
+    val edges = Seq(java.lang.Double.MIN_VALUE, java.lang.Double.MIN_NORMAL,
+      math.nextDown(1.0), 1.0, math.nextUp(1.0), 2.0, math.E,
+      math.nextDown(math.E), 1e15, java.lang.Double.MAX_VALUE)
+    val gen = Gen.frequency(
+      3 -> Gen.oneOf(edges),
+      4 -> Gen.chooseNum(1e-300, 1e300),
+      3 -> Gen.chooseNum(1.0, 1e9).map(math.floor)) // the count-like domain
+    val prop = forAll(Gen.listOfN(40, gen)) { xs0 =>
+      val xs = (edges ++ xs0).distinct.filter(_ > 0)
+      val got = xs.toDF("x")
+        .selectExpr("x",
+          "CAST(floor(ln(x) * 1e6) AS BIGINT) AS q6",
+          "CAST(floor(ln(x) * 1e9) AS BIGINT) AS q9")
+        .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+      xs.forall { x =>
+        got(x) == (math.floor(math.log(x) * 1e6).toLong,
+                   math.floor(math.log(x) * 1e9).toLong)
+      }
+    }
+    check(prop)
+  }
+
+  test("(2n+d) div (2d) round-half-up matches exact BigInt truncating division") {
+    // The raking/bootstrap/decompose rounding: nearest integer to n/d
+    // with halves toward +inf, computed entirely in DECIMAL(38,0) —
+    // IntegralDivide truncates toward zero on BOTH engines, which this
+    // replays with BigInt./ (truncated division). Inputs are scaled
+    // ×1e6 so intermediates genuinely exercise wide-decimal headroom
+    // (~25 digits) while quotients stay within Long.
+    val genN = Gen.frequency(
+      2 -> Gen.oneOf(0L, 1L, -1L, 5L, -5L, Long.MaxValue, Long.MinValue + 1),
+      8 -> Gen.long)
+    val genD = Gen.frequency(
+      2 -> Gen.oneOf(1L, 2L, 10L, Long.MaxValue),
+      8 -> Gen.chooseNum(1L, Long.MaxValue))
+    val prop = forAll(Gen.listOfN(32, Gen.zip(genN, genD))) { nds0 =>
+      val nds = (Seq((5L, 10L), (-5L, 10L), (0L, 1L)) ++ nds0).distinct
+      val scale = BigInt(1000000)
+      val rows = nds.map { case (n, d) =>
+        Row(new java.math.BigDecimal((BigInt(n) * scale).bigInteger),
+            new java.math.BigDecimal((BigInt(d) * scale).bigInteger))
+      }
+      val schema = StructType(Seq(
+        StructField("n", DecimalType(38, 0)), StructField("d", DecimalType(38, 0))))
+      val got = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+        .selectExpr("n", "d", "(2 * n + d) div (2 * d) AS q")
+        .collect()
+        .map(r => (BigInt(r.getDecimal(0).toBigInteger),
+                   BigInt(r.getDecimal(1).toBigInteger)) -> r.getLong(2))
+        .toMap
+      nds.forall { case (n, d) =>
+        val (nn, dd) = (BigInt(n) * scale, BigInt(d) * scale)
+        got((nn, dd)) == ((2 * nn + dd) / (2 * dd)).toLong
+      }
+    }
+    check(prop)
+    // the half cases pin the INTENT: +0.5 rounds up, −0.5 rounds to 0
+    // (truncation toward zero ≡ half-toward-+inf at exact halves)
+    val half = Seq((5L, 10L) -> 1L, (-5L, 10L) -> 0L, (15L, 10L) -> 2L,
+      (-15L, 10L) -> -1L)
+    half.foreach { case ((n, d), want) =>
+      assert((2 * BigInt(n) + d) / (2 * BigInt(d)) == want, s"($n,$d)")
+    }
+  }
+}
