@@ -10,9 +10,29 @@ and compare cell-by-cell. Reports rows/schema/values status per query.
 """
 import json
 import sys
+import threading
 
 import duckdb
 import pandas as pd
+
+# Per-oracle wall-clock budget (large-SF sweeps): a quadratic replay
+# must surface as TIMEOUT, not hang the whole sweep. 0 = unlimited
+# (the default, matching driver behavior at the sf0.01 gate).
+import os
+TIMEOUT_S = float(os.environ.get("ORACLE_TIMEOUT_S", "0"))
+
+
+def run_with_timeout(con, sql: str) -> pd.DataFrame:
+    if TIMEOUT_S <= 0:
+        return con.execute(sql).fetchdf()
+    timer = threading.Timer(TIMEOUT_S, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchdf()
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle exceeded {TIMEOUT_S:.0f}s")
+    finally:
+        timer.cancel()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -28,7 +48,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, only=None) -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -40,6 +60,8 @@ def main(sf_dir: str, out_dir: str) -> None:
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             continue
+        if only is not None and name not in only:
+            continue
         spark_df = pd.read_parquet(path)
         if name not in oracle:
             status = f"rows-only ({len(spark_df)} rows)"
@@ -49,7 +71,11 @@ def main(sf_dir: str, out_dir: str) -> None:
             n_fail += not ok
             continue
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            duck_df = run_with_timeout(con, oracle[name])
+        except TimeoutError as e:
+            print(f"TIMEOUT {name}: {e}")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -84,4 +110,5 @@ def main(sf_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
