@@ -738,7 +738,21 @@ object Queries {
     // holds while no bucket exceeds the cap (gate corpora are ~1k rows
     // over 256 buckets); a corpus dense enough to trip it needs the cap
     // (or bits) raised to keep exhaustive-recall semantics.
-    Similarity.nearDupPairs(corpus, threshold = 0.95, bits = 8, dim = 64,
+    //
+    // bits SCALES WITH THE CORPUS: at fixed bits the per-bucket
+    // population grows linearly and the in-bucket pair scan
+    // quadratically (measured, LshCandidates: 4k corpus / bits=8 →
+    // 37k pairs; 40k corpus / bits=8 → 3.59M — 97× for 10× data;
+    // bits=12 there → 306k, linear again). ceil(log2(n/16)) holds
+    // ~16 vectors per bucket at any scale; floor 8 keeps the gate
+    // corpus on its audited 256-bucket layout. Identical duplicates
+    // collide at ANY width, so the oracle pair set is bits-independent;
+    // on a real corpus more bits trades recall near the threshold —
+    // the documented tables/bits lever.
+    val n = corpus.count()
+    val bits = math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 16 - 1, 1)))
+    Similarity.nearDupPairs(corpus, threshold = 0.95, bits = bits.toInt, dim = 64,
       roundTo = Some(6))
   }
 
