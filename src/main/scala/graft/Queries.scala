@@ -2193,11 +2193,12 @@ object Queries {
     * is the deterministic fixed-point Lloyd per subspace; encode is
     * map-only (plan-audited in PqIndexSpec). Oracle shape follows the
     * sketch pattern (q_approx_distinct): the rows are the exact
-    * brute-force queries with `recall_ok` pinned TRUE — PQ's top-50
-    * candidates must recall ≥ 20% of each query's exact top-10, a floor
-    * a broken quantizer (random codes ≈ 1-6% recall) cannot meet while
-    * healthy PQ clears it several-fold even on this isotropic
-    * worst-case corpus. Tighter mean-recall bounds live in PqIndexSpec. */
+    * brute-force queries with `recall_ok` pinned TRUE — PQ's candidate
+    * set (≥2.5% of the corpus, see kCand below) must recall ≥ 20% of
+    * each query's exact top-10, a floor a broken quantizer (random
+    * codes) cannot meet while healthy PQ clears it several-fold even on
+    * this isotropic worst-case corpus. Tighter mean-recall bounds live
+    * in PqIndexSpec. */
   /** PQ codebooks per dataset — training is deterministic, so re-running
     * the query (bench reps) reuses the trained quantizer instead of
     * re-running its ~24 Lloyd jobs. This IS the production contract
@@ -2213,7 +2214,15 @@ object Queries {
     val cbs = pqCodebooks.computeIfAbsent(dir, _ =>
       PqIndex.trainReplicable(e, "vec_id", "embedding",
         m = 8, ksub = 16, iters = 2, sampleMod = 2))
-    val pq = PqIndex.adcTopK(queries, e, k = 50, cbs)
+    // ADC candidate (rerank) depth SCALES WITH THE CORPUS: a fixed
+    // top-50 is 10% of a 500-vector gate corpus but 0.25% at 20k, and
+    // the recall floor genuinely failed there (3/8 queries < 2/10 hits
+    // — caught by the round-8 sf1 sweep). max(50, n/40) holds the
+    // candidate FRACTION at ≥2.5% (the audited sf0.1 rate), the
+    // standard PQ rerank-budget lever; ADC scan cost stays O(n) either
+    // way, only the bounded-heap k grows.
+    val kCand = math.max(50L, e.count() / 40L).toInt
+    val pq = PqIndex.adcTopK(queries, e, k = kCand, cbs)
       .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
     Similarity.bruteForceTopK(queries, e, k = 10, roundTo = Some(6))
       .join(pq, Seq("q_id", "vec_id"), "left")
