@@ -619,9 +619,18 @@ object Queries {
     * all-pairs hamming<=3 truth — which chunk blocking provably equals
     * (hamming<=3 < 4 chunks ⇒ some chunk agrees; no bucket can exceed
     * the skew cap at this corpus size). */
-  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    SimHash.nearDupPairs(dupCorpus(s, dir), "doc_id", "text",
-      maxHamming = 3, chunks = 4, sqlReplicable = true)
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    // The skew cap SCALES WITH THE CORPUS: the fixed 1,000 default
+    // silently pruned hot 16-bit chunk buckets at the 100k-doc sf1
+    // corpus and dropped 2,156 true pairs vs the all-pairs oracle
+    // (round-8 sweep). n/20 keeps exhaustive-recall semantics at the
+    // audited scales while still bounding a pathological mega-bucket
+    // (identical-fingerprint spam) to 5% of the corpus.
+    val cap = math.max(1000L, corpus.count() / 20L).toInt
+    SimHash.nearDupPairs(corpus, "doc_id", "text",
+      maxHamming = 3, chunks = 4, maxBucketSize = cap, sqlReplicable = true)
+  }
 
   private val dedupSimhashSql: String = {
     val u = graft.functions.NativeText.SimHashUniv
@@ -4146,11 +4155,15 @@ object Queries {
     val tau = 0.95
     val base = t(s, dir, "embeddings")
     // the synthetic embeddings are isotropic (max natural pairwise cosine
-    // ~0.51) — plant exact duplicates at vec_id+10000 for every 7th vector
-    // so the τ gate provably fires; the oracle plants the same set in SQL
+    // ~0.51) — plant exact duplicates at vec_id+1e7 for every 7th vector
+    // so the τ gate provably fires; the oracle plants the same set in
+    // SQL. The shift sits far above any corpus id: the previous +10000
+    // COLLIDED with real vec_ids once the corpus passed 10k vectors
+    // (caught by the round-8 sf1 sweep — duplicate ids diverged the
+    // engines' row counts).
     val e = parallelize(s, base.select("vec_id", "embedding")
       .unionAll(base.filter(col("vec_id") % 7 === 3)
-        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))))
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))))
     val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
       nlist = 16, iters = 3, sampleMod = 4)
     // one assignment pass, persisted: the pair scan reads it twice and
@@ -4173,7 +4186,7 @@ object Queries {
   private val semDedupSql =
     s"""WITH ${ivfAssignCtes(64, 16, 3, src =
         "(SELECT vec_id, embedding FROM embeddings UNION ALL " +
-        "SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 7 = 3)")},
+        "SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 7 = 3)")},
        |drops AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
