@@ -38,11 +38,21 @@ object Bench {
     "q_upsert_q5010", "q_month_repair", "q_wave_sweep", "q_wave_derive",
     "q_jdbc_roundtrip", "q_write_layout", "q_dedup_skipped", "q_upsert_scd2",
     "q_cdc_apply")
+  private val seriesFamily = Set(
+    "q_events_window", "q_sessionize", "q_session_window_fn", "q_moving_sum",
+    "q_hopping_window", "q_gap_fill", "q_rolling_quantile", "q_rolling_active",
+    "q_ewma", "q_autocorr", "q_seasonality", "q_seasonal_decompose",
+    "q_drawdown", "q_peak_detect", "q_changepoint", "q_linear_fit",
+    "q_burstiness", "q_mom_growth", "q_runs_test", "q_interarrival",
+    "q_late_arrival", "q_interval_coverage", "q_throttle", "q_streaks",
+    "q_time_weighted_avg", "q_cumulative_distinct", "q_event_downsample",
+    "q_stream_dedup", "q_stream_join", "q_incremental_agg")
   private def familyOf(name: String): String =
     if (graphFamily(name)) "graph"
     else if (lshFamily(name)) "lsh"
     else if (annFamily(name)) "ann"
     else if (feederFamily(name)) "feeder"
+    else if (seriesFamily(name)) "series"
     else "other"
 
   def main(args: Array[String]): Unit = {
