@@ -36,10 +36,19 @@ object ConnectedComponents {
   def minLabelPropagation(pairs: DataFrame, aCol: String, bCol: String,
                           idCol: String = "doc_id",
                           maxIter: Int = 50): DataFrame = {
-    // symmetrize once: neighbour lists see both directions
-    val fwd = pairs.select(col(aCol).as("__v"), col(bCol).as("__w"))
-    val rev = pairs.select(col(bCol).as("__v"), col(aCol).as("__w"))
-    val edges = fwd.unionAll(rev)
+    // Symmetrize MAP-SIDE (explode of both orientations), not via
+    // union(fwd, rev): a union carries TWO copies of the upstream pair
+    // plan, and when `pairs` is an LSH join pipeline the whole candidate
+    // generation would execute twice before the persist materializes.
+    // Pre-partitioning on __w means the per-round neighbour join reads
+    // the persisted edges already hash-distributed on its join key — the
+    // rounds shuffle only the (much smaller) label table.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("__v"), col(bCol).as("__w")),
+        struct(col(bCol).as("__v"), col(aCol).as("__w")))).as("__e"))
+      .select(col("__e.__v").as("__v"), col("__e.__w").as("__w"))
+      .repartition(col("__w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint (eager) after every round: an iterative DataFrame
