@@ -8600,9 +8600,15 @@ object Queries {
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
         TextAnalysis.tokenCount(lower(col("text"))).cast("long").as("ntok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the prefix scan underneath packByBudget executes its
+    // input three times (range-bound sampling, per-partition totals,
+    // the offset pass) — without the persist each pass re-runs the
+    // dedup aggregation off the shuffle files, and the funnel's bench
+    // time triples vs the sum of its stages
     val unique = accepted.groupBy("fp")
       .agg(min(struct(col("doc_id"), col("ntok"))).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.ntok").as("ntok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val packed = PrefixSum.packByBudget(unique, "doc_id", "ntok", 2048L)
     val stats = packed.agg(count(lit(1)).as("n_unique"),
       sum("ntok").as("n_tokens"),
