@@ -6925,9 +6925,14 @@ object Queries {
       .join(deg.select(col("v").as("ea"), col("deg").as("da")), Seq("ea"))
       .join(deg.select(col("v").as("eb"), col("deg").as("db")), Seq("eb"))
       .select(col("da"), col("db"))
-    // symmetrize: each undirected edge contributes (da,db) and (db,da)
-    pairs.select(col("da").as("x"), col("db").as("y"))
-      .unionAll(pairs.select(col("db").as("x"), col("da").as("y")))
+    // symmetrize MAP-SIDE: each undirected edge contributes (da,db) and
+    // (db,da). A union(fwd, rev) would carry two copies of the
+    // edges⋈deg⋈deg pipeline and execute the joins twice — the explode
+    // duplicates rows from a single pass instead.
+    pairs.select(explode(array(
+        struct(col("da").as("x"), col("db").as("y")),
+        struct(col("db").as("x"), col("da").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         // cast BEFORE the product: hub degrees can square past BIGINT

@@ -22,15 +22,54 @@ object ProfileScratch {
       println(f"[prof] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    (1 to 2).foreach { rep =>
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      println(s"--- rep $rep ---")
-      time("q_corpus_build total") {
-        val df = time("construct (incl. scans)") {
-          graft.SparkEntry.queries("q_corpus_build")(spark, dir)
+    if (sys.env.contains("PROF_EDGES")) {
+      import org.apache.spark.sql.functions._
+      (1 to 2).foreach { rep =>
+        println(s"--- edges rep $rep ---")
+        val grouped = time("groupBy collect_set") {
+          val d = spark.read.parquet(s"$dir/lineitem.parquet")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+            .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+            .persist()
+          d.count(); d
         }
-        time("noop write")(df.write.mode("overwrite").format("noop").save())
+        val pairs = time("explode pairs count") {
+          val p = grouped.select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+              |  transform(slice(ps, i + 2, size(ps)),
+              |            y -> struct(x AS ea, y AS eb))))"""
+              .stripMargin.replace("\n", " "))).as("e"))
+            .select(col("e.ea").as("ea"), col("e.eb").as("eb"))
+          println("pairs=" + p.count()); p
+        }
+        val edges = time("groupBy n_co filter") {
+          val e = pairs.groupBy("ea", "eb").agg(count(lit(1)).as("n_co"))
+            .filter(col("n_co") >= 2).select("ea", "eb").persist()
+          println("edges=" + e.count()); e
+        }
+        time("deg") {
+          val deg = edges.select(col("ea").as("v"))
+            .unionAll(edges.select(col("eb").as("v")))
+            .groupBy("v").agg(count(lit(1)).as("deg"))
+          println("nodes=" + deg.count())
+        }
+        grouped.unpersist(); edges.unpersist()
+      }
+      spark.stop(); return
+    }
+    val names = args.headOption.getOrElse("q_corpus_build").split(",").toSeq
+    names.foreach { name =>
+      (1 to 2).foreach { rep =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        println(s"--- $name rep $rep ---")
+        time(s"$name total") {
+          val df = time("construct (incl. scans)") {
+            graft.SparkEntry.queries(name)(spark, dir)
+          }
+          if (sys.env.contains("PROF_EXPLAIN") && rep == 1) df.explain("formatted")
+          time("noop write")(df.write.mode("overwrite").format("noop").save())
+        }
       }
     }
     spark.stop()
