@@ -2880,7 +2880,11 @@ object Queries {
     * (Σ ⌊ln p·1e9⌋ longs — shuffle-order-proof). Pair construction is a
     * map-side zip of the id array with its own tail — no window, no
     * per-token shuffle beyond the id encode's doc regroup. */
-  private def bigramLm(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document bigram-LM scores (doc_id, n_bigrams, __s) where `__s`
+    * is the fixed-point Σ ⌊ln p·1e9⌋ — shared by #87 (cross-entropy
+    * output) and #213 (perplexity-band bucketing); see #87's doc
+    * comment for the model. */
+  private def bigramDocScores(s: SparkSession, dir: String): DataFrame = {
     val V = 256; val alpha = 0.5
     val toks = parallelize(s, t(s, dir, "documents"))
       .select(col("doc_id"),
@@ -2914,13 +2918,17 @@ object Queries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(floor(lnP * lit(1e9)).cast("long")).as("__s"))
+  }
+
+  private def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramDocScores(s, dir)
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("__s").cast("double") / (lit(1e9) * col("n_bigrams").cast("double")), 6)
           .as("xent"))
-  }
 
-  private val bigramLmSql =
-    """WITH tok AS (
+  /** The tok→…→scored CTE chain shared by the #87 and #213 oracles. */
+  private val bigramScoredCtes =
+    """tok AS (
       |  SELECT doc_id,
       |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token,
       |    generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
@@ -2946,11 +2954,14 @@ object Queries {
       |       (CAST(ctx.c1 AS DOUBLE) + 128.5)) AS lnp
       |  FROM pairs p
       |  LEFT JOIN bg USING (id1, id2)
-      |  JOIN ctx USING (id1))
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  round(-CAST(sum(CAST(floor(lnp * 1e9) AS BIGINT)) AS DOUBLE) /
-      |    (1e9 * CAST(count(*) AS DOUBLE)), 6) AS xent
-      |FROM scored GROUP BY 1""".stripMargin
+      |  JOIN ctx USING (id1))""".stripMargin
+
+  private val bigramLmSql =
+    s"""WITH $bigramScoredCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(-CAST(sum(CAST(floor(lnp * 1e9) AS BIGINT)) AS DOUBLE) /
+       |    (1e9 * CAST(count(*) AS DOUBLE)), 6) AS xent
+       |FROM scored GROUP BY 1""".stripMargin
 
   /** #88 representative examples per group via the native bounded
     * `topk_by` aggregate — the "show me the top docs per language"
@@ -8958,6 +8969,376 @@ object Queries {
       |  TRUE AS header_decoded
       |FROM (SELECT unnest(range(0, 40)) AS i)""".stripMargin
 
+  /** #207 deterministic reservoir sample — a fixed-size (k=5) uniform
+    * sample per language stratum, reproducible across runs and engines:
+    * "random" order is the multiplicative hash of doc_id (the #185/#204
+    * primitive), so the sample is the k hash-smallest docs per stratum —
+    * exactly the bottom-k-of-a-uniform-hash formulation of reservoir
+    * sampling, with none of the sequential-stream state. TWO-PHASE
+    * top-k: a first window partitioned by (stratum × 64 hash buckets)
+    * cuts each bucket to k (bounded frames at any stratum size —
+    * losslessly contains the global top-k), then the final rank runs
+    * over ≤ 64·k survivors per stratum. */
+  private def reservoirSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val docs = parallelize(s, t(s, dir, "documents"))
+      .select(col("lang"), col("doc_id"), expr(multHashExpr("doc_id")).as("__h"))
+      .withColumn("__b", pmod(col("__h"), lit(64)))
+    val w1 = Window.partitionBy("lang", "__b").orderBy("__h", "doc_id")
+    val pre = docs.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+    val w2 = Window.partitionBy("lang").orderBy("__h", "doc_id")
+    pre.withColumn("rank", row_number().over(w2).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"))
+  }
+
+  private val reservoirSampleSql =
+    s"""SELECT lang, CAST(rank AS INT) AS rank, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+       |  FROM (SELECT lang, doc_id, ${multHashDuck("doc_id")} AS h
+       |        FROM documents))
+       |WHERE rank <= 5""".stripMargin
+
+  /** #208 stratified k-fold split audit — 5-fold assignment by the
+    * multiplicative hash of doc_id (deterministic: replays identically
+    * on any engine, any run) plus the per-fold language-balance audit a
+    * training pipeline runs before trusting cross-validation: for each
+    * fold, the max absolute deviation (ppm) between the fold's language
+    * shares and the corpus's. All shapes are partial-aggregated
+    * groupBys over O(folds × langs) rows; shares are exact integer ppm
+    * (never a double ratio); deviations are measured over the languages
+    * present in each fold (identically on both engines). */
+  private def stratifiedKfold(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(pmod(${multHashExpr("doc_id")}, 5) AS INT)").as("fold"))
+    val fl = docs.groupBy("fold", "lang").agg(count(lit(1)).as("n_fl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = fl.groupBy("fold").agg(sum("n_fl").as("n_docs"))
+    val l = fl.groupBy("lang").agg(sum("n_fl").as("n_l"))
+    val tot = l.agg(sum("n_l").as("n"))
+    fl.join(f, Seq("fold")).join(broadcast(l), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"),
+        expr("abs((n_fl * 1000000) div n_docs - (n_l * 1000000) div n)")
+          .as("__dev"))
+      .groupBy("fold", "n_docs")
+      .agg(max(col("__dev")).cast("long").as("max_dev_ppm"))
+      .select(col("fold"), col("n_docs"), col("max_dev_ppm"))
+  }
+
+  private val stratifiedKfoldSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(${multHashDuck("doc_id")} % 5 AS INT) AS fold
+       |  FROM documents),
+       |fl AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_fl
+       |       FROM d GROUP BY 1, 2),
+       |f AS (SELECT fold, sum(n_fl) AS n_docs FROM fl GROUP BY 1),
+       |l AS (SELECT lang, sum(n_fl) AS n_l FROM fl GROUP BY 1),
+       |t AS (SELECT sum(n_l) AS n FROM l)
+       |SELECT fl.fold, CAST(f.n_docs AS BIGINT) AS n_docs,
+       |  CAST(max(abs((fl.n_fl * 1000000) // f.n_docs
+       |               - (l.n_l * 1000000) // t.n)) AS BIGINT) AS max_dev_ppm
+       |FROM fl JOIN f ON fl.fold = f.fold JOIN l ON fl.lang = l.lang, t
+       |GROUP BY 1, 2""".stripMargin
+
+  /** #209 heavy-change detection — the top-10 users whose activity
+    * shifted most between the two halves of the timeline (the "what
+    * changed since last period?" monitoring primitive, pairing with
+    * q_drift_psi's distribution-level view): the split point is the
+    * timeline midpoint (1-row broadcast, exact integer µs), per-user
+    * half-counts fold in ONE partial-aggregated groupBy, and the top-10
+    * cut by |Δ| plans as TakeOrderedAndProject (per-partition top-k,
+    * 10-row driver merge — no global sort). Ties total via user_id. */
+  private def heavyChange(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__t"))
+    val mid = ev.agg(expr("(min(__t) + max(__t)) div 2").as("__mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("__t") < col("__mid"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("__t") >= col("__mid"), 1L).otherwise(0L)).as("n_second"))
+      .withColumn("abs_change", abs(col("n_second") - col("n_first")))
+      .orderBy(desc("abs_change"), asc("user_id"))
+      .limit(10)
+  }
+
+  private val heavyChangeSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+      |c AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN t < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |    CAST(sum(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      |  FROM e, m GROUP BY 1)
+      |SELECT user_id, n_first, n_second,
+      |  abs(n_second - n_first) AS abs_change
+      |FROM c
+      |ORDER BY abs_change DESC, user_id
+      |LIMIT 10""".stripMargin
+
+  /** #210 join-cardinality estimate from KMV sketches — the
+    * optimizer-style statistics primitive: estimate |keys(orders) ∩
+    * keys(lineitem)| from two k-minimum-values sketches (k=256) WITHOUT
+    * the join, then audit against the exact answer. The bottom-k of the
+    * tagged hash UNION gives both the union estimate ((k−1)·M/h(k), the
+    * #185 estimator) and the Jaccard estimate (the share ρ of the
+    * bottom-k present in BOTH sides), so intersection ≈ ρ·|A∪B| — in
+    * exact integer arithmetic: (k_both · est_union) div k_used, which
+    * degrades gracefully to the exact value when the union fits inside
+    * the sketch. Shapes: per-side distinct is a partial-aggregated
+    * groupBy; the bottom-k cut is TakeOrderedAndProject; DECIMAL(38,0)
+    * until the final bounded cast (the #185 ANSI-overflow rule). */
+  private def joinCardEst(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val m = TextAnalysis.FingerprintMod
+    val a = t(s, dir, "orders").select(col("o_orderkey").as("key")).distinct()
+      .select(expr(multHashExpr("key")).as("h"),
+        lit(1L).as("__a"), lit(0L).as("__b"))
+    val b = t(s, dir, "lineitem").select(col("l_orderkey").as("key")).distinct()
+      .select(expr(multHashExpr("key")).as("h"),
+        lit(0L).as("__a"), lit(1L).as("__b"))
+    val tagged = a.unionAll(b).groupBy("h")
+      .agg(max("__a").as("ia"), max("__b").as("ib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = tagged.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("__kth"),
+        sum(expr("ia * ib")).cast("long").as("k_both"))
+    val exact = tagged.agg(count(lit(1)).as("exact_union"),
+      sum(expr("ia * ib")).cast("long").as("exact_intersection"))
+    sk.crossJoin(broadcast(exact))
+      .withColumn("est_union",
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"((k_used - 1) * CAST($m AS DECIMAL(38,0))) div __kth")
+            .cast("long")))
+      .withColumn("est_intersection",
+        expr("((CAST(k_both AS DECIMAL(38,0)) * est_union) div k_used)").cast("long"))
+      .withColumn("err_ppm", expr(
+        """CAST(least((abs(CAST(est_intersection AS DECIMAL(38,0))
+          |  - exact_intersection) * 1000000) div exact_intersection,
+          |  CAST(1000000000000 AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .select("k_used", "k_both", "exact_union", "exact_intersection",
+        "est_union", "est_intersection", "err_ppm")
+  }
+
+  private val joinCardEstSql =
+    s"""WITH ha AS (
+       |  SELECT DISTINCT ${multHashDuck("o_orderkey")} AS h FROM orders),
+       |hb AS (
+       |  SELECT DISTINCT ${multHashDuck("l_orderkey")} AS h FROM lineitem),
+       |tg AS (
+       |  SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+       |    SELECT h, 1 AS ia, 0 AS ib FROM ha
+       |    UNION ALL SELECT h, 0, 1 FROM hb) GROUP BY 1),
+       |sk AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth,
+       |    CAST(sum(ia * ib) AS BIGINT) AS k_both
+       |  FROM (SELECT * FROM tg ORDER BY h LIMIT 256)),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(sum(ia * ib) AS BIGINT) AS exact_intersection FROM tg),
+       |est AS (
+       |  SELECT k_used, k_both, exact_union, exact_intersection,
+       |    CASE WHEN k_used < 256 THEN k_used
+       |         ELSE CAST(((k_used - 1) *
+       |           CAST(${TextAnalysis.FingerprintMod} AS HUGEINT)) // kth
+       |           AS BIGINT) END AS est_union
+       |  FROM sk, ex)
+       |SELECT k_used, k_both, exact_union, exact_intersection, est_union,
+       |  CAST((CAST(k_both AS HUGEINT) * est_union) // k_used AS BIGINT)
+       |    AS est_intersection,
+       |  CAST(least((abs(CAST((CAST(k_both AS HUGEINT) * est_union) // k_used
+       |    AS HUGEINT) - exact_intersection) * 1000000) // exact_intersection,
+       |    1000000000000) AS BIGINT) AS err_ppm
+       |FROM est""".stripMargin
+
+  /** #211 minhash estimator calibration — per candidate pair, the
+    * 32-slot minhash Jaccard ESTIMATE (share of agreeing slots) against
+    * the EXACT shingle Jaccard, with the absolute error in ppm: the
+    * audit that justifies the LSH family's band/row parameters with a
+    * measured error distribution instead of the textbook 1/√H bound.
+    * The signature here is the ENGINE-PORTABLE universal-hash family
+    * (#18's (a·h+b) mod P over the mod-P polynomial shingle fold — not
+    * xxhash64, which DuckDB can't replay), so the oracle recomputes the
+    * identical signatures. Map-only signature pass; pair frame is the
+    * #19 deterministic candidate set; exact integers end to end. */
+  private def minhashEstErr(s: SparkSession, dir: String): DataFrame = {
+    val u = graft.functions.NativeText.SimHashUniv
+    val slots = 32
+    val docs = parallelize(s, t(s, dir, "documents"))
+    val sigs = docs.select(col("doc_id"),
+        TextAnalysis.shingles(col("text"), 3).as("__s"))
+      .withColumn("__bh", transform(col("__s"),
+        x => graft.functions.NativeText.poly_fingerprint(x, lit(0L), u.P)))
+      .withColumn("__g", array((0 until slots).map { j =>
+        array_min(transform(col("__bh"),
+          h => pmod(h * lit(u.a(j)) + lit(u.b(j)), lit(u.P))))
+      }: _*))
+      .select(col("doc_id"), col("__s"), col("__g"))
+    val pairs = adjacentPairs(docs)
+      .join(sigs.select(col("doc_id").as("id_a"), col("__s").as("__sa"),
+        col("__g").as("__ga")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("__s").as("__sb"),
+        col("__g").as("__gb")), Seq("id_b"))
+    pairs
+      .withColumn("n_match",
+        size(filter(zip_with(col("__ga"), col("__gb"), (x, y) => x === y),
+          b => b)).cast("int"))
+      .withColumn("__li", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("__un",
+        size(col("__sa")).cast("long") + size(col("__sb")) - col("__li"))
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        expr(s"(n_match * CAST(1000000 AS BIGINT)) div $slots").as("est_ppm"),
+        expr("(__li * 1000000) div __un").as("jaccard_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
+  }
+
+  private val minhashEstErrSql = {
+    val u = graft.functions.NativeText.SimHashUniv
+    val sigTerms = (0 until 32).map { j =>
+      s"list_min(list_transform(bh, h -> (h * ${u.a(j)} + ${u.b(j)}) % ${u.P}))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH sh AS (
+       |  ${shingleSetsSql("documents")}),
+       |bh AS (
+       |  SELECT doc_id, s,
+       |    list_transform(s, x -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split_regex(x, ''),
+       |          ch -> CAST(coalesce(ascii(ch), 0) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % ${u.P})) AS bh
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, s, $sigTerms AS g
+       |  FROM bh),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.s AS sa, b.s AS sb, a.g AS ga, b.g AS gb
+       |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 2 = 0),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(range(1, 33), i -> ga[i] = gb[i])) AS INT)
+       |      AS n_match,
+       |    CAST(len(list_intersect(sa, sb)) AS BIGINT) AS li,
+       |    CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS BIGINT) AS un
+       |  FROM p)
+       |SELECT id_a, id_b, n_match,
+       |  CAST((n_match * 1000000) // 32 AS BIGINT) AS est_ppm,
+       |  CAST((li * 1000000) // un AS BIGINT) AS jaccard_ppm,
+       |  CAST(abs((n_match * 1000000) // 32 - (li * 1000000) // un) AS BIGINT)
+       |    AS err_ppm
+       |FROM sc""".stripMargin
+  }
+
+  /** #212 random-projection (Johnson–Lindenstrauss) audit — project the
+    * 64-d embeddings to 8 dims with a deterministic ±1 sign matrix (the
+    * Achlioptas construction; signs from the multiplicative-hash parity
+    * of the (dim, out-dim) index) and measure per-label how well the
+    * scaled projected norm preserves the original norm² — the check run
+    * before trusting a cheap projected space for ANN candidate
+    * generation. DETERMINISM discipline (the #191 rule): components
+    * quantize to integer µ-units BEFORE any fold, so every sum is exact
+    * integer arithmetic — the per-row array folds and the oracle's
+    * unnest-GROUP BY see the same commutative integer sums, and no
+    * double addition order can diverge the engines. Map-only per row;
+    * O(labels) output. */
+  private def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.FingerprintMod
+    val e = parallelize(s, t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("__q"))
+    val osq = expr("aggregate(__q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+    val psq = expr(
+      s"""aggregate(transform(sequence(0, 7), j ->
+         |  aggregate(transform(__q, (x, i) ->
+         |    CASE WHEN pmod(CAST(i * 8 + j AS DECIMAL(38,0)) * $HashMult, $m) % 2 = 0
+         |         THEN x ELSE -x END),
+         |    CAST(0 AS BIGINT), (a, x) -> a + x)),
+         |  CAST(0 AS BIGINT), (a, p) -> a + p * p)"""
+        .stripMargin.replace("\n", " "))
+    e.select(col("label"), osq.as("__o"), psq.as("__p"))
+      .filter(col("__o") > 0)
+      .select(col("label"),
+        expr("CAST((CAST(__p AS DECIMAL(38,0)) * 1000000) div (8 * __o) AS BIGINT)")
+          .as("__r"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(__r) div count(1)").cast("long").as("avg_ratio_ppm"),
+        min("__r").cast("long").as("min_ratio_ppm"),
+        max("__r").cast("long").as("max_ratio_ppm"))
+  }
+
+  private val randomProjectionSql =
+    s"""WITH el AS (
+       |  SELECT vec_id, label,
+       |    CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS q,
+       |    CAST(i - 1 AS BIGINT) AS i
+       |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |pj AS (
+       |  SELECT vec_id, label, j,
+       |    sum(CASE WHEN (CAST(i * 8 + j AS HUGEINT) * $HashMult)
+       |               % ${TextAnalysis.FingerprintMod} % 2 = 0
+       |        THEN q ELSE -q END) AS p
+       |  FROM el CROSS JOIN (SELECT unnest(range(0, 8)) AS j) GROUP BY 1, 2, 3),
+       |v AS (SELECT vec_id, label, sum(p * p) AS psq FROM pj GROUP BY 1, 2),
+       |o AS (SELECT vec_id, sum(q * q) AS osq FROM el GROUP BY 1),
+       |r AS (
+       |  SELECT v.label,
+       |    CAST((CAST(psq AS HUGEINT) * 1000000) // (8 * osq) AS BIGINT) AS r
+       |  FROM v JOIN o USING (vec_id) WHERE osq > 0)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(r) // count(*) AS BIGINT) AS avg_ratio_ppm,
+       |  CAST(min(r) AS BIGINT) AS min_ratio_ppm,
+       |  CAST(max(r) AS BIGINT) AS max_ratio_ppm
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** #213 perplexity terciles — the CCNet head/middle/tail quality cut
+    * over #87's per-document cross-entropy: rank every document by its
+    * LM score and split the corpus into thirds (tail = the highest-
+    * perplexity third a CCNet-style pipeline drops or down-weights),
+    * reporting each tercile's size and score range. Ranking runs on
+    * the INTEGER nats-ppb score ((−Σ⌊ln p·1e9⌋) div n — never the
+    * rounded double, so cut points cannot knife-edge across engines)
+    * via the distributed two-phase rank scan — no single-reducer
+    * window; docs with <2 tokens score no bigrams and are out of frame
+    * on both sides. O(3) output. */
+  private def perplexityBucket(s: SparkSession, dir: String): DataFrame = {
+    val ds = bigramDocScores(s, dir)
+      .select(col("doc_id"), expr("(-__s) div n_bigrams").as("__ppb"))
+    val ranked = PrefixSum.withGlobalRank(ds, Seq("__ppb", "doc_id"), "__rk")
+    val tot = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .select(expr("CAST(((__rk - 1) * 3) div __n AS INT)").as("tercile"),
+        col("__ppb"))
+      .groupBy("tercile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("__ppb")).cast("double") / 1e9, 6).as("min_xent"),
+        round(max(col("__ppb")).cast("double") / 1e9, 6).as("max_xent"))
+  }
+
+  private val perplexityBucketSql =
+    s"""WITH $bigramScoredCtes,
+       |ds AS (
+       |  SELECT doc_id,
+       |    (-sum(CAST(floor(lnp * 1e9) AS BIGINT))) // count(*) AS ppb
+       |  FROM scored GROUP BY 1),
+       |r AS (
+       |  SELECT ppb, row_number() OVER (ORDER BY ppb, doc_id) AS rk,
+       |    count(*) OVER () AS n
+       |  FROM ds)
+       |SELECT CAST(((rk - 1) * 3) // n AS INT) AS tercile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(CAST(min(ppb) AS DOUBLE) / 1e9, 6) AS min_xent,
+       |  round(CAST(max(ppb) AS DOUBLE) / 1e9, 6) AS max_xent
+       |FROM r GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -9169,5 +9550,12 @@ object Queries {
     Q("q_ab_srm", abSrm, Some(abSrmSql)),
     Q("q_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     Q("q_binary_ingest", binaryIngest, Some(binaryIngestSql), bench = false),
+    Q("q_reservoir_sample", reservoirSample, Some(reservoirSampleSql)),
+    Q("q_stratified_kfold", stratifiedKfold, Some(stratifiedKfoldSql)),
+    Q("q_heavy_change", heavyChange, Some(heavyChangeSql)),
+    Q("q_join_card_est", joinCardEst, Some(joinCardEstSql)),
+    Q("q_minhash_est_err", minhashEstErr, Some(minhashEstErrSql)),
+    Q("q_random_projection", randomProjection, Some(randomProjectionSql)),
+    Q("q_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
   )
 }

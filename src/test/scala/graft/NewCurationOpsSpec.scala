@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ops 207-213 (round-8 widening): deterministic sampling/splitting,
+  * sketch-based statistics, estimator calibration, and the JL
+  * projection audit — each replayed independently on the driver at
+  * sf0.001 (the CorpusBuildSpec discipline: the spec recomputes the
+  * answer with plain Scala collections, not a second Spark plan). */
+class NewCurationOpsSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val A = BigInt(6364136223846793005L)
+  private val M = BigInt(36028797018963913L)
+  private def mh(x: Long): Long = ((BigInt(x) * A).mod(M)).toLong
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("q_reservoir_sample equals the driver bottom-k-by-hash replay") {
+    val want = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      ds.map(d => (mh(d._1), d._1)).sorted.take(5).zipWithIndex
+        .map { case ((_, id), i) => (lang, i + 1, id) }
+    }.toSet
+    val got = SparkEntry.queries("q_reservoir_sample")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_stratified_kfold: folds partition the corpus; deviations match the replay") {
+    val folds = docs.map(d => (mh(d._1) % 5, d._2))
+    val n = folds.size.toLong
+    val byLang = folds.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = folds.groupBy(_._1).map { case (f, ds) =>
+      val nf = ds.size.toLong
+      val dev = ds.groupBy(_._2).map { case (lang, ls) =>
+        math.abs(ls.size.toLong * 1000000L / nf - byLang(lang) * 1000000L / n)
+      }.max
+      (f.toInt, nf, dev)
+    }.toSet
+    val got = SparkEntry.queries("q_stratified_kfold")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.toSeq.map(_._2).sum == n, "folds must partition the corpus")
+  }
+
+  test("q_heavy_change equals the driver midpoint-split replay") {
+    val ev = eventsTable(dir).select(col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val want = ev.groupBy(_._1).map { case (u, es) =>
+      val n1 = es.count(_._2 < mid).toLong
+      val n2 = es.count(_._2 >= mid).toLong
+      (u, n1, n2, math.abs(n2 - n1))
+    }.toSeq.sortBy(t => (-t._4, t._1)).take(10)
+    val got = SparkEntry.queries("q_heavy_change")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (-t._4, t._1))
+    assert(got == want)
+  }
+
+  test("q_join_card_est matches the driver KMV replay; estimate is in the right decade") {
+    val oa = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0)).distinct.map(mh).toSet
+    val lb = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0)).distinct.map(mh).toSet
+    val union = (oa ++ lb).toSeq.sorted
+    val bottom = union.take(256)
+    val kUsed = bottom.size.toLong
+    val kBoth = bottom.count(h => oa(h) && lb(h)).toLong
+    val estUnion =
+      if (kUsed < 256) kUsed
+      else ((BigInt(kUsed - 1) * M) / BigInt(bottom.last)).toLong
+    val estInter = (BigInt(kBoth) * estUnion / BigInt(kUsed)).toLong
+    val exactInter = (oa & lb).size.toLong
+    val row = SparkEntry.queries("q_join_card_est")(spark, dir)
+      .collect() match { case Array(r) => r }
+    assert(row.getLong(0) == kUsed)
+    assert(row.getLong(1) == kBoth)
+    assert(row.getLong(2) == union.size.toLong)
+    assert(row.getLong(3) == exactInter)
+    assert(row.getLong(4) == estUnion)
+    assert(row.getLong(5) == estInter)
+    // KMV with k=256 has ~1/sqrt(255) ≈ 6% relative error; 50% is the
+    // loose "not broken" band that survives any testdata regeneration
+    assert(exactInter == 0 ||
+      math.abs(estInter - exactInter).toDouble / exactInter < 0.5,
+      s"est $estInter vs exact $exactInter")
+  }
+
+  test("q_minhash_est_err matches the driver signature replay") {
+    val u = graft.functions.NativeText.SimHashUniv
+    def shingles(text: String): Seq[String] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val k = 3
+      (0 to math.max(toks.size - k, 0))
+        .map(i => toks.slice(i, i + k).mkString(" ")).distinct
+    }
+    def base(sh: String): Long =
+      sh.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % u.P)
+    def sig(ss: Seq[String]): Seq[Long] = {
+      val bh = ss.map(base)
+      (0 until 32).map(j => bh.map(h => (h * u.a(j) + u.b(j)) % u.P).min)
+    }
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    val want = docs.map(_._1).filter(id => id % 2 == 0 && byId.contains(id + 1))
+      .map { a =>
+        val (sa, sb) = (shingles(byId(a)), shingles(byId(a + 1)))
+        val nm = sig(sa).zip(sig(sb)).count { case (x, y) => x == y }.toLong
+        val li = (sa.toSet & sb.toSet).size.toLong
+        val un = sa.size + sb.size - li
+        val est = nm * 1000000L / 32
+        val jac = li * 1000000L / un
+        (a, a + 1, nm.toInt, est, jac, math.abs(est - jac))
+      }.toSet
+    val got = SparkEntry.queries("q_minhash_est_err")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_random_projection matches the driver replay; JL ratio is centred on 1") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def signPos(i: Int, j: Int): Boolean =
+      ((BigInt((i * 8 + j).toLong) * A).mod(M) % 2) == 0
+    val perVec = rows.flatMap { case (_, label, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val o = q.map(x => x * x).sum
+      if (o <= 0) None else {
+        val p = (0 until 8).map { j =>
+          val pj = q.indices.map(i => if (signPos(i, j)) q(i) else -q(i)).sum
+          pj * pj
+        }.sum
+        Some(label -> (BigInt(p) * 1000000 / (8 * BigInt(o))).toLong)
+      }
+    }
+    val want = perVec.groupBy(_._1).map { case (label, rs) =>
+      val v = rs.map(_._2)
+      (label, v.size.toLong, v.sum / v.size, v.min, v.max)
+    }.toSet
+    val got = SparkEntry.queries("q_random_projection")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    // JL with 8 output dims is noisy per vector but unbiased: label
+    // averages should sit well within a factor of 2 of 1e6
+    got.foreach { case (_, _, avg, _, _) =>
+      assert(avg > 500000L && avg < 2000000L, s"avg ratio $avg")
+    }
+  }
+
+  test("q_perplexity_bucket: terciles partition the scored corpus in order") {
+    val rs = SparkEntry.queries("q_perplexity_bucket")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rs.map(_._1).toSeq == Seq(0, 1, 2))
+    val scored = SparkEntry.queries("q_bigram_lm")(spark, dir).count()
+    assert(rs.map(_._2).sum == scored, "terciles must partition the scored docs")
+    assert(rs.map(_._2).max - rs.map(_._2).min <= 1, "tercile sizes balance to ±1")
+    rs.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, "score ranges must be ordered and disjoint")
+    }
+    rs.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+  }
+}
