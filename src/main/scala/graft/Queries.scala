@@ -9339,6 +9339,243 @@ object Queries {
        |  round(CAST(max(ppb) AS DOUBLE) / 1e9, 6) AS max_xent
        |FROM r GROUP BY 1""".stripMargin
 
+  /** #214 k-means training as a product operator — the replayable
+    * quantizer (#31's systematic-sample, first-k-init, fixed-point
+    * Lloyd) exposed as the clustering query a user actually runs:
+    * per-cluster sizes and inertia (Σ squared distance to the owned
+    * centroid). The distance left-folds in double with the pinned
+    * `nearest_cells` accumulation order, then QUANTIZES to integer
+    * µ-units per vector before the cross-row sum (the #191 rule) — the
+    * aggregation is exact and order-free on both engines. Assignment is
+    * the map-only native projection; centroids join back as an
+    * O(nlist)-row broadcast. */
+  private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
+      nlist = 16, iters = 3, sampleMod = 4)
+    val centDf = s.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+      .toDF("cid", "__cvec")
+    IvfIndex.assign(e, "vec_id", "embedding", cents, keep = Seq("embedding"))
+      .join(broadcast(centDf), Seq("cid"))
+      .select(col("cid"),
+        expr("""CAST(floor(aggregate(zip_with(embedding, __cvec,
+               |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+               |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000000.0) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("__d"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), sum("__d").as("inertia_q6"))
+  }
+
+  private val kmeansTrainSql = {
+    val dist = ivfDistSql(64) _
+    s"""WITH ${ivfAssignCtes(64, 16, 3)}
+       |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CAST(floor(${dist("a.v", "c.cvec")} * 1000000.0) AS BIGINT))
+       |    AS BIGINT) AS inertia_q6
+       |FROM asg a JOIN c3 c ON c.cid = a.cid
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** #215 ANN recall audit — the measured honesty check unifying the
+    * ANN family: for the 8 fixed probes, IVF top-5 (nprobe=4, the #31
+    * configuration) against the exact brute-force top-5, recall in
+    * ppm per probe. This is the number that justifies an nprobe
+    * setting before a pipeline trusts the approximate path; both
+    * rankings use the 6dp-rounded cosine with id tie-breaks, so the
+    * comparison is deterministic. Probe-side work is |Q|-bounded;
+    * corpus passes are the #21/#31 shapes unchanged. */
+  private def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
+      nlist = 16, iters = 3, sampleMod = 4)
+    val approx = IvfIndex.ivfTopK(queries, e, k = 5, nlist = 16, nprobe = 4,
+      centroids = Some(cents), roundTo = Some(6))
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5,
+      vecCol = "embedding", roundTo = Some(6))
+      .select(col("q_id"), col("vec_id"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("__k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        expr("(n_hit * 1000000) div __k").as("recall_ppm"))
+  }
+
+  private val annRecallAuditSql = {
+    val (dim, nlist, iters, nprobe, k) = (64, 16, 3, 4, 5)
+    val dist = ivfDistSql(dim) _
+    s"""WITH ${ivfAssignCtes(dim, nlist, iters)},
+       |probe AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT t.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |                         ORDER BY ${dist("t.v", "c.cvec")}, c.cid) AS rn
+       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) t CROSS JOIN c$iters c)
+       |  WHERE rn <= $nprobe),
+       |ap AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |                         ORDER BY p.cosine DESC, p.vec_id) AS rank
+       |    FROM (
+       |      SELECT pr.q_id, a.vec_id,
+       |        round(list_cosine_similarity(q.v, a.v), 6) AS cosine
+       |      FROM probe pr
+       |      JOIN e q ON q.vec_id = pr.q_id
+       |      JOIN asg a ON a.cid = pr.cid
+       |      WHERE a.vec_id <> pr.q_id) p)
+       |  WHERE rank <= $k),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY round(list_cosine_similarity(q.v, t.v), 6) DESC,
+       |                                  t.vec_id) AS rank
+       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+       |    CROSS JOIN e t WHERE t.vec_id <> q.vec_id)
+       |  WHERE rank <= $k)
+       |SELECT ex.q_id, CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST((sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS recall_ppm
+       |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** #216 vocabulary coverage curve — the share of corpus token
+    * OCCURRENCES covered by the top-{8,16,…,512} types, plus the
+    * full-vocabulary row (the "how big must the vocab be?" tokenizer-
+    * design curve pairing with q_zipf_fit/q_vocab_encode): one tf
+    * aggregate, top-800 cut as TakeOrderedAndProject, the cumulative
+    * sum over the ≤800-row bounded frame, exact integer ppm. The
+    * full-vocab row (coverage exactly 1e6 when n_types ≤ 800) keeps
+    * the curve non-vacuous at ANY vocabulary size. */
+  private def ngramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val cutoffs = Seq(8, 16, 32, 64, 128, 256, 512)
+    val tf = parallelize(s, t(s, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = tf.agg(sum("tf").as("__t"), count(lit(1)).as("n_types"))
+    val top = tf.orderBy(desc("tf"), asc("token")).limit(800)
+    // bounded frame: ≤ 800 rows survive the cut
+    val w = Window.orderBy(desc("tf"), asc("token"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.withColumn("__cum", sum("tf").over(w))
+      .withColumn("__rk", row_number().over(Window.orderBy(desc("tf"), asc("token"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("__rk").isin(cutoffs: _*) || col("__rk") === col("n_types"))
+      .select(col("__rk").cast("int").as("vocab_size"), col("n_types"),
+        expr("(__cum * 1000000) div __t").as("coverage_ppm"))
+  }
+
+  private val ngramCoverageSql =
+    """WITH tf AS (
+      |  SELECT token, count(*) AS tf FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |    FROM documents) GROUP BY 1),
+      |tot AS (SELECT sum(tf) AS t, CAST(count(*) AS BIGINT) AS n_types FROM tf),
+      |top AS (
+      |  SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rk,
+      |    sum(tf) OVER (ORDER BY tf DESC, token
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT * FROM tf ORDER BY tf DESC, token LIMIT 800))
+      |SELECT CAST(rk AS INT) AS vocab_size, tot.n_types,
+      |  CAST((cum * 1000000) // tot.t AS BIGINT) AS coverage_ppm
+      |FROM top, tot
+      |WHERE rk IN (8, 16, 32, 64, 128, 256, 512) OR rk = tot.n_types""".stripMargin
+
+  /** #217 int8 quantization audit — the error check before shipping
+    * embeddings as symmetric int8 (the memory-4× lever under any ANN
+    * store): per vector, quantize with scale 127/amax, dequantize, and
+    * fold the absolute reconstruction error; per label, the mean and
+    * max per-vector error in integer nano-units. Per-row work is a
+    * map-only double fold in pinned left-to-right order, QUANTIZED to
+    * integers before any cross-row aggregation (the #191 rule);
+    * degenerate all-zero vectors are counted, not divided by. */
+  private def int8QuantAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+      .select(col("label"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
+          .as("__amax"),
+        col("embedding"))
+    e.filter(col("__amax") > 0.0)
+      .select(col("label"),
+        expr("""CAST(floor(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) ->
+               |  acc + abs(CAST(x AS DOUBLE)
+               |    - floor(CAST(x AS DOUBLE) * 127.0 / __amax + 0.5)
+               |      * __amax / 127.0)) * 1000000000.0) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("__err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(__err) div count(1)").cast("long").as("mean_err_q9"),
+        max("__err").cast("long").as("max_err_q9"))
+  }
+
+  private val int8QuantAuditSql =
+    """WITH v AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (
+      |  SELECT label, v,
+      |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+      |      (a, b) -> greatest(a, b)) AS amax
+      |  FROM v),
+      |e AS (
+      |  SELECT label,
+      |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(v,
+      |      x -> abs(x - floor(x * 127.0 / amax + 0.5) * amax / 127.0))),
+      |      (a, b) -> a + b) * 1000000000.0) AS BIGINT) AS err
+      |  FROM m WHERE amax > 0)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err_q9,
+      |  CAST(max(err) AS BIGINT) AS max_err_q9
+      |FROM e GROUP BY 1""".stripMargin
+
+  /** #218 split-leakage audit — near-duplicate DECONTAMINATION across
+    * train/validation folds: assign every document of the planted
+    * near-dup corpus to a #208-style hash fold, then count how many
+    * proven near-dup pairs (#17's oracle-exact ≥0.8 set) CROSS a fold
+    * boundary — each one is evaluation contamination a naive random
+    * split silently ships (the copy hashes to a different fold than
+    * its original). O(folds²) output: pair counts per unordered fold
+    * pair plus the leak flag; the pair set reuses the LSH shapes
+    * unchanged. */
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    val folds = corpus.select(col("doc_id"),
+      expr(s"CAST(pmod(${multHashExpr("doc_id")}, 5) AS INT)").as("fold"))
+    pairs
+      .join(folds.select(col("doc_id").as("id_a"), col("fold").as("__fa")), Seq("id_a"))
+      .join(folds.select(col("doc_id").as("id_b"), col("fold").as("__fb")), Seq("id_b"))
+      .select(least(col("__fa"), col("__fb")).as("fold_a"),
+        greatest(col("__fa"), col("__fb")).as("fold_b"))
+      .groupBy("fold_a", "fold_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("fold_a") =!= col("fold_b"))
+  }
+
+  private val splitLeakageSql =
+    s"""WITH pairs AS MATERIALIZED (
+       |$dedupMinhashSql
+       |),
+       |f AS (
+       |  SELECT doc_id, CAST(${multHashDuck("doc_id")} % 5 AS INT) AS fold
+       |  FROM $dupCorpusSql c)
+       |SELECT least(fa.fold, fb.fold) AS fold_a,
+       |  greatest(fa.fold, fb.fold) AS fold_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  least(fa.fold, fb.fold) <> greatest(fa.fold, fb.fold) AS is_leak
+       |FROM pairs p
+       |JOIN f fa ON fa.doc_id = p.id_a
+       |JOIN f fb ON fb.doc_id = p.id_b
+       |GROUP BY 1, 2""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -9557,5 +9794,10 @@ object Queries {
     Q("q_minhash_est_err", minhashEstErr, Some(minhashEstErrSql)),
     Q("q_random_projection", randomProjection, Some(randomProjectionSql)),
     Q("q_perplexity_bucket", perplexityBucket, Some(perplexityBucketSql)),
+    Q("q_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
+    Q("q_ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
+    Q("q_ngram_coverage", ngramCoverage, Some(ngramCoverageSql)),
+    Q("q_int8_quant_audit", int8QuantAudit, Some(int8QuantAuditSql)),
+    Q("q_split_leakage", splitLeakage, Some(splitLeakageSql)),
   )
 }

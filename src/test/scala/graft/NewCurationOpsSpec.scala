@@ -158,6 +158,81 @@ class NewCurationOpsSpec extends GraftSuite {
     }
   }
 
+  test("q_kmeans_train: clusters partition the corpus with sane inertia") {
+    val rs = SparkEntry.queries("q_kmeans_train")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rs.map(_._2).sum == n, "clusters must partition the corpus")
+    assert(rs.forall(r => r._1 >= 0 && r._1 < 16))
+    assert(rs.forall(_._3 >= 0L))
+    assert(rs.length > 1, "a one-cluster quantizer clusters nothing")
+  }
+
+  test("q_ann_recall_audit: recall is a valid fraction over k=5 and not degenerate") {
+    val rs = SparkEntry.queries("q_ann_recall_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rs.length == 8)
+    rs.foreach { case (_, hit, ppm) =>
+      assert(hit >= 0 && hit <= 5)
+      assert(ppm == hit * 1000000L / 5)
+    }
+    // nprobe=4/16 must beat random cell selection by a wide margin:
+    // random probing recalls ~4/16 = 25%; require a 40% mean floor
+    assert(rs.map(_._3).sum / rs.length >= 400000L,
+      s"mean recall ${rs.map(_._3).sum / rs.length}")
+  }
+
+  test("q_ngram_coverage: monotone curve ending at full coverage") {
+    val rs = SparkEntry.queries("q_ngram_coverage")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rs.nonEmpty)
+    assert(rs.sliding(2).forall { case Array(a, b) => a._3 <= b._3; case _ => true },
+      "coverage must be monotone in vocab size")
+    val nTypes = rs.head._2
+    if (nTypes <= 800)
+      assert(rs.last._1 == nTypes && rs.last._3 == 1000000L,
+        "full-vocab row must cover everything")
+  }
+
+  test("q_int8_quant_audit matches the driver replay") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val per = rows.flatMap { case (label, v) =>
+      val amax = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+      if (amax <= 0.0) None else {
+        val err = v.foldLeft(0.0) { (acc, xf) =>
+          val x = xf.toDouble
+          acc + math.abs(x - math.floor(x * 127.0 / amax + 0.5) * amax / 127.0)
+        }
+        Some(label -> math.floor(err * 1e9).toLong)
+      }
+    }
+    val want = per.groupBy(_._1).map { case (l, es) =>
+      val v = es.map(_._2)
+      (l, v.size.toLong, v.sum / v.size, v.max)
+    }.toSet
+    val got = SparkEntry.queries("q_int8_quant_audit")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_split_leakage: pair counts reconcile with the dedup pair set and leaks exist") {
+    val rs = SparkEntry.queries("q_split_leakage")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val nPairs = SparkEntry.queries("q_dedup_minhash")(spark, dir).count()
+    assert(rs.map(_._3).sum == nPairs, "fold-pair counts must partition the pair set")
+    rs.foreach { case (a, b, _, leak) =>
+      assert(a <= b)
+      assert(leak == (a != b))
+    }
+    assert(rs.exists(r => r._4 && r._3 > 0),
+      "the planted copies must leak across hash folds")
+  }
+
   test("q_perplexity_bucket: terciles partition the scored corpus in order") {
     val rs = SparkEntry.queries("q_perplexity_bucket")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
