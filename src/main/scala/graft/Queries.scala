@@ -9310,8 +9310,12 @@ object Queries {
     * window; docs with <2 tokens score no bigrams and are out of frame
     * on both sides. O(3) output. */
   private def perplexityBucket(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the rank scan executes its input three times (range
+    // sampling, counts, the offset pass) — without this the whole
+    // bigram-LM pipeline re-runs per pass (the q_corpus_build lesson)
     val ds = bigramDocScores(s, dir)
       .select(col("doc_id"), expr("(-__s) div n_bigrams").as("__ppb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = PrefixSum.withGlobalRank(ds, Seq("__ppb", "doc_id"), "__rk")
     val tot = ranked.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(tot))
@@ -9576,6 +9580,254 @@ object Queries {
        |JOIN f fb ON fb.doc_id = p.id_b
        |GROUP BY 1, 2""".stripMargin
 
+  /** #219 dedup cluster profile — the size histogram of the near-dup
+    * clusters (#46's output made reportable): how much of the corpus
+    * sits in singletons vs 2-clusters vs bigger cliques — the first
+    * chart of every dedup report, and the number that says whether the
+    * threshold is too loose (mega-clusters) or too tight (all
+    * singletons). Cluster sizes fold in one partial-aggregated groupBy
+    * over the CC labels; the band aggregate is O(4). */
+  private def dedupClusterProfile(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    ConnectedComponents.clusters(corpus, pairs, "doc_id")
+      .groupBy("cluster_id").agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") === 1, "1").when(col("__n") === 2, "2")
+        .when(col("__n") <= 5, "3-5").otherwise("6+").as("band"), col("__n"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_clusters"), sum("__n").cast("long").as("n_docs"))
+  }
+
+  private def dedupClusterProfileSql =
+    s"""WITH pairs AS MATERIALIZED (
+       |$dedupMinhashSql
+       |),
+       |${ccUnrolledSql(12)},
+       |alldocs AS (SELECT doc_id FROM documents
+       |            UNION ALL SELECT doc_id + 1000000 AS doc_id FROM documents),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cid
+       |  FROM alldocs d LEFT JOIN cc c USING (doc_id)),
+       |sz AS (SELECT cid, count(*) AS n FROM lab GROUP BY 1)
+       |SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+       |            WHEN n <= 5 THEN '3-5' ELSE '6+' END AS band,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(n) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY 1""".stripMargin
+
+  /** #220 Markov next-event backtest — temporal-split evaluation of the
+    * transition matrix (#117 made predictive): train the per-type
+    * argmax next-event predictor on transitions COMPLETING before the
+    * timeline midpoint, score top-1 accuracy on transitions STARTING
+    * after it (straddlers in neither — leak-free by construction).
+    * Transitions ride a per-user window (bounded frames); the model is
+    * an O(types²) aggregate broadcast back; accuracy is exact integer
+    * ppm. The argmax state is O(1) via min(struct(−count, type)) with
+    * the lexicographic tie-break the oracle replays. */
+  private def markovBacktest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("__t"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    val tr = ev.withColumn("__nt", lead(col("event_type"), 1).over(w))
+      .withColumn("__ntt", lead(col("__t"), 1).over(w))
+      .filter(col("__nt").isNotNull)
+    val mid = ev.agg(expr("(min(__t) + max(__t)) div 2").as("__mid"))
+    val tagged = tr.crossJoin(broadcast(mid))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pred = tagged.filter(col("__ntt") < col("__mid"))
+      .groupBy(col("event_type").as("a"), col("__nt").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("a")
+      .agg(min(struct((-col("c")).as("nc"), col("b").as("b"))).as("w"))
+      .select(col("a"), col("w.b").as("__pred"))
+    tagged.filter(col("__t") >= col("__mid"))
+      .join(broadcast(pred), col("event_type") === col("a"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__nt") === col("__pred"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_test"))
+  }
+
+  private val markovBacktestSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+      |m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+      |tr AS (
+      |  SELECT event_type AS a, t,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS ntt
+      |  FROM e),
+      |tr2 AS (SELECT * FROM tr WHERE nt IS NOT NULL),
+      |model AS (
+      |  SELECT a, nt AS b, count(*) AS c
+      |  FROM tr2, m WHERE ntt < mid GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT a, b AS pred FROM (
+      |    SELECT a, b, row_number() OVER (PARTITION BY a
+      |                                    ORDER BY c DESC, b) AS rn
+      |    FROM model) WHERE rn = 1)
+      |SELECT t.a AS event_type, CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN t.nt = p.pred THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  CAST((sum(CASE WHEN t.nt = p.pred THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS acc_ppm
+      |FROM tr2 t CROSS JOIN m LEFT JOIN pred p ON p.a = t.a
+      |WHERE t.t >= m.mid
+      |GROUP BY 1""".stripMargin
+
+  /** #221 seasonal-naive forecast backtest — the "is there a weekly
+    * cycle worth modeling?" check run before any forecasting work:
+    * score the naive (yesterday) and seasonal-naive (same day last
+    * week) predictors against the realized daily revenue, MAE in
+    * exact cents. The fact collapses to the O(days) daily series
+    * FIRST; the lag joins are self-equi-joins on the day key over that
+    * bounded frame; only days with a defined lag score (both engines
+    * agree). */
+  private def seasonalNaiveBacktest(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ in the driver parquet — cast through
+    // TIMESTAMP (session TZ pinned UTC) before the µs extraction
+    val ser = t(s, dir, "orders")
+      .groupBy(expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("__d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def score(lag: Int, name: String): DataFrame = ser.as("a")
+      .join(ser.select((col("__d") + lag).as("__d"), col("__c").as("__p")), Seq("__d"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(abs(__c - __p)) div count(1)").cast("long").as("mae_cents"))
+      .select(lit(name).as("model"), col("n_days"), col("mae_cents"))
+    score(1, "naive").unionAll(score(7, "seasonal_naive"))
+  }
+
+  private val seasonalNaiveBacktestSql =
+    """WITH s AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |n1 AS (
+      |  SELECT 'naive' AS model, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(abs(a.c - b.c)) // count(*) AS BIGINT) AS mae_cents
+      |  FROM s a JOIN s b ON b.d = a.d - 1),
+      |n7 AS (
+      |  SELECT 'seasonal_naive' AS model, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(abs(a.c - b.c)) // count(*) AS BIGINT) AS mae_cents
+      |  FROM s a JOIN s b ON b.d = a.d - 7)
+      |SELECT * FROM n1 UNION ALL SELECT * FROM n7""".stripMargin
+
+  /** #222 calendar coverage gaps — per event type, the days inside the
+    * global observation window with ZERO events (the freshness/
+    * completeness monitor pairing with q_gap_fill, which interpolates,
+    * and q_completeness, which audits columns): the calendar explodes
+    * from a 1-row broadcast bound (O(days), bounded by TIME not data),
+    * the distinct (type, day) activity set folds in one partial
+    * aggregate, and the left-join gap count is O(types × days). Day
+    * keys are pure integer epoch-day arithmetic — no date types cross
+    * the oracle. */
+  private def coverageGap(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("__d"))
+    val active = ev.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cal = ev.agg(min("__d").as("__lo"), max("__d").as("__hi"))
+    val types = active.select("event_type").distinct()
+    types.crossJoin(broadcast(cal))
+      .select(col("event_type"), explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+      .join(active.withColumn("__hit", lit(1L)), Seq("event_type", "__d"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_active"))
+      .select(col("event_type"), col("n_days"), col("n_active"),
+        (col("n_days") - col("n_active")).as("n_gaps"),
+        expr("((n_days - n_active) * 1000000) div n_days").as("gap_ppm"))
+  }
+
+  private val coverageGapSql =
+    """WITH e AS (
+      |  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS d
+      |  FROM events),
+      |cal AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+      |grid AS (
+      |  SELECT t.event_type, CAST(g.d AS BIGINT) AS d
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN (SELECT unnest(range((SELECT lo FROM cal),
+      |                                  (SELECT hi FROM cal) + 1)) AS d) g)
+      |SELECT g.event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(CASE WHEN e.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_active,
+      |  CAST(count(*) - sum(CASE WHEN e.d IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_gaps,
+      |  CAST(((count(*) - sum(CASE WHEN e.d IS NOT NULL THEN 1 ELSE 0 END))
+      |    * 1000000) // count(*) AS BIGINT) AS gap_ppm
+      |FROM grid g LEFT JOIN e ON e.event_type = g.event_type AND e.d = g.d
+      |GROUP BY 1""".stripMargin
+
+  /** #223 embedding drift — per-label centroid agreement between the
+    * "old" and "new" corpus halves (vec_id parity stands in for batch
+    * id): the embedding-space health check run when a new encoder
+    * batch lands, pairing with q_embed_centroid's dispersion view.
+    * Centroid components are INTEGER µ-unit means (Σ⌊v·1e6⌋ div n —
+    * exact under any aggregation order, the #191 rule); the cosine
+    * between the two integer centroids folds in DECIMAL-safe longs
+    * with one pinned double division at the end. O(labels × dims)
+    * shuffle, O(labels) output. */
+  private def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val comp = parallelize(s, t(s, dir, "embeddings"))
+      .select(col("label"), (pmod(col("vec_id"), lit(2)) === 0).as("__old"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "__old", "dim")
+      .agg(sum(floor(col("v").cast("double") * lit(1e6)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("__old"), col("dim"),
+        expr("s div n").as("c"), col("n"))
+    val o = comp.filter(col("__old"))
+      .select(col("label"), col("dim"), col("c").as("__ca"), col("n").as("__na"))
+    val nw = comp.filter(!col("__old"))
+      .select(col("label"), col("dim"), col("c").as("__cb"), col("n").as("__nb"))
+    o.join(nw, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(min("__na").as("n_old"), min("__nb").as("n_new"),
+        expr("sum(abs(__ca - __cb)) div count(1)").cast("long")
+          .as("mean_absdiff_q6"),
+        sum(expr("__ca * __cb")).as("__dot"),
+        sum(expr("__ca * __ca")).as("__aa"),
+        sum(expr("__cb * __cb")).as("__bb"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        col("mean_absdiff_q6"),
+        // isotropic labels have near-zero centroids whose DIRECTION is
+        // sampling noise — the abs-diff above is the robust primary
+        // signal; the cosine is reported for directional corpora
+        round(col("__dot").cast("double") /
+          (sqrt(col("__aa").cast("double")) * sqrt(col("__bb").cast("double"))), 6)
+          .as("centroid_cos"))
+  }
+
+  private val embeddingDriftSql =
+    """WITH el AS (
+      |  SELECT label, vec_id % 2 = 0 AS old,
+      |    generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+      |  FROM embeddings),
+      |cs AS (
+      |  SELECT label, old, dim,
+      |    sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+      |      // count(*) AS c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM el GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT a.label, a.n AS na, b.n AS nb, abs(a.c - b.c) AS ad,
+      |    a.c * b.c AS dot, a.c * a.c AS aa, b.c * b.c AS bb
+      |  FROM cs a JOIN cs b ON a.label = b.label AND a.dim = b.dim
+      |  WHERE a.old AND NOT b.old)
+      |SELECT label, CAST(min(na) AS BIGINT) AS n_old,
+      |  CAST(min(nb) AS BIGINT) AS n_new,
+      |  CAST(sum(ad) // count(*) AS BIGINT) AS mean_absdiff_q6,
+      |  round(CAST(sum(dot) AS DOUBLE) /
+      |    (sqrt(CAST(sum(aa) AS DOUBLE)) * sqrt(CAST(sum(bb) AS DOUBLE))), 6)
+      |    AS centroid_cos
+      |FROM j GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -9799,5 +10051,10 @@ object Queries {
     Q("q_ngram_coverage", ngramCoverage, Some(ngramCoverageSql)),
     Q("q_int8_quant_audit", int8QuantAudit, Some(int8QuantAuditSql)),
     Q("q_split_leakage", splitLeakage, Some(splitLeakageSql)),
+    Q("q_dedup_cluster_profile", dedupClusterProfile, Some(dedupClusterProfileSql)),
+    Q("q_markov_backtest", markovBacktest, Some(markovBacktestSql)),
+    Q("q_seasonal_naive_backtest", seasonalNaiveBacktest, Some(seasonalNaiveBacktestSql)),
+    Q("q_coverage_gap", coverageGap, Some(coverageGapSql)),
+    Q("q_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
   )
 }

@@ -233,6 +233,89 @@ class NewCurationOpsSpec extends GraftSuite {
       "the planted copies must leak across hash folds")
   }
 
+  test("q_dedup_cluster_profile: bands partition the dup corpus") {
+    val rs = SparkEntry.queries("q_dedup_cluster_profile")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = 2 * spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rs.map(_._3).sum == nDocs, "bands must cover every corpus doc")
+    // the planted corpus has exact copies: some band beyond singletons
+    assert(rs.exists(r => r._1 != "1" && r._2 > 0), "planted dupes must cluster")
+    rs.foreach { case (band, nc, nd) =>
+      band match {
+        case "1" => assert(nd == nc)
+        case "2" => assert(nd == 2 * nc)
+        case "3-5" => assert(nd >= 3 * nc && nd <= 5 * nc)
+        case "6+" => assert(nd >= 6 * nc)
+        case other => fail(s"unexpected band $other")
+      }
+    }
+  }
+
+  test("q_markov_backtest equals the driver temporal-split replay") {
+    val ev = eventsTable(dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      es.toSeq.sortBy(e => (e._3, e._4)).sliding(2).collect {
+        case Seq(a, b) => (a._2, b._2, a._3, b._3)
+      }
+    }.toSeq
+    val pred = trans.filter(_._4 < mid).groupBy(t => (t._1, t._2))
+      .view.mapValues(_.size.toLong).toSeq
+      .groupBy(_._1._1).map { case (a, bs) =>
+        a -> bs.map { case ((_, b), c) => (-c, b) }.min._2
+      }
+    val want = trans.filter(_._3 >= mid).groupBy(_._1).map { case (a, ts) =>
+      val correct = ts.count(t => pred.get(a).contains(t._2)).toLong
+      (a, ts.size.toLong, correct, correct * 1000000L / ts.size)
+    }.toSet
+    val got = SparkEntry.queries("q_markov_backtest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_seasonal_naive_backtest: two models scored over the daily series") {
+    val rs = SparkEntry.queries("q_seasonal_naive_backtest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rs.map(_._1).toSeq == Seq("naive", "seasonal_naive"))
+    rs.foreach { case (_, n, mae) => assert(n > 0 && mae >= 0) }
+    // the weekly lag scores fewer or equal days than the daily lag
+    assert(rs(1)._2 <= rs(0)._2)
+  }
+
+  test("q_coverage_gap: day accounting is consistent per type") {
+    val rs = SparkEntry.queries("q_coverage_gap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rs.nonEmpty)
+    val total = rs.head._2
+    rs.foreach { case (_, n, act, gaps, ppm) =>
+      assert(n == total, "all types share the global calendar")
+      assert(act + gaps == n)
+      assert(ppm == gaps * 1000000L / n)
+    }
+  }
+
+  test("q_embedding_drift: same-distribution halves show small component drift") {
+    val rs = SparkEntry.queries("q_embedding_drift")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rs.nonEmpty)
+    rs.foreach { case (_, nOld, nNew, absdiff, cos) =>
+      assert(nOld > 0 && nNew > 0)
+      assert(cos >= -1.0 && cos <= 1.0)
+      // same-distribution parity halves: per-dimension mean abs drift is
+      // sampling noise (~sigma/sqrt(n)), far below the ~1e5 micro-unit
+      // component magnitude a genuinely shifted batch shows. (The
+      // centroid COSINE is noise for isotropic labels — range-checked
+      // only.)
+      assert(absdiff >= 0 && absdiff < 100000L,
+        s"same-distribution drift $absdiff micro-units")
+    }
+  }
+
   test("q_perplexity_bucket: terciles partition the scored corpus in order") {
     val rs = SparkEntry.queries("q_perplexity_bucket")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
