@@ -132,4 +132,69 @@ class PortableArithmeticPropertySpec extends GraftSuite {
       assert((2 * BigInt(n) + d) / (2 * BigInt(d)) == want, s"($n,$d)")
     }
   }
+
+  test("universal minhash slot hash: (h·a+b) mod P stays in Long and matches BigInt") {
+    // q_minhash_est_err computes pmod(h * a_j + b_j, P) in plain LONG
+    // arithmetic (no DECIMAL widening), so the no-overflow claim is a
+    // real contract: h < P and a_j < P give h·a_j ≤ (P−1)² ≈ 4.6e18 <
+    // Long.Max ≈ 9.2e18, with room for b_j < P. Pin it at the extreme
+    // corners and random draws against BigInt, through the PRODUCTION
+    // expression shape.
+    val u = functions.NativeText.SimHashUniv
+    val P = u.P
+    val aMax = u.a.max
+    val bOfAMax = u.b(u.a.indexOf(aMax))
+    assert(BigInt(P - 1) * aMax + bOfAMax <= Long.MaxValue,
+      "slot-hash product must fit a signed 64-bit long")
+    val gen = Gen.frequency(
+      2 -> Gen.oneOf(0L, 1L, P - 1),
+      8 -> Gen.chooseNum(0L, P - 1))
+    val prop = forAll(Gen.listOfN(24, gen), Gen.chooseNum(0, 31)) { (hs0, j) =>
+      val hs = (hs0 ++ Seq(0L, P - 1)).distinct
+      val got = hs.toDF("h")
+        .selectExpr("h", s"pmod(h * ${u.a(j)}L + ${u.b(j)}L, ${P}L) AS s")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hs.forall { h =>
+        got(h) == ((BigInt(h) * u.a(j) + u.b(j)) mod BigInt(P)).toLong
+      }
+    }
+    check(prop)
+  }
+
+  test("JL sign parity: the DECIMAL multiplicative-parity formula matches BigInt exhaustively") {
+    // q_random_projection draws its ±1 matrix from pmod((i·8+j)·A, M)%2
+    // — the (dim, out-dim) domain is finite (64×8), so check EVERY cell
+    // through the production expression, not a sample.
+    val cells = for (i <- 0 until 64; j <- 0 until 8) yield (i, j)
+    val got = cells.toDF("i", "j")
+      .selectExpr("i", "j",
+        s"pmod(CAST(i * 8 + j AS DECIMAL(38,0)) * ${Queries.HashMult}, " +
+          s"${operators.TextAnalysis.FingerprintMod}) % 2 = 0 AS pos")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    cells.foreach { case (i, j) =>
+      val want = ((BigInt(i * 8 + j) * A).mod(M) % 2) == 0
+      assert(got((i, j)) == want, s"cell ($i,$j)")
+    }
+    // sanity: the matrix is not degenerate (both signs occur)
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
+  test("int8 symmetric quantization: reconstruction error is bounded by amax/254 + ulp slack") {
+    // q_int8_quant_audit's claim is the standard symmetric-quantization
+    // bound: rounding to the nearest of 255 levels over [−amax, amax]
+    // errs at most half a step. The formula is pinned to Math ops the
+    // Spark expression lowers to, so a pure JVM property is the
+    // reference. (floor(x+0.5) is round-half-up — the DuckDB floor
+    // expression is textually identical.)
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1.0f, 1.0f))
+    val prop = forAll(gen) { vs =>
+      val amax = vs.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+      amax == 0.0 || vs.forall { xf =>
+        val x = xf.toDouble
+        val err = math.abs(x - math.floor(x * 127.0 / amax + 0.5) * amax / 127.0)
+        err <= amax / 254.0 + math.ulp(amax) * 4
+      }
+    }
+    check(prop, 300)
+  }
 }
