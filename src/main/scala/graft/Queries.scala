@@ -7160,12 +7160,25 @@ object Queries {
       .select(col("moy"),
         expr("(2 * CAST(sd AS DECIMAL(38,0)) + k) div (2 * CAST(k AS DECIMAL(38,0)))")
           .as("seasonal_ppm"))
+    // Output-cast discipline, pinned by the round-8 sf1 sweep (both
+    // failure modes surfaced at row magnitudes ~1e16):
+    //   1. NO round(x, 6): every value is an exact integer scaled by a
+    //      power of ten, and the bare IEEE division is bit-identical on
+    //      both engines — whereas round() itself diverges (Spark rounds
+    //      the exact BigDecimal of the double; DuckDB's multiply-based
+    //      round can land the FP product on a half: 4341565863.1 vs
+    //      …100001).
+    //   2. Integer→double goes THROUGH BIGINT: DuckDB's HUGEINT→DOUBLE
+    //      cast is not correctly rounded past 2^53 (measured 2 ulp off
+    //      on −9491164317820514), BIGINT→DOUBLE is. ANSI makes the
+    //      long cast loud if a 100-TB-scale run ever outgrows it.
     tr.join(broadcast(seas), substring(col("month"), 6, 2) === col("moy"))
       .select(col("month"),
-        round(col("rev") / 100.0, 6).as("revenue"),
-        round(col("trend_ppm") / 1e8, 6).as("trend"),
-        round(col("seasonal_ppm") / 1e8, 6).as("seasonal"),
-        round((col("det_ppm") - col("seasonal_ppm")) / 1e8, 6).as("residual"))
+        (col("rev").cast("double") / 100.0).as("revenue"),
+        (col("trend_ppm").cast("long").cast("double") / 1e8).as("trend"),
+        (col("seasonal_ppm").cast("long").cast("double") / 1e8).as("seasonal"),
+        ((col("det_ppm") - col("seasonal_ppm")).cast("long").cast("double") / 1e8)
+          .as("residual"))
   }
 
   private val seasonalDecomposeSql =
@@ -7190,10 +7203,10 @@ object Queries {
       |    (2 * CAST(sum(det_ppm) AS HUGEINT) + count(*))
       |      // (2 * CAST(count(*) AS HUGEINT)) AS seasonal_ppm
       |  FROM dt WHERE det_ppm IS NOT NULL GROUP BY 1)
-      |SELECT month, round(CAST(rev AS DOUBLE) / 100.0, 6) AS revenue,
-      |  round(CAST(trend_ppm AS DOUBLE) / 1e8, 6) AS trend,
-      |  round(CAST(seasonal_ppm AS DOUBLE) / 1e8, 6) AS seasonal,
-      |  round(CAST(det_ppm - seasonal_ppm AS DOUBLE) / 1e8, 6) AS residual
+      |SELECT month, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(CAST(trend_ppm AS BIGINT) AS DOUBLE) / 1e8 AS trend,
+      |  CAST(CAST(seasonal_ppm AS BIGINT) AS DOUBLE) / 1e8 AS seasonal,
+      |  CAST(CAST(det_ppm - seasonal_ppm AS BIGINT) AS DOUBLE) / 1e8 AS residual
       |FROM dt JOIN se ON substr(month, 6, 2) = se.moy""".stripMargin
 
   /** #170 growth accounting (new / retained / resurrected / churned
