@@ -11,9 +11,6 @@ class DecomposeGrowthCsvSpec extends GraftSuite {
   private val dir = "/root/testdata/sf0.001"
   private def q(key: String) = SparkEntry.queries(key)(spark, dir)
 
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   test("seasonal decomposition matches an exact fixed-point replay") {
     val months = spark.read.parquet(s"$dir/orders.parquet")
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
@@ -38,13 +35,16 @@ class DecomposeGrowthCsvSpec extends GraftSuite {
       val k = BigInt(xs.length)
       (2 * sd + k) / (2 * k)
     }.toMap
+    // Output discipline (round-8 sf1 sweep): the query emits the BARE
+    // IEEE division of exact scaled integers routed through long — no
+    // round(x, 6) — so the replay does exactly the same.
     val expected = months.indices.map { i =>
       val (m, rev) = months(i)
       val sp = seas(m.substring(5, 7))
-      (m, round6(rev / 100.0),
-        trend(i).map(t => round6(t.toDouble / 1e8)),
-        round6(sp.toDouble / 1e8),
-        det(i).map(d => round6((d - sp).toDouble / 1e8)))
+      (m, rev / 100.0,
+        trend(i).map(t => t.toLong.toDouble / 1e8),
+        sp.toLong.toDouble / 1e8,
+        det(i).map(d => (d - sp).toLong.toDouble / 1e8))
     }.toSet
     val got = q("q_seasonal_decompose").collect().map { r =>
       (r.getString(0), r.getDouble(1),
