@@ -9842,6 +9842,522 @@ object Queries {
       |FROM j GROUP BY 1""".stripMargin
 
   // ===========================================================================
+  // Round-8 widening II: training-ops & release surface (224-233)
+  // ===========================================================================
+
+  /** ⌊ln(1e6)·1e6⌋ — the fixed-point log of the ppm scale, shared by the
+    * quantized log-ratio ops below (#226 survival, #229 DP noise). The
+    * ⌊ln(int)·1e6⌋ fold itself is the property-tested portable pattern
+    * (PortableArithmeticPropertySpec). */
+  private val LnMillionQ6 = 13815510L
+
+  /** `⌊ln(x)·1e6⌋` as an engine-portable SQL fragment — `x` MUST be a
+    * positive integer expression (the property-tested domain). */
+  private def lnQ6(x: String): String = s"CAST(floor(ln($x) * 1e6) AS BIGINT)"
+
+  /** #224 training-shard assignment + balance audit — hash documents
+    * into 16 shards (the multiplicative hash, so assignment replays
+    * identically on any engine/run) and report per-shard doc/token
+    * counts plus the token-count deviation from the uniform share in
+    * ppm — the check a distributed-training data loader runs before
+    * trusting that shards are balanced. One map-only projection + one
+    * partial-aggregated groupBy; the totals join is an O(shards)
+    * broadcast. Token-count products route through DECIMAL(38,0): at
+    * 100-TB corpus sizes `n_tokens · 16e6` overflows BIGINT. */
+  private def shardBalance(s: SparkSession, dir: String): DataFrame = {
+    val S = 16
+    val sh = parallelize(s, t(s, dir, "documents"))
+      .select(
+        expr(s"CAST(pmod(${multHashExpr("doc_id")}, $S) AS INT)").as("shard"),
+        size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("__tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
+    val tot = sh.agg(sum("n_tokens").as("__t"))
+    sh.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * ${S.toLong * 1000000L})" +
+          " div __t - 1000000 AS BIGINT)").as("dev_ppm"))
+  }
+
+  private val shardBalanceSql =
+    s"""WITH d AS (
+       |  SELECT CAST(${multHashDuck("doc_id")} % 16 AS INT) AS shard,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+       |      AS tok
+       |  FROM documents),
+       |sh AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(tok) AS BIGINT) AS n_tokens
+       |       FROM d GROUP BY 1),
+       |t AS (SELECT sum(n_tokens) AS tt FROM sh)
+       |SELECT shard, n_docs, n_tokens,
+       |  CAST((CAST(n_tokens AS HUGEINT) * 16000000) // tt - 1000000 AS BIGINT)
+       |    AS dev_ppm
+       |FROM sh, t""".stripMargin
+
+  /** #225 calibration bins (ECE decomposition) — bucket a propensity
+    * score into 10 equal-width bins and compare mean predicted
+    * confidence vs observed rate per bin: the reliability-diagram
+    * table behind Expected Calibration Error, run before trusting any
+    * model-scored filter. The deterministic stand-in score is the
+    * order's price as a share of the global max (ppm); the outcome is
+    * fulfilment (`o_orderstatus = 'F'`). Everything is exact-integer:
+    * conf is an integer ppm mean (DECIMAL-folded sum), acc an integer
+    * ppm rate, and the per-bin ECE contribution `|acc−conf|·n` an
+    * exact product — Σ gap_w / N is the user's one-division ECE. */
+  private def calibrationEce(s: SparkSession, dir: String): DataFrame = {
+    val o = parallelize(s, t(s, dir, "orders"))
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__c"),
+        (col("o_orderstatus") === "F").cast("long").as("__pos"))
+    val mx = o.agg(max("__c").as("__mx"))
+    o.crossJoin(broadcast(mx))
+      .select(
+        expr("CAST((CAST(__c AS DECIMAL(38,0)) * 1000000) div __mx AS BIGINT)")
+          .as("__score"), col("__pos"))
+      .select(expr("CAST(least(__score div 100000, 9) AS INT)").as("bin"),
+        col("__score"), col("__pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__pos").as("n_pos"),
+        sum(col("__score").cast("decimal(38,0)")).as("__ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST(__ss div n AS BIGINT)").as("conf_ppm"),
+        expr("(n_pos * 1000000) div n").as("acc_ppm"))
+      .withColumn("gap_w",
+        expr("abs(acc_ppm - conf_ppm) * n"))
+  }
+
+  private val calibrationEceSql =
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(o_orderstatus = 'F' AS BIGINT) AS pos
+      |  FROM orders),
+      |mx AS (SELECT max(c) AS mx FROM o),
+      |sc AS (
+      |  SELECT CAST((CAST(c AS HUGEINT) * 1000000) // mx AS BIGINT) AS score, pos
+      |  FROM o, mx),
+      |b AS (
+      |  SELECT CAST(least(score // 100000, 9) AS INT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(CAST(score AS HUGEINT)) // count(*) AS BIGINT) AS conf_ppm
+      |  FROM sc GROUP BY 1)
+      |SELECT bin, n, n_pos, conf_ppm,
+      |  CAST((n_pos * 1000000) // n AS BIGINT) AS acc_ppm,
+      |  CAST(abs((n_pos * 1000000) // n - conf_ppm) * n AS BIGINT) AS gap_w
+      |FROM b""".stripMargin
+
+  /** #226 Kaplan–Meier survival by tenure — the survival curve over
+    * user lifetimes (DAYS from first to last active day — the events
+    * window spans weeks, so day granularity keeps the tenure axis
+    * populated) with the censoring convention of #197 q_churn_hazard:
+    * users last seen on the corpus max day are censored, not churned.
+    * Lifetimes are measured on the sparse PURCHASE stream (the dense
+    * click/view streams span the whole window for every user, which
+    * degenerates the tenure axis).
+    * At-risk counts come from a DESCENDING cumulative sum over the
+    * O(days) tenure axis (calendar-bounded frame); the survival
+    * product Π(1−d/n) is carried in FIXED-POINT LOG space — the
+    * per-tenure factor `r = ((n−d)·1e6) div n` is an exact integer
+    * ppm, its quantized log `⌊ln r·1e6⌋ − ⌊ln 1e6·1e6⌋` an exact
+    * integer, and the curve the running integer sum
+    * (surv ≈ exp(surv_lnq6/1e6)) — no cross-engine product/pow ever
+    * happens in floating point. */
+  private def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val life = ud.groupBy("user_id").agg(min("d").as("__d0"), max("d").as("__d1"))
+    val gmax = ud.agg(max("d").as("__gmax"))
+    val ten = life.crossJoin(broadcast(gmax))
+      .select(expr("CAST(datediff(__d1, __d0) AS INT)").as("tenure_d"),
+        (col("__d1") < col("__gmax")).cast("long").as("__churn"))
+      .groupBy("tenure_d")
+      .agg(count(lit(1)).as("__n_end"), sum("__churn").as("n_churn"))
+    val wDesc = Window.orderBy(desc("tenure_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy("tenure_d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ten.withColumn("n_risk", sum("__n_end").over(wDesc))
+      .withColumn("__r_ppm",
+        expr("greatest(((n_risk - n_churn) * 1000000) div n_risk, 1)"))
+      .withColumn("__term",
+        expr(s"${lnQ6("__r_ppm")} - $LnMillionQ6"))
+      .withColumn("surv_lnq6", sum("__term").over(wAsc))
+      .select(col("tenure_d"), col("n_risk"), col("n_churn"),
+        (col("__n_end") - col("n_churn")).as("n_censored"), col("surv_lnq6"))
+  }
+
+  private val kaplanMeierSql =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+       |  FROM events WHERE event_type = 'purchase'),
+       |life AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM ud GROUP BY 1),
+       |g AS (SELECT max(d) AS gmax FROM ud),
+       |ten AS (
+       |  SELECT CAST(date_diff('day', d0, d1) AS INT) AS tenure_d,
+       |    CAST(count(*) AS BIGINT) AS n_end,
+       |    CAST(sum(CAST(d1 < g.gmax AS BIGINT)) AS BIGINT) AS n_churn
+       |  FROM life, g GROUP BY 1),
+       |risk AS (
+       |  SELECT tenure_d, n_end, n_churn,
+       |    CAST(sum(n_end) OVER (ORDER BY tenure_d DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM ten),
+       |term AS (
+       |  SELECT tenure_d, n_risk, n_churn, n_end - n_churn AS n_censored,
+       |    ${lnQ6("greatest(((n_risk - n_churn) * 1000000) // n_risk, 1)")}
+       |      - $LnMillionQ6 AS term
+       |  FROM risk)
+       |SELECT tenure_d, n_risk, n_churn, n_censored,
+       |  CAST(sum(term) OVER (ORDER BY tenure_d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS surv_lnq6
+       |FROM term""".stripMargin
+
+  /** #227 weight-of-evidence encoding — the credit-scoring/feature-
+    * engineering encoder: per market segment, WOE = ln of (good share /
+    * bad share) with +1 Laplace smoothing (bad = unfulfilled orders),
+    * plus the Information-Value contribution. The log-of-ratio folds
+    * as a DIFFERENCE of the four quantized integer logs —
+    * ln(a/b) = ln a − ln b term-by-term on counts, never an FP ratio —
+    * and shares are exact integer ppm, so the IV product is an exact
+    * long. One fact-dim join + one O(segments) aggregate. */
+  private def woeEncode(s: SparkSession, dir: String): DataFrame = {
+    val seg = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_bad"))
+    val tot = seg.agg(sum(expr("n_good + 1")).as("__gt"),
+      sum(expr("n_bad + 1")).as("__bt"))
+    seg.crossJoin(broadcast(tot))
+      .withColumn("woe_q6",
+        expr(s"(${lnQ6("n_good + 1")} - ${lnQ6("__gt")})" +
+          s" - (${lnQ6("n_bad + 1")} - ${lnQ6("__bt")})"))
+      .withColumn("iv_contrib_q",
+        expr("(((n_good + 1) * 1000000) div __gt" +
+          " - ((n_bad + 1) * 1000000) div __bt) * woe_q6"))
+      .select("segment", "n_good", "n_bad", "woe_q6", "iv_contrib_q")
+  }
+
+  private val woeEncodeSql =
+    s"""WITH seg AS (
+       |  SELECT c_mktsegment AS segment,
+       |    CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_good,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bad
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1),
+       |t AS (SELECT sum(n_good + 1) AS gt, sum(n_bad + 1) AS bt FROM seg)
+       |SELECT segment, n_good, n_bad,
+       |  CAST((${lnQ6("n_good + 1")} - ${lnQ6("gt")})
+       |    - (${lnQ6("n_bad + 1")} - ${lnQ6("bt")}) AS BIGINT) AS woe_q6,
+       |  CAST((((n_good + 1) * 1000000) // gt - ((n_bad + 1) * 1000000) // bt)
+       |    * ((${lnQ6("n_good + 1")} - ${lnQ6("gt")})
+       |       - (${lnQ6("n_bad + 1")} - ${lnQ6("bt")})) AS BIGINT)
+       |    AS iv_contrib_q
+       |FROM seg, t""".stripMargin
+
+  /** #228 frequent brand triples — the 3-itemset step of market-basket
+    * mining over co-purchase baskets (q_copurchase covers pairs).
+    * Baskets collapse to DISTINCT (order, brand) first — the 25-brand
+    * domain keeps triples per basket C(m,3)-bounded by the basket's
+    * brand count (≤13 observed, TPC-H line counts), so candidate
+    * generation is two co-partitioned self-equi-joins on the order key
+    * with ordered-brand predicates (no de-dup pass, no factorial
+    * blow-up), the same degree-bounded discipline as q_triangle.
+    * The support floor is CORPUS-RELATIVE (orders/300) so the prune
+    * stays meaningful — non-vacuous in both directions — at every
+    * scale. */
+  private def brandTriples(s: SparkSession, dir: String): DataFrame = {
+    val ob = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minsup = t(s, dir, "orders").agg((count(lit(1)) / 300L).cast("long")
+      .as("__minsup"))
+    val a = ob.select(col("o"), col("b").as("brand1"))
+    val b = ob.select(col("o"), col("b").as("brand2"))
+    val c = ob.select(col("o"), col("b").as("brand3"))
+    a.join(b, Seq("o")).filter(col("brand1") < col("brand2"))
+      .join(c, Seq("o")).filter(col("brand2") < col("brand3"))
+      .groupBy("brand1", "brand2", "brand3")
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(minsup))
+      .filter(col("support") >= col("__minsup"))
+      .select("brand1", "brand2", "brand3", "support")
+  }
+
+  private val brandTriplesSql =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |ms AS (SELECT count(*) // 300 AS minsup FROM orders)
+      |SELECT brand1, brand2, brand3, support FROM (
+      |  SELECT a.b AS brand1, bb.b AS brand2, c.b AS brand3,
+      |    CAST(count(*) AS BIGINT) AS support
+      |  FROM ob a
+      |  JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+      |  JOIN ob c ON bb.o = c.o AND bb.b < c.b
+      |  GROUP BY 1, 2, 3), ms
+      |WHERE support >= minsup""".stripMargin
+
+  /** #229 differentially-private count release — per (event type, day),
+    * the true count plus ε=1 Laplace noise drawn by DETERMINISTIC
+    * inverse-CDF: u comes from the multiplicative hash of the group key
+    * (type fingerprint folded with the epoch day), |ln| of the exact
+    * integer tail `1e6 − 2|u−½|` quantizes to µ-nats, and the released
+    * count rounds by the property-tested `(2n+d) div (2d)` integer
+    * formula — the noise replays bit-identically on any engine with no
+    * FP randomness anywhere. This is the release-AUDIT view (true
+    * count and noise kept for the gate); a production release would
+    * project `day, event_type, n_released` only. */
+  private def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("__d"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("__fp", TextAnalysis.fingerprint(col("event_type")))
+      .withColumn("__k",
+        expr(s"pmod(__fp * 31 + __d, ${TextAnalysis.FingerprintMod})"))
+      .withColumn("__u", expr(s"pmod(${multHashExpr("__k")}, 1000000)"))
+      .withColumn("__s", expr("__u - 500000"))
+      .withColumn("__arg", expr("greatest(1000000 - 2 * abs(__s), 1)"))
+      .withColumn("noise_q6",
+        expr(s"-signum(__s) * (${lnQ6("__arg")} - $LnMillionQ6)").cast("long"))
+    g.select(col("event_type"), col("day"), col("n_true"), col("noise_q6"),
+      expr("n_true + (2 * noise_q6 + 1000000) div 2000000").as("n_released"))
+  }
+
+  private val dpReleaseSql = {
+    val fp = s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split_regex(event_type, ''),
+       |                     c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod})""".stripMargin
+    s"""WITH g AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS n_true
+       |  FROM events GROUP BY 1, 2, 3),
+       |k AS (
+       |  SELECT event_type, day, n_true,
+       |    ($fp * 31 + d) % ${TextAnalysis.FingerprintMod} AS kk
+       |  FROM g),
+       |u AS (
+       |  SELECT event_type, day, n_true,
+       |    ${multHashDuck("kk")} % 1000000 - 500000 AS s
+       |  FROM k),
+       |n AS (
+       |  SELECT event_type, day, n_true,
+       |    CAST(-sign(s) * (${lnQ6("greatest(1000000 - 2 * abs(s), 1)")}
+       |      - $LnMillionQ6) AS BIGINT) AS noise_q6
+       |  FROM u)
+       |SELECT event_type, day, n_true, noise_q6,
+       |  CAST(n_true + (2 * noise_q6 + 1000000) // 2000000 AS BIGINT)
+       |    AS n_released
+       |FROM n""".stripMargin
+  }
+
+  /** #230 context-window truncation audit — for candidate window sizes
+    * {32, 64, 128}, how many documents fit outright, how many tokens
+    * truncation would discard, and the discard share (ppm) — the table
+    * that decides a training context length before q_seq_pack commits
+    * to one. Token counts are one map-only pass; the window axis is a
+    * 3-element explode (map-side row growth only); everything else is
+    * a partial-aggregated groupBy in exact integers. */
+  private def truncationAudit(s: SparkSession, dir: String): DataFrame =
+    parallelize(s, t(s, dir, "documents"))
+      .select(size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("__n"))
+      .select(col("__n"), explode(array(lit(32L), lit(64L), lit(128L))).as("window"))
+      .groupBy("window")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") <= col("window"), 1L).otherwise(0L)).as("n_fit"),
+        sum(greatest(col("__n") - col("window"), lit(0L))).as("trunc_tokens"),
+        sum(least(col("__n"), col("window"))).as("kept_tokens"))
+      .withColumn("trunc_share_ppm",
+        expr("(trunc_tokens * 1000000) div (trunc_tokens + kept_tokens)"))
+
+  private val truncationAuditSql =
+    """WITH n AS (
+      |  SELECT CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS BIGINT) AS n
+      |  FROM documents),
+      |w AS (SELECT n, unnest([CAST(32 AS BIGINT), 64, 128]) AS wdw FROM n),
+      |a AS (
+      |  SELECT wdw AS "window", CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN n <= wdw THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+      |    CAST(sum(greatest(n - wdw, 0)) AS BIGINT) AS trunc_tokens,
+      |    CAST(sum(least(n, wdw)) AS BIGINT) AS kept_tokens
+      |  FROM w GROUP BY 1)
+      |SELECT "window", n_docs, n_fit, trunc_tokens, kept_tokens,
+      |  CAST((trunc_tokens * 1000000) // (trunc_tokens + kept_tokens) AS BIGINT)
+      |    AS trunc_share_ppm
+      |FROM a""".stripMargin
+
+  /** #231 cluster keywords (c-TF-IDF) — label each embedding cluster
+    * with its 3 most DISTINCTIVE tokens, the BERTopic-style topic
+    * labeler: clusters from the replayable k-means quantizer (#214's
+    * exact configuration, so the oracle replays the same cells), token
+    * counts per cluster vs the corpus, score = tf_c · (ln(f_t + A) −
+    * ln(f_t)) with A the mean tokens per cluster — the ln-of-ratio
+    * folds as a difference of quantized integer logs (portable), the
+    * score an exact long product. Shuffles: the token explode's
+    * groupBys and an O(clusters) broadcast of scalars; the final top-3
+    * window runs per-cluster over vocabulary-bounded rows. */
+  private def clusterKeywords(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
+      nlist = 16, iters = 3, sampleMod = 4)
+    val asg = IvfIndex.assign(e, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cid"))
+    val toks = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text"))))
+        .as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.join(asg, toks("doc_id") === asg("vec_id"))
+      .groupBy("cid", "token").agg(count(lit(1)).as("tf_c"))
+    val ft = toks.groupBy("token").agg(count(lit(1)).as("__ft"))
+    val scal = toks.agg(count(lit(1)).as("__tt"))
+      .crossJoin(broadcast(asg.agg(countDistinct("cid").as("__nc"))))
+      .select(expr("__tt div __nc").as("__avg"))
+    val scored = tf.join(ft, Seq("token"))
+      .crossJoin(broadcast(scal))
+      .select(col("cid"), col("token"),
+        expr(s"tf_c * (${lnQ6("__ft + __avg")} - ${lnQ6("__ft")})")
+          .as("score_q6"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cid").orderBy(desc("score_q6"), asc("token")))
+        .cast("int"))
+      .filter(col("rank") <= 3)
+      .select("cid", "rank", "token", "score_q6")
+  }
+
+  private val clusterKeywordsSql = {
+    s"""WITH ${ivfAssignCtes(64, 16, 3)},
+       |tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (
+       |  SELECT a.cid, t.token, CAST(count(*) AS BIGINT) AS tf_c
+       |  FROM tok t JOIN asg a ON a.vec_id = t.doc_id
+       |  GROUP BY 1, 2),
+       |ft AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+       |sc AS (SELECT (SELECT count(*) FROM tok)
+       |         // (SELECT count(DISTINCT cid) FROM asg) AS av),
+       |scored AS (
+       |  SELECT tf.cid, tf.token,
+       |    tf.tf_c * (${lnQ6("ft.f + sc.av")} - ${lnQ6("ft.f")}) AS score_q6
+       |  FROM tf JOIN ft USING (token), sc),
+       |r AS (
+       |  SELECT cid, token, score_q6,
+       |    CAST(row_number() OVER (PARTITION BY cid
+       |      ORDER BY score_q6 DESC, token) AS INT) AS rank
+       |  FROM scored)
+       |SELECT cid, rank, token, CAST(score_q6 AS BIGINT) AS score_q6
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  /** #232 media dedup by content hash — exact dedup of the BINARY
+    * media column (q_dedup_exact's discipline applied to bytes): md5
+    * over the container bytes, hash-groupBy, min-id survivor. The
+    * duplicated corpus shifts every third id by 1,920,000 — a multiple
+    * of lcm(640, 480, 2), so the id-derived PNG dimensions, parity
+    * framing, and payload reproduce EXACTLY and the copy is
+    * byte-identical. The oracle recomputes every group arithmetically
+    * from that construction (the #206 pattern): any byte-level
+    * divergence in the generated container splits a group and breaks
+    * the compare. */
+  private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withFakeMedia(
+      parallelize(s, t(s, dir, "documents")), "doc_id", "text")
+    val dup = media.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1920000L).as("doc_id"),
+        col("media"), col("media_type"))
+    media.unionAll(dup)
+      .groupBy(md5(col("media")).as("__fp"), col("media_type"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min(length(col("media"))).as("n_bytes"))
+      .select("keep_id", "media_type", "n_copies", "n_bytes")
+  }
+
+  // The oracle groups on the CONTENT-DETERMINING key instead of
+  // recomputing bytes: container bytes are a pure function of
+  // (text, parity, id mod 640, id mod 480 — the last two only for
+  // PNGs), so grouping on that key equals grouping on md5(media).
+  // NOT simply `1 + [id%3=0]` per doc: at sf0.1 the corpus has
+  // same-text odd-id doc pairs whose raw payloads are byte-identical
+  // ACROSS doc ids — real duplicates the engine must (and does) fold.
+  private val mediaDedupSql =
+    """WITH c AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1920000, text FROM documents WHERE doc_id % 3 = 0)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+      |    AS media_type,
+      |  CAST(count(*) AS BIGINT) AS n_copies,
+      |  CAST(octet_length(encode(text))
+      |    + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 0 END AS INT) AS n_bytes
+      |FROM c
+      |GROUP BY text, doc_id % 2,
+      |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 END,
+      |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 END""".stripMargin
+
+  /** #233 epoch-shuffle decorrelation audit — are per-epoch shuffles
+    * independent? Assign every doc a batch for epochs 0 and 1 (the
+    * multiplicative hash of `doc_id·2 + epoch`, 8 batches) and report
+    * the 64-cell contingency matrix with each cell's deviation from
+    * the uniform 1/64 share in ppm — correlated epoch orders (the bug:
+    * reusing one permutation) light up the diagonal. Map-only
+    * assignment + one partial-aggregated groupBy; products through
+    * DECIMAL for 100-TB counts. */
+  private def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    // the per-epoch hash SQUARES the multiplicative hash before the
+    // batch mod — an affine-only chain (h(2d+ε) = h(2d) + A) would make
+    // epoch 1 a constant rotation of epoch 0 (16 of 64 cells occupied:
+    // the exact correlated-shuffle bug this op exists to detect, planted
+    // by its own hash). x² mod M is the portable nonlinear mix — exact
+    // in DECIMAL(38,0)/HUGEINT (x < 2^55 ⇒ x² < 10^34).
+    def batch(e: Int): String =
+      s"CAST(pmod(pmod(CAST(${multHashExpr(s"(doc_id * 2 + $e)")} AS DECIMAL(38,0))" +
+        s" * ${multHashExpr(s"(doc_id * 2 + $e)")}, ${TextAnalysis.FingerprintMod})," +
+        " 8) AS INT)"
+    val d = parallelize(s, t(s, dir, "documents"))
+      .select(expr(batch(0)).as("b0"), expr(batch(1)).as("b1"))
+    val m = d.groupBy("b0", "b1").agg(count(lit(1)).as("n"))
+    val tot = m.agg(sum("n").as("__t"))
+    m.crossJoin(broadcast(tot))
+      .select(col("b0"), col("b1"), col("n"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 64000000) div __t" +
+          " - 1000000 AS BIGINT)").as("dev_ppm"))
+  }
+
+  private val epochShuffleSql = {
+    def batch(e: Int): String =
+      s"CAST((CAST(${multHashDuck(s"(doc_id * 2 + $e)")} AS HUGEINT)" +
+        s" * ${multHashDuck(s"(doc_id * 2 + $e)")})" +
+        s" % ${TextAnalysis.FingerprintMod} % 8 AS INT)"
+    s"""WITH d AS (
+       |  SELECT ${batch(0)} AS b0,
+       |    ${batch(1)} AS b1
+       |  FROM documents),
+       |m AS (SELECT b0, b1, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+       |t AS (SELECT sum(n) AS tt FROM m)
+       |SELECT b0, b1, n,
+       |  CAST((CAST(n AS HUGEINT) * 64000000) // tt - 1000000 AS BIGINT)
+       |    AS dev_ppm
+       |FROM m, t""".stripMargin
+  }
+
+  // ===========================================================================
   // Registry
   // ===========================================================================
 
@@ -10069,5 +10585,15 @@ object Queries {
     Q("q_seasonal_naive_backtest", seasonalNaiveBacktest, Some(seasonalNaiveBacktestSql)),
     Q("q_coverage_gap", coverageGap, Some(coverageGapSql)),
     Q("q_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
+    Q("q_shard_balance", shardBalance, Some(shardBalanceSql)),
+    Q("q_calibration_ece", calibrationEce, Some(calibrationEceSql)),
+    Q("q_kaplan_meier", kaplanMeier, Some(kaplanMeierSql)),
+    Q("q_woe_encode", woeEncode, Some(woeEncodeSql)),
+    Q("q_brand_triples", brandTriples, Some(brandTriplesSql)),
+    Q("q_dp_release", dpRelease, Some(dpReleaseSql)),
+    Q("q_truncation_audit", truncationAudit, Some(truncationAuditSql)),
+    Q("q_cluster_keywords", clusterKeywords, Some(clusterKeywordsSql)),
+    Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
+    Q("q_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
   )
 }

@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ops 224-233 (round-8 widening II): shard balance, calibration bins,
+  * Kaplan–Meier survival, WOE encoding, brand 3-itemsets, DP release,
+  * truncation audit, cluster keywords, media dedup, epoch-shuffle
+  * audit — each replayed independently on the driver at sf0.001 with
+  * plain Scala collections (the CorpusBuildSpec discipline), except
+  * the kmeans-backed keyword op which gets structural checks (its
+  * quantizer replay lives in the DuckDB oracle). */
+class TrainingOpsSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val A = BigInt(6364136223846793005L)
+  private val M = BigInt(36028797018963913L)
+  private def mh(x: Long): Long = ((BigInt(x) * A).mod(M)).toLong
+  private def lnQ6(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+  private val LnMillionQ6 = 13815510L
+
+  private lazy val docs: Seq[(Long, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def nTok(text: String): Long =
+    text.trim.toLowerCase.split("\\s+").length.toLong
+
+  test("q_shard_balance equals the driver replay; shards partition the corpus") {
+    val byShard = docs.groupBy(d => (mh(d._1) % 16).toInt)
+    val tt = docs.map(d => nTok(d._2)).sum
+    val want = byShard.map { case (sh, ds) =>
+      val tok = ds.map(d => nTok(d._2)).sum
+      (sh, ds.size.toLong, tok,
+        (BigInt(tok) * 16000000L / tt - 1000000L).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_shard_balance")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.toSeq.map(_._2).sum == docs.size.toLong)
+  }
+
+  test("q_calibration_ece equals the driver replay; bins cover all orders") {
+    // cents conversion (DECIMAL(18,2) rounding) extracted in the select;
+    // the binning/aggregation replays in plain Scala
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("o_orderstatus") === "F").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mx = o.map(_._1).max
+    val scored = o.map { case (c, pos) => ((BigInt(c) * 1000000L / mx).toLong, pos) }
+    val want = scored.groupBy(s => math.min(s._1 / 100000L, 9L).toInt)
+      .map { case (bin, xs) =>
+        val n = xs.size.toLong
+        val nPos = xs.map(_._2).sum
+        val conf = (xs.map(x => BigInt(x._1)).sum / n).toLong
+        val acc = nPos * 1000000L / n
+        (bin, n, nPos, conf, acc, math.abs(acc - conf) * n)
+      }.toSet
+    val got = SparkEntry.queries("q_calibration_ece")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(got.toSeq.map(_._2).sum == o.size.toLong)
+  }
+
+  test("q_kaplan_meier equals the driver replay; curve is monotone") {
+    val ud = eventsTable(dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gmax = ud.map(_._2).max
+    val life = ud.groupBy(_._1).toSeq.map { case (_, ds) =>
+      val days = ds.map(_._2)
+      (days.max - days.min, if (days.max < gmax) 1L else 0L)
+    }
+    val ten = life.groupBy(_._1).map { case (t, xs) =>
+      (t.toInt, xs.size.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val riskDesc = ten.reverse
+      .scanLeft(0L) { case (acc, (_, nEnd, _)) => acc + nEnd }.tail
+    val nRisk = ten.map(_._1).zip(riskDesc.reverse).toMap
+    val terms = ten.map { case (t, _, nChurn) =>
+      val r = math.max((nRisk(t) - nChurn) * 1000000L / nRisk(t), 1L)
+      (t, lnQ6(r) - LnMillionQ6)
+    }
+    val survs = terms.scanLeft(0L)(_ + _._2).tail
+    val want = ten.zip(survs).map { case ((t, nEnd, nChurn), surv) =>
+      (t, nRisk(t), nChurn, nEnd - nChurn, surv)
+    }.toSet
+    val got = SparkEntry.queries("q_kaplan_meier")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    val byTen = got.toSeq.sortBy(_._1)
+    assert(byTen.map(_._2) == byTen.map(_._2).sorted.reverse, "at-risk nonincreasing")
+    assert(byTen.map(_._5) == byTen.map(_._5).sorted.reverse, "survival nonincreasing")
+    assert(byTen.forall(_._5 <= 0L), "log-survival is nonpositive")
+  }
+
+  test("q_woe_encode equals the driver replay; IV contributions are finite") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val seg = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderstatus"))
+      .collect().map(r => (cust(r.getLong(0)), r.getString(1)))
+      .groupBy(_._1).map { case (sg, xs) =>
+        (sg, xs.count(_._2 != "F").toLong, xs.count(_._2 == "F").toLong)
+      }.toSeq
+    val gt = seg.map(_._2 + 1).sum
+    val bt = seg.map(_._3 + 1).sum
+    val want = seg.map { case (sg, g, b) =>
+      val woe = (lnQ6(g + 1) - lnQ6(gt)) - (lnQ6(b + 1) - lnQ6(bt))
+      val iv = ((g + 1) * 1000000L / gt - (b + 1) * 1000000L / bt) * woe
+      (sg, g, b, woe, iv)
+    }.toSet
+    val got = SparkEntry.queries("q_woe_encode")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_brand_triples equals the driver combinations replay") {
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val ob = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), part(r.getLong(1)))).distinct
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    val minsup = nOrders / 300L
+    val want = ob.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.map(_._2).distinct.sorted.combinations(3).map(c => (c(0), c(1), c(2)))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minsup)
+      .map { case ((b1, b2, b3), n) => (b1, b2, b3, n) }.toSet
+    val got = SparkEntry.queries("q_brand_triples")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_dp_release equals the driver noise replay; noise is Laplace-bounded") {
+    val mod = operators.TextAnalysis.FingerprintMod
+    def fp(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
+    val ev = eventsTable(dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(x => (x._1, x._2, x._3)).map { case ((et, day, d), xs) =>
+      val k = (fp(et) * 31 + d) % mod
+      val u = mh(k) % 1000000L
+      val s = u - 500000L
+      val arg = math.max(1000000L - 2 * math.abs(s), 1L)
+      val noise = -java.lang.Long.signum(s) * (lnQ6(arg) - LnMillionQ6)
+      val released = xs.size + (2 * noise + 1000000L) / 2000000L
+      (et, day, xs.size.toLong, noise, released)
+    }.toSet
+    val got = SparkEntry.queries("q_dp_release")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    // b=1 Laplace via the ppm grid: |noise| ≤ ln(1e6) ≈ 13.8 counts
+    assert(got.forall(x => math.abs(x._4) <= 14000000L))
+    assert(got.forall(x => math.abs(x._5 - x._3) <= 14L))
+  }
+
+  test("q_truncation_audit equals the driver replay") {
+    val ns = docs.map(d => nTok(d._2))
+    val want = Seq(32L, 64L, 128L).map { w =>
+      (w, ns.size.toLong, ns.count(_ <= w).toLong,
+        ns.map(n => math.max(n - w, 0L)).sum, ns.map(n => math.min(n, w)).sum)
+    }.map { case (w, nd, fit, tr, kept) =>
+      (w, nd, fit, tr, kept, tr * 1000000L / (tr + kept))
+    }.toSet
+    val got = SparkEntry.queries("q_truncation_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+  }
+
+  test("q_cluster_keywords: 3 ranked keywords per cluster from the corpus vocabulary") {
+    val vocab = docs.flatMap(d => d._2.trim.toLowerCase.split("\\s+")).toSet
+    val got = SparkEntry.queries("q_cluster_keywords")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val byCid = got.groupBy(_._1)
+    assert(byCid.nonEmpty && byCid.keys.forall(c => c >= 0 && c < 16))
+    byCid.foreach { case (cid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.size),
+        s"cluster $cid ranks not dense")
+      assert(rows.size <= 3)
+      // ranks follow score desc with token asc tie-break
+      val ordered = rows.sortBy(_._2).map(r => (r._4, r._3)).toSeq
+      assert(ordered == ordered.sortBy(t => (-t._1, t._2)), s"cluster $cid misordered")
+    }
+    assert(got.forall(r => vocab.contains(r._3)))
+    assert(got.forall(_._4 > 0L), "c-TF-IDF scores are positive")
+  }
+
+  test("q_media_dedup equals the constructed group structure") {
+    val want = docs.map { case (id, text) =>
+      val png = id % 2 == 0
+      (id, if (png) "image/png" else "audio/wav",
+        if (id % 3 == 0) 2L else 1L,
+        text.getBytes("UTF-8").length + (if (png) 57 else 0))
+    }.toSet
+    val got = SparkEntry.queries("q_media_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == want)
+    // survivor ids are the ORIGINAL ids: every shifted copy deduped away
+    assert(got.forall(_._1 < 1920000L))
+  }
+
+  test("q_epoch_shuffle equals the squared-hash replay; epochs decorrelate") {
+    def batch(id: Long, e: Long): Int = {
+      val x = BigInt(mh(id * 2 + e))
+      ((x * x).mod(M) % 8).toInt
+    }
+    val cells = docs.map(d => (batch(d._1, 0), batch(d._1, 1)))
+    val tt = cells.size.toLong
+    val want = cells.groupBy(identity).map { case ((b0, b1), xs) =>
+      (b0, b1, xs.size.toLong,
+        (BigInt(xs.size) * 64000000L / tt - 1000000L).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_epoch_shuffle")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // the affine-chain bug would collapse the matrix to ≤8 occupied
+    // cells (b1 a constant rotation of b0) — require real spread
+    assert(got.size > 8, s"only ${got.size} occupied cells: epochs correlated")
+  }
+}
