@@ -10357,6 +10357,297 @@ object Queries {
        |FROM m, t""".stripMargin
   }
 
+  /** #234 grouped (user-level) split — the leakage-free alternative to
+    * #90's row-level split: ALL of a user's events land in one split
+    * (assignment is a pure function of user_id via the systematic hash
+    * bucket, 80/10/10), because row-level splits of grouped data leak
+    * a user's behavior across train/test. The audit reports, per
+    * split, distinct users, event counts, and the event share in ppm —
+    * group-size variance makes event shares drift from the user-share
+    * targets, which is exactly what the table shows. Map-only
+    * assignment; two partial-aggregated groupBys. */
+  private def groupedSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("__b", Sampling.systematicBucket(col("user_id"), 1000))
+      .withColumn("split",
+        when(col("__b") < 800, "train").when(col("__b") < 900, "val")
+          .otherwise("test"))
+    val byS = ev.groupBy("split")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+    val tot = byS.agg(sum("n_events").as("__t"))
+    byS.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_users"), col("n_events"),
+        expr("CAST((CAST(n_events AS DECIMAL(38,0)) * 1000000) div __t AS BIGINT)")
+          .as("event_share_ppm"))
+  }
+
+  private val groupedSplitSql = {
+    // Sampling.systematicBucket's exact formula (the #90 oracle's twin)
+    val b = "((user_id % 1000003) * 1103515247 + 12345) % 1000"
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    CASE WHEN $b < 800 THEN 'train'
+       |         WHEN $b < 900 THEN 'val' ELSE 'test' END AS split
+       |  FROM events),
+       |bs AS (
+       |  SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM ev GROUP BY 1),
+       |t AS (SELECT sum(n_events) AS tt FROM bs)
+       |SELECT split, n_users, n_events,
+       |  CAST((CAST(n_events AS HUGEINT) * 1000000) // tt AS BIGINT)
+       |    AS event_share_ppm
+       |FROM bs, t""".stripMargin
+  }
+
+  /** #235 feature-hashing collision audit — before shipping the
+    * hashing trick (cross features → fixed hash buckets), measure what
+    * collides: the (event_type × day-of-week) crosses hash through the
+    * multiplicative hash into 64 buckets; per OCCUPIED bucket, the
+    * distinct crosses sharing it (collisions fuse their statistics)
+    * and the event mass riding on it. The cross space is
+    * O(types × 7) — the audit aggregates are all tiny; the event mass
+    * comes from the same partial-aggregated contingency pass #203
+    * uses. */
+  private def hashCollisionAudit(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsMicros(s, dir)
+      .select(col("event_type"),
+        expr(isoDowExpr("ts_us")).cast("int").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("__n"))
+      .withColumn("__fp", TextAnalysis.fingerprint(col("event_type")))
+      .withColumn("__k",
+        expr(s"pmod(__fp * 7 + dow, ${TextAnalysis.FingerprintMod})"))
+      .withColumn("bucket",
+        expr(s"CAST(pmod(${multHashExpr("__k")}, 64) AS INT)"))
+    cells.groupBy("bucket")
+      .agg(count(lit(1)).as("n_crosses"), sum("__n").as("n_events"))
+      .withColumn("collided", col("n_crosses") > 1L)
+  }
+
+  private val hashCollisionAuditSql = {
+    val fp = s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split_regex(event_type, ''),
+       |                     c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod})""".stripMargin
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS INT) AS dow,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |k AS (
+       |  SELECT ($fp * 7 + dow) % ${TextAnalysis.FingerprintMod} AS kk, n
+       |  FROM c),
+       |b AS (
+       |  SELECT CAST(${multHashDuck("kk")} % 64 AS INT) AS bucket, n
+       |  FROM k)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_crosses,
+       |  CAST(sum(n) AS BIGINT) AS n_events, count(*) > 1 AS collided
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
+  /** #236 diversified top-k — the MMR-lite re-rank a retrieval/feed
+    * layer runs so one prolific source cannot monopolize the list:
+    * rank docs WITHIN source by quality (n_chars, ties → doc_id), then
+    * interleave globally by (within-source rank, quality) and keep the
+    * top 20. Per-source ranks are bounded windows over each source's
+    * rows; the global cut is orderBy+limit — TakeOrderedAndProject
+    * (per-partition top-k, k-row driver merge), NEVER a global sort;
+    * the final dense rank is a window over the 20 surviving rows. */
+  private def diversifiedTopk(s: SparkSession, dir: String): DataFrame = {
+    val ranked = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id")))
+        .cast("int"))
+    ranked
+      .orderBy(asc("src_rank"), desc("n_chars"), asc("doc_id"))
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(asc("src_rank"), desc("n_chars"), asc("doc_id")))
+        .cast("int"))
+      .select("rank", "doc_id", "source", "n_chars", "src_rank")
+  }
+
+  private val diversifiedTopkSql =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS INT) AS src_rank
+      |  FROM documents)
+      |SELECT CAST(row_number() OVER (ORDER BY src_rank, n_chars DESC, doc_id)
+      |    AS INT) AS rank,
+      |  doc_id, source, n_chars, src_rank
+      |FROM r
+      |ORDER BY src_rank, n_chars DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  /** #237 information-gain feature screen — MI(order status; feature)
+    * for three candidate features (market segment, order priority,
+    * order month), one row per feature: the ranking a feature-selection
+    * pass produces before training anything. Each feature is one
+    * O(|x|×|y|)-bounded contingency groupBy folded with #203's exact
+    * ppb arithmetic (⌊ln·1e9⌋ of identical double ratios, DECIMAL
+    * weighted sum); the per-feature frames union to O(features) rows. */
+  private def infoGain(s: SparkSession, dir: String): DataFrame = {
+    def mi(name: String, df: DataFrame): DataFrame = {
+      val cells = df.toDF("__x", "__y")
+        .groupBy("__x", "__y").agg(count(lit(1)).as("nij"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ri = cells.groupBy("__x").agg(sum("nij").as("ni"))
+      val cj = cells.groupBy("__y").agg(sum("nij").as("nj"))
+      val tot = cells.agg(sum("nij").as("__N"))
+      cells.join(broadcast(ri), Seq("__x"))
+        .join(broadcast(cj), Seq("__y"))
+        .crossJoin(broadcast(tot))
+        .select(col("nij"), col("__N"),
+          floor(log(col("nij").cast("double") * col("__N").cast("double")
+            / (col("ni").cast("double") * col("nj").cast("double"))) * 1e9)
+            .cast("long").as("t"))
+        .agg(max("__N").as("n_rows"),
+          expr("CAST(sum(CAST(nij AS DECIMAL(38,0)) * t) div max(__N) AS BIGINT)")
+            .as("mi_ppb"))
+        .select(lit(name).as("feature"), col("n_rows"), col("mi_ppb"))
+    }
+    val o = t(s, dir, "orders")
+    val seg = o.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderstatus"))
+    val pri = o.select(col("o_orderpriority"), col("o_orderstatus"))
+    val mon = o.select(date_format(col("o_orderdate"), "MM"), col("o_orderstatus"))
+    mi("mktsegment", seg).unionAll(mi("orderpriority", pri))
+      .unionAll(mi("order_month", mon))
+  }
+
+  private val infoGainSql = {
+    def mi(name: String, src: String): String =
+      s"""SELECT '$name' AS feature, max(N) AS n_rows,
+         |  CAST(sum(CAST(nij AS HUGEINT) * lt) // max(N) AS BIGINT) AS mi_ppb
+         |FROM (
+         |  SELECT c.nij, t.N,
+         |    CAST(floor(ln(CAST(c.nij AS DOUBLE) * CAST(t.N AS DOUBLE)
+         |      / (CAST(ri.ni AS DOUBLE) * CAST(cj.nj AS DOUBLE))) * 1e9)
+         |      AS BIGINT) AS lt
+         |  FROM ($src) c
+         |  JOIN (SELECT x, CAST(sum(nij) AS BIGINT) AS ni
+         |        FROM ($src) GROUP BY 1) ri USING (x)
+         |  JOIN (SELECT y, CAST(sum(nij) AS BIGINT) AS nj
+         |        FROM ($src) GROUP BY 1) cj USING (y),
+         |       (SELECT CAST(sum(nij) AS BIGINT) AS N FROM ($src)) t)""".stripMargin
+    val seg = """SELECT c_mktsegment AS x, o_orderstatus AS y,
+                | CAST(count(*) AS BIGINT) AS nij
+                |FROM orders JOIN customer ON o_custkey = c_custkey
+                |GROUP BY 1, 2""".stripMargin
+    val pri = """SELECT o_orderpriority AS x, o_orderstatus AS y,
+                | CAST(count(*) AS BIGINT) AS nij
+                |FROM orders GROUP BY 1, 2""".stripMargin
+    val mon = """SELECT strftime(o_orderdate, '%m') AS x, o_orderstatus AS y,
+                | CAST(count(*) AS BIGINT) AS nij
+                |FROM orders GROUP BY 1, 2""".stripMargin
+    s"""${mi("mktsegment", seg)}
+       |UNION ALL ${mi("orderpriority", pri)}
+       |UNION ALL ${mi("order_month", mon)}""".stripMargin
+  }
+
+  /** #238 m-estimate target encoding — the mean-target categorical
+    * encoder with additive smoothing toward the global mean (m=100
+    * virtual rows), companion to #227's WOE on a CONTINUOUS target
+    * (order price in cents): enc = (Σ_i + m·ȳ) div (n_i + m), all in
+    * exact integer cents (sums through DECIMAL — a 100-TB fact's cent
+    * sum overflows BIGINT), with the shrink weight m/(n+m) in ppm so
+    * the consumer can see how far each category was pulled. One
+    * fact-dim join, one O(categories) aggregate, scalar broadcast. */
+  private def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    val oc = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("__c"))
+    val seg = oc.groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(col("__c").cast("decimal(38,0)")).as("__s"))
+    val tot = seg.agg(sum("n").as("__N"), sum("__s").as("__S"))
+      .select(col("__N"), expr("CAST(__S div __N AS BIGINT)").as("__gmean"))
+    seg.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n"),
+        expr("CAST(__s div n AS BIGINT)").as("raw_mean_cents"),
+        expr("CAST((__s + 100 * CAST(__gmean AS DECIMAL(38,0))) div (n + 100)" +
+          " AS BIGINT)").as("enc_cents"),
+        expr("(100 * 1000000) div (n + 100)").as("shrink_ppm"))
+  }
+
+  private val targetEncodeSql =
+    """WITH oc AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |seg AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s
+      |  FROM oc GROUP BY 1),
+      |t AS (SELECT CAST(sum(s) // sum(n) AS BIGINT) AS gmean FROM seg)
+      |SELECT segment, n,
+      |  CAST(s // n AS BIGINT) AS raw_mean_cents,
+      |  CAST((s + 100 * CAST(gmean AS HUGEINT)) // (n + 100) AS BIGINT)
+      |    AS enc_cents,
+      |  CAST((100 * 1000000) // (n + 100) AS BIGINT) AS shrink_ppm
+      |FROM seg, t""".stripMargin
+
+  /** #239 lift / cumulative-gains table — the ranking-quality view of
+    * #225's score (calibration says "are the probabilities right";
+    * lift says "does sorting by score concentrate the positives"):
+    * per descending score bin, cumulative rows and positives captured
+    * and the cumulative lift vs the base rate in ppm. The bin
+    * aggregate is the #225 pass; the cumulative sums run over the
+    * O(10) bin axis (bounded frame), and the lift ratio folds in
+    * DECIMAL — exact at any row count. */
+  private def liftCurve(s: SparkSession, dir: String): DataFrame = {
+    val o = parallelize(s, t(s, dir, "orders"))
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__c"),
+        (col("o_orderstatus") === "F").cast("long").as("__pos"))
+    val mx = o.agg(max("__c").as("__mx"))
+    val bins = o.crossJoin(broadcast(mx))
+      .select(
+        expr("CAST(least((CAST(__c AS DECIMAL(38,0)) * 1000000 div __mx)" +
+          " div 100000, 9) AS INT)").as("bin"), col("__pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__pos").as("n_pos"))
+    val tot = bins.agg(sum("n").as("__N"), sum("n_pos").as("__P"))
+    val wCum = Window.orderBy(desc("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins.withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        expr("CAST((CAST(cum_pos AS DECIMAL(38,0)) * __N * 1000000)" +
+          " div (CAST(cum_n AS DECIMAL(38,0)) * __P) AS BIGINT)")
+          .as("lift_ppm"))
+  }
+
+  private val liftCurveSql =
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(o_orderstatus = 'F' AS BIGINT) AS pos
+      |  FROM orders),
+      |mx AS (SELECT max(c) AS mx FROM o),
+      |b AS (
+      |  SELECT CAST(least((CAST(c AS HUGEINT) * 1000000 // mx) // 100000, 9)
+      |      AS INT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+      |  FROM o, mx GROUP BY 1),
+      |t AS (SELECT sum(n) AS tot_n, sum(n_pos) AS tot_p FROM b),
+      |c AS (
+      |  SELECT bin, n, n_pos,
+      |    CAST(sum(n) OVER (ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_n,
+      |    CAST(sum(n_pos) OVER (ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_pos
+      |  FROM b)
+      |SELECT bin, c.n, c.n_pos, cum_n, cum_pos,
+      |  CAST((CAST(cum_pos AS HUGEINT) * t.tot_n * 1000000)
+      |    // (CAST(cum_n AS HUGEINT) * t.tot_p) AS BIGINT) AS lift_ppm
+      |FROM c, t""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -10595,5 +10886,11 @@ object Queries {
     Q("q_cluster_keywords", clusterKeywords, Some(clusterKeywordsSql)),
     Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
     Q("q_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
+    Q("q_grouped_split", groupedSplit, Some(groupedSplitSql)),
+    Q("q_hash_collision_audit", hashCollisionAudit, Some(hashCollisionAuditSql)),
+    Q("q_diversified_topk", diversifiedTopk, Some(diversifiedTopkSql)),
+    Q("q_info_gain", infoGain, Some(infoGainSql)),
+    Q("q_target_encode", targetEncode, Some(targetEncodeSql)),
+    Q("q_lift_curve", liftCurve, Some(liftCurveSql)),
   )
 }

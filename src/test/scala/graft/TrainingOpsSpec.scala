@@ -238,4 +238,153 @@ class TrainingOpsSpec extends GraftSuite {
     // cells (b1 a constant rotation of b0) — require real spread
     assert(got.size > 8, s"only ${got.size} occupied cells: epochs correlated")
   }
+
+  private def sysBucket(id: Long): Long =
+    ((id % 1000003L) * 1103515247L + 12345L) % 1000L
+
+  test("q_grouped_split equals the driver replay; no user spans two splits") {
+    val ev = eventsTable(dir).select(col("user_id"))
+      .collect().map(_.getLong(0)).toSeq
+    def splitOf(u: Long): String = {
+      val b = sysBucket(u)
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val tt = ev.size.toLong
+    val want = ev.groupBy(splitOf).map { case (sp, xs) =>
+      (sp, xs.distinct.size.toLong, xs.size.toLong,
+        (BigInt(xs.size) * 1000000L / tt).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_grouped_split")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.toSeq.map(_._3).sum == tt, "splits partition the events")
+  }
+
+  test("q_hash_collision_audit equals the driver replay; masses add up") {
+    val mod = operators.TextAnalysis.FingerprintMod
+    def fp(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
+    val ev = eventsTable(dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .collect().map(r => (r.getString(0), ((r.getLong(1) + 3) % 7 + 1)))
+    val want = ev.groupBy(identity).toSeq
+      .map { case ((et, dow), xs) =>
+        val k = (fp(et) * 7 + dow) % mod
+        ((mh(k) % 64).toInt, xs.size.toLong)
+      }
+      .groupBy(_._1).map { case (b, xs) =>
+        (b, xs.size.toLong, xs.map(_._2).sum, xs.size > 1)
+      }.toSet
+    val got = SparkEntry.queries("q_hash_collision_audit")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == want)
+    assert(got.toSeq.map(_._3).sum == ev.size.toLong)
+  }
+
+  test("q_diversified_topk equals the driver replay; no source monopolizes") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val srcRank = rows.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(d => (-d._3, d._1)).zipWithIndex
+        .map { case (d, i) => (d._1, d._2, d._3, i + 1) }
+    }
+    val want = srcRank.sortBy(d => (d._4, -d._3, d._1)).take(20).zipWithIndex
+      .map { case ((id, src, nc, sr), i) => (i + 1, id, src, nc, sr) }.toSet
+    val got = SparkEntry.queries("q_diversified_topk")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got == want)
+    val perSource = got.groupBy(_._3).view.mapValues(_.size)
+    assert(perSource.values.max <= (20 / perSource.size + 1),
+      s"a source monopolizes the diversified list: $perSource")
+  }
+
+  test("q_info_gain equals the driver MI replay; features are screened") {
+    def mi(pairs: Seq[(String, String)]): Long = {
+      val n = pairs.size.toLong
+      val cells = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ri = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val cj = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val s = cells.map { case ((x, y), nij) =>
+        val t = math.floor(math.log(
+          nij.toDouble * n.toDouble / (ri(x).toDouble * cj(y).toDouble)) * 1e9)
+          .toLong
+        BigInt(nij) * t
+      }.sum
+      (s / n).toLong
+    }
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "MM"), col("o_orderstatus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    val want = Set(
+      ("mktsegment", o.size.toLong, mi(o.map(r => (cust(r._1), r._4)))),
+      ("orderpriority", o.size.toLong, mi(o.map(r => (r._2, r._4)))),
+      ("order_month", o.size.toLong, mi(o.map(r => (r._3, r._4)))))
+    val got = SparkEntry.queries("q_info_gain")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("q_target_encode equals the driver replay; shrinkage pulls toward the mean") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val oc = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (cust(r.getLong(0)), r.getLong(1))).toSeq
+    val gmean = (oc.map(x => BigInt(x._2)).sum / oc.size).toLong
+    val want = oc.groupBy(_._1).map { case (seg, xs) =>
+      val n = xs.size.toLong
+      val s = xs.map(x => BigInt(x._2)).sum
+      (seg, n, (s / n).toLong, ((s + BigInt(100L) * gmean) / (n + 100)).toLong,
+        100L * 1000000L / (n + 100L))
+    }.toSet
+    val got = SparkEntry.queries("q_target_encode")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    // encoded means sit between the raw mean and the global mean
+    got.foreach { case (seg, _, raw, enc, _) =>
+      assert((enc >= math.min(raw, gmean) - 1) && (enc <= math.max(raw, gmean) + 1),
+        s"$seg: enc $enc outside [$raw, $gmean]")
+    }
+  }
+
+  test("q_lift_curve equals the driver replay; lift decays toward 1") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("o_orderstatus") === "F").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mx = o.map(_._1).max
+    val bins = o.groupBy { case (c, _) =>
+      (BigInt(c) * 1000000L / mx / 100000L).toInt.min(9)
+    }.view.mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    val totN = o.size.toLong
+    val totP = o.map(_._2).sum
+    val desc = bins.toSeq.sortBy(-_._1)
+    val cums = desc.scanLeft((0L, 0L)) { case ((cn, cp), (_, (n, p))) =>
+      (cn + n, cp + p)
+    }.tail
+    val want = desc.zip(cums).map { case ((bin, (n, p)), (cn, cp)) =>
+      (bin, n, p, cn, cp,
+        (BigInt(cp) * totN * 1000000L / (BigInt(cn) * totP)).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_lift_curve")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    val full = got.toSeq.sortBy(_._1).head
+    assert(full._4 == totN && math.abs(full._6 - 1000000L) <= 1L,
+      "the full-population bin has lift 1")
+  }
 }
