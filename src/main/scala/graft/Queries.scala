@@ -10648,6 +10648,75 @@ object Queries {
       |    // (CAST(cum_n AS HUGEINT) * t.tot_p) AS BIGINT) AS lift_ppm
       |FROM c, t""".stripMargin
 
+  /** #240 video frame sampling — the frame-sample leg of the multimodal
+    * path as a gated operator: `Multimodal.sampleFrames` slices 8
+    * evenly-spaced frames per container (map-only 1→8 explode inside
+    * the sanctioned mapPartitions island — a real implementation seeks
+    * the container and decodes every stride-th frame; the byte-slice
+    * stub keeps the schema/partitioning/batch shape real). Frame
+    * boundaries are pure integer functions of the container length, so
+    * the oracle recomputes every sampled frame's size from the #27
+    * container-size formula — a slicing regression on any row breaks
+    * the hash compare. */
+  private def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withFakeMedia(
+      parallelize(s, t(s, dir, "documents")), "doc_id", "text")
+    Multimodal.sampleFrames(media, nFrames = 8)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("n_bytes"))
+  }
+
+  private val frameSampleSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text))
+      |      + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 0 END AS BIGINT) AS len
+      |  FROM documents),
+      |f AS (SELECT m.doc_id, m.len, CAST(r.range AS INT) AS frame_idx
+      |      FROM m CROSS JOIN range(0, 8) r)
+      |SELECT doc_id, frame_idx,
+      |  CAST(least(greatest((frame_idx * len) // 8 + 1,
+      |                      ((frame_idx + 1) * len) // 8), len)
+      |    - (frame_idx * len) // 8 AS INT) AS n_bytes
+      |FROM f""".stripMargin
+
+  /** #241 aspect-preserving resize plan — the deterministic geometry
+    * pass a vision pipeline runs before any pixel work: for every
+    * decoded image, the ppm scale factor to a 224 short side and the
+    * rounded output dimensions. Dimensions come from the REAL PNG
+    * header decode (`Multimodal.extractFeatures` — not the id
+    * formula), so the oracle's arithmetic recompute doubles as a
+    * decode regression gate; rounding is `(n·scale + 5e5) div 1e6` on
+    * positive integers — truncating division, identical on both
+    * engines. Map-only end to end. */
+  private def resizePlan(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withFakeMedia(
+      parallelize(s, t(s, dir, "documents")), "doc_id", "text")
+    Multimodal.extractFeatures(media)
+      .filter(col("header_decoded"))
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("scale_ppm",
+        expr("(224 * 1000000) div least(width, height)"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale_ppm"),
+        expr("CAST((width * scale_ppm + 500000) div 1000000 AS INT)").as("out_w"),
+        expr("CAST((height * scale_ppm + 500000) div 1000000 AS INT)").as("out_h"))
+  }
+
+  private val resizePlanSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 640 AS INT) AS width,
+      |    CAST(16 + doc_id % 480 AS INT) AS height
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |sc AS (
+      |  SELECT doc_id, width, height,
+      |    CAST((224 * 1000000) // least(width, height) AS BIGINT) AS scale_ppm
+      |  FROM d)
+      |SELECT doc_id, width, height, scale_ppm,
+      |  CAST((width * scale_ppm + 500000) // 1000000 AS INT) AS out_w,
+      |  CAST((height * scale_ppm + 500000) // 1000000 AS INT) AS out_h
+      |FROM sc""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -10892,5 +10961,7 @@ object Queries {
     Q("q_info_gain", infoGain, Some(infoGainSql)),
     Q("q_target_encode", targetEncode, Some(targetEncodeSql)),
     Q("q_lift_curve", liftCurve, Some(liftCurveSql)),
+    Q("q_frame_sample", frameSample, Some(frameSampleSql)),
+    Q("q_resize_plan", resizePlan, Some(resizePlanSql)),
   )
 }

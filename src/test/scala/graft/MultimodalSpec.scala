@@ -102,4 +102,44 @@ class MultimodalSpec extends GraftSuite {
     val out = Multimodal.extractFeatures(Multimodal.withFakeMedia(docs, "doc_id", "text"))
     assert(out.schema == Multimodal.featureSchema)
   }
+
+  test("q_frame_sample slice sizes equal the container-length replay") {
+    val dir = "/root/testdata/sf0.001"
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).getBytes("UTF-8").length + (if (r.getLong(0) % 2 == 0) 57 else 0)))
+      .toMap
+    val want = lens.toSeq.flatMap { case (id, len) =>
+      (0 until 8).map { f =>
+        val start = f * len / 8
+        val end = math.max(start + 1, (f + 1) * len / 8)
+        (id, f, math.min(end, len) - start)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_frame_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.groupBy(_._1).forall(_._2.size == 8), "8 frames per container")
+  }
+
+  test("q_resize_plan hits a 224 short side from the REAL decoded dims") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_resize_plan")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getInt(4), r.getInt(5)))
+    assert(got.nonEmpty && got.forall(_._1 % 2 == 0), "PNG rows only")
+    got.foreach { case (id, w, h, scale, ow, oh) =>
+      assert(w == 16 + (id % 640).toInt && h == 16 + (id % 480).toInt,
+        s"doc $id: decoded dims drifted from the generator")
+      assert(scale == 224L * 1000000L / math.min(w, h))
+      assert(ow == (w * scale + 500000L) / 1000000L)
+      assert(oh == (h * scale + 500000L) / 1000000L)
+      // the SHORT side lands on 224 up to half-pixel rounding
+      assert(math.abs(math.min(ow, oh) - 224) <= 1, s"doc $id short side ${math.min(ow, oh)}")
+      // aspect preserved within a pixel of exact scaling
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) <=
+        1.0 / math.min(oh, h), s"doc $id aspect drift")
+    }
+  }
 }
