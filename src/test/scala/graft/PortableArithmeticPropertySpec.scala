@@ -197,4 +197,65 @@ class PortableArithmeticPropertySpec extends GraftSuite {
     }
     check(prop, 300)
   }
+
+  test("squared-hash mix (q_epoch_shuffle): DECIMAL(38,0) headroom holds and matches BigInt") {
+    // h < M < 2^55 ⇒ h² < 1.3e33 < 10^38−1: the square can never
+    // overflow-null the DECIMAL lane. The Spark expression is evaluated
+    // verbatim against a BigInt reference, and the nonlinearity claim is
+    // checked directly: the mix must NOT be an affine function of h
+    // (an affine chain is the exact bug the op exists to detect).
+    val gen = Gen.frequency(2 -> Gen.oneOf(Seq(0L, 1L, M.toLong - 1)),
+      8 -> Gen.chooseNum(0L, M.toLong - 1))
+    val prop = forAll(Gen.listOfN(24, gen)) { hs0 =>
+      val hs = (hs0 ++ Seq(0L, M.toLong - 1)).distinct
+      val got = hs.toDF("h")
+        .selectExpr("h",
+          s"CAST(pmod(pmod(CAST(h AS DECIMAL(38,0)) * h, ${M}), 8) AS INT) AS b")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      hs.forall { h => got(h) == ((BigInt(h) * h).mod(M) % 8).toInt }
+    }
+    check(prop)
+    // non-affine: consecutive h values don't step the bucket by a constant
+    val steps = (0L until 64L).map(h => (((BigInt(h + 1) * (h + 1)).mod(M) % 8)
+      - ((BigInt(h) * h).mod(M) % 8)).toInt)
+    assert(steps.distinct.size > 1, "squared mix degenerated to an affine step")
+  }
+
+  test("deterministic Laplace tail (q_dp_release): noise is odd in u and ln-bounded") {
+    // noise(u) = −sign(u−½)·(⌊ln(1e6−2|u−½|)·1e6⌋ − ⌊ln(1e6)·1e6⌋) on the
+    // ppm grid. Pure JVM reference (the ln fold is already pinned above);
+    // the properties that matter downstream: symmetry (u and 1e6−u give
+    // opposite noise), zero at the median, and the hard bound
+    // |noise| ≤ ⌈ln(1e6)·1e6⌉ — which caps any released count's
+    // distortion at 14 after the (2n+d) div (2d) rounding.
+    def noise(u: Long): Long = {
+      val s = u - 500000L
+      val arg = math.max(1000000L - 2 * math.abs(s), 1L)
+      -java.lang.Long.signum(s) *
+        (math.floor(math.log(arg.toDouble) * 1e6).toLong - 13815510L)
+    }
+    val prop = forAll(Gen.chooseNum(0L, 999999L)) { u =>
+      val n = noise(u)
+      math.abs(n) <= 13815511L &&
+        (u == 500000L || u == 0L || noise(1000000L - u) == -n) &&
+        (u != 500000L || n == 0L)
+    }
+    check(prop, 500)
+    // the rounded count distortion bound the op's doc claims
+    assert((2 * 13815511L + 1000000L) / 2000000L <= 14L)
+  }
+
+  test("resize rounding (q_resize_plan): (n·scale+5e5) div 1e6 is round-half-up on the dim domain") {
+    // positive operands only (dims 16..655, scale ≤ 14e6), so Spark div
+    // and DuckDB // agree (truncation == floor); against an exact
+    // BigDecimal HALF_UP reference.
+    val gen = Gen.zip(Gen.chooseNum(16, 655), Gen.chooseNum(1L, 14000000L))
+    val prop = forAll(gen) { case (dim, scale) =>
+      val got = (dim * scale + 500000L) / 1000000L
+      val want = BigDecimal(BigInt(dim) * scale, 6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      got == want
+    }
+    check(prop, 500)
+  }
 }
