@@ -38,7 +38,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("GRAFT_SF_SRC", "/root/testdata/sf0.1")
+# second-generation derivations (sf1 -> sf10) must use a DIFFERENT junk
+# prefix: reusing 'zk' would collide with the first generation's streams
+# and artificially correlate cross-copy documents
+JP = os.environ.get("GRAFT_JUNK_PREFIX", "zk")
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/testdata_sf1"
 K = 10
 
@@ -123,12 +127,12 @@ def doc_select(k):
     text || ' ' || array_to_string(list_transform(
       range(1, CAST(ceil(0.5 * len(regexp_split_to_array(trim(text), '\\s+')))
                 AS BIGINT) + 1),
-      i -> 'zk{k}t' || i), ' ') AS text,
+      i -> '{JP}{k}t' || i), ' ') AS text,
     lang, source,
     CAST(length(text || ' ' || array_to_string(list_transform(
       range(1, CAST(ceil(0.5 * len(regexp_split_to_array(trim(text), '\\s+')))
                 AS BIGINT) + 1),
-      i -> 'zk{k}t' || i), ' ')) AS BIGINT) AS n_chars
+      i -> '{JP}{k}t' || i), ' ')) AS BIGINT) AS n_chars
   FROM read_parquet('{SRC}/documents.parquet')"""
 copies("documents", doc_select)
 
