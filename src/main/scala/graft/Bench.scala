@@ -28,12 +28,12 @@ object Bench {
     "q_dedup_embed", "q_containment", "q_cross_dedup", "q_line_dedup",
     "q_dup_spans", "q_winnow", "q_decontaminate", "q_shingle_novelty",
     "q_semdedup", "q_doc_fingerprint", "q_minhash_est_err", "q_split_leakage",
-    "q_dedup_cluster_profile", "q_media_dedup")
+    "q_dedup_cluster_profile", "q_media_dedup", "q_dedup_threshold_curve")
   private val annFamily = Set(
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_knn_classify",
     "q_knn_graph", "q_embed_centroid", "q_embed_norm_audit", "q_kmeans_train",
     "q_ann_recall_audit", "q_random_projection", "q_int8_quant_audit",
-    "q_embedding_drift", "q_cluster_keywords")
+    "q_embedding_drift", "q_cluster_keywords", "q_ann_ndcg")
   private val feederFamily = Set(
     "q_feeder_load", "q_paged_ingest", "q_zip_extract", "q_pushdown_filter",
     "q_dedup_antijoin", "q_status_map", "q_date_norm", "q_null_norm",

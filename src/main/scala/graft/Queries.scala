@@ -10717,6 +10717,279 @@ object Queries {
       |  CAST((height * scale_ppm + 500000) // 1000000 AS INT) AS out_h
       |FROM sc""".stripMargin
 
+  /** #242 exact ROC-AUC — the threshold-free ranking metric closing the
+    * eval triptych (#225 calibration, #239 lift): AUC of the price
+    * score against fulfilment as P(score⁺>score⁻) + ½P(=), computed
+    * EXACTLY from the value-level contingency: group by score value,
+    * distributed prefix-sum of negatives below each value
+    * (`PrefixSum.runningTotal` — never a single-reducer window), then
+    * one DECIMAL fold of p_v·(2·negBelow + n_v) half-units. Ties get
+    * their exact ½ credit — no rank approximation, no FP anywhere. */
+  private def aucExact(s: SparkSession, dir: String): DataFrame = {
+    val vals = parallelize(s, t(s, dir, "orders"))
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("v"),
+        (col("o_orderstatus") === "F").cast("long").as("__pos"))
+      .groupBy("v")
+      .agg(sum("__pos").as("p_v"), sum(expr("1 - __pos")).as("n_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val below = PrefixSum.runningTotal(vals, "v", "n_v")
+      .select(col("v"), (col("running_total") - col("n_v")).as("__neg_below"))
+    vals.join(below, Seq("v"))
+      .agg(sum("p_v").as("n_pos"), sum("n_v").as("n_neg"),
+        sum(expr("CAST(p_v AS DECIMAL(38,0)) * (2 * __neg_below + n_v)"))
+          .as("__num2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CAST((__num2 * 1000000) div (2 * CAST(n_pos AS DECIMAL(38,0))" +
+          " * n_neg) AS BIGINT)").as("auc_ppm"))
+  }
+
+  private val aucExactSql =
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(o_orderstatus = 'F' AS BIGINT) AS pos
+      |  FROM orders),
+      |g AS (
+      |  SELECT v, CAST(sum(pos) AS BIGINT) AS p_v,
+      |    CAST(count(*) - sum(pos) AS BIGINT) AS n_v
+      |  FROM o GROUP BY 1),
+      |c AS (
+      |  SELECT v, p_v, n_v,
+      |    CAST(sum(n_v) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_v AS BIGINT)
+      |      AS neg_below
+      |  FROM g)
+      |SELECT CAST(sum(p_v) AS BIGINT) AS n_pos,
+      |  CAST(sum(n_v) AS BIGINT) AS n_neg,
+      |  CAST((sum(CAST(p_v AS HUGEINT) * (2 * neg_below + n_v)) * 1000000)
+      |    // (2 * CAST(sum(p_v) AS HUGEINT) * sum(n_v)) AS BIGINT) AS auc_ppm
+      |FROM c""".stripMargin
+
+  /** #243 precision/recall curve — per descending score bin, cumulative
+    * precision, recall, and F1 in exact integer ppm (#239's bin pass;
+    * the F1 harmonic mean folds as (2·p·r) div (p+r) on the ppm
+    * integers). The operating-point table a threshold choice reads. */
+  private def prCurve(s: SparkSession, dir: String): DataFrame = {
+    val o = parallelize(s, t(s, dir, "orders"))
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__c"),
+        (col("o_orderstatus") === "F").cast("long").as("__pos"))
+    val mx = o.agg(max("__c").as("__mx"))
+    val bins = o.crossJoin(broadcast(mx))
+      .select(
+        expr("CAST(least((CAST(__c AS DECIMAL(38,0)) * 1000000 div __mx)" +
+          " div 100000, 9) AS INT)").as("bin"), col("__pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__pos").as("n_pos"))
+    val tot = bins.agg(sum("n_pos").as("__P"))
+    val wCum = Window.orderBy(desc("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins.withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("precision_ppm", expr("(cum_pos * 1000000) div cum_n"))
+      .withColumn("recall_ppm", expr("(cum_pos * 1000000) div __P"))
+      .select(col("bin"), col("cum_n"), col("cum_pos"),
+        col("precision_ppm"), col("recall_ppm"),
+        expr("CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0" +
+          " ELSE (2 * CAST(precision_ppm AS DECIMAL(38,0)) * recall_ppm)" +
+          " div (precision_ppm + recall_ppm) END AS BIGINT)").as("f1_ppm"))
+  }
+
+  private val prCurveSql =
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(o_orderstatus = 'F' AS BIGINT) AS pos
+      |  FROM orders),
+      |mx AS (SELECT max(c) AS mx FROM o),
+      |b AS (
+      |  SELECT CAST(least((CAST(c AS HUGEINT) * 1000000 // mx) // 100000, 9)
+      |      AS INT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+      |  FROM o, mx GROUP BY 1),
+      |t AS (SELECT sum(n_pos) AS tp FROM b),
+      |c AS (
+      |  SELECT bin,
+      |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+      |    CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos
+      |  FROM b
+      |  WINDOW w AS (ORDER BY bin DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pr AS (
+      |  SELECT bin, cum_n, cum_pos,
+      |    CAST((cum_pos * 1000000) // cum_n AS BIGINT) AS precision_ppm,
+      |    CAST((cum_pos * 1000000) // t.tp AS BIGINT) AS recall_ppm
+      |  FROM c, t)
+      |SELECT bin, cum_n, cum_pos, precision_ppm, recall_ppm,
+      |  CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+      |    ELSE (2 * CAST(precision_ppm AS HUGEINT) * recall_ppm)
+      |      // (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+      |FROM pr""".stripMargin
+
+  /** #244 ANN nDCG@5 — the position-weighted honesty check completing
+    * #215's recall audit: per probe, binary relevance of each IVF
+    * top-5 item against the exact top-5, discounted by 1/log₂(i+1).
+    * The discount weights are PRECOMPUTED integer literals embedded in
+    * BOTH engines' queries (no engine log crosses the boundary), so
+    * the score is an exact integer fold. */
+  private def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
+      nlist = 16, iters = 3, sampleMod = 4)
+    val approx = IvfIndex.ivfTopK(queries, e, k = 5, nlist = 16, nprobe = 4,
+      centroids = Some(cents), roundTo = Some(6))
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5,
+      vecCol = "embedding", roundTo = Some(6))
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__rel"))
+    val w = NdcgW.zipWithIndex
+      .map { case (wi, i) => s"WHEN ${i + 1} THEN ${wi}L" }.mkString(" ")
+    approx.join(exact, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), coalesce(col("__rel"), lit(0L)).as("__rel"),
+        expr(s"CASE rank $w ELSE 0L END").as("__w"))
+      .groupBy("q_id")
+      .agg(sum("__rel").as("n_rel"),
+        expr(s"CAST((sum(__rel * __w) * 1000000) div ${NdcgW.sum} AS BIGINT)")
+          .as("ndcg_ppm"))
+  }
+
+  /** ⌊1e9/log₂(i+1)⌋ for ranks 1..5 — shared literals of the #244
+    * discounts (computed once on the JVM, embedded textually in both
+    * engines; ideal DCG for 5 binary-relevant items is their sum). */
+  private[graft] val NdcgW: Seq[Long] =
+    (1 to 5).map(i => math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  private val annNdcgSql = {
+    val (dim, nlist, iters, nprobe, k) = (64, 16, 3, 4, 5)
+    val dist = ivfDistSql(dim) _
+    val wCase = NdcgW.zipWithIndex
+      .map { case (wi, i) => s"WHEN ${i + 1} THEN $wi" }.mkString(" ")
+    s"""WITH ${ivfAssignCtes(dim, nlist, iters)},
+       |probe AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT t.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |                         ORDER BY ${dist("t.v", "c.cvec")}, c.cid) AS rn
+       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) t CROSS JOIN c$iters c)
+       |  WHERE rn <= $nprobe),
+       |ap AS (
+       |  SELECT q_id, vec_id, rank FROM (
+       |    SELECT p.q_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |                         ORDER BY p.cosine DESC, p.vec_id) AS rank
+       |    FROM (
+       |      SELECT pr.q_id, a.vec_id,
+       |        round(list_cosine_similarity(q.v, a.v), 6) AS cosine
+       |      FROM probe pr
+       |      JOIN e q ON q.vec_id = pr.q_id
+       |      JOIN asg a ON a.cid = pr.cid
+       |      WHERE a.vec_id <> pr.q_id) p)
+       |  WHERE rank <= $k),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY round(list_cosine_similarity(q.v, t.v), 6) DESC,
+       |                                  t.vec_id) AS rank
+       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+       |    CROSS JOIN e t WHERE t.vec_id <> q.vec_id)
+       |  WHERE rank <= $k)
+       |SELECT ap.q_id,
+       |  CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rel,
+       |  CAST((sum((CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |        * (CASE ap.rank $wCase ELSE 0 END)) * 1000000)
+       |    // ${NdcgW.sum} AS BIGINT) AS ndcg_ppm
+       |FROM ap LEFT JOIN ex ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** #245 shared-prefix audit — how much of the corpus shares a 3-token
+    * prefix with another document: the KV-cache prefix-sharing estimate
+    * an inference-batching layer reads (shared prefixes decode once).
+    * One map-only prefix projection + one partial-aggregated groupBy;
+    * only groups of ≥2 docs surface (the cache hits). */
+  private def prefixShare(s: SparkSession, dir: String): DataFrame =
+    parallelize(s, t(s, dir, "documents"))
+      .select(concat_ws(" ",
+        slice(TextAnalysis.tokens(lower(col("text"))), 1, 3)).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("saved_tokens", expr("(n_docs - 1) * 3"))
+
+  private val prefixShareSql =
+    """SELECT array_to_string(
+      |    (regexp_split_to_array(trim(lower(text)), '\s+'))[1:3], ' ')
+      |    AS prefix,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST((count(*) - 1) * 3 AS BIGINT) AS saved_tokens
+      |FROM documents
+      |GROUP BY 1
+      |HAVING count(*) >= 2""".stripMargin
+
+  /** #246 dedup threshold curve — pair survival as the near-dup
+    * threshold tightens over the PROVEN ≥0.8 candidate truth (#17's
+    * detection guarantee holds at 0.8; sweeping below it would outrun
+    * the LSH detection probability): for thresholds {0.8, 0.9, 1.0},
+    * surviving pairs and distinct documents touched — the sensitivity
+    * table a dedup rollout reads before fixing its threshold. ONE LSH
+    * pass; the sweep is three cheap aggregates over the persisted pair
+    * set. */
+  private def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDupPairs(dupCorpus(s, dir), "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val th = Seq(80, 90, 100)
+    th.map { t =>
+      val p = pairs.filter(col("jaccard") >= t / 100.0)
+      val docs = p.select(col("id_a").as("id"))
+        .unionAll(p.select(col("id_b").as("id")))
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(docs.agg(countDistinct("id").as("n_docs")))
+        .select(lit(t).cast("int").as("threshold_pct"), col("n_pairs"),
+          col("n_docs"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val dedupThresholdCurveSql = {
+    // the #17 all-pairs truth at >=0.8, swept at three cutoffs
+    val truth =
+      s"""sh AS MATERIALIZED (
+         |  SELECT doc_id, list_sort(s) AS s FROM (
+         |  ${shingleSetsSql(s"$dupCorpusSql c")})),
+         |pre AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(s[1:greatest(len(s) - CAST(ceil(0.8 * len(s)) AS BIGINT) + 1, 1)])
+         |      AS tok
+         |  FROM sh),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |pj AS MATERIALIZED (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b
+         |  WHERE least(len(a.s), len(b.s)) * 5 >= greatest(len(a.s), len(b.s)) * 4)""".stripMargin
+    val one = (t: Int) =>
+      s"""SELECT CAST($t AS INT) AS threshold_pct,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST((SELECT count(DISTINCT id) FROM (
+         |     SELECT id_a AS id FROM pj WHERE j >= $t / 100.0
+         |     UNION ALL SELECT id_b FROM pj WHERE j >= $t / 100.0)) AS BIGINT)
+         |    AS n_docs
+         |FROM pj WHERE j >= $t / 100.0""".stripMargin
+    s"""WITH $truth
+       |${one(80)}
+       |UNION ALL ${one(90)}
+       |UNION ALL ${one(100)}""".stripMargin
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -10963,5 +11236,10 @@ object Queries {
     Q("q_lift_curve", liftCurve, Some(liftCurveSql)),
     Q("q_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q_resize_plan", resizePlan, Some(resizePlanSql)),
+    Q("q_auc", aucExact, Some(aucExactSql)),
+    Q("q_pr_curve", prCurve, Some(prCurveSql)),
+    Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
+    Q("q_prefix_share", prefixShare, Some(prefixShareSql)),
+    Q("q_dedup_threshold_curve", dedupThresholdCurve, Some(dedupThresholdCurveSql)),
   )
 }

@@ -387,4 +387,75 @@ class TrainingOpsSpec extends GraftSuite {
     assert(full._4 == totN && math.abs(full._6 - 1000000L) <= 1L,
       "the full-population bin has lift 1")
   }
+
+  test("q_auc equals the O(n²) pairwise definition on the fixture") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("o_orderstatus") === "F").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pos = o.filter(_._2 == 1L).map(_._1)
+    val neg = o.filter(_._2 == 0L).map(_._1)
+    // literal definition: every (pos, neg) pair contributes 1, ½, or 0
+    val num2 = pos.map(p => neg.map(n =>
+      if (p > n) 2L else if (p == n) 1L else 0L).sum).map(BigInt(_)).sum
+    val want = (num2 * 1000000L /
+      (2L * BigInt(pos.size) * neg.size)).toLong
+    val got = SparkEntry.queries("q_auc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got == ((pos.size.toLong, neg.size.toLong, want)))
+  }
+
+  test("q_pr_curve equals the driver replay; recall is monotone in coverage") {
+    val got = SparkEntry.queries("q_pr_curve")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(-_._1)
+    // structural: cum_n/cum_pos/recall nondecreasing as bins widen;
+    // f1 is the harmonic fold of the two ppm columns
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    assert(got.map(_._5) == got.map(_._5).sorted)
+    got.foreach { case (_, cn, cp, p, r, f1) =>
+      assert(p == cp * 1000000L / cn && (f1 == 0L ||
+        f1 == 2L * p * r / (p + r)))
+    }
+    val last = got.last
+    assert(last._5 == 1000000L, "the widest bin reaches full recall")
+  }
+
+  test("q_ann_ndcg: weights are the declared discounts; perfect recall gives ndcg 1") {
+    val w = Queries.NdcgW
+    assert(w == Seq(1000000000L, 630929753L, 500000000L, 430676558L, 386852807L))
+    val got = SparkEntry.queries("q_ann_ndcg")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (nRel, ndcg) =>
+      assert(nRel >= 0L && nRel <= 5L && ndcg >= 0L && ndcg <= 1000000L)
+      if (nRel == 5L) assert(ndcg == 1000000L * w.sum / w.sum)
+      if (nRel == 0L) assert(ndcg == 0L)
+    }
+  }
+
+  test("q_prefix_share equals the driver replay") {
+    val want = docs.map(d => d._2.trim.toLowerCase.split("\\s+").take(3)
+        .mkString(" "))
+      .groupBy(identity).collect { case (p, xs) if xs.size >= 2 =>
+        (p, xs.size.toLong, (xs.size - 1L) * 3L) }.toSet
+    val got = SparkEntry.queries("q_prefix_share")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("q_dedup_threshold_curve is monotone and anchored by the planted corpus") {
+    val got = SparkEntry.queries("q_dedup_threshold_curve")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(80, 90, 100))
+    // tightening the threshold can only shed pairs and docs
+    assert(got.map(_._2).reverse == got.map(_._2).reverse.sorted)
+    assert(got.map(_._3).reverse == got.map(_._3).reverse.sorted)
+    // every doc has its planted exact duplicate: the j=1.0 row covers
+    // the whole duplicated corpus
+    val nDocs = docs.size.toLong
+    assert(got.last._2 >= nDocs && got.last._3 == 2 * nDocs)
+  }
 }
