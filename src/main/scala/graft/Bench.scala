@@ -28,7 +28,8 @@ object Bench {
     "q_dedup_embed", "q_containment", "q_cross_dedup", "q_line_dedup",
     "q_dup_spans", "q_winnow", "q_decontaminate", "q_shingle_novelty",
     "q_semdedup", "q_doc_fingerprint", "q_minhash_est_err", "q_split_leakage",
-    "q_dedup_cluster_profile", "q_media_dedup", "q_dedup_threshold_curve")
+    "q_dedup_cluster_profile", "q_media_dedup", "q_dedup_threshold_curve",
+    "q_dedup_method_agreement")
   private val annFamily = Set(
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_knn_classify",
     "q_knn_graph", "q_embed_centroid", "q_embed_norm_audit", "q_kmeans_train",

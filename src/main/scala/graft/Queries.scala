@@ -10990,6 +10990,309 @@ object Queries {
        |UNION ALL ${one(100)}""".stripMargin
   }
 
+  /** #247 padding-waste audit — the token cost of batch padding under
+    * two batching policies: ARRIVAL order (batch = doc_id div B) vs
+    * LENGTH-SORTED (global token-count rank div B — the bucketed
+    * batching every trainer uses to cut padding). Each batch pads every
+    * member to its max length; waste = Σ(n_b·max − Σlen). The sorted
+    * rank is the distributed two-phase `PrefixSum.withGlobalRank`
+    * (never a single-reducer row_number window); per-batch and global
+    * folds are partial-aggregated. The output pair of rows is the
+    * policy decision: how many tokens bucketing saves. */
+  private def paddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val B = 16L
+    val n = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("__n"))
+    def fold(batched: DataFrame, strategy: String): DataFrame =
+      batched.groupBy("__b")
+        .agg(count(lit(1)).as("__nb"), max("__n").as("__mx"),
+          sum("__n").as("__sm"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(expr("__nb * __mx - __sm")).as("pad_tokens"),
+          sum("__sm").as("useful_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("pad_tokens"), col("useful_tokens"),
+          expr("(pad_tokens * 1000000) div (pad_tokens + useful_tokens)")
+            .as("waste_ppm"))
+    val arrival = fold(n.select(expr(s"doc_id div $B").as("__b"), col("__n")),
+      "arrival")
+    val sorted = fold(
+      PrefixSum.withGlobalRank(n, Seq("__n", "doc_id"), "__r")
+        .select(expr(s"(__r - 1) div $B").as("__b"), col("__n")),
+      "sorted")
+    arrival.unionAll(sorted)
+  }
+
+  private val paddingWasteSql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS tn
+      |  FROM documents),
+      |ab AS (
+      |  SELECT doc_id // 16 AS b, count(*) AS nb, max(tn) AS mx, sum(tn) AS sm
+      |  FROM n GROUP BY 1),
+      |sb AS (
+      |  SELECT (row_number() OVER (ORDER BY tn, doc_id) - 1) // 16 AS b, tn
+      |  FROM n),
+      |sg AS (
+      |  SELECT b, count(*) AS nb, max(tn) AS mx, sum(tn) AS sm
+      |  FROM sb GROUP BY 1),
+      |u AS (
+      |  SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+      |    CAST(sum(nb * mx - sm) AS BIGINT) AS pad_tokens,
+      |    CAST(sum(sm) AS BIGINT) AS useful_tokens
+      |  FROM ab
+      |  UNION ALL
+      |  SELECT 'sorted', CAST(count(*) AS BIGINT),
+      |    CAST(sum(nb * mx - sm) AS BIGINT), CAST(sum(sm) AS BIGINT)
+      |  FROM sg)
+      |SELECT strategy, n_batches, pad_tokens, useful_tokens,
+      |  CAST((pad_tokens * 1000000) // (pad_tokens + useful_tokens) AS BIGINT)
+      |    AS waste_ppm
+      |FROM u""".stripMargin
+
+  /** #248 encoding audit — mojibake/control-character share per source
+    * over a deterministically corrupted corpus (the synthetic documents
+    * are clean ASCII, so the fixture plants BEL on doc_id%7=3 and
+    * U+FFFD — the decoder's replacement char, the mojibake signature —
+    * on doc_id%11=5; both plants are pure SQL on both engines). Dirty
+    * detection and char totals are single regex passes (codegen'd, no
+    * UDF); one partial-aggregated groupBy on source. The pre-ingest
+    * gate that catches a broken upstream decode before it trains. */
+  private def encodingAudit(s: SparkSession, dir: String): DataFrame = {
+    val ctrlCls = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    val dirtyCls = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\uFFFD]"
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("source"),
+        when(expr("doc_id % 7 = 3"), concat(col("text"), lit("\u0007")))
+          .when(expr("doc_id % 11 = 5"), concat(lit("\uFFFD"), col("text")))
+          .otherwise(col("text")).as("__t"))
+      .select(col("source"),
+        (length(col("__t")) -
+          length(regexp_replace(col("__t"), ctrlCls, ""))).cast("long")
+          .as("__ctrl"),
+        (length(col("__t")) -
+          length(regexp_replace(col("__t"), "\uFFFD", ""))).cast("long")
+          .as("__repl"),
+        when(regexp_like(col("__t"), lit(dirtyCls)), 1L).otherwise(0L)
+          .as("__dirty"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__dirty").as("n_dirty"),
+        sum("__ctrl").as("n_ctrl_chars"), sum("__repl").as("n_repl_chars"))
+      .withColumn("clean_ppm",
+        expr("((n_docs - n_dirty) * 1000000) div n_docs"))
+  }
+
+  private val encodingAuditSql =
+    """WITH c AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 7 = 3 THEN text || chr(7)
+      |         WHEN doc_id % 11 = 5 THEN chr(65533) || text
+      |         ELSE text END AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    CAST(length(t) - length(regexp_replace(t,
+      |      '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_ctrl,
+      |    CAST(length(t) - length(regexp_replace(t, chr(65533), '', 'g'))
+      |      AS BIGINT) AS n_repl,
+      |    CASE WHEN regexp_matches(t,
+      |      '[\x01-\x08\x0b\x0c\x0e-\x1f' || chr(65533) || ']')
+      |      THEN 1 ELSE 0 END AS dirty
+      |  FROM c)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(dirty) AS BIGINT) AS n_dirty,
+      |  CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl_chars,
+      |  CAST(sum(n_repl) AS BIGINT) AS n_repl_chars,
+      |  CAST(((count(*) - sum(dirty)) * 1000000) // count(*) AS BIGINT)
+      |    AS clean_ppm
+      |FROM m GROUP BY 1""".stripMargin
+
+  /** #249 Cohen's kappa — chance-corrected agreement between two
+    * deterministic labelers (the weak-supervision audit: "do my two
+    * heuristic annotators actually agree beyond base rates?"): labeler
+    * A is the full-document language ID, labeler B the same rule over
+    * the first 120 chars (the cheap truncated labeler a pipeline might
+    * deploy). One partial-aggregated confusion groupBy over the corpus;
+    * margins and the κ fold run on the O(5²) cell table. Exact
+    * integers throughout — n² at trillion-doc scale exceeds a long, so
+    * the fold is DECIMAL(38,0)/HUGEINT; the final division is
+    * sign-symmetric ((|num|·1e6) div den, sign reapplied) because Spark
+    * `div` truncates while DuckDB `//` floors — identical only on
+    * nonnegatives. */
+  private def cohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val conf = parallelize(s, t(s, dir, "documents"))
+      .select(TextAnalysis.langId(col("text")).as("__la"),
+        TextAnalysis.langId(substring(col("text"), 1, 120)).as("__lb"))
+      .groupBy("__la", "__lb").agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = conf.agg(sum("__c").as("n"),
+      sum(when(col("__la") === col("__lb"), col("__c")).otherwise(0L))
+        .as("agree"))
+    val rows = conf.groupBy("__la").agg(sum("__c").as("__r"))
+    val cols = conf.groupBy("__lb").agg(sum("__c").as("__k"))
+    val rc = rows.join(cols, col("__la") === col("__lb"))
+      .agg(coalesce(sum(expr("CAST(__r AS DECIMAL(38,0)) * __k")), lit(0))
+        .cast("decimal(38,0)").as("__rc"))
+    tot.crossJoin(broadcast(rc))
+      .select(col("n"), col("agree"),
+        expr("(agree * 1000000) div n").as("po_ppm"),
+        expr("CAST((__rc * 1000000) div (CAST(n AS DECIMAL(38,0)) * n)" +
+          " AS BIGINT)").as("pe_ppm"),
+        expr("""CAST(CASE
+          WHEN CAST(n AS DECIMAL(38,0)) * agree - __rc >= 0
+          THEN ((CAST(n AS DECIMAL(38,0)) * agree - __rc) * 1000000)
+               div (CAST(n AS DECIMAL(38,0)) * n - __rc)
+          ELSE -(((__rc - CAST(n AS DECIMAL(38,0)) * agree) * 1000000)
+               div (CAST(n AS DECIMAL(38,0)) * n - __rc))
+          END AS BIGINT)""").as("kappa_ppm"))
+  }
+
+  private val cohenKappaSql = {
+    // the langId CASE over an arbitrary raw-text SQL expression — same
+    // marker-occurrence rule as langIdSql, reused for both labelers
+    def langCase(textExpr: String): String = {
+      val pad = s"' ' || lower($textExpr) || ' '"
+      def occ(m: String) = {
+        val esc = m.replace("'", "''")
+        s"((length($pad) - length(replace($pad, '$esc', ''))) // ${m.length})"
+      }
+      val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+        lang -> ("(" + ms.map(occ).mkString(" + ") + ")")
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (l, e) =>
+        s"WHEN $e > 0 AND $e = $best THEN '$l'"
+      }.mkString(" ")
+      s"CASE $cases ELSE 'und' END"
+    }
+    s"""WITH lab AS (
+       |  SELECT ${langCase("text")} AS la,
+       |         ${langCase("substr(text, 1, 120)")} AS lb
+       |  FROM documents),
+       |conf AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+       |         FROM lab GROUP BY 1, 2),
+       |tot AS (SELECT sum(c) AS n,
+       |    sum(CASE WHEN la = lb THEN c ELSE 0 END) AS agree FROM conf),
+       |r AS (SELECT la, sum(c) AS rn FROM conf GROUP BY 1),
+       |k AS (SELECT lb, sum(c) AS kn FROM conf GROUP BY 1),
+       |rc AS (SELECT coalesce(sum(CAST(r.rn AS HUGEINT) * k.kn), 0) AS rc
+       |       FROM r JOIN k ON r.la = k.lb)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+       |  CAST((agree * 1000000) // n AS BIGINT) AS po_ppm,
+       |  CAST((rc * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+       |  CAST(CASE WHEN CAST(n AS HUGEINT) * agree - rc >= 0
+       |    THEN ((CAST(n AS HUGEINT) * agree - rc) * 1000000)
+       |         // (CAST(n AS HUGEINT) * n - rc)
+       |    ELSE -(((rc - CAST(n AS HUGEINT) * agree) * 1000000)
+       |         // (CAST(n AS HUGEINT) * n - rc))
+       |    END AS BIGINT) AS kappa_ppm
+       |FROM tot, rc""".stripMargin
+  }
+
+  /** #250 dedup method agreement — do MinHash-LSH (jaccard ≥ 0.8) and
+    * SimHash (hamming ≤ 3) flag the SAME pairs on this corpus? The
+    * method-selection audit before a dedup rollout standardizes on one
+    * detector. One pass of each existing detector (their plans are the
+    * audited q_dedup_minhash/q_dedup_simhash shapes), full-outer join
+    * on the pair key, one fold to the 1-row agreement summary. */
+  private def dedupMethodAgreement(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val cap = math.max(1000L, corpus.count() / 20L).toInt
+    val mh = MinHashLSH.nearDupPairs(corpus, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__m"))
+    val sh = SimHash.nearDupPairs(corpus, "doc_id", "text",
+      maxHamming = 3, chunks = 4, maxBucketSize = cap, sqlReplicable = true)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__s"))
+    mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(expr("CASE WHEN __m = 1 AND __s = 1 THEN 1 ELSE 0 END"))
+          .as("n_both"),
+        sum(expr("CASE WHEN __m = 1 AND __s IS NULL THEN 1 ELSE 0 END"))
+          .as("n_minhash_only"),
+        sum(expr("CASE WHEN __m IS NULL AND __s = 1 THEN 1 ELSE 0 END"))
+          .as("n_simhash_only"))
+      .withColumn("agreement_ppm",
+        expr("(n_both * 1000000) div (n_both + n_minhash_only + n_simhash_only)"))
+  }
+
+  private val dedupMethodAgreementSql =
+    s"""SELECT
+       |  CAST(sum(CASE WHEN m.id_a IS NOT NULL AND s.id_a IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  CAST(sum(CASE WHEN m.id_a IS NOT NULL AND s.id_a IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+       |  CAST(sum(CASE WHEN m.id_a IS NULL AND s.id_a IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only,
+       |  CAST((sum(CASE WHEN m.id_a IS NOT NULL AND s.id_a IS NOT NULL
+       |      THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+       |    AS agreement_ppm
+       |FROM ($dedupMinhashSql) m
+       |FULL OUTER JOIN ($dedupSimhashSql) s
+       |  ON m.id_a = s.id_a AND m.id_b = s.id_b""".stripMargin
+
+  /** #251 rank churn — top-20 leaderboard turnover between the two
+    * timeline halves (the drift monitor for any "top entities" feature:
+    * how stable is the ranking the model trains on?): per-half user
+    * activity counts off ONE groupBy each (partial-aggregated), top-20
+    * via TakeOrderedAndProject, rank assigned on the bounded 20-row
+    * set, full-outer join of the two lists → kept/entered/dropped,
+    * set-jaccard, and the summed |rank shift| of the kept users. */
+  private def rankChurn(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__t"))
+    val mid = ev.agg(expr("(min(__t) + max(__t)) div 2").as("__mid"))
+    val halves = ev.crossJoin(broadcast(mid))
+    def top(half: DataFrame, name: String): DataFrame = {
+      val w = Window.orderBy(desc("__c"), asc("user_id"))
+      half.groupBy("user_id").agg(count(lit(1)).as("__c"))
+        .orderBy(desc("__c"), asc("user_id")).limit(20)
+        // rank over the bounded 20-row set only
+        .withColumn(name, row_number().over(w).cast("long"))
+        .select(col("user_id"), col(name))
+    }
+    val first = top(halves.filter(col("__t") < col("__mid")), "__r1")
+    val second = top(halves.filter(col("__t") >= col("__mid")), "__r2")
+    first.join(second, Seq("user_id"), "full_outer")
+      .agg(sum(when(col("__r1").isNotNull && col("__r2").isNotNull, 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("__r1").isNull, 1L).otherwise(0L)).as("n_entered"),
+        sum(when(col("__r2").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("__r1").isNotNull && col("__r2").isNotNull,
+          abs(col("__r1") - col("__r2"))).otherwise(0L)), lit(0L))
+          .as("shift_sum"))
+      .withColumn("jaccard_ppm",
+        expr("(n_kept * 1000000) div (n_kept + n_entered + n_dropped)"))
+  }
+
+  private val rankChurnSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+      |f AS (
+      |  SELECT user_id, CAST(row_number() OVER (ORDER BY c DESC, user_id)
+      |    AS BIGINT) AS r1
+      |  FROM (SELECT user_id, count(*) AS c FROM e, m WHERE t < mid
+      |        GROUP BY 1 ORDER BY c DESC, user_id LIMIT 20)),
+      |s AS (
+      |  SELECT user_id, CAST(row_number() OVER (ORDER BY c DESC, user_id)
+      |    AS BIGINT) AS r2
+      |  FROM (SELECT user_id, count(*) AS c FROM e, m WHERE t >= mid
+      |        GROUP BY 1 ORDER BY c DESC, user_id LIMIT 20))
+      |SELECT
+      |  CAST(sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN r1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_entered,
+      |  CAST(sum(CASE WHEN r2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(coalesce(sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+      |    THEN abs(r1 - r2) ELSE 0 END), 0) AS BIGINT) AS shift_sum,
+      |  CAST((sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN 1 ELSE 0 END)
+      |    * 1000000) // count(*) AS BIGINT) AS jaccard_ppm
+      |FROM f FULL OUTER JOIN s USING (user_id)""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -11241,5 +11544,10 @@ object Queries {
     Q("q_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_prefix_share", prefixShare, Some(prefixShareSql)),
     Q("q_dedup_threshold_curve", dedupThresholdCurve, Some(dedupThresholdCurveSql)),
+    Q("q_padding_waste", paddingWaste, Some(paddingWasteSql)),
+    Q("q_encoding_audit", encodingAudit, Some(encodingAuditSql)),
+    Q("q_cohen_kappa", cohenKappa, Some(cohenKappaSql)),
+    Q("q_dedup_method_agreement", dedupMethodAgreement, Some(dedupMethodAgreementSql)),
+    Q("q_rank_churn", rankChurn, Some(rankChurnSql)),
   )
 }

@@ -445,6 +445,113 @@ class TrainingOpsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("q_padding_waste equals the driver replay; sorted batching never wastes more") {
+    val B = 16
+    val n = docs.map(d => (d._1, nTok(d._2)))
+    def fold(batches: Iterable[Seq[Long]], strategy: String) = {
+      val pad = batches.map(b => b.size * b.max - b.sum).sum
+      val useful = batches.map(_.sum).sum
+      (strategy, batches.size.toLong, pad, useful,
+        pad * 1000000L / (pad + useful))
+    }
+    val arrival = fold(n.groupBy(_._1 / B).values.map(_.map(_._2)).toSeq,
+      "arrival")
+    val sorted = fold(
+      n.sortBy(d => (d._2, d._1)).map(_._2).grouped(B).toSeq, "sorted")
+    val got = SparkEntry.queries("q_padding_waste")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(arrival, sorted))
+    assert(sorted._3 <= arrival._3, "length-sorted batching pads no more")
+  }
+
+  test("q_encoding_audit equals the driver replay on the planted corpus") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ctrl = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]".r
+    val want = rows.groupBy(_._3).map { case (src, ds) =>
+      val planted = ds.map { case (id, t, _) =>
+        if (id % 7 == 3) t + "\u0007"
+        else if (id % 11 == 5) "\uFFFD" + t else t
+      }
+      val nCtrl = planted.map(t => ctrl.findAllIn(t).size.toLong).sum
+      val nRepl = planted.map(t => t.count(_ == '\uFFFD').toLong).sum
+      val dirty = planted.count(t =>
+        ctrl.findFirstIn(t).isDefined || t.contains('\uFFFD')).toLong
+      (src, ds.size.toLong, dirty, nCtrl, nRepl,
+        (ds.size - dirty) * 1000000L / ds.size)
+    }.toSet
+    val got = SparkEntry.queries("q_encoding_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+  }
+
+  test("q_cohen_kappa equals the driver replay of the marker labelers") {
+    def langOf(text: String): String = {
+      val pad = " " + text.toLowerCase + " "
+      def occ(m: String): Int = (pad.length - pad.replace(m, "").length) / m.length
+      val scores = operators.TextAnalysis.langMarkers.map { case (l, ms) =>
+        l -> ms.map(occ).sum
+      }
+      val best = scores.map(_._2).max
+      scores.find { case (_, s) => s > 0 && s == best }.map(_._1)
+        .getOrElse("und")
+    }
+    val labs = docs.map(d => (langOf(d._2), langOf(d._2.take(120))))
+    val n = labs.size.toLong
+    val agree = labs.count(p => p._1 == p._2).toLong
+    val rowsM = labs.groupBy(_._1).map { case (l, xs) => l -> xs.size.toLong }
+    val colsM = labs.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val rc = rowsM.toSeq.map { case (l, r) =>
+      BigInt(r) * BigInt(colsM.getOrElse(l, 0L)) }.sum
+    val num = BigInt(n) * agree - rc
+    val den = BigInt(n) * n - rc
+    val kappa = (if (num >= 0) num * 1000000L / den
+      else -((-num * 1000000L) / den)).toLong
+    val got = SparkEntry.queries("q_cohen_kappa")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(got == ((n, agree, agree * 1000000L / n,
+      (rc * 1000000L / (BigInt(n) * n)).toLong, kappa)))
+  }
+
+  test("q_dedup_method_agreement: both detectors cover the planted exact pairs") {
+    val got = SparkEntry.queries("q_dedup_method_agreement")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    val (both, mOnly, sOnly, ppm) = got
+    // every doc has its planted exact duplicate (jaccard 1, hamming 0):
+    // both detectors must flag all of them, so n_both covers the corpus
+    assert(both >= docs.size.toLong)
+    assert(mOnly >= 0L && sOnly >= 0L)
+    assert(ppm == both * 1000000L / (both + mOnly + sOnly))
+  }
+
+  test("q_rank_churn equals the driver replay of the two half leaderboards") {
+    val ev = eventsTable(dir).select(col("user_id"),
+        unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    def top(half: Seq[(Long, Long)]): Map[Long, Long] = {
+      val counts = half.groupBy(_._1).map { case (u, xs) => (u, xs.size.toLong) }
+      counts.toSeq.sortBy { case (u, c) => (-c, u) }.take(20)
+        .zipWithIndex.map { case ((u, _), i) => (u, i + 1L) }.toMap
+    }
+    val r1 = top(ev.filter(_._2 < mid).toSeq)
+    val r2 = top(ev.filter(_._2 >= mid).toSeq)
+    val kept = r1.keySet intersect r2.keySet
+    val want = (kept.size.toLong, (r2.keySet -- r1.keySet).size.toLong,
+      (r1.keySet -- r2.keySet).size.toLong,
+      kept.toSeq.map(u => math.abs(r1(u) - r2(u))).sum,
+      kept.size * 1000000L / (r1.keySet union r2.keySet).size)
+    val got = SparkEntry.queries("q_rank_churn")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(got == want)
+  }
+
   test("q_dedup_threshold_curve is monotone and anchored by the planted corpus") {
     val got = SparkEntry.queries("q_dedup_threshold_curve")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
