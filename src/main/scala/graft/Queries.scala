@@ -10936,22 +10936,34 @@ object Queries {
     * the LSH detection probability): for thresholds {0.8, 0.9, 1.0},
     * surviving pairs and distinct documents touched — the sensitivity
     * table a dedup rollout reads before fixing its threshold. ONE LSH
-    * pass; the sweep is three cheap aggregates over the persisted pair
-    * set. */
+    * pass, then ONE map-side threshold explode feeding two small
+    * aggregates (pairs; exploded endpoint distinct) — the original
+    * 3-branch union re-scanned the pair set six times and doubled the
+    * query's bench cost. A 3-row seed left-join keeps zero-pair
+    * thresholds in the output (aggregate-on-empty semantics of the
+    * branch form). */
   private def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
     val pairs = MinHashLSH.nearDupPairs(dupCorpus(s, dir), "doc_id", "text",
       shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val th = Seq(80, 90, 100)
-    th.map { t =>
-      val p = pairs.filter(col("jaccard") >= t / 100.0)
-      val docs = p.select(col("id_a").as("id"))
-        .unionAll(p.select(col("id_b").as("id")))
-      p.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(docs.agg(countDistinct("id").as("n_docs")))
-        .select(lit(t).cast("int").as("threshold_pct"), col("n_pairs"),
-          col("n_docs"))
-    }.reduce(_ unionAll _)
+    val surviving = pairs.select(col("id_a"), col("id_b"),
+        explode(array(lit(80), lit(90), lit(100))).as("threshold_pct"),
+        col("jaccard"))
+      .filter(col("jaccard") >= col("threshold_pct") / 100.0)
+    val nPairs = surviving.groupBy("threshold_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = surviving
+      .select(col("threshold_pct"), explode(array(col("id_a"), col("id_b")))
+        .as("id"))
+      .groupBy("threshold_pct").agg(countDistinct("id").as("n_docs"))
+    val seed = pairs.sparkSession.range(1)
+      .select(explode(array(lit(80), lit(90), lit(100))).as("__t"))
+      .select(col("__t").cast("int").as("threshold_pct"))
+    seed.join(nPairs, Seq("threshold_pct"), "left")
+      .join(nDocs, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
   private val dedupThresholdCurveSql = {
