@@ -11305,6 +11305,221 @@ object Queries {
       |    * 1000000) // count(*) AS BIGINT) AS jaccard_ppm
       |FROM f FULL OUTER JOIN s USING (user_id)""".stripMargin
 
+  /** #252 canary scan — memorization-canary audit: search the corpus
+    * for a fixed list of planted canary strings (the standard
+    * memorization-measurement setup: unique markers inserted into
+    * training data, then counted) and report docs touched + total
+    * occurrences PER CANARY, including the never-planted control at 0.
+    * The scan is ONE map-only projection (length-diff occurrence
+    * counting per needle — no regex engine in the hot path) + ONE
+    * global partial aggregate, unpivoted to the O(needles) report;
+    * the needle list rides in the plan as literals (broadcast-free). */
+  private val Canaries = Seq(
+    ("canary-alpha-7f3a", 101L, 7L), ("canary-beta-2c9d", 103L, 11L),
+    ("canary-gamma-e5b1", 107L, 13L), ("canary-delta-0a42", -1L, -1L))
+
+  private def canaryScan(s: SparkSession, dir: String): DataFrame = {
+    // plant: alpha appended once, beta appended twice (occurrence
+    // multiplicity), gamma prepended, delta NEVER (the control row)
+    val planted = parallelize(s, t(s, dir, "documents"))
+      .select(when(expr("doc_id % 101 = 7"),
+          concat(col("text"), lit(" canary-alpha-7f3a")))
+        .when(expr("doc_id % 103 = 11"),
+          concat(col("text"), lit(" canary-beta-2c9d canary-beta-2c9d")))
+        .when(expr("doc_id % 107 = 13"),
+          concat(lit("canary-gamma-e5b1 "), col("text")))
+        .otherwise(col("text")).as("__t"))
+    val occCols = Canaries.zipWithIndex.flatMap { case ((c, _, _), i) =>
+      val o = TextAnalysis.occurrences(col("__t"), c)
+      Seq(sum(o.cast("long")).as(s"__h$i"),
+        sum(when(o > 0, 1L).otherwise(0L)).as(s"__d$i"))
+    }
+    val stack = Canaries.zipWithIndex
+      .map { case ((c, _, _), i) => s"'$c', __d$i, __h$i" }.mkString(", ")
+    planted.agg(occCols.head, occCols.tail: _*)
+      .select(expr(
+        s"stack(${Canaries.size}, $stack) AS (canary, n_docs, n_hits)"))
+  }
+
+  private val canaryScanSql = {
+    val plant =
+      """SELECT CASE WHEN doc_id % 101 = 7 THEN text || ' canary-alpha-7f3a'
+        |  WHEN doc_id % 103 = 11
+        |    THEN text || ' canary-beta-2c9d canary-beta-2c9d'
+        |  WHEN doc_id % 107 = 13 THEN 'canary-gamma-e5b1 ' || text
+        |  ELSE text END AS t
+        |FROM documents""".stripMargin
+    val rows = Canaries.map { case (c, _, _) =>
+      val occ = s"(length(t) - length(replace(t, '$c', ''))) // ${c.length}"
+      s"""SELECT '$c' AS canary,
+         |  CAST(sum(CASE WHEN $occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs,
+         |  CAST(sum($occ) AS BIGINT) AS n_hits
+         |FROM p""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"WITH p AS (\n$plant)\n$rows"
+  }
+
+  /** #253 cross-source shingle overlap — the duplication matrix BETWEEN
+    * corpus sources (which feeds double-count before any mixing-weight
+    * decision): per source pair, shared distinct 3-shingles and each
+    * side's containment share. Spark shuffles 8-byte shingle HASHES
+    * (`hashed_shingles`, the dedup pipeline's native expression), the
+    * oracle replays string shingles — counts agree absent 64-bit
+    * collisions (same argument as every jaccard gate; verified exact
+    * here at the swept scales). The self-join's per-shingle fan-out is
+    * bounded by sources² (≤400), so no hot-key skew exists by
+    * construction; per-source totals broadcast. */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = parallelize(s, t(s, dir, "documents"))
+      .select(col("source"),
+        explode(TextAnalysis.hashedShingles(col("text"), 3)).as("__sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("__n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.__sh") === col("b.__sh")
+        && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(tot.select(col("source").as("source_a"),
+        col("__n").as("__na"))), Seq("source_a"))
+      .join(broadcast(tot.select(col("source").as("source_b"),
+        col("__n").as("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        expr("(n_common * 1000000) div __na").as("cont_a_ppm"),
+        expr("(n_common * 1000000) div __nb").as("cont_b_ppm"))
+  }
+
+  private val sourceOverlapSql =
+    """WITH t AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS g
+      |  FROM t),
+      |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_common,
+      |  CAST((n_common * 1000000) // ta.n AS BIGINT) AS cont_a_ppm,
+      |  CAST((n_common * 1000000) // tb.n AS BIGINT) AS cont_b_ppm
+      |FROM p
+      |JOIN tot ta ON ta.source = p.source_a
+      |JOIN tot tb ON tb.source = p.source_b""".stripMargin
+
+  /** #254 text-normalization audit — what would the canonical cleanup
+    * pass (lower → strip control chars → collapse whitespace runs →
+    * trim) change? Per source: docs changed, characters removed, and
+    * the already-normal share. The synthetic corpus is born clean, so
+    * the fixture plants doubled spaces / uppercasing / trailing tab+pad
+    * by id formula (pure SQL on both engines) — the audit output is
+    * non-trivial at every scale. Map-only + one partial aggregate;
+    * normalization idempotence is property-tested in the spec. */
+  private def textNormAudit(s: SparkSession, dir: String): DataFrame = {
+    val ctrl = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    val planted = parallelize(s, t(s, dir, "documents"))
+      .select(col("source"),
+        when(expr("doc_id % 5 = 1"), regexp_replace(col("text"), " ", "  "))
+          .when(expr("doc_id % 7 = 2"), upper(col("text")))
+          .when(expr("doc_id % 11 = 3"), concat(col("text"), lit("\t  ")))
+          .otherwise(col("text")).as("__t"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("__t")), ctrl, ""), "\\s+", " "))
+    planted
+      .select(col("source"), col("__t"), norm.as("__n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") =!= col("__t"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum((length(col("__t")) - length(col("__n"))).cast("long"))
+          .as("chars_removed"))
+      .withColumn("normal_ppm",
+        expr("((n_docs - n_changed) * 1000000) div n_docs"))
+  }
+
+  private val textNormAuditSql =
+    """WITH c AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 5 = 1 THEN replace(text, ' ', '  ')
+      |         WHEN doc_id % 7 = 2 THEN upper(text)
+      |         WHEN doc_id % 11 = 3 THEN text || chr(9) || '  '
+      |         ELSE text END AS t
+      |  FROM documents),
+      |n AS (
+      |  SELECT source, t,
+      |    trim(regexp_replace(regexp_replace(lower(t),
+      |      '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), '\s+', ' ', 'g')) AS nt
+      |  FROM c)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(sum(length(t) - length(nt)) AS BIGINT) AS chars_removed,
+      |  CAST(((count(*) - sum(CASE WHEN nt <> t THEN 1 ELSE 0 END))
+      |    * 1000000) // count(*) AS BIGINT) AS normal_ppm
+      |FROM n GROUP BY 1""".stripMargin
+
+  /** #255 pack efficiency — the boundary-fragmentation audit of #47's
+    * budget packing (B=2048): how many documents straddle a window
+    * boundary, how many tokens spill past their window, and the fill
+    * share of the allocated capacity. Token offsets come from the same
+    * distributed `PrefixSum.runningTotal` scan as q_seq_pack (never a
+    * single-reducer window); the report is one global fold. The
+    * decision input for "pack greedily vs split documents". */
+  private def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val B = 2048L
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text"))
+        .cast("long").as("__n"))
+    PrefixSum.runningTotal(docs, "doc_id", "__n")
+      .select(col("__n"),
+        expr(s"(running_total - __n) div $B").as("__p"),
+        expr(s"(running_total - 1) div $B").as("__pEnd"),
+        col("running_total"))
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("total_tokens"),
+        max("running_total").as("__tt"),
+        sum(when(col("__pEnd") > col("__p"), 1L).otherwise(0L))
+          .as("n_straddle"),
+        sum(when(col("__pEnd") > col("__p"),
+            col("running_total") - (col("__p") + 1L) * B)
+          .otherwise(0L)).as("spill_tokens"))
+      .select(col("n_docs"), col("total_tokens"),
+        expr(s"(__tt + ${B - 1}) div $B").as("n_packs"),
+        col("n_straddle"), col("spill_tokens"))
+      .withColumn("fill_ppm",
+        expr(s"(total_tokens * 1000000) div (n_packs * $B)"))
+  }
+
+  private val packEfficiencySql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT n, sum(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t),
+      |m AS (
+      |  SELECT n, (cum - n) // 2048 AS p, (cum - 1) // 2048 AS pe, cum
+      |  FROM c)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  CAST((max(cum) + 2047) // 2048 AS BIGINT) AS n_packs,
+      |  CAST(sum(CASE WHEN pe > p THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_straddle,
+      |  CAST(sum(CASE WHEN pe > p THEN cum - (p + 1) * 2048 ELSE 0 END)
+      |    AS BIGINT) AS spill_tokens,
+      |  CAST((sum(n) * 1000000) // (((max(cum) + 2047) // 2048) * 2048)
+      |    AS BIGINT) AS fill_ppm
+      |FROM m""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -11561,5 +11776,9 @@ object Queries {
     Q("q_cohen_kappa", cohenKappa, Some(cohenKappaSql)),
     Q("q_dedup_method_agreement", dedupMethodAgreement, Some(dedupMethodAgreementSql)),
     Q("q_rank_churn", rankChurn, Some(rankChurnSql)),
+    Q("q_canary_scan", canaryScan, Some(canaryScanSql)),
+    Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    Q("q_text_norm_audit", textNormAudit, Some(textNormAuditSql)),
+    Q("q_pack_efficiency", packEfficiency, Some(packEfficiencySql)),
   )
 }

@@ -552,6 +552,97 @@ class TrainingOpsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("q_canary_scan equals the driver replay; the control canary is 0") {
+    def occ(t: String, c: String): Long =
+      ((t.length - t.replace(c, "").length) / c.length).toLong
+    val planted = docs.map { case (id, t) =>
+      if (id % 101 == 7) t + " canary-alpha-7f3a"
+      else if (id % 103 == 11) t + " canary-beta-2c9d canary-beta-2c9d"
+      else if (id % 107 == 13) "canary-gamma-e5b1 " + t
+      else t
+    }
+    val names = Seq("canary-alpha-7f3a", "canary-beta-2c9d",
+      "canary-gamma-e5b1", "canary-delta-0a42")
+    val want = names.map { c =>
+      (c, planted.count(occ(_, c) > 0).toLong, planted.map(occ(_, c)).sum)
+    }.toSet
+    val got = SparkEntry.queries("q_canary_scan")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.exists(r => r._1.contains("delta") && r._2 == 0L && r._3 == 0L),
+      "the never-planted control reports zero")
+  }
+
+  test("q_source_overlap equals the driver string-shingle replay") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.split("\\s+").toSeq
+      (0 to math.max(t.size - 3, 0)).map(i => t.slice(i, i + 3).mkString(" "))
+        .toSet
+    }
+    val bySrc = rows.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.map(d => shingleSet(d._2)).reduce(_ union _)
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      common = (bySrc(a) intersect bySrc(b)).size.toLong if common > 0
+    } yield (a, b, common, common * 1000000L / bySrc(a).size,
+      common * 1000000L / bySrc(b).size)).toSet
+    // the Spark side shuffles 64-bit shingle hashes; equality with the
+    // string replay doubles as a collision-absence proof at this scale
+    val got = SparkEntry.queries("q_source_overlap")(spark, dir)
+      .select("source_a", "source_b", "n_common", "cont_a_ppm", "cont_b_ppm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("q_text_norm_audit equals the driver replay; normalization is idempotent") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def norm(t: String): String =
+      t.toLowerCase.replaceAll("[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+        .replaceAll("\\s+", " ").trim
+    val planted = rows.map { case (id, t, src) =>
+      val p = if (id % 5 == 1) t.replace(" ", "  ")
+        else if (id % 7 == 2) t.toUpperCase
+        else if (id % 11 == 3) t + "\t  " else t
+      (src, p)
+    }
+    planted.foreach { case (_, p) => assert(norm(norm(p)) == norm(p)) }
+    val want = planted.groupBy(_._1).map { case (src, ds) =>
+      val changed = ds.count { case (_, p) => norm(p) != p }.toLong
+      (src, ds.size.toLong, changed,
+        ds.map { case (_, p) => (p.length - norm(p).length).toLong }.sum,
+        (ds.size - changed) * 1000000L / ds.size)
+    }.toSet
+    val got = SparkEntry.queries("q_text_norm_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("q_pack_efficiency equals the driver cumsum replay") {
+    val B = 2048L
+    val ns = docs.sortBy(_._1).map(d => nTok(d._2))
+    val cums = ns.scanLeft(0L)(_ + _).tail
+    val total = cums.last
+    val straddlers = ns.zip(cums).filter { case (n, cum) =>
+      (cum - 1) / B > (cum - n) / B }
+    val want = (ns.size.toLong, total, (total + B - 1) / B,
+      straddlers.size.toLong,
+      straddlers.map { case (n, cum) => cum - ((cum - n) / B + 1) * B }.sum,
+      total * 1000000L / (((total + B - 1) / B) * B))
+    val got = SparkEntry.queries("q_pack_efficiency")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(got == want)
+  }
+
   test("q_dedup_threshold_curve is monotone and anchored by the planted corpus") {
     val got = SparkEntry.queries("q_dedup_threshold_curve")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
