@@ -11153,14 +11153,24 @@ object Queries {
         expr("(agree * 1000000) div n").as("po_ppm"),
         expr("CAST((__rc * 1000000) div (CAST(n AS DECIMAL(38,0)) * n)" +
           " AS BIGINT)").as("pe_ppm"),
-        expr("""CAST(CASE
-          WHEN CAST(n AS DECIMAL(38,0)) * agree - __rc >= 0
-          THEN ((CAST(n AS DECIMAL(38,0)) * agree - __rc) * 1000000)
-               div (CAST(n AS DECIMAL(38,0)) * n - __rc)
-          ELSE -(((__rc - CAST(n AS DECIMAL(38,0)) * agree) * 1000000)
-               div (CAST(n AS DECIMAL(38,0)) * n - __rc))
-          END AS BIGINT)""").as("kappa_ppm"))
+        expr(KappaPpmExpr).as("kappa_ppm"))
   }
+
+  /** The κ fold over columns (n, agree, __rc) — shared with the
+    * property spec so the PRODUCTION string is what gets tested. The
+    * division is sign-symmetric (both branches divide a nonnegative
+    * numerator) because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors: on nonnegatives they coincide, on a negative
+    * numerator they differ by one ulp of the quotient. DECIMAL(38,0)
+    * headroom: n ≤ 1e15 docs keeps |num|·1e6 ≤ n²·1e6 = 1e36 < 1e38. */
+  private[graft] val KappaPpmExpr: String =
+    """CAST(CASE
+      WHEN CAST(n AS DECIMAL(38,0)) * agree - __rc >= 0
+      THEN ((CAST(n AS DECIMAL(38,0)) * agree - __rc) * 1000000)
+           div (CAST(n AS DECIMAL(38,0)) * n - __rc)
+      ELSE -(((__rc - CAST(n AS DECIMAL(38,0)) * agree) * 1000000)
+           div (CAST(n AS DECIMAL(38,0)) * n - __rc))
+      END AS BIGINT)"""
 
   private val cohenKappaSql = {
     // the langId CASE over an arbitrary raw-text SQL expression — same

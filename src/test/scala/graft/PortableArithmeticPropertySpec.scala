@@ -245,6 +245,63 @@ class PortableArithmeticPropertySpec extends GraftSuite {
     assert((2 * 13815511L + 1000000L) / 2000000L <= 14L)
   }
 
+  test("κ fold (q_cohen_kappa): the production expression matches BigInt under BOTH division semantics") {
+    // the PRODUCTION string (Queries.KappaPpmExpr) evaluated by Spark
+    // over adversarial (n, agree, rc) triples — agree ≤ n, rc ≤ n²,
+    // including rc > n·agree (negative κ) and the rc = n² degenerate
+    // guard-off domain (den > 0 enforced by construction: rc < n²
+    // whenever the confusion table has ≥2 distinct labels; here we
+    // simply keep rc ≤ n²−1). The reference runs TRUNCATING division
+    // on |num| (BigInt /); because both branches divide a nonnegative
+    // numerator, flooring (DuckDB //, BigInt floorDiv) must give the
+    // SAME answer — both are asserted, which is exactly the
+    // cross-engine claim the oracle gate relies on.
+    val gen = for {
+      n <- Gen.chooseNum(1L, 1000000000000L) // up to 1e12 docs
+      agree <- Gen.chooseNum(0L, n)
+      rc <- Gen.chooseNum(BigInt(0), BigInt(n) * n - 1)
+    } yield (n, agree, rc)
+    val prop = forAll(gen) { case (n, agree, rc) =>
+      val num = BigInt(n) * agree - rc
+      val den = BigInt(n) * n - rc
+      val wantTrunc = if (num >= 0) num * 1000000L / den
+        else -((-num * 1000000L) / den)
+      val absQ = (num.abs * 1000000L) / den
+      val wantFloor = if (num >= 0) absQ else -absQ // floor(|x|/d) == trunc
+      wantTrunc == wantFloor && {
+        val got = Seq((n, agree, rc.toString))
+          .toDF("n", "agree", "__rcs")
+          .selectExpr("n", "agree", "CAST(__rcs AS DECIMAL(38,0)) AS __rc")
+          .selectExpr(s"${Queries.KappaPpmExpr} AS k")
+          .collect().head.getLong(0)
+        got == wantTrunc.toLong
+      }
+    }
+    check(prop)
+  }
+
+  test("padding fold (q_padding_waste): sorted chunking minimizes padding over FULL batches only") {
+    // the precise theorem behind the report: when every batch is full
+    // (count % B == 0), sorted contiguous chunking minimizes
+    // Σ(n_b·max − Σlen) over any order (exchange argument on group
+    // maxima). With a PARTIAL final batch it is NOT universally better
+    // — [5,5,1] at B=2 pads 0 in arrival order but 4 sorted (the small
+    // doc lands inside a full batch instead of alone) — which is WHY
+    // the op reports both policies instead of assuming one wins.
+    def pad(groups: Iterator[Seq[Long]]): Long =
+      groups.map(b => b.size * b.max - b.sum).sum
+    val gen = Gen.zip(Gen.chooseNum(1, 8),
+      Gen.listOf(Gen.chooseNum(1L, 512L)))
+    val prop = forAll(gen) { case (nBatches, tail0 ) =>
+      val lens = (tail0 ++ Seq.fill(16 * nBatches)(1L)).take(16 * nBatches)
+      pad(lens.sorted.grouped(16)) <= pad(lens.grouped(16))
+    }
+    check(prop, 300)
+    // the partial-batch counter-example, pinned
+    assert(pad(Seq(5L, 5L, 1L).grouped(2)) == 0L)
+    assert(pad(Seq(5L, 5L, 1L).sorted.grouped(2)) == 4L)
+  }
+
   test("resize rounding (q_resize_plan): (n·scale+5e5) div 1e6 is round-half-up on the dim domain") {
     // positive operands only (dims 16..655, scale ≤ 14e6), so Spark div
     // and DuckDB // agree (truncation == floor); against an exact

@@ -462,7 +462,9 @@ class TrainingOpsSpec extends GraftSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(got == Set(arrival, sorted))
-    assert(sorted._3 <= arrival._3, "length-sorted batching pads no more")
+    // NOT asserted: sorted._3 <= arrival._3 — with a partial final
+    // batch sorted chunking can pad MORE (see the counter-example in
+    // PortableArithmeticPropertySpec); the op reports both policies.
   }
 
   test("q_encoding_audit equals the driver replay on the planted corpus") {
