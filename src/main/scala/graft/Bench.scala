@@ -41,7 +41,8 @@ object Bench {
     "q_clamp_truncate", "q_wide_projection", "q_batch_append",
     "q_upsert_q5010", "q_month_repair", "q_wave_sweep", "q_wave_derive",
     "q_jdbc_roundtrip", "q_write_layout", "q_dedup_skipped", "q_upsert_scd2",
-    "q_cdc_apply")
+    "q_cdc_apply", "q_quota_progress", "q_callback_schedule",
+    "q_fieldwork_burndown")
   private val seriesFamily = Set(
     "q_events_window", "q_sessionize", "q_session_window_fn", "q_moving_sum",
     "q_hopping_window", "q_gap_fill", "q_rolling_quantile", "q_rolling_active",

@@ -11530,6 +11530,163 @@ object Queries {
       |    AS BIGINT) AS fill_ppm
       |FROM m""".stripMargin
 
+  /** #256 quota progress — the survey-fieldwork quota monitor (the
+    * reference's counters endpoint domain, ref feeder.py:27-47 quota
+    * polling): per nation cell, a share-proportional target off a
+    * global quota of 1000 completes, filled = fulfilled orders by that
+    * nation's customers, remaining and fill ppm. Customer shares and
+    * cell totals are partial-aggregated; the fact-side join shuffles
+    * on custkey (co-partitioned at scale); the O(25) cell table and
+    * the 1-row total broadcast. */
+  private def quotaProgress(s: SparkSession, dir: String): DataFrame = {
+    val G = 1000L
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val cells = cust.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = cells.agg(sum("n_customers").as("__tot"))
+    val filled = parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("filled"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("target", expr(s"($G * n_customers) div __tot"))
+      .join(filled, Seq("nationkey"), "left")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("nationkey"), col("n_name"))),
+        Seq("nationkey"))
+      .select(col("n_name"), col("n_customers"), col("target"),
+        coalesce(col("filled"), lit(0L)).as("filled"))
+      .withColumn("remaining", expr("greatest(target - filled, 0)"))
+      .withColumn("fill_ppm",
+        expr("CASE WHEN target > 0 THEN (filled * 1000000) div target" +
+          " ELSE 0 END"))
+  }
+
+  private val quotaProgressSql =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM customer GROUP BY 1),
+      |tot AS (SELECT sum(n_customers) AS t FROM cells),
+      |f AS (
+      |  SELECT c.c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS filled
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_orderstatus = 'F' GROUP BY 1)
+      |SELECT n.n_name,
+      |  cells.n_customers,
+      |  CAST((1000 * n_customers) // tot.t AS BIGINT) AS target,
+      |  CAST(coalesce(f.filled, 0) AS BIGINT) AS filled,
+      |  CAST(greatest((1000 * n_customers) // tot.t - coalesce(f.filled, 0),
+      |    0) AS BIGINT) AS remaining,
+      |  CAST(CASE WHEN (1000 * n_customers) // tot.t > 0
+      |    THEN (coalesce(f.filled, 0) * 1000000)
+      |         // ((1000 * n_customers) // tot.t)
+      |    ELSE 0 END AS BIGINT) AS fill_ppm
+      |FROM cells
+      |CROSS JOIN tot
+      |LEFT JOIN f ON f.nationkey = cells.nationkey
+      |JOIN nation n ON n.n_nationkey = cells.nationkey""".stripMargin
+
+  /** #257 callback schedule — the CATI dialer's next-attempt plan (the
+    * reference's retry-and-poll loop domain, ref feeder.py:29-33 sleep
+    * /retry): per user NOT CONVERTED in the trailing 7-day window (no
+    * purchase since the global cutoff — deliberately an aggregate
+    * predicate, not a "last event" argmax, so it needs no ordering
+    * tie-break and stays deterministic under ts collisions),
+    * exponential backoff doubling with the recent attempt count and
+    * capped at a day: backoff_min = min(2^min(attempts,20), 1440),
+    * next attempt = last activity + backoff. The cutoff is a 1-row
+    * broadcast; ONE partial-aggregated groupBy over events; the
+    * backoff is integer bit-shift arithmetic on both engines (no FP
+    * pow). */
+  private def callbackSchedule(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+        (col("event_type") === "purchase").cast("long").as("__p"))
+    val cut = ev.agg((max("__t") - lit(7L * 86400000000L)).as("__cut"))
+    ev.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(sum(when(col("__t") >= col("__cut"), 1L).otherwise(0L))
+          .as("attempts"),
+        max("__t").as("last_seen_us"),
+        max(when(col("__t") >= col("__cut"), col("__p")).otherwise(0L))
+          .as("__c"))
+      .filter(col("__c") === 0L)
+      .select(col("user_id"), col("attempts"), col("last_seen_us"),
+        expr("least(shiftleft(1L, CAST(least(attempts, 20) AS INT)), 1440)")
+          .as("backoff_min"))
+      .withColumn("next_attempt_us",
+        expr("last_seen_us + backoff_min * 60000000"))
+  }
+
+  private val callbackScheduleSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      |  FROM events),
+      |cut AS (SELECT max(t) - 7 * 86400000000 AS c FROM e),
+      |a AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN t >= cut.c THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS attempts,
+      |    max(t) AS last_seen_us,
+      |    max(CASE WHEN t >= cut.c THEN p ELSE 0 END) AS conv
+      |  FROM e, cut GROUP BY 1)
+      |SELECT user_id, attempts, last_seen_us,
+      |  CAST(least(1 << least(attempts, 20), 1440) AS BIGINT)
+      |    AS backoff_min,
+      |  CAST(last_seen_us + least(1 << least(attempts, 20), 1440)
+      |    * 60000000 AS BIGINT) AS next_attempt_us
+      |FROM a WHERE conv = 0""".stripMargin
+
+  /** #258 fieldwork burndown — cumulative completes against the linear
+    * pace to the deadline (the chart every fieldwork manager reads):
+    * per order day, completes, the running total, the pro-rata target
+    * ((total × day_idx) div n_days — integer, monotone, lands exactly
+    * on total at the last day), and ahead/behind. The fact scan
+    * partial-aggregates to the O(days) series; rank + cumsum run on
+    * that bounded series (the series-family window precedent); totals
+    * broadcast from a 1-row aggregate. Day keys are ISO strings (the
+    * cross-engine date discipline). */
+  private def fieldworkBurndown(s: SparkSession, dir: String): DataFrame = {
+    val daily = parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_completes"))
+    val tot = daily.agg(sum("n_completes").as("__total"),
+      count(lit(1)).as("__days"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("__idx", row_number().over(w).cast("long"))
+      .withColumn("cum_completes",
+        sum("n_completes").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("day"), col("n_completes"), col("cum_completes"),
+        expr("(__total * __idx) div __days").as("target_cum"))
+      .withColumn("delta", expr("cum_completes - target_cum"))
+  }
+
+  private val fieldworkBurndownSql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(count(*) AS BIGINT) AS n_completes
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      |t AS (SELECT sum(n_completes) AS total, count(*) AS days FROM d),
+      |c AS (
+      |  SELECT day, n_completes,
+      |    CAST(sum(n_completes) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_completes,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+      |  FROM d)
+      |SELECT day, n_completes, cum_completes,
+      |  CAST((t.total * c.idx) // t.days AS BIGINT) AS target_cum,
+      |  CAST(cum_completes - (t.total * c.idx) // t.days AS BIGINT)
+      |    AS delta
+      |FROM c, t""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -11790,5 +11947,8 @@ object Queries {
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("q_text_norm_audit", textNormAudit, Some(textNormAuditSql)),
     Q("q_pack_efficiency", packEfficiency, Some(packEfficiencySql)),
+    Q("q_quota_progress", quotaProgress, Some(quotaProgressSql)),
+    Q("q_callback_schedule", callbackSchedule, Some(callbackScheduleSql)),
+    Q("q_fieldwork_burndown", fieldworkBurndown, Some(fieldworkBurndownSql)),
   )
 }

@@ -645,6 +645,75 @@ class TrainingOpsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("q_quota_progress equals the driver replay; targets allocate the global quota") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nations = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val custNation = cust.toMap
+    val filled = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").cast("long"))
+      .collect().map(r => custNation(r.getLong(0)))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val byNation = cust.groupBy(_._2).map { case (n, xs) => n -> xs.size.toLong }
+    val tot = byNation.values.sum
+    val want = byNation.map { case (nk, nc) =>
+      val target = 1000L * nc / tot
+      val f = filled.getOrElse(nk, 0L)
+      (nations(nk), nc, target, f, math.max(target - f, 0L),
+        if (target > 0) f * 1000000L / target else 0L)
+    }.toSet
+    val got = SparkEntry.queries("q_quota_progress")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+  }
+
+  test("q_callback_schedule equals the driver replay; backoff is capped") {
+    val ev = eventsTable(dir).select(col("user_id"),
+        unix_micros(col("ts")), (col("event_type") === "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val cut = ev.map(_._2).max - 7L * 86400000000L
+    val want = ev.groupBy(_._1).collect {
+      case (u, xs) if !xs.exists(x => x._3 && x._2 >= cut) =>
+        val attempts = xs.count(_._2 >= cut).toLong
+        val last = xs.map(_._2).max
+        val backoff = math.min(1L << math.min(attempts, 20L), 1440L)
+        (u, attempts, last, backoff, last + backoff * 60000000L)
+    }.toSet
+    val got = SparkEntry.queries("q_callback_schedule")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.forall(_._4 <= 1440L))
+  }
+
+  test("q_fieldwork_burndown equals the driver replay; target lands on the total") {
+    val days = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+      .toSeq.sortBy(_._1)
+    val total = days.map(_._2).sum
+    val cums = days.map(_._2).scanLeft(0L)(_ + _).tail
+    val want = days.zip(cums).zipWithIndex.map {
+      case (((d, n), cum), i) =>
+        val target = total * (i + 1) / days.size
+        (d, n, cum, target, cum - target)
+    }.toSet
+    val got = SparkEntry.queries("q_fieldwork_burndown")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    val last = want.maxBy(_._1)
+    assert(last._4 == total && last._5 == 0L,
+      "pro-rata target lands exactly on the total at the last day")
+  }
+
   test("q_dedup_threshold_curve is monotone and anchored by the planted corpus") {
     val got = SparkEntry.queries("q_dedup_threshold_curve")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
