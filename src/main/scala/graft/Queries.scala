@@ -11687,6 +11687,135 @@ object Queries {
       |    AS delta
       |FROM c, t""".stripMargin
 
+  /** #259 response-bias table — the nonresponse audit every survey
+    * report opens with: per market segment, population vs respondent
+    * counts (a respondent = a customer with ≥1 fulfilled order),
+    * response rate, and the representation index (respondent share
+    * over population share, ppm — 1e6 means the segment responds at
+    * par). Two partial-aggregated groupBys (the respondent one after a
+    * custkey-shuffled semi-join shape), 1-row totals broadcast, O(5)
+    * output. */
+  private def responseBias(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val pop = cust.groupBy("segment").agg(count(lit(1)).as("n_pop"))
+    val resp = parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .join(cust, Seq("c_custkey"))
+      .groupBy("segment").agg(count(lit(1)).as("n_resp"))
+    val tot = pop.agg(sum("n_pop").as("__np"))
+      .crossJoin(resp.agg(sum("n_resp").as("__nr")))
+    pop.join(resp, Seq("segment"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_pop"),
+        coalesce(col("n_resp"), lit(0L)).as("n_resp"), col("__np"),
+        col("__nr"))
+      .withColumn("response_rate_ppm", expr("(n_resp * 1000000) div n_pop"))
+      .withColumn("repr_index_ppm",
+        expr("CAST((CAST(n_resp AS DECIMAL(38,0)) * __np * 1000000)" +
+          " div (CAST(n_pop AS DECIMAL(38,0)) * __nr) AS BIGINT)"))
+      .drop("__np", "__nr")
+  }
+
+  private val responseBiasSql =
+    """WITH c AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+      |pop AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_pop
+      |        FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT c.segment, CAST(count(*) AS BIGINT) AS n_resp
+      |  FROM (SELECT DISTINCT o_custkey FROM orders
+      |        WHERE o_orderstatus = 'F') o
+      |  JOIN c ON c.c_custkey = o.o_custkey GROUP BY 1),
+      |t AS (SELECT (SELECT sum(n_pop) FROM pop) AS np,
+      |             (SELECT sum(n_resp) FROM r) AS nr)
+      |SELECT pop.segment, pop.n_pop,
+      |  CAST(coalesce(r.n_resp, 0) AS BIGINT) AS n_resp,
+      |  CAST((coalesce(r.n_resp, 0) * 1000000) // pop.n_pop AS BIGINT)
+      |    AS response_rate_ppm,
+      |  CAST((CAST(coalesce(r.n_resp, 0) AS HUGEINT) * t.np * 1000000)
+      |    // (CAST(pop.n_pop AS HUGEINT) * t.nr) AS BIGINT)
+      |    AS repr_index_ppm
+      |FROM pop
+      |LEFT JOIN r ON r.segment = pop.segment
+      |CROSS JOIN t""".stripMargin
+
+  /** #260 design effect — the Kish DEFF of post-stratification
+    * weighting over nation×segment cells, with standard 10×-mean
+    * weight trimming, plus the effective sample size: the "how much
+    * did weighting cost us" number a survey statistician reads before
+    * trusting any weighted estimate. The fold is scale-invariant, so
+    * weights RENORMALIZE to relative ppm BEFORE squaring — that is
+    * what keeps every intermediate ≤ ~1e26 at a trillion respondents
+    * (naively squaring raw ppm weights overflows DECIMAL(38) at
+    * n·Σrw²·1e6 ≈ 1e45). Cell tables are O(125) after two
+    * partial-aggregated groupBys; every fold beyond them is
+    * driver-free column arithmetic on 1-row broadcasts. */
+  private def designEffect(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment").as("seg"))
+    val pop = cust.groupBy("nk", "seg").agg(count(lit(1)).as("pop"))
+    val resp = parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .join(cust, Seq("c_custkey"))
+      .groupBy("nk", "seg").agg(count(lit(1)).as("resp"))
+    val tot = pop.agg(sum("pop").as("__N"))
+      .crossJoin(resp.agg(sum("resp").as("__R")))
+    val cells = pop.join(resp, Seq("nk", "seg")) // resp ⊆ pop: inner
+      .crossJoin(broadcast(tot))
+      .withColumn("__w", // post-strat weight, trimmed at 10x mean
+        expr("least((CAST(pop AS DECIMAL(38,0)) * __R * 1000000)" +
+          " div (CAST(resp AS DECIMAL(38,0)) * __N), 10000000)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sw = cells.agg(sum(expr("CAST(resp AS DECIMAL(38,0)) * __w"))
+      .as("__S"))
+    cells.crossJoin(broadcast(sw))
+      .withColumn("__v", // relative weight in ppm of the mean
+        expr("(CAST(__w AS DECIMAL(38,0)) * __R * 1000000) div __S"))
+      .agg(max("__N").as("n_pop"), max("__R").as("n_resp"),
+        count(lit(1)).as("n_cells"), max("__w").cast("long").as("w_max_ppm"),
+        sum(expr("CAST(resp AS DECIMAL(38,0)) * __v * __v")).as("__svv"))
+      .select(col("n_pop"), col("n_resp"), col("n_cells"), col("w_max_ppm"),
+        expr("CAST(__svv div (CAST(n_resp AS DECIMAL(38,0)) * 1000000)" +
+          " AS BIGINT)").as("deff_ppm"))
+      .withColumn("n_eff",
+        expr("(n_resp * 1000000) div greatest(deff_ppm, 1)"))
+  }
+
+  private val designEffectSql =
+    """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+      |    c_mktsegment AS seg FROM customer),
+      |pop AS (SELECT nk, seg, CAST(count(*) AS BIGINT) AS pop
+      |        FROM c GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c.nk, c.seg, CAST(count(*) AS BIGINT) AS resp
+      |  FROM (SELECT DISTINCT o_custkey FROM orders
+      |        WHERE o_orderstatus = 'F') o
+      |  JOIN c ON c.c_custkey = o.o_custkey GROUP BY 1, 2),
+      |t AS (SELECT (SELECT sum(pop) FROM pop) AS N,
+      |             (SELECT sum(resp) FROM r) AS R),
+      |cells AS (
+      |  SELECT pop.pop, r.resp,
+      |    least((CAST(pop.pop AS HUGEINT) * t.R * 1000000)
+      |      // (CAST(r.resp AS HUGEINT) * t.N), 10000000) AS w
+      |  FROM pop JOIN r ON r.nk = pop.nk AND r.seg = pop.seg
+      |  CROSS JOIN t),
+      |s AS (SELECT sum(CAST(resp AS HUGEINT) * w) AS S FROM cells),
+      |v AS (
+      |  SELECT resp,
+      |    (CAST(w AS HUGEINT) * t.R * 1000000) // s.S AS v, w
+      |  FROM cells, s, t)
+      |SELECT t.N AS n_pop, t.R AS n_resp,
+      |  CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+      |  CAST((SELECT max(w) FROM cells) AS BIGINT) AS w_max_ppm,
+      |  CAST(sum(CAST(resp AS HUGEINT) * v * v)
+      |    // (CAST(t.R AS HUGEINT) * 1000000) AS BIGINT) AS deff_ppm,
+      |  CAST((t.R * 1000000) // greatest(sum(CAST(resp AS HUGEINT) * v * v)
+      |    // (CAST(t.R AS HUGEINT) * 1000000), 1) AS BIGINT) AS n_eff
+      |FROM v, t GROUP BY t.N, t.R""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -11950,5 +12079,7 @@ object Queries {
     Q("q_quota_progress", quotaProgress, Some(quotaProgressSql)),
     Q("q_callback_schedule", callbackSchedule, Some(callbackScheduleSql)),
     Q("q_fieldwork_burndown", fieldworkBurndown, Some(fieldworkBurndownSql)),
+    Q("q_response_bias", responseBias, Some(responseBiasSql)),
+    Q("q_design_effect", designEffect, Some(designEffectSql)),
   )
 }

@@ -714,6 +714,66 @@ class TrainingOpsSpec extends GraftSuite {
       "pro-rata target lands exactly on the total at the last day")
   }
 
+  test("q_response_bias equals the driver replay; indices bracket par") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val seg = cust.toMap
+    val respondents = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").cast("long")).distinct()
+      .collect().map(r => seg(r.getLong(0)))
+    val pop = cust.groupBy(_._2).map { case (sg, xs) => sg -> xs.size.toLong }
+    val resp = respondents.groupBy(identity)
+      .map { case (sg, xs) => sg -> xs.size.toLong }
+    val (np, nr) = (pop.values.sum, resp.values.sum)
+    val want = pop.map { case (sg, p) =>
+      val r = resp.getOrElse(sg, 0L)
+      (sg, p, r, r * 1000000L / p,
+        (BigInt(r) * np * 1000000L / (BigInt(p) * nr)).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_response_bias")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    // weighted by population, the representation indices straddle 1e6
+    assert(want.exists(_._5 <= 1000000L) && want.exists(_._5 >= 999000L))
+  }
+
+  test("q_design_effect equals the driver BigInt replay; DEFF prices the weighting") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"),
+        col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+    val cell = cust.toMap
+    val respCells = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").cast("long")).distinct()
+      .collect().map(r => cell(r.getLong(0)))
+    val pop = cust.groupBy(_._2).map { case (c, xs) => c -> BigInt(xs.size) }
+    val resp = respCells.groupBy(identity)
+      .map { case (c, xs) => c -> BigInt(xs.size) }
+    val (bigN, bigR) = (pop.values.sum, resp.values.sum)
+    val cells = resp.toSeq.map { case (c, r) =>
+      val w = (pop(c) * bigR * 1000000L / (r * bigN)) min BigInt(10000000L)
+      (r, w)
+    }
+    val s = cells.map { case (r, w) => r * w }.sum
+    val svv = cells.map { case (r, w) =>
+      val v = w * bigR * 1000000L / s
+      r * v * v
+    }.sum
+    val deff = (svv / (bigR * 1000000L)).toLong
+    val want = (bigN.toLong, bigR.toLong, cells.size.toLong,
+      cells.map(_._2).max.toLong, deff,
+      bigR.toLong * 1000000L / math.max(deff, 1L))
+    val got = SparkEntry.queries("q_design_effect")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(got == want)
+    assert(deff >= 990000L, "DEFF is ~1 or above for near-uniform weights")
+  }
+
   test("q_dedup_threshold_curve is monotone and anchored by the planted corpus") {
     val got = SparkEntry.queries("q_dedup_threshold_curve")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
