@@ -11816,6 +11816,268 @@ object Queries {
       |    // (CAST(t.R AS HUGEINT) * 1000000), 1) AS BIGINT) AS n_eff
       |FROM v, t GROUP BY t.N, t.R""".stripMargin
 
+  /** #261 attempt-conversion curve — response rate by attempt number,
+    * the CATI dialer's core fieldwork KPI (ref feeder.py retry-loop
+    * domain): an attempt = a 'view' contact; a user's attempt count is
+    * the number of contacts at-or-before their FIRST 'purchase' (all
+    * contacts if they never convert — an order-free count, so no
+    * tie-break is needed under ts collisions). Per attempt number k:
+    * users finishing at k, conversions at k, users reaching ≥k (suffix
+    * sum over the O(K)-bounded series), per-attempt conversion ppm.
+    * Two user-co-partitioned aggregates + one window on the bounded
+    * series — the full-outer join keeps purchase-only users as k=0. */
+  private def attemptConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsMicros(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts_us").as("__p"))
+    val perUser = ev.filter(col("event_type") === "view")
+      .join(firstP, Seq("user_id"), "full")
+      .groupBy("user_id")
+      .agg(max("__p").as("__fp"),
+        sum(when(col("ts_us").isNotNull &&
+            (col("__p").isNull || col("ts_us") <= col("__p")), 1L)
+          .otherwise(0L)).as("attempts"))
+      .select(col("attempts"),
+        col("__fp").isNotNull.cast("long").as("__conv"))
+    val w = Window.orderBy(col("attempts").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perUser.groupBy("attempts")
+      .agg(count(lit(1)).as("n_users"), sum("__conv").as("n_converted"))
+      .withColumn("users_reaching", sum("n_users").over(w))
+      .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_users"))
+  }
+
+  private val attemptConversionSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+      |p AS (SELECT user_id, min(t) AS fp FROM e
+      |      WHERE event_type = 'purchase' GROUP BY 1),
+      |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+      |u AS (
+      |  SELECT coalesce(v.user_id, p.user_id) AS user_id,
+      |    CAST(sum(CASE WHEN v.t IS NOT NULL
+      |        AND (p.fp IS NULL OR v.t <= p.fp) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS attempts,
+      |    max(CASE WHEN p.fp IS NOT NULL THEN 1 ELSE 0 END) AS conv
+      |  FROM v FULL JOIN p ON v.user_id = p.user_id GROUP BY 1),
+      |s AS (SELECT attempts, CAST(count(*) AS BIGINT) AS n_users,
+      |      CAST(sum(conv) AS BIGINT) AS n_converted
+      |      FROM u GROUP BY 1)
+      |SELECT attempts, n_users, n_converted,
+      |  CAST(sum(n_users) OVER (ORDER BY attempts DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS users_reaching,
+      |  CAST((n_converted * 1000000) // n_users AS BIGINT) AS conv_ppm
+      |FROM s""".stripMargin
+
+  /** #262 AAPOR-style disposition rates — the one-row fieldwork report
+    * header (AAPOR Standard Definitions, public): per-user disposition
+    * from the event mix (complete = any purchase; partial = clicked
+    * but never purchased; contact-only = viewed but never engaged;
+    * non-contact = the rest), then RR1 = completes/total, contact
+    * rate, cooperation rate (completes over contacted), refusal rate —
+    * all exact ppm. ONE user aggregate (max of boolean flags,
+    * map-side combinable) + a 1-row fold. */
+  private def aaporRates(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("user_id").agg(
+        max((col("event_type") === "purchase").cast("long")).as("c"),
+        max((col("event_type") === "click").cast("long")).as("k"),
+        max((col("event_type") === "view").cast("long")).as("v"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum("c").as("n_complete"),
+        sum(when(col("c") === 0 && col("k") === 1, 1L).otherwise(0L))
+          .as("n_partial"),
+        sum(when(col("c") === 0 && col("k") === 0 && col("v") === 1, 1L)
+          .otherwise(0L)).as("n_contact_only"),
+        sum(when(col("c") === 0 && col("k") === 0 && col("v") === 0, 1L)
+          .otherwise(0L)).as("n_noncontact"))
+      .withColumn("rr1_ppm", expr("(n_complete * 1000000) div n_total"))
+      .withColumn("contact_ppm",
+        expr("((n_complete + n_partial + n_contact_only) * 1000000)" +
+          " div n_total"))
+      .withColumn("coop_ppm",
+        expr("CASE WHEN n_complete + n_partial + n_contact_only > 0" +
+          " THEN (n_complete * 1000000)" +
+          " div (n_complete + n_partial + n_contact_only)" +
+          " ELSE 0 END"))
+      .withColumn("refusal_ppm",
+        expr("CASE WHEN n_complete + n_partial + n_contact_only > 0" +
+          " THEN (n_partial * 1000000)" +
+          " div (n_complete + n_partial + n_contact_only)" +
+          " ELSE 0 END"))
+
+  private val aaporRatesSql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(sum(c) AS BIGINT) AS n_complete,
+      |    CAST(sum(CASE WHEN c = 0 AND k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_partial,
+      |    CAST(sum(CASE WHEN c = 0 AND k = 0 AND v = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_contact_only,
+      |    CAST(sum(CASE WHEN c = 0 AND k = 0 AND v = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_noncontact
+      |  FROM f)
+      |SELECT n_total, n_complete, n_partial, n_contact_only, n_noncontact,
+      |  CAST((n_complete * 1000000) // n_total AS BIGINT) AS rr1_ppm,
+      |  CAST(((n_complete + n_partial + n_contact_only) * 1000000)
+      |    // n_total AS BIGINT) AS contact_ppm,
+      |  CAST(CASE WHEN n_complete + n_partial + n_contact_only > 0
+      |    THEN (n_complete * 1000000)
+      |      // (n_complete + n_partial + n_contact_only)
+      |    ELSE 0 END AS BIGINT) AS coop_ppm,
+      |  CAST(CASE WHEN n_complete + n_partial + n_contact_only > 0
+      |    THEN (n_partial * 1000000)
+      |      // (n_complete + n_partial + n_contact_only)
+      |    ELSE 0 END AS BIGINT) AS refusal_ppm
+      |FROM a""".stripMargin
+
+  /** #263 Horvitz–Thompson stratum estimator — the design-based total
+    * every weighted survey publishes: strata = nation × segment,
+    * respondents = customers with ≥1 fulfilled order, inclusion
+    * probability π_h = resp_h/pop_h, HT total = Σ y_i/π_h
+    * = (pop_h · Σ resp cents) div resp_h in exact cents fixed point.
+    * The possibly-NEGATIVE respondent balance sum is divided
+    * SIGN-SPLIT (sign · (pop·|sum|) div resp) so Spark's
+    * truncate-toward-zero `div` and DuckDB's floor `//` agree (§5
+    * division discipline). Uncovered strata (resp = 0) stay in the
+    * output with covered = 0 and a zero estimate rather than
+    * vanishing. Two partial-aggregated groupBys over customer + the
+    * distinct-respondent semi-join shape; O(nations × segments)
+    * output. */
+  private def horvitzThompson(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nk"),
+      col("c_mktsegment").as("segment"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("__cents"))
+    val pop = cust.groupBy("nk", "segment")
+      .agg(count(lit(1)).as("pop"), sum("__cents").as("true_cents"))
+    val rs = parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .join(cust, Seq("c_custkey"))
+      .groupBy("nk", "segment")
+      .agg(count(lit(1)).as("resp"), sum("__cents").as("__rc"))
+    pop.join(rs, Seq("nk", "segment"), "left")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
+        Seq("nk"))
+      .select(col("n_name"), col("segment"), col("pop"),
+        coalesce(col("resp"), lit(0L)).as("resp"), col("true_cents"),
+        coalesce(expr(
+          "CASE WHEN __rc >= 0" +
+            " THEN (CAST(pop AS DECIMAL(38,0)) * __rc) div resp" +
+            " ELSE -((CAST(pop AS DECIMAL(38,0)) * (-__rc)) div resp)" +
+            " END").cast("long"), lit(0L)).as("ht_cents"),
+        (col("resp").isNotNull).cast("int").as("covered"))
+      .withColumn("diff_cents",
+        expr("CASE WHEN covered = 1 THEN ht_cents - true_cents" +
+          " ELSE 0 END"))
+  }
+
+  private val horvitzThompsonSql =
+    """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+      |    c_mktsegment AS segment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |pop AS (SELECT nk, segment, CAST(count(*) AS BIGINT) AS pop,
+      |    CAST(sum(cents) AS BIGINT) AS true_cents
+      |  FROM c GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c.nk, c.segment, CAST(count(*) AS BIGINT) AS resp,
+      |    CAST(sum(c.cents) AS BIGINT) AS rc
+      |  FROM (SELECT DISTINCT o_custkey FROM orders
+      |        WHERE o_orderstatus = 'F') o
+      |  JOIN c ON c.c_custkey = o.o_custkey GROUP BY 1, 2)
+      |SELECT n.n_name, pop.segment, pop.pop,
+      |  CAST(coalesce(r.resp, 0) AS BIGINT) AS resp, pop.true_cents,
+      |  CAST(coalesce(CASE WHEN r.rc >= 0
+      |    THEN (CAST(pop.pop AS HUGEINT) * r.rc) // r.resp
+      |    ELSE -((CAST(pop.pop AS HUGEINT) * (-r.rc)) // r.resp)
+      |    END, 0) AS BIGINT) AS ht_cents,
+      |  CAST(CASE WHEN r.resp IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |    AS covered,
+      |  CAST(CASE WHEN r.resp IS NOT NULL
+      |    THEN coalesce(CASE WHEN r.rc >= 0
+      |      THEN (CAST(pop.pop AS HUGEINT) * r.rc) // r.resp
+      |      ELSE -((CAST(pop.pop AS HUGEINT) * (-r.rc)) // r.resp)
+      |      END, 0) - pop.true_cents
+      |    ELSE 0 END AS BIGINT) AS diff_cents
+      |FROM pop
+      |LEFT JOIN r ON r.nk = pop.nk AND r.segment = pop.segment
+      |JOIN nation n ON n.n_nationkey = pop.nk""".stripMargin
+
+  /** #264 stratum proportion variance with FPC — the margin-of-error
+    * input (variance, not its square root — the fold stays exact
+    * integer): per nation stratum, p̂ = share of respondents who are
+    * repeat buyers (≥2 fulfilled orders), sampling variance
+    * p̂(1−p̂)/n scaled by the finite-population correction
+    * (N−n)/(N−1). p_ppm, var and var·FPC in ppm² units (q12), all
+    * nonnegative integer div. The per-customer order count comes from
+    * ONE fact-side aggregate joined left to the frame; strata with no
+    * respondents are dropped (variance of an empty sample is
+    * undefined, not zero). */
+  private def stratumVariance(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"))
+    val perCust = parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("__n"))
+    cust.join(perCust, Seq("c_custkey"), "left")
+      .select(col("nk"), col("__n").isNotNull.cast("long").as("__r"),
+        (coalesce(col("__n"), lit(0L)) >= 2).cast("long").as("__y"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("pop"), sum("__r").as("resp"),
+        sum("__y").as("n_repeat"))
+      .filter(col("resp") > 0)
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
+        Seq("nk"))
+      .select(col("n_name"), col("pop"), col("resp"), col("n_repeat"),
+        expr("(n_repeat * 1000000) div resp").as("p_ppm"))
+      .withColumn("var_q12", expr("(p_ppm * (1000000 - p_ppm)) div resp"))
+      .withColumn("var_fpc_q12",
+        expr("CASE WHEN pop > 1" +
+          " THEN (var_q12 * (pop - resp)) div (pop - 1) ELSE 0 END"))
+  }
+
+  private val stratumVarianceSql =
+    """WITH pc AS (
+      |  SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+      |    CASE WHEN pc.n IS NOT NULL THEN 1 ELSE 0 END AS r,
+      |    CASE WHEN coalesce(pc.n, 0) >= 2 THEN 1 ELSE 0 END AS y
+      |  FROM customer c LEFT JOIN pc ON pc.c_custkey = c.c_custkey),
+      |a AS (
+      |  SELECT nk, CAST(count(*) AS BIGINT) AS pop,
+      |    CAST(sum(r) AS BIGINT) AS resp,
+      |    CAST(sum(y) AS BIGINT) AS n_repeat
+      |  FROM f GROUP BY 1),
+      |b AS (
+      |  SELECT nk, pop, resp, n_repeat,
+      |    (n_repeat * 1000000) // resp AS p_ppm
+      |  FROM a WHERE resp > 0),
+      |v AS (
+      |  SELECT nk, pop, resp, n_repeat, p_ppm,
+      |    (p_ppm * (1000000 - p_ppm)) // resp AS var_q12
+      |  FROM b)
+      |SELECT n.n_name, v.pop, v.resp, v.n_repeat,
+      |  CAST(v.p_ppm AS BIGINT) AS p_ppm,
+      |  CAST(v.var_q12 AS BIGINT) AS var_q12,
+      |  CAST(CASE WHEN v.pop > 1
+      |    THEN (v.var_q12 * (v.pop - v.resp)) // (v.pop - 1)
+      |    ELSE 0 END AS BIGINT) AS var_fpc_q12
+      |FROM v JOIN nation n ON n.n_nationkey = v.nk""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -12081,5 +12343,9 @@ object Queries {
     Q("q_fieldwork_burndown", fieldworkBurndown, Some(fieldworkBurndownSql)),
     Q("q_response_bias", responseBias, Some(responseBiasSql)),
     Q("q_design_effect", designEffect, Some(designEffectSql)),
+    Q("q_attempt_conversion", attemptConversion, Some(attemptConversionSql)),
+    Q("q_aapor_rates", aaporRates, Some(aaporRatesSql)),
+    Q("q_horvitz_thompson", horvitzThompson, Some(horvitzThompsonSql)),
+    Q("q_stratum_variance", stratumVariance, Some(stratumVarianceSql)),
   )
 }
