@@ -12078,6 +12078,383 @@ object Queries {
       |    ELSE 0 END AS BIGINT) AS var_fpc_q12
       |FROM v JOIN nation n ON n.n_nationkey = v.nk""".stripMargin
 
+  /** #265 straight-lining audit — the CATI interview-quality check for
+    * respondents who give the same answer run after run (Krosnick's
+    * satisficing literature; public QC practice): per user, events
+    * ordered by (ts_us, event_id) — a total order, so runs are
+    * well-defined under ts ties — longest run of the SAME event_type
+    * via gaps-and-islands (rn_all − rn_by_type is constant within a
+    * run). A user is flagged when max_run ≥ 5 over ≥ 8 events. Output
+    * is the bounded max_run distribution (n_users, n_flagged), not the
+    * per-user table. Both windows partition BY USER (no global sort);
+    * the rest is two partial-aggregated groupBys. */
+  private def straightline(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsMicros(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+    val byU = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val byUT = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = ev
+      .withColumn("__grp",
+        row_number().over(byU) - row_number().over(byUT))
+      .groupBy("user_id", "event_type", "__grp")
+      .agg(count(lit(1)).as("__run"))
+    val perUser = runs.groupBy("user_id")
+      .agg(max("__run").as("max_run"), sum("__run").as("__n"))
+    perUser.groupBy("max_run")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("max_run") >= 5 && col("__n") >= 8, 1L).otherwise(0L))
+          .as("n_flagged"))
+  }
+
+  private val straightlineSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+      |           FROM events),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |    - row_number() OVER (PARTITION BY user_id, event_type
+      |                         ORDER BY t, event_id) AS grp
+      |  FROM e),
+      |runs AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS run
+      |  FROM r GROUP BY user_id, event_type, grp),
+      |u AS (
+      |  SELECT user_id, max(run) AS max_run, sum(run) AS n
+      |  FROM runs GROUP BY 1)
+      |SELECT CAST(max_run AS BIGINT) AS max_run,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN max_run >= 5 AND n >= 8 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_flagged
+      |FROM u GROUP BY 1""".stripMargin
+
+  /** #266 intra-cluster correlation (one-way ANOVA ICC) — the number
+    * that justifies q_design_effect's cluster penalty (deff =
+    * 1+(m−1)·ICC): how correlated are order values WITHIN a customer?
+    * Balanced m=2 design — each ≥2-order customer's first two orders
+    * by (o_orderdate, o_orderkey) — keeps the ANOVA fold EXACT
+    * integer: with per-cluster sums S_j, squares Q_j (cents, cents²),
+    * k clusters, A=ΣQ, B=ΣS², T=ΣS, the m=2 identity gives
+    *   ICC = (kB − T² − (k−1)(2A−B)) / (kB − T² + (k−1)(2A−B))
+    * in one sign-split ppm division — no per-cluster S²/n fraction
+    * ever materializes (a float Σ S²/n would be summation-order
+    * dependent across engines). DECIMAL(38) headroom: T² < 1e38 up to
+    * ~1e12 clusters of 1e7-cent orders. One per-customer window
+    * (partitioned, no global sort) + one aggregate. */
+  private def iccAnova(s: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val first2 = parallelize(s, t(s, dir, "orders"))
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__cents"))
+      .withColumn("__rn", row_number().over(byCust))
+      .filter(col("__rn") <= 2)
+    val clusters = first2.groupBy("o_custkey")
+      .agg(count(lit(1)).as("__m"), sum("__cents").as("__s"),
+        sum(expr("CAST(__cents AS DECIMAL(38,0)) * __cents")).as("__q"))
+      .filter(col("__m") === 2)
+    clusters.agg(
+        count(lit(1)).as("k"),
+        sum("__q").cast("decimal(38,0)").as("__a"),
+        sum(expr("CAST(__s AS DECIMAL(38,0)) * __s")).cast("decimal(38,0)")
+          .as("__b"),
+        sum("__s").cast("decimal(38,0)").as("__t"))
+      .select(col("k"), (col("k") * 2).as("n_obs"),
+        expr("""CAST(CASE
+          WHEN k * __b - __t * __t - (k - 1) * (2 * __a - __b) >= 0
+          THEN ((k * __b - __t * __t - (k - 1) * (2 * __a - __b)) * 1000000)
+               div (k * __b - __t * __t + (k - 1) * (2 * __a - __b))
+          ELSE -(((__t * __t + (k - 1) * (2 * __a - __b) - k * __b) * 1000000)
+               div (k * __b - __t * __t + (k - 1) * (2 * __a - __b)))
+          END AS BIGINT)""").as("icc_ppm"))
+  }
+
+  private val iccAnovaSql =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_custkey, count(*) AS m,
+      |    sum(cents) AS s, sum(CAST(cents AS HUGEINT) * cents) AS q
+      |  FROM o WHERE rn <= 2 GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(q) AS HUGEINT) AS a,
+      |    CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS b,
+      |    CAST(sum(s) AS HUGEINT) AS t
+      |  FROM c WHERE m = 2)
+      |SELECT k, CAST(k * 2 AS BIGINT) AS n_obs,
+      |  CAST(CASE
+      |    WHEN k * b - t * t - (k - 1) * (2 * a - b) >= 0
+      |    THEN ((k * b - t * t - (k - 1) * (2 * a - b)) * 1000000)
+      |         // (k * b - t * t + (k - 1) * (2 * a - b))
+      |    ELSE -(((t * t + (k - 1) * (2 * a - b) - k * b) * 1000000)
+      |         // (k * b - t * t + (k - 1) * (2 * a - b)))
+      |    END AS BIGINT) AS icc_ppm
+      |FROM f""".stripMargin
+
+  /** #267 NPS table — the survey world's headline score, derived from
+    * a deterministic 0–10 rating: each customer's rating is its
+    * account-balance rank band within the market segment
+    * (((rank−1)·11) div n, ranks on (cents, custkey) so ties are
+    * broken totally — no engine-dependent tie order). Promoters 9–10,
+    * passives 7–8, detractors 0–6; NPS = (prom − det)/n sign-split to
+    * ppm. The rank window partitions by segment — at 100 TB the
+    * per-segment sort is the documented cost of exact rank banding
+    * (the #157 RFM precedent); everything after is one O(segments)
+    * aggregate. */
+  private def npsTable(s: SparkSession, dir: String): DataFrame = {
+    val bySeg = Window.partitionBy("segment")
+      .orderBy(col("__cents"), col("c_custkey"))
+    val rated = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("__cents"))
+      .withColumn("__rk", row_number().over(bySeg).cast("long"))
+    val n = Window.partitionBy("segment")
+    rated
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("score", expr("((__rk - 1) * 11) div __n"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_resp"),
+        sum((col("score") >= 9).cast("long")).as("n_promoter"),
+        sum((col("score").between(7, 8)).cast("long")).as("n_passive"),
+        sum((col("score") <= 6).cast("long")).as("n_detractor"))
+      .withColumn("nps_ppm",
+        expr("""CASE WHEN n_promoter - n_detractor >= 0
+          THEN ((n_promoter - n_detractor) * 1000000) div n_resp
+          ELSE -(((n_detractor - n_promoter) * 1000000) div n_resp)
+          END"""))
+  }
+
+  private val npsTableSql =
+    """WITH r AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |               c_custkey) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      |  FROM customer),
+      |sc AS (SELECT segment, ((rk - 1) * 11) // n AS score FROM r),
+      |a AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n_resp,
+      |    CAST(sum(CASE WHEN score >= 9 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_promoter,
+      |    CAST(sum(CASE WHEN score BETWEEN 7 AND 8 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_passive,
+      |    CAST(sum(CASE WHEN score <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_detractor
+      |  FROM sc GROUP BY 1)
+      |SELECT segment, n_resp, n_promoter, n_passive, n_detractor,
+      |  CAST(CASE WHEN n_promoter - n_detractor >= 0
+      |    THEN ((n_promoter - n_detractor) * 1000000) // n_resp
+      |    ELSE -(((n_detractor - n_promoter) * 1000000) // n_resp)
+      |    END AS BIGINT) AS nps_ppm
+      |FROM a""".stripMargin
+
+  /** #268 Wilson score interval — the 95% CI a survey report prints
+    * next to every proportion (Wilson 1927; the interval that behaves
+    * at small n and extreme p̂ where Wald fails): per segment,
+    * conversion = share of customers with ≥1 fulfilled order. Counts
+    * are exact integers; the interval itself follows the repo's
+    * test-statistic discipline (#168 Welch, #173 runs test): ONE
+    * double expression written with identical text and operation
+    * order on both engines, rounded to 6 dp — IEEE doubles make
+    * sqrt/÷ correctly rounded, so identical expressions agree
+    * bit-for-bit. z = 1.96, z² = 3.8416. */
+  private def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val conv = parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("__c", lit(1L))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      .join(conv, Seq("c_custkey"), "left")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("__c"), lit(0L))).as("k"))
+      .withColumn("p_hat",
+        expr("round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6)"))
+      .withColumn("wilson_lo", expr(
+        """round((CAST(k AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)
+          - 1.96 * sqrt(CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+              / CAST(n AS DOUBLE) + 0.9604)
+            / (CAST(n AS DOUBLE) + 3.8416), 6)"""))
+      .withColumn("wilson_hi", expr(
+        """round((CAST(k AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)
+          + 1.96 * sqrt(CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+              / CAST(n AS DOUBLE) + 0.9604)
+            / (CAST(n AS DOUBLE) + 3.8416), 6)"""))
+  }
+
+  private val wilsonCiSql =
+    """WITH conv AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |a AS (
+      |  SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN conv.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM customer c LEFT JOIN conv ON conv.o_custkey = c.c_custkey
+      |  GROUP BY 1)
+      |SELECT segment, n, k,
+      |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+      |  round((CAST(k AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)
+      |    - 1.96 * sqrt(CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+      |        / CAST(n AS DOUBLE) + 0.9604)
+      |      / (CAST(n AS DOUBLE) + 3.8416), 6) AS wilson_lo,
+      |  round((CAST(k AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)
+      |    + 1.96 * sqrt(CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+      |        / CAST(n AS DOUBLE) + 0.9604)
+      |      / (CAST(n AS DOUBLE) + 3.8416), 6) AS wilson_hi
+      |FROM a""".stripMargin
+
+  /** #269 Fleiss' kappa — multi-rater chance-corrected agreement
+    * (Fleiss 1971), extending #249's two-rater Cohen κ to the three
+    * deterministic quality raters a corpus pipeline actually runs:
+    * A = length gate (≥25 tokens), B = repetition gate (distinct-token
+    * share ≥ 40%), C = morphology gate (mean token length in [3,8)
+    * chars, decided in ×10 fixed point). With m=3 raters and 2
+    * categories the per-item pair-agreement Σn_ij(n_ij−1) collapses to
+    * a∈{6,2,2,6} by keep-count k∈{0..3}, so two corpus sums suffice:
+    * A₆ = Σa_i and S = Σk_i. κ = (P̄−Pe)/(1−Pe) with P̄ = A₆/(6n),
+    * Pe = (S²+(3n−S)²)/(9n²) becomes ONE sign-split ppm division of
+    * exact DECIMAL(38) folds: num = 3n·A₆ − 2(S²+(3n−S)²),
+    * den = 18n² − 2(S²+(3n−S)²) (18n²·1e6 < 1e38 up to ~2e15 docs).
+    * One map-side pass + one aggregate. */
+  private def fleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val rated = parallelize(s, t(s, dir, "documents"))
+      .select(
+        (size(toks) >= 25).cast("long").as("__ra"),
+        (size(array_distinct(toks)) * 10 >= size(toks) * 4).cast("long")
+          .as("__rb"),
+        ((length(regexp_replace(col("text"), "\\s+", "")) * 10
+            >= size(toks) * 30) &&
+          (length(regexp_replace(col("text"), "\\s+", "")) * 10
+            < size(toks) * 80)).cast("long").as("__rc"))
+      .select((col("__ra") + col("__rb") + col("__rc")).as("__k"))
+    rated.agg(
+        count(lit(1)).as("n"),
+        sum("__k").as("s"),
+        sum(expr("CASE WHEN __k = 0 OR __k = 3 THEN 6 ELSE 2 END")).as("a6"))
+      .select(col("n"), col("s"), col("a6"),
+        expr("""CAST(CASE
+          WHEN 3 * CAST(n AS DECIMAL(38,0)) * a6
+               - 2 * (CAST(s AS DECIMAL(38,0)) * s
+                 + (3 * CAST(n AS DECIMAL(38,0)) - s)
+                   * (3 * CAST(n AS DECIMAL(38,0)) - s)) >= 0
+          THEN ((3 * CAST(n AS DECIMAL(38,0)) * a6
+               - 2 * (CAST(s AS DECIMAL(38,0)) * s
+                 + (3 * CAST(n AS DECIMAL(38,0)) - s)
+                   * (3 * CAST(n AS DECIMAL(38,0)) - s))) * 1000000)
+               div (18 * CAST(n AS DECIMAL(38,0)) * n
+                 - 2 * (CAST(s AS DECIMAL(38,0)) * s
+                   + (3 * CAST(n AS DECIMAL(38,0)) - s)
+                     * (3 * CAST(n AS DECIMAL(38,0)) - s)))
+          ELSE -(((2 * (CAST(s AS DECIMAL(38,0)) * s
+                 + (3 * CAST(n AS DECIMAL(38,0)) - s)
+                   * (3 * CAST(n AS DECIMAL(38,0)) - s))
+               - 3 * CAST(n AS DECIMAL(38,0)) * a6) * 1000000)
+               div (18 * CAST(n AS DECIMAL(38,0)) * n
+                 - 2 * (CAST(s AS DECIMAL(38,0)) * s
+                   + (3 * CAST(n AS DECIMAL(38,0)) - s)
+                     * (3 * CAST(n AS DECIMAL(38,0)) - s))))
+          END AS BIGINT)""").as("fleiss_kappa_ppm"))
+  }
+
+  private val fleissKappaSql =
+    """WITH d AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks,
+      |    length(regexp_replace(text, '\s+', '', 'g')) AS nc
+      |  FROM documents),
+      |r AS (
+      |  SELECT
+      |    (CASE WHEN len(toks) >= 25 THEN 1 ELSE 0 END
+      |     + CASE WHEN len(list_distinct(toks)) * 10 >= len(toks) * 4
+      |            THEN 1 ELSE 0 END
+      |     + CASE WHEN nc * 10 >= len(toks) * 30
+      |                 AND nc * 10 < len(toks) * 80
+      |            THEN 1 ELSE 0 END) AS k
+      |  FROM d),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS s,
+      |    CAST(sum(CASE WHEN k = 0 OR k = 3 THEN 6 ELSE 2 END) AS BIGINT)
+      |      AS a6
+      |  FROM r)
+      |SELECT n, s, a6,
+      |  CAST(CASE
+      |    WHEN 3 * CAST(n AS HUGEINT) * a6
+      |         - 2 * (CAST(s AS HUGEINT) * s
+      |           + (3 * CAST(n AS HUGEINT) - s) * (3 * CAST(n AS HUGEINT) - s))
+      |         >= 0
+      |    THEN ((3 * CAST(n AS HUGEINT) * a6
+      |         - 2 * (CAST(s AS HUGEINT) * s
+      |           + (3 * CAST(n AS HUGEINT) - s)
+      |             * (3 * CAST(n AS HUGEINT) - s))) * 1000000)
+      |         // (18 * CAST(n AS HUGEINT) * n
+      |           - 2 * (CAST(s AS HUGEINT) * s
+      |             + (3 * CAST(n AS HUGEINT) - s)
+      |               * (3 * CAST(n AS HUGEINT) - s)))
+      |    ELSE -(((2 * (CAST(s AS HUGEINT) * s
+      |           + (3 * CAST(n AS HUGEINT) - s)
+      |             * (3 * CAST(n AS HUGEINT) - s))
+      |         - 3 * CAST(n AS HUGEINT) * a6) * 1000000)
+      |         // (18 * CAST(n AS HUGEINT) * n
+      |           - 2 * (CAST(s AS HUGEINT) * s
+      |             + (3 * CAST(n AS HUGEINT) - s)
+      |               * (3 * CAST(n AS HUGEINT) - s))))
+      |    END AS BIGINT) AS fleiss_kappa_ppm
+      |FROM f""".stripMargin
+
+  /** #270 exact weighted median — the robust per-group location
+    * statistic (median price weighted by shipped quantity, per return
+    * flag): compress first (groupBy (flag, cents) summing integer
+    * quantity — the window then runs over the DISTINCT-PRICE domain,
+    * not the row count, so the per-flag sort is bounded by price
+    * cardinality at any data scale), cumulative weight per flag, pick
+    * the smallest price where 2·cum ≥ total (the lower weighted
+    * median — deterministic, no interpolation). Exact integers
+    * end-to-end. */
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val compressed = parallelize(s, t(s, dir, "lineitem"))
+      .select(col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("l_quantity").cast("long").as("__w"))
+      .groupBy("flag", "cents").agg(sum("__w").as("__w"))
+    val byFlag = Window.partitionBy("flag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    compressed
+      .withColumn("__cum", sum("__w").over(byFlag))
+      .withColumn("__tot",
+        sum("__w").over(Window.partitionBy("flag")))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy("flag")
+      .agg(min("cents").as("median_cents"), max("__tot").as("total_weight"))
+  }
+
+  private val weightedMedianSql =
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |s AS (
+      |  SELECT flag, cents,
+      |    sum(w) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(w) OVER (PARTITION BY flag) AS tot
+      |  FROM c)
+      |SELECT flag, CAST(min(cents) AS BIGINT) AS median_cents,
+      |  CAST(max(tot) AS BIGINT) AS total_weight
+      |FROM s WHERE cum * 2 >= tot GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -12347,5 +12724,11 @@ object Queries {
     Q("q_aapor_rates", aaporRates, Some(aaporRatesSql)),
     Q("q_horvitz_thompson", horvitzThompson, Some(horvitzThompsonSql)),
     Q("q_stratum_variance", stratumVariance, Some(stratumVarianceSql)),
+    Q("q_straightline", straightline, Some(straightlineSql)),
+    Q("q_icc_anova", iccAnova, Some(iccAnovaSql)),
+    Q("q_nps", npsTable, Some(npsTableSql)),
+    Q("q_wilson_ci", wilsonCi, Some(wilsonCiSql)),
+    Q("q_fleiss_kappa", fleissKappa, Some(fleissKappaSql)),
+    Q("q_weighted_median", weightedMedian, Some(weightedMedianSql)),
   )
 }

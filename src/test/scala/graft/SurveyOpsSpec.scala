@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ops 261-270 (round-8 widening X-XI, survey estimation + QC):
+  * attempt-conversion curve, AAPOR rates, Horvitz–Thompson,
+  * stratum variance, straight-lining, ICC, NPS, Wilson CI, Fleiss κ,
+  * weighted median — each replayed independently on the driver at
+  * sf0.001 with plain Scala collections (the CorpusBuildSpec
+  * discipline). Cents conversions (DECIMAL(18,2) HALF_UP rounding)
+  * are extracted in the Spark select, as in TrainingOpsSpec: the
+  * replay covers the operator's logic, not the decimal cast. */
+class SurveyOpsSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ppm(num: Long, den: Long): Long = {
+    require(num >= 0 && den > 0)
+    num * 1000000L / den
+  }
+
+  // sign-split ppm of a possibly-negative exact numerator: both engines
+  // agree only on nonnegative integer division, so the replay mirrors
+  // the production sign-split
+  private def signPpm(num: BigInt, den: BigInt): Long = {
+    require(den > 0)
+    if (num >= 0) (num * 1000000 / den).toLong
+    else -((-num * 1000000) / den).toLong
+  }
+
+  private lazy val ev: Seq[(Long, Long, String, Long)] =
+    eventsTable(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("q_attempt_conversion equals the driver replay; curve is monotone") {
+    // .toSeq BEFORE .map: mapping a Map to Tuple2s would rebuild a Map
+    // and silently dedup per-user rows by key
+    val perUser = ev.groupBy(_._2).toSeq.map { case (_, es) =>
+      val fp = es.filter(_._3 == "purchase").map(_._4).sorted.headOption
+      val attempts = es.count(e =>
+        e._3 == "view" && fp.forall(e._4 <= _)).toLong
+      (attempts, if (fp.isDefined) 1L else 0L)
+    }
+    val grouped = perUser.groupBy(_._1).map { case (a, xs) =>
+      (a, xs.size.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(-_._1)
+    val want = grouped.scanLeft((0L, 0L, 0L, 0L)) {
+      case ((_, _, _, reach), (a, nu, nc)) => (a, nu, nc, reach + nu)
+    }.drop(1).map { case (a, nu, nc, reach) =>
+      (a, nu, nc, reach, ppm(nc, nu))
+    }.toSet
+    val got = SparkEntry.queries("q_attempt_conversion")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(got == want)
+    // users_reaching is a suffix sum: strictly increasing as attempts fall
+    val byAttempts = got.toSeq.sortBy(_._1)
+    assert(byAttempts.map(_._4).reverse == byAttempts.map(_._4).reverse.sorted)
+  }
+
+  test("q_aapor_rates equals the driver replay; dispositions partition users") {
+    val byUser = ev.groupBy(_._2)
+    val flags = byUser.map { case (_, es) =>
+      (es.exists(_._3 == "purchase"), es.exists(_._3 == "click"),
+        es.exists(_._3 == "view"))
+    }.toSeq
+    val nTot = flags.size.toLong
+    val nC = flags.count(_._1).toLong
+    val nP = flags.count(f => !f._1 && f._2).toLong
+    val nCo = flags.count(f => !f._1 && !f._2 && f._3).toLong
+    val nNc = flags.count(f => !f._1 && !f._2 && !f._3).toLong
+    val contacted = nC + nP + nCo
+    val want = (nTot, nC, nP, nCo, nNc, ppm(nC, nTot), ppm(contacted, nTot),
+      if (contacted > 0) ppm(nC, contacted) else 0L,
+      if (contacted > 0) ppm(nP, contacted) else 0L)
+    val r = SparkEntry.queries("q_aapor_rates")(spark, dir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+    assert(got == want)
+    assert(nC + nP + nCo + nNc == nTot)
+  }
+
+  private lazy val custRows: Seq[(Long, Long, String, Long)] =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  private lazy val nations: Map[Long, String] =
+    spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+
+  private lazy val fulfilled: Map[Long, Long] =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(count(lit(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("q_horvitz_thompson equals the driver replay; covered strata estimate the total") {
+    val strata = custRows.groupBy(c => (c._2, c._3))
+    val want = strata.map { case ((nk, seg), cs) =>
+      val pop = cs.size.toLong
+      val trueCents = cs.map(_._4).sum
+      val resp = cs.filter(c => fulfilled.contains(c._1))
+      if (resp.isEmpty)
+        (nations(nk), seg, pop, 0L, trueCents, 0L, 0, 0L)
+      else {
+        val rc = BigInt(resp.map(_._4).sum)
+        val ht =
+          if (rc >= 0) (BigInt(pop) * rc / resp.size).toLong
+          else -((BigInt(pop) * (-rc)) / resp.size).toLong
+        (nations(nk), seg, pop, resp.size.toLong, trueCents, ht, 1,
+          ht - trueCents)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_horvitz_thompson")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6), r.getLong(7)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("q_stratum_variance equals the driver replay; FPC shrinks the variance") {
+    val byNk = custRows.groupBy(_._2)
+    val want = byNk.flatMap { case (nk, cs) =>
+      val pop = cs.size.toLong
+      val resp = cs.filter(c => fulfilled.contains(c._1))
+      if (resp.isEmpty) None
+      else {
+        val nRep = resp.count(c => fulfilled(c._1) >= 2).toLong
+        val p = ppm(nRep, resp.size.toLong)
+        val v = p * (1000000L - p) / resp.size
+        val vf = if (pop > 1) v * (pop - resp.size) / (pop - 1) else 0L
+        Some((nations(nk), pop, resp.size.toLong, nRep, p, v, vf))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_stratum_variance")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == want)
+    got.foreach { g => assert(g._7 <= g._6) }
+  }
+
+  test("q_straightline equals the driver replay; flags need run>=5 over n>=8") {
+    // .toSeq BEFORE .map — same Map-rebuild dedup trap as above
+    val perUser = ev.groupBy(_._2).toSeq.map { case (_, es) =>
+      val ordered = es.sortBy(e => (e._4, e._1)).map(_._3)
+      val runs = ordered.foldLeft(List.empty[(String, Long)]) {
+        case ((t, n) :: rest, e) if t == e => (t, n + 1) :: rest
+        case (acc, e)                      => (e, 1L) :: acc
+      }
+      (runs.map(_._2).max, ordered.size.toLong)
+    }
+    val want = perUser.groupBy(_._1).map { case (mr, xs) =>
+      (mr, xs.size.toLong,
+        xs.count(x => x._1 >= 5 && x._2 >= 8).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_straightline")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    got.filter(_._1 < 5).foreach(g => assert(g._3 == 0L))
+  }
+
+  test("q_icc_anova equals the driver BigInt replay") {
+    val first2 = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (_, os) => os.sortBy(o => (o._2, o._3)).take(2) }
+      .filter(_.size == 2)
+    val k = BigInt(first2.size)
+    val a = first2.flatMap(_.map(o => BigInt(o._4) * o._4)).sum
+    val b = first2.map(os => { val s = BigInt(os.map(_._4).sum); s * s }).sum
+    val t = first2.map(os => BigInt(os.map(_._4).sum)).sum
+    val num = k * b - t * t - (k - 1) * (2 * a - b)
+    val den = k * b - t * t + (k - 1) * (2 * a - b)
+    val want = (k.toLong, k.toLong * 2, signPpm(num, den))
+    val r = SparkEntry.queries("q_icc_anova")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == want)
+    // a correlation: bounded
+    assert(math.abs(r.getLong(2)) <= 1000000L)
+  }
+
+  test("q_nps equals the driver replay; bands partition respondents") {
+    val want = custRows.groupBy(_._3).map { case (seg, cs) =>
+      val n = cs.size.toLong
+      val scores = cs.sortBy(c => (c._4, c._1)).zipWithIndex
+        .map { case (_, i) => i.toLong * 11 / n }
+      val prom = scores.count(_ >= 9).toLong
+      val pass = scores.count(s => s >= 7 && s <= 8).toLong
+      val det = scores.count(_ <= 6).toLong
+      (seg, n, prom, pass, det, signPpm(BigInt(prom - det), BigInt(n)))
+    }.toSet
+    val got = SparkEntry.queries("q_nps")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == want)
+    got.foreach(g => assert(g._3 + g._4 + g._5 == g._2))
+  }
+
+  test("q_wilson_ci equals the driver replay; the interval brackets p_hat") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = custRows.groupBy(_._3).map { case (seg, cs) =>
+      val n = cs.size.toLong
+      val k = cs.count(c => fulfilled.contains(c._1)).toLong
+      val center = (k + 1.9208) / (n + 3.8416)
+      val margin = 1.96 * math.sqrt(
+        k.toDouble * (n - k).toDouble / n.toDouble + 0.9604) / (n + 3.8416)
+      (seg, n, k, r6(k.toDouble / n.toDouble),
+        r6(center - margin), r6(center + margin))
+    }.toSet
+    val got = SparkEntry.queries("q_wilson_ci")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSet
+    assert(got == want)
+    got.foreach { g =>
+      assert(g._5 <= g._4 && g._4 <= g._6)
+      assert(g._5 >= 0.0 - 1e-9 && g._6 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_fleiss_kappa equals the driver BigInt replay") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val ks = docs.map { text =>
+      val toks = text.trim.split("\\s+").toSeq
+      val nc = text.replaceAll("\\s+", "").length.toLong
+      val ra = if (toks.size >= 25) 1 else 0
+      val rb = if (toks.distinct.size * 10 >= toks.size * 4) 1 else 0
+      val rc = if (nc * 10 >= toks.size * 30L && nc * 10 < toks.size * 80L) 1
+               else 0
+      ra + rb + rc
+    }
+    val n = BigInt(ks.size)
+    val sSum = BigInt(ks.map(_.toLong).sum)
+    val a6 = BigInt(ks.map(k => if (k == 0 || k == 3) 6L else 2L).sum)
+    val pairSq = sSum * sSum + (3 * n - sSum) * (3 * n - sSum)
+    val num = 3 * n * a6 - 2 * pairSq
+    val den = 18 * n * n - 2 * pairSq
+    val want = (n.toLong, sSum.toLong, a6.toLong, signPpm(num, den))
+    val r = SparkEntry.queries("q_fleiss_kappa")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == want)
+    assert(math.abs(r.getLong(3)) <= 1000000L)
+  }
+
+  test("q_weighted_median equals the driver replay; half the weight sits each side") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = li.groupBy(_._1).map { case (flag, xs) =>
+      val byCents = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byCents.map(_._2).sum
+      val med = byCents.scanLeft((0L, 0L)) { case ((_, c), (p, w)) =>
+        (p, c + w)
+      }.drop(1).find(pc => pc._2 * 2 >= tot).get._1
+      (flag, med, tot)
+    }.toSet
+    val got = SparkEntry.queries("q_weighted_median")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the defining property, checked directly against the raw rows
+    want.foreach { case (flag, med, tot) =>
+      val below = li.filter(x => x._1 == flag && x._2 <= med).map(_._3).sum
+      val above = li.filter(x => x._1 == flag && x._2 >= med).map(_._3).sum
+      assert(below * 2 >= tot && above * 2 >= tot - 1)
+    }
+  }
+}
