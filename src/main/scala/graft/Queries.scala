@@ -12455,6 +12455,315 @@ object Queries {
       |  CAST(max(tot) AS BIGINT) AS total_weight
       |FROM s WHERE cum * 2 >= tot GROUP BY 1""".stripMargin
 
+  /** #271 jackknife variance (JK1, delete-one-group) — the survey
+    * world's workhorse replication-variance estimator (Quenouille/
+    * Tukey; AAPOR practice): θ = mean fulfilled-order value in cents
+    * (ratio of two totals), groups = the 25 nations via the ordering
+    * customer. Leave-one-out replicates θ_j = (Ty−y_j) div (Tn−n_j)
+    * are integer cents; the replicate spread folds EXACTLY via
+    * Σ(θ_j−θ̄)² = (kΣθ² − (Σθ)²)/k, so jk_var = (k−1)(kΣθ²−S²) div k²
+    * never materializes a float mean. One fact-side aggregate
+    * (orders⋈customer co-partitioned on custkey), one O(k) fold with
+    * the 1-row totals broadcast. */
+  private def jackknife(s: SparkSession, dir: String): DataFrame = {
+    val perNation = parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__cents"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk")),
+        Seq("c_custkey"))
+      .groupBy("nk")
+      .agg(sum("__cents").as("__y"), count(lit(1)).as("__n"))
+    val tot = perNation.agg(sum("__y").as("__ty"), sum("__n").as("__tn"),
+      count(lit(1)).as("k"))
+    val reps = perNation.crossJoin(broadcast(tot))
+      .filter(col("__tn") > col("__n"))
+      .select(col("k"),
+        expr("(__ty - __y) div (__tn - __n)").as("__theta"),
+        expr("__ty div __tn").as("theta_full_cents"))
+    reps.groupBy("k", "theta_full_cents")
+      .agg(count(lit(1)).as("k_used"),
+        sum(expr("CAST(__theta AS DECIMAL(38,0)) * __theta")).as("__qq"),
+        sum("__theta").cast("decimal(38,0)").as("__s"))
+      .select(col("k"), col("k_used"), col("theta_full_cents"),
+        expr("""CAST(((k_used - 1) * (k_used * __qq - __s * __s))
+          div (CAST(k_used AS DECIMAL(38,0)) * k_used) AS BIGINT)""")
+          .as("jk_var_cents2"))
+  }
+
+  private val jackknifeSql =
+    """WITH pn AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+      |    CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS y,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE o.o_orderstatus = 'F' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(y) AS BIGINT) AS ty,
+      |        CAST(sum(n) AS BIGINT) AS tn,
+      |        CAST(count(*) AS BIGINT) AS k FROM pn),
+      |reps AS (
+      |  SELECT t.k, (t.ty - pn.y) // (t.tn - pn.n) AS theta,
+      |    t.ty // t.tn AS theta_full
+      |  FROM pn, tot t WHERE t.tn > pn.n)
+      |SELECT k, CAST(count(*) AS BIGINT) AS k_used,
+      |  CAST(theta_full AS BIGINT) AS theta_full_cents,
+      |  CAST(((count(*) - 1)
+      |      * (count(*) * sum(CAST(theta AS HUGEINT) * theta)
+      |         - sum(CAST(theta AS HUGEINT)) * sum(CAST(theta AS HUGEINT))))
+      |    // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT)
+      |    AS jk_var_cents2
+      |FROM reps GROUP BY k, theta_full""".stripMargin
+
+  /** #272 ratio estimator — the auxiliary-variable expansion estimator
+    * (Cochran ch. 6): estimate each nation's FULFILLED spend from a
+    * deterministic 1-in-5 customer sample (custkey mod 5 = 0), using
+    * total spend (all statuses) as the auxiliary x known for the whole
+    * frame. Ŷ = X_pop · (y_s/x_s) folds as (X_pop·y_s) div x_s in
+    * exact cents (all quantities ≥ 0 — no sign split needed); the
+    * error column is the estimator's measured bias vs the true total.
+    * ONE per-customer aggregate feeds both the frame totals and the
+    * sample ratio — the fact table is scanned once. */
+  private def ratioEstimator(s: SparkSession, dir: String): DataFrame = {
+    val perCust = parallelize(s, t(s, dir, "orders"))
+      .select(col("o_custkey").as("c_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__x"),
+        when(col("o_orderstatus") === "F",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L).as("__y"))
+      .groupBy("c_custkey")
+      .agg(sum("__x").as("__x"), sum("__y").as("__y"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk")),
+        Seq("c_custkey"))
+    perCust.groupBy("nk")
+      .agg(sum("__x").as("x_pop"), sum("__y").as("y_true"),
+        sum(when(pmod(col("c_custkey"), lit(5)) === 0, col("__x"))
+          .otherwise(0L)).as("x_sample"),
+        sum(when(pmod(col("c_custkey"), lit(5)) === 0, col("__y"))
+          .otherwise(0L)).as("y_sample"))
+      .filter(col("x_sample") > 0)
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
+        Seq("nk"))
+      .select(col("n_name"), col("x_pop"), col("x_sample"), col("y_sample"),
+        col("y_true"),
+        expr("CAST((CAST(x_pop AS DECIMAL(38,0)) * y_sample) div x_sample" +
+          " AS BIGINT)").as("y_ratio_cents"))
+      .withColumn("bias_cents", expr("y_ratio_cents - y_true"))
+  }
+
+  private val ratioEstimatorSql =
+    """WITH pc AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+      |    CAST(sum(pc.x) AS BIGINT) AS x_pop,
+      |    CAST(sum(pc.y) AS BIGINT) AS y_true,
+      |    CAST(sum(CASE WHEN pc.c_custkey % 5 = 0 THEN pc.x ELSE 0 END)
+      |      AS BIGINT) AS x_sample,
+      |    CAST(sum(CASE WHEN pc.c_custkey % 5 = 0 THEN pc.y ELSE 0 END)
+      |      AS BIGINT) AS y_sample
+      |  FROM pc JOIN customer c ON c.c_custkey = pc.c_custkey
+      |  GROUP BY 1)
+      |SELECT n.n_name, a.x_pop, a.x_sample, a.y_sample, a.y_true,
+      |  CAST((CAST(a.x_pop AS HUGEINT) * a.y_sample) // a.x_sample
+      |    AS BIGINT) AS y_ratio_cents,
+      |  CAST((CAST(a.x_pop AS HUGEINT) * a.y_sample) // a.x_sample - a.y_true
+      |    AS BIGINT) AS bias_cents
+      |FROM a JOIN nation n ON n.n_nationkey = a.nk
+      |WHERE a.x_sample > 0""".stripMargin
+
+  /** #273 McNemar's test — the PAIRED comparison two classifiers get
+    * on the same items (McNemar 1947; the right test where two
+    * quality gates disagree doc-by-doc, unlike the unpaired χ²):
+    * rater A = #269's length gate, rater B = its repetition gate. Only
+    * the discordant cells matter: χ² = (b−c)²/(b+c), emitted in ×1e6
+    * fixed point (numerator is a square — nonnegative, plain div).
+    * One map-side pass, one 1-row fold. */
+  private def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    parallelize(s, t(s, dir, "documents"))
+      .select((size(toks) >= 25).cast("long").as("__a"),
+        (size(array_distinct(toks)) * 10 >= size(toks) * 4).cast("long")
+          .as("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN __a = 1 AND __b = 1 THEN 1 ELSE 0 END"))
+          .as("n_both"),
+        sum(expr("CASE WHEN __a = 1 AND __b = 0 THEN 1 ELSE 0 END"))
+          .as("n_only_a"),
+        sum(expr("CASE WHEN __a = 0 AND __b = 1 THEN 1 ELSE 0 END"))
+          .as("n_only_b"),
+        sum(expr("CASE WHEN __a = 0 AND __b = 0 THEN 1 ELSE 0 END"))
+          .as("n_neither"))
+      .withColumn("chi2_q6",
+        expr("""CASE WHEN n_only_a + n_only_b > 0
+          THEN ((n_only_a - n_only_b) * (n_only_a - n_only_b) * 1000000)
+               div (n_only_a + n_only_b)
+          ELSE 0 END"""))
+  }
+
+  private val mcnemarSql =
+    """WITH r AS (
+      |  SELECT
+      |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 25
+      |         THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(list_distinct(string_split_regex(trim(text), '\s+')))
+      |           * 10
+      |         >= len(string_split_regex(trim(text), '\s+')) * 4
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_both,
+      |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_only_a,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_only_b,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_neither
+      |  FROM r)
+      |SELECT n, n_both, n_only_a, n_only_b, n_neither,
+      |  CAST(CASE WHEN n_only_a + n_only_b > 0
+      |    THEN ((n_only_a - n_only_b) * (n_only_a - n_only_b) * 1000000)
+      |         // (n_only_a + n_only_b)
+      |    ELSE 0 END AS BIGINT) AS chi2_q6
+      |FROM f""".stripMargin
+
+  /** #274 hot-deck imputation — the item-nonresponse repair every
+    * survey pipeline runs before estimation: balances of a
+    * deterministic 1-in-7 of customers (custkey mod 7 = 3) are treated
+    * as item-missing; each imputation cell (nation × segment) donates
+    * its highest-custkey OBSERVED balance (max_by — custkey is unique,
+    * so the donor is total-order deterministic in both engines).
+    * Output per cell: missing count, donor value, and the imputation
+    * bias (n_missing·donor − true missing total, exact cents). Cells
+    * with no donor drop (nothing to impute FROM — surfaced by
+    * n_cells vs the frame, not faked). One groupBy over the frame;
+    * O(cells) output. */
+  private def hotDeck(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment").as("segment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("__cents"),
+        (pmod(col("c_custkey"), lit(7)) === 3).cast("long").as("__miss"))
+      .groupBy("nk", "segment")
+      .agg(count(lit(1)).as("n_total"), sum("__miss").as("n_missing"),
+        max_by(when(col("__miss") === 0, col("__cents")),
+          when(col("__miss") === 0, col("c_custkey"))).as("donor_cents"),
+        sum(when(col("__miss") === 1, col("__cents")).otherwise(0L))
+          .as("true_missing_cents"))
+      .filter(col("donor_cents").isNotNull)
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
+        Seq("nk"))
+      .select(col("n_name"), col("segment"), col("n_total"),
+        col("n_missing"), col("donor_cents"), col("true_missing_cents"),
+        expr("n_missing * donor_cents - true_missing_cents")
+          .as("bias_cents"))
+
+  private val hotDeckSql =
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+      |    c_mktsegment AS segment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN c_custkey % 7 = 3 THEN 1 ELSE 0 END AS miss
+      |  FROM customer),
+      |a AS (
+      |  SELECT nk, segment, CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(sum(miss) AS BIGINT) AS n_missing,
+      |    arg_max(CASE WHEN miss = 0 THEN cents END,
+      |            CASE WHEN miss = 0 THEN c_custkey END) AS donor_cents,
+      |    CAST(sum(CASE WHEN miss = 1 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS true_missing_cents
+      |  FROM c GROUP BY 1, 2)
+      |SELECT n.n_name, a.segment, a.n_total, a.n_missing,
+      |  CAST(a.donor_cents AS BIGINT) AS donor_cents, a.true_missing_cents,
+      |  CAST(a.n_missing * a.donor_cents - a.true_missing_cents AS BIGINT)
+      |    AS bias_cents
+      |FROM a JOIN nation n ON n.n_nationkey = a.nk
+      |WHERE a.donor_cents IS NOT NULL""".stripMargin
+
+  /** #275 Cronbach's alpha — the internal-consistency coefficient
+    * (Cronbach 1951) over the k=3 behavioral "items" (per-user view /
+    * click / purchase counts): α = k/(k−1)·(1 − Σ var_i / var_total).
+    * Every variance folds exactly as V = n·Σx² − (Σx)² (the n²·var
+    * scale — the shared factor cancels in the ratio), so
+    * α_ppm = sign-split (k·(V_t − ΣV_i)·1e6) div ((k−1)·V_t) with
+    * DECIMAL(38)/HUGEINT headroom. ONE user-level aggregate (map-side
+    * combinable pivot by event type) + a 1-row fold. */
+  private def cronbachAlpha(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("user_id").agg(
+      sum((col("event_type") === "view").cast("long")).as("__v"),
+      sum((col("event_type") === "click").cast("long")).as("__c"),
+      sum((col("event_type") === "purchase").cast("long")).as("__p"))
+    perUser.agg(
+        count(lit(1)).as("n"),
+        sum("__v").as("__sv"), sum("__c").as("__sc"), sum("__p").as("__sp"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("__qv"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__qc"),
+        sum(expr("CAST(__p AS DECIMAL(38,0)) * __p")).as("__qp"),
+        sum(expr("CAST(__v + __c + __p AS DECIMAL(38,0)) * (__v + __c + __p)"))
+          .as("__qt"))
+      .select(col("n"),
+        expr("""CAST(n AS DECIMAL(38,0)) * (__qv + __qc + __qp)
+          - (CAST(__sv AS DECIMAL(38,0)) * __sv
+             + CAST(__sc AS DECIMAL(38,0)) * __sc
+             + CAST(__sp AS DECIMAL(38,0)) * __sp)""").as("__vi"),
+        expr("""CAST(n AS DECIMAL(38,0)) * __qt
+          - (CAST(__sv AS DECIMAL(38,0)) + __sc + __sp)
+            * (CAST(__sv AS DECIMAL(38,0)) + __sc + __sp)""").as("__vt"))
+      .select(col("n"),
+        expr("""CAST(CASE
+          WHEN __vt <= 0 THEN 0
+          WHEN 3 * (__vt - __vi) >= 0
+          THEN (3 * (__vt - __vi) * 1000000) div (2 * __vt)
+          ELSE -((3 * (__vi - __vt) * 1000000) div (2 * __vt))
+          END AS BIGINT)""").as("alpha_ppm"))
+  }
+
+  private val cronbachAlphaSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS HUGEINT) AS sv, CAST(sum(c) AS HUGEINT) AS sc,
+      |    CAST(sum(p) AS HUGEINT) AS sp,
+      |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS qv,
+      |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS qc,
+      |    CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS qp,
+      |    CAST(sum(CAST(v + c + p AS HUGEINT) * (v + c + p)) AS HUGEINT)
+      |      AS qt
+      |  FROM u),
+      |g AS (
+      |  SELECT n,
+      |    n * (qv + qc + qp) - (sv * sv + sc * sc + sp * sp) AS vi,
+      |    n * qt - (sv + sc + sp) * (sv + sc + sp) AS vt
+      |  FROM f)
+      |SELECT n,
+      |  CAST(CASE
+      |    WHEN vt <= 0 THEN 0
+      |    WHEN 3 * (vt - vi) >= 0
+      |    THEN (3 * (vt - vi) * 1000000) // (2 * vt)
+      |    ELSE -((3 * (vi - vt) * 1000000) // (2 * vt))
+      |    END AS BIGINT) AS alpha_ppm
+      |FROM g""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -12730,5 +13039,10 @@ object Queries {
     Q("q_wilson_ci", wilsonCi, Some(wilsonCiSql)),
     Q("q_fleiss_kappa", fleissKappa, Some(fleissKappaSql)),
     Q("q_weighted_median", weightedMedian, Some(weightedMedianSql)),
+    Q("q_jackknife", jackknife, Some(jackknifeSql)),
+    Q("q_ratio_estimator", ratioEstimator, Some(ratioEstimatorSql)),
+    Q("q_mcnemar", mcnemar, Some(mcnemarSql)),
+    Q("q_hot_deck", hotDeck, Some(hotDeckSql)),
+    Q("q_cronbach_alpha", cronbachAlpha, Some(cronbachAlphaSql)),
   )
 }

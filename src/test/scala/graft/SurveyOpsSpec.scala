@@ -266,6 +266,120 @@ class SurveyOpsSpec extends GraftSuite {
     assert(math.abs(r.getLong(3)) <= 1000000L)
   }
 
+  private lazy val orders: Seq[(Long, String, Long)] =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("q_jackknife equals the driver BigInt replay") {
+    val nkOf = custRows.map(c => (c._1, c._2)).toMap
+    val perNation = orders.filter(_._2 == "F")
+      .groupBy(o => nkOf(o._1)).toSeq
+      .map { case (_, os) => (os.map(_._3).sum, os.size.toLong) }
+    val ty = perNation.map(_._1).sum
+    val tn = perNation.map(_._2).sum
+    val thetas = perNation.filter(_._2 < tn)
+      .map { case (y, n) => (ty - y) / (tn - n) }
+    val k = BigInt(thetas.size)
+    val qq = thetas.map(t => BigInt(t) * t).sum
+    val ss = BigInt(thetas.sum)
+    val want = (perNation.size.toLong, thetas.size.toLong, ty / tn,
+      ((k - 1) * (k * qq - ss * ss) / (k * k)).toLong)
+    val r = SparkEntry.queries("q_jackknife")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == want)
+    assert(r.getLong(3) >= 0)
+  }
+
+  test("q_ratio_estimator equals the driver replay; full-frame sample is exact") {
+    val nkOf = custRows.map(c => (c._1, c._2)).toMap
+    val perCust = orders.groupBy(_._1).toSeq.map { case (ck, os) =>
+      (ck, nkOf(ck), os.map(_._3).sum,
+        os.filter(_._2 == "F").map(_._3).sum)
+    }
+    val want = perCust.groupBy(_._2).flatMap { case (nk, cs) =>
+      val xPop = cs.map(_._3).sum
+      val yTrue = cs.map(_._4).sum
+      val sample = cs.filter(c => c._1 % 5 == 0)
+      val xs = sample.map(_._3).sum
+      val ys = sample.map(_._4).sum
+      if (xs <= 0) None
+      else {
+        val yr = (BigInt(xPop) * ys / xs).toLong
+        Some((nations(nk), xPop, xs, ys, yTrue, yr, yr - yTrue))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_ratio_estimator")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("q_mcnemar equals the driver replay; cells partition the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val cells = docs.map { text =>
+      val toks = text.trim.split("\\s+").toSeq
+      (toks.size >= 25, toks.distinct.size * 10 >= toks.size * 4)
+    }
+    val b = cells.count(c => c._1 && !c._2).toLong
+    val c = cells.count(x => !x._1 && x._2).toLong
+    val want = (docs.size.toLong, cells.count(x => x._1 && x._2).toLong,
+      b, c, cells.count(x => !x._1 && !x._2).toLong,
+      if (b + c > 0) (b - c) * (b - c) * 1000000L / (b + c) else 0L)
+    val r = SparkEntry.queries("q_mcnemar")(spark, dir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+    assert(got == want)
+    assert(got._2 + got._3 + got._4 + got._5 == got._1)
+  }
+
+  test("q_hot_deck equals the driver replay; donors are observed rows") {
+    val want = custRows.groupBy(c => (c._2, c._3)).toSeq.flatMap {
+      case ((nk, seg), cs) =>
+        val missing = cs.filter(_._1 % 7 == 3)
+        val observed = cs.filter(_._1 % 7 != 3)
+        if (observed.isEmpty) None
+        else {
+          val donor = observed.maxBy(_._1)._4
+          val trueMiss = missing.map(_._4).sum
+          Some((nations(nk), seg, cs.size.toLong, missing.size.toLong,
+            donor, trueMiss, missing.size * donor - trueMiss))
+        }
+    }.toSet
+    val got = SparkEntry.queries("q_hot_deck")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("q_cronbach_alpha equals the driver BigInt replay; alpha is bounded above by 1") {
+    val perUser = ev.groupBy(_._2).toSeq.map { case (_, es) =>
+      (es.count(_._3 == "view").toLong, es.count(_._3 == "click").toLong,
+        es.count(_._3 == "purchase").toLong)
+    }
+    val n = BigInt(perUser.size)
+    def fold(xs: Seq[Long]): BigInt =
+      n * xs.map(x => BigInt(x) * x).sum - BigInt(xs.sum) * BigInt(xs.sum)
+    val vi = fold(perUser.map(_._1)) + fold(perUser.map(_._2)) +
+      fold(perUser.map(_._3))
+    val vt = fold(perUser.map(u => u._1 + u._2 + u._3))
+    val alpha =
+      if (vt <= 0) 0L
+      else if (3 * (vt - vi) >= 0) (3 * (vt - vi) * 1000000 / (2 * vt)).toLong
+      else -((3 * (vi - vt) * 1000000) / (2 * vt)).toLong
+    val r = SparkEntry.queries("q_cronbach_alpha")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((n.toLong, alpha)))
+    // k/(k-1)*(1 - vi/vt) <= k/(k-1)*1, and vi >= 0 forces <= 1.5e6;
+    // the classical bound alpha <= 1 holds whenever vi >= vt/3
+    assert(r.getLong(1) <= 1500000L)
+  }
+
   test("q_weighted_median equals the driver replay; half the weight sits each side") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_returnflag"),
