@@ -12764,6 +12764,440 @@ object Queries {
       |    END AS BIGINT) AS alpha_ppm
       |FROM g""".stripMargin
 
+  /** #276 Krippendorff's alpha — the generalized reliability
+    * coefficient (Krippendorff 2004) over the #249 labeler pair
+    * (full-text vs 120-char language ID), nominal data, m=2 coders,
+    * no missing values. Unlike Cohen's κ (per-coder margins), α pools
+    * the COINCIDENCE margins: with N = 2n pairable values,
+    * Q = Σ_c n_c² over the pooled value counts, and d disagreeing
+    * units, Do = d/n and De = (N²−Q)/(N(N−1)) reduce to
+    * α = (4n² − Q − 2d(2n−1)) / (4n² − Q) — one sign-split ppm
+    * division of exact DECIMAL(38) folds (4n²·1e6 < 1e38 up to
+    * ~1.5e15 docs). Same one confusion groupBy as #249; margins and
+    * the fold run on the O(langs²) cell table. All-identical labels
+    * (4n² = Q) emit α = 1e6 by the perfect-agreement convention. */
+  private def krippendorff(s: SparkSession, dir: String): DataFrame = {
+    val conf = parallelize(s, t(s, dir, "documents"))
+      .select(TextAnalysis.langId(col("text")).as("__la"),
+        TextAnalysis.langId(substring(col("text"), 1, 120)).as("__lb"))
+      .groupBy("__la", "__lb").agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = conf.agg(sum("__c").as("n"),
+      sum(when(col("__la") =!= col("__lb"), col("__c")).otherwise(0L))
+        .as("n_disagree"))
+    // pooled coincidence margins: each unit contributes BOTH its labels
+    val q = conf.select(col("__la").as("__v"), col("__c"))
+      .union(conf.select(col("__lb").as("__v"), col("__c")))
+      .groupBy("__v").agg(sum("__c").as("__m"))
+      .agg(coalesce(sum(expr("CAST(__m AS DECIMAL(38,0)) * __m")), lit(0))
+        .cast("decimal(38,0)").as("__q"))
+    tot.crossJoin(broadcast(q))
+      .select(col("n"), col("n_disagree"),
+        expr("(n_disagree * 1000000) div n").as("do_ppm"),
+        expr("""CAST(((4 * CAST(n AS DECIMAL(38,0)) * n - __q) * 1000000)
+          div (2 * CAST(n AS DECIMAL(38,0)) * (2 * n - 1)) AS BIGINT)""")
+          .as("de_ppm"),
+        expr("""CAST(CASE
+          WHEN 4 * CAST(n AS DECIMAL(38,0)) * n - __q = 0 THEN 1000000
+          WHEN 4 * CAST(n AS DECIMAL(38,0)) * n - __q
+               - 2 * CAST(n_disagree AS DECIMAL(38,0)) * (2 * n - 1) >= 0
+          THEN ((4 * CAST(n AS DECIMAL(38,0)) * n - __q
+                 - 2 * CAST(n_disagree AS DECIMAL(38,0)) * (2 * n - 1))
+                * 1000000)
+               div (4 * CAST(n AS DECIMAL(38,0)) * n - __q)
+          ELSE -(((2 * CAST(n_disagree AS DECIMAL(38,0)) * (2 * n - 1)
+                   - (4 * CAST(n AS DECIMAL(38,0)) * n - __q)) * 1000000)
+                 div (4 * CAST(n AS DECIMAL(38,0)) * n - __q))
+          END AS BIGINT)""").as("alpha_ppm"))
+  }
+
+  private val krippendorffSql = {
+    def langCase(textExpr: String): String = {
+      val pad = s"' ' || lower($textExpr) || ' '"
+      def occ(m: String) = {
+        val esc = m.replace("'", "''")
+        s"((length($pad) - length(replace($pad, '$esc', ''))) // ${m.length})"
+      }
+      val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+        lang -> ("(" + ms.map(occ).mkString(" + ") + ")")
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (l, e) =>
+        s"WHEN $e > 0 AND $e = $best THEN '$l'"
+      }.mkString(" ")
+      s"CASE $cases ELSE 'und' END"
+    }
+    s"""WITH lab AS (
+       |  SELECT ${langCase("text")} AS la,
+       |         ${langCase("substr(text, 1, 120)")} AS lb
+       |  FROM documents),
+       |conf AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+       |         FROM lab GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN la <> lb THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_disagree FROM conf),
+       |q AS (SELECT coalesce(sum(CAST(m AS HUGEINT) * m), 0) AS q FROM (
+       |    SELECT v, CAST(sum(c) AS BIGINT) AS m FROM (
+       |      SELECT la AS v, c FROM conf
+       |      UNION ALL SELECT lb AS v, c FROM conf) GROUP BY 1))
+       |SELECT t.n, t.n_disagree,
+       |  CAST((t.n_disagree * 1000000) // t.n AS BIGINT) AS do_ppm,
+       |  CAST(((4 * CAST(t.n AS HUGEINT) * t.n - q.q) * 1000000)
+       |    // (2 * CAST(t.n AS HUGEINT) * (2 * t.n - 1)) AS BIGINT)
+       |    AS de_ppm,
+       |  CAST(CASE
+       |    WHEN 4 * CAST(t.n AS HUGEINT) * t.n - q.q = 0 THEN 1000000
+       |    WHEN 4 * CAST(t.n AS HUGEINT) * t.n - q.q
+       |         - 2 * CAST(t.n_disagree AS HUGEINT) * (2 * t.n - 1) >= 0
+       |    THEN ((4 * CAST(t.n AS HUGEINT) * t.n - q.q
+       |           - 2 * CAST(t.n_disagree AS HUGEINT) * (2 * t.n - 1))
+       |          * 1000000)
+       |         // (4 * CAST(t.n AS HUGEINT) * t.n - q.q)
+       |    ELSE -(((2 * CAST(t.n_disagree AS HUGEINT) * (2 * t.n - 1)
+       |             - (4 * CAST(t.n AS HUGEINT) * t.n - q.q)) * 1000000)
+       |           // (4 * CAST(t.n AS HUGEINT) * t.n - q.q))
+       |    END AS BIGINT) AS alpha_ppm
+       |FROM tot t, q""".stripMargin
+  }
+
+  /** #277 Cochran–Armitage trend test — does a binary outcome TREND
+    * across ordered dose groups (Cochran 1954, Armitage 1955; the
+    * survey analyst's "does fulfillment fall with priority level?"
+    * gate, stricter than the unordered χ²)? Groups are the five order
+    * priorities scored w = 1..5, outcome = fulfilled. ONE
+    * partial-aggregated groupBy produces the O(5) (w, n_w, x_w)
+    * table; the counts and weighted sums fold exactly as BIGINTs, and
+    * the statistic follows the test-statistic double discipline
+    * (#168/#268): z divides EARLY (p̄, w̄ ≤ 25 — every double operand
+    * is small-scale or an exact BIGINT < 2^53), one identical
+    * expression text on both engines, rounded to 6 dp. Degenerate
+    * trends (all success / all failure / one group) emit z = 0. */
+  private def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val g = parallelize(s, t(s, dir, "orders"))
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("__w"),
+        (col("o_orderstatus") === "F").cast("long").as("__y"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"), sum("__y").as("__x"))
+    g.agg(count(lit(1)).as("k"), sum("__n").as("n"), sum("__x").as("x"),
+        sum(expr("__w * __n")).as("sw"),
+        sum(expr("__w * __w * __n")).as("sww"),
+        sum(expr("__w * __x")).as("sx"))
+      .withColumn("z_trend", expr(CochranZExpr))
+  }
+
+  /** The trend-z fold over columns (k, n, x, sw, sww, sx) — shared
+    * with the oracle verbatim. Dividing by n FIRST keeps every
+    * intermediate small-scale (p̄ ≤ 1, w̄ ≤ 9, variances ≤ 81), so
+    * round(·, 6) is legitimate under the §5 output-cast discipline;
+    * the casts route BIGINT→DOUBLE only. */
+  private[graft] val CochranZExpr: String =
+    """round(CASE
+      WHEN x > 0 AND x < n AND k > 1
+       AND CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+      THEN (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)))
+           * sqrt(CAST(n AS DOUBLE))
+           / sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE))))
+      ELSE 0.0 END, 6)"""
+
+  private lazy val cochranArmitageSql =
+    s"""WITH g AS (
+       |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |f AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS x, CAST(sum(w * n) AS BIGINT) AS sw,
+       |    CAST(sum(w * w * n) AS BIGINT) AS sww,
+       |    CAST(sum(w * x) AS BIGINT) AS sx
+       |  FROM g)
+       |SELECT k, n, x, sw, sww, sx,
+       |  ${CochranZExpr.replace("\n", " ")} AS z_trend
+       |FROM f""".stripMargin
+
+  /** #278 Kendall's τ-b — the rank-correlation the series analyst
+    * reaches for when Spearman's ρ (#173) is too tie-fragile: between
+    * daily event volume and daily distinct-user reach. The pair scan
+    * is O(days²) on the CALENDAR-bounded daily table (≤ ~366 rows at
+    * any corpus scale — the broadcast self-join never touches the
+    * fact table twice), and concordance classifies by pure
+    * COMPARISONS (no difference products — nothing to overflow at
+    * any magnitude). C/D/tie counts are exact BIGINTs; τ-b needs a
+    * sqrt, so it follows the test-statistic double discipline
+    * (small-scale operands, identical expression text, 6 dp). */
+  private def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).as("__x"), count_distinct(col("user_id")).as("__y"))
+    val a = daily.select(col("__day").as("__d1"), col("__x").as("__x1"),
+      col("__y").as("__y1"))
+    val b = daily.select(col("__day").as("__d2"), col("__x").as("__x2"),
+      col("__y").as("__y2"))
+    a.join(broadcast(b), col("__d1") < col("__d2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("__x1") < col("__x2") && col("__y1") < col("__y2"))
+          || (col("__x1") > col("__x2") && col("__y1") > col("__y2")), 1L)
+          .otherwise(0L)).as("n_concordant"),
+        sum(when((col("__x1") < col("__x2") && col("__y1") > col("__y2"))
+          || (col("__x1") > col("__x2") && col("__y1") < col("__y2")), 1L)
+          .otherwise(0L)).as("n_discordant"),
+        sum(when(col("__x1") === col("__x2") && col("__y1") =!= col("__y2"),
+          1L).otherwise(0L)).as("n_tie_x"),
+        sum(when(col("__x1") =!= col("__x2") && col("__y1") === col("__y2"),
+          1L).otherwise(0L)).as("n_tie_y"),
+        sum(when(col("__x1") === col("__x2") && col("__y1") === col("__y2"),
+          1L).otherwise(0L)).as("n_tie_xy"))
+      .withColumn("tau_b", expr(TauBExpr))
+  }
+
+  /** τ-b fold over the six exact pair counts — shared with the oracle
+    * verbatim; operands are day-pair counts (≤ ~67k), trivially exact
+    * in a double. */
+  private[graft] val TauBExpr: String =
+    """round(CASE
+      WHEN n_pairs - n_tie_x - n_tie_xy > 0
+       AND n_pairs - n_tie_y - n_tie_xy > 0
+      THEN (CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))
+           / sqrt(CAST(n_pairs - n_tie_x - n_tie_xy AS DOUBLE)
+                  * CAST(n_pairs - n_tie_y - n_tie_xy AS DOUBLE))
+      ELSE 0.0 END, 6)"""
+
+  private lazy val kendallTauSql =
+    s"""WITH d AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |p AS (
+       |  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+       |  FROM d a JOIN d b ON a.day < b.day),
+       |f AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN (x1 < x2 AND y1 < y2) OR (x1 > x2 AND y1 > y2)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+       |    CAST(sum(CASE WHEN (x1 < x2 AND y1 > y2) OR (x1 > x2 AND y1 < y2)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+       |    CAST(sum(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_tie_x,
+       |    CAST(sum(CASE WHEN x1 <> x2 AND y1 = y2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_tie_y,
+       |    CAST(sum(CASE WHEN x1 = x2 AND y1 = y2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_tie_xy
+       |  FROM p)
+       |SELECT n_pairs, n_concordant, n_discordant, n_tie_x, n_tie_y,
+       |  n_tie_xy, ${TauBExpr.replace("\n", " ")} AS tau_b
+       |FROM f""".stripMargin
+
+  /** #279 GREG (regression/calibration) estimator — the
+    * model-assisted generalization of #272's ratio estimator
+    * (Deville & Särndal 1992, Cochran ch. 7): per nation, estimate
+    * the fulfilled spend of the FULL frame from the deterministic
+    * 1-in-5 customer sample, calibrated on total spend as the
+    * auxiliary with an intercept: Ŷ = N·ȳ_s + B̂(X_pop − N·x̄_s),
+    * B̂ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). Unlike the ratio form, GREG
+    * survives a nonzero intercept in the y-x relation. The whole
+    * fold is EXACT staged-integer: the moment sums are DECIMAL(38)
+    * folds off ONE per-customer aggregate (the fact table is scanned
+    * once, same as #272), B̂ lands as sign-split ppm, and the
+    * adjustment divides b_ppm·(n·X_pop − N·Σx) by n·1e6 — every
+    * intermediate ≤ ~1e31 at sf100, no doubles anywhere. Zero
+    * x-variance cells fall back to the expansion estimator (b=0). */
+  private def gregEstimator(s: SparkSession, dir: String): DataFrame = {
+    val perCust = parallelize(s, t(s, dir, "orders"))
+      .select(col("o_custkey").as("c_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__x"),
+        when(col("o_orderstatus") === "F",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L).as("__y"))
+      .groupBy("c_custkey")
+      .agg(sum("__x").as("__x"), sum("__y").as("__y"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk")),
+        Seq("c_custkey"))
+    perCust.groupBy("nk")
+      .agg(count(lit(1)).as("n_frame"),
+        sum("__x").as("x_pop"), sum("__y").as("y_true"),
+        sum(when(pmod(col("c_custkey"), lit(5)) === 0, 1L).otherwise(0L))
+          .as("n_sample"),
+        sum(when(pmod(col("c_custkey"), lit(5)) === 0, col("__x"))
+          .otherwise(0L)).as("sx"),
+        sum(when(pmod(col("c_custkey"), lit(5)) === 0, col("__y"))
+          .otherwise(0L)).as("sy"),
+        sum(when(pmod(col("c_custkey"), lit(5)) === 0,
+          expr("CAST(__x AS DECIMAL(38,0)) * __x")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("__sxx"),
+        sum(when(pmod(col("c_custkey"), lit(5)) === 0,
+          expr("CAST(__x AS DECIMAL(38,0)) * __y")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("__sxy"))
+      .filter(col("n_sample") > 0)
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
+        Seq("nk"))
+      .withColumn("__dx", expr(
+        "n_sample * __sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("__bn", expr(
+        "n_sample * __sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("b_ppm", expr(
+        """CAST(CASE WHEN __dx <= 0 THEN 0
+          WHEN __bn >= 0 THEN (__bn * 1000000) div __dx
+          ELSE -((-__bn * 1000000) div __dx) END AS BIGINT)"""))
+      .withColumn("__u", expr(
+        "n_sample * CAST(x_pop AS DECIMAL(38,0)) - n_frame * CAST(sx AS DECIMAL(38,0))"))
+      .withColumn("y_greg_cents", expr(
+        """CAST((n_frame * CAST(sy AS DECIMAL(38,0))) div n_sample
+          + CASE WHEN b_ppm * __u >= 0
+            THEN (b_ppm * __u) div (n_sample * CAST(1000000 AS DECIMAL(38,0)))
+            ELSE -((-(b_ppm * __u))
+                   div (n_sample * CAST(1000000 AS DECIMAL(38,0))))
+            END AS BIGINT)"""))
+      .select(col("n_name"), col("n_frame"), col("n_sample"), col("x_pop"),
+        col("y_true"), col("b_ppm"), col("y_greg_cents"),
+        expr("y_greg_cents - y_true").as("bias_cents"))
+  }
+
+  private val gregEstimatorSql =
+    """WITH pc AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+      |    CAST(count(*) AS BIGINT) AS n_frame,
+      |    CAST(sum(pc.x) AS BIGINT) AS x_pop,
+      |    CAST(sum(pc.y) AS BIGINT) AS y_true,
+      |    CAST(sum(CASE WHEN pc.c_custkey % 5 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_sample,
+      |    CAST(sum(CASE WHEN pc.c_custkey % 5 = 0 THEN pc.x ELSE 0 END)
+      |      AS BIGINT) AS sx,
+      |    CAST(sum(CASE WHEN pc.c_custkey % 5 = 0 THEN pc.y ELSE 0 END)
+      |      AS BIGINT) AS sy,
+      |    coalesce(sum(CASE WHEN pc.c_custkey % 5 = 0
+      |      THEN CAST(pc.x AS HUGEINT) * pc.x END), 0) AS sxx,
+      |    coalesce(sum(CASE WHEN pc.c_custkey % 5 = 0
+      |      THEN CAST(pc.x AS HUGEINT) * pc.y END), 0) AS sxy
+      |  FROM pc JOIN customer c ON c.c_custkey = pc.c_custkey
+      |  GROUP BY 1),
+      |b AS (
+      |  SELECT a.*,
+      |    a.n_sample * a.sxx - CAST(a.sx AS HUGEINT) * a.sx AS dx,
+      |    a.n_sample * a.sxy - CAST(a.sx AS HUGEINT) * a.sy AS bn,
+      |    a.n_sample * CAST(a.x_pop AS HUGEINT)
+      |      - a.n_frame * CAST(a.sx AS HUGEINT) AS u
+      |  FROM a WHERE a.n_sample > 0),
+      |c AS (
+      |  SELECT b.*,
+      |    CAST(CASE WHEN b.dx <= 0 THEN 0
+      |      WHEN b.bn >= 0 THEN (b.bn * 1000000) // b.dx
+      |      ELSE -((-b.bn * 1000000) // b.dx) END AS HUGEINT) AS b_ppm
+      |  FROM b)
+      |SELECT n.n_name, c.n_frame, c.n_sample, c.x_pop, c.y_true,
+      |  CAST(c.b_ppm AS BIGINT) AS b_ppm,
+      |  CAST((c.n_frame * CAST(c.sy AS HUGEINT)) // c.n_sample
+      |    + CASE WHEN c.b_ppm * c.u >= 0
+      |      THEN (c.b_ppm * c.u) // (c.n_sample * CAST(1000000 AS HUGEINT))
+      |      ELSE -((-(c.b_ppm * c.u))
+      |             // (c.n_sample * CAST(1000000 AS HUGEINT)))
+      |      END AS BIGINT) AS y_greg_cents,
+      |  CAST((c.n_frame * CAST(c.sy AS HUGEINT)) // c.n_sample
+      |    + CASE WHEN c.b_ppm * c.u >= 0
+      |      THEN (c.b_ppm * c.u) // (c.n_sample * CAST(1000000 AS HUGEINT))
+      |      ELSE -((-(c.b_ppm * c.u))
+      |             // (c.n_sample * CAST(1000000 AS HUGEINT)))
+      |      END - c.y_true AS BIGINT) AS bias_cents
+      |FROM c JOIN nation n ON n.n_nationkey = c.nk""".stripMargin
+
+  /** #280 Cramér's V — effect-size for a nominal×nominal crosstab
+    * (Cramér 1946): order priority × market segment over the full
+    * order frame, the "is fieldwork outcome associated with segment?"
+    * table a survey report prints with its χ². The crosstab is built
+    * on the FULL k_r×k_c grid (distinct-priority × distinct-segment
+    * cross join, observed counts left-joined — zero cells contribute
+    * e_ij = r·c/N exactly like the textbook sum). χ² folds per cell
+    * as ((o·N − r·c)²·1e6) div (N·r·c) — each term an exact
+    * DECIMAL(38) integer division, then an integer SUM (deterministic
+    * under any aggregation order, unlike a float Σ). V itself is a
+    * small-scale double (χ²/(N·m) ≤ 1), so round(·,6) is legitimate
+    * under §5. One fact-side groupBy; everything after runs on the
+    * O(25) cell table. */
+  private def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val base = parallelize(s, t(s, dir, "orders"))
+      .select(substring(col("o_orderpriority"), 1, 1).as("__w"),
+        col("o_custkey").as("c_custkey"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("__s")),
+        Seq("c_custkey"))
+    val cells = base.groupBy("__w", "__s").agg(count(lit(1)).as("__o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = cells.groupBy("__w").agg(sum("__o").as("__r"))
+    val cols = cells.groupBy("__s").agg(sum("__o").as("__k"))
+    val tot = cells.agg(sum("__o").as("n"),
+      count_distinct(col("__w")).as("k_r"),
+      count_distinct(col("__s")).as("k_c"))
+    // both sides are O(k) post-aggregation rows — broadcast keeps the
+    // grid build off CartesianProduct (the EXPLAINS hygiene invariant)
+    val grid = rows.crossJoin(broadcast(cols))
+      .join(broadcast(cells), Seq("__w", "__s"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val chi2 = grid.crossJoin(broadcast(tot))
+      .select(expr(
+        """((CAST(__o AS DECIMAL(38,0)) * n - CAST(__r AS DECIMAL(38,0)) * __k)
+          * (CAST(__o AS DECIMAL(38,0)) * n - CAST(__r AS DECIMAL(38,0)) * __k)
+          * 1000000)
+          div (CAST(n AS DECIMAL(38,0)) * __r * __k)""").as("__term"))
+      .agg(sum("__term").cast("decimal(38,0)").as("__chi2q6"))
+    tot.crossJoin(broadcast(chi2))
+      .select(col("n"), col("k_r"), col("k_c"),
+        col("__chi2q6").cast("long").as("chi2_q6"))
+      .withColumn("cramers_v", expr(CramersVExpr))
+  }
+
+  /** V fold over (chi2_q6, n, k_r, k_c) — shared with the oracle;
+    * chi2_q6/1e6/n/m ≤ 1, so the double stays small-scale. */
+  private[graft] val CramersVExpr: String =
+    """round(CASE
+      WHEN n > 0 AND least(k_r, k_c) > 1
+      THEN sqrt(CAST(chi2_q6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+                / CAST(least(k_r, k_c) - 1 AS DOUBLE))
+      ELSE 0.0 END, 6)"""
+
+  private lazy val cramersVSql =
+    s"""WITH base AS (
+       |  SELECT substr(o.o_orderpriority, 1, 1) AS w, c.c_mktsegment AS s
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |cells AS (SELECT w, s, CAST(count(*) AS BIGINT) AS o
+       |          FROM base GROUP BY 1, 2),
+       |r AS (SELECT w, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |k AS (SELECT s, CAST(sum(o) AS BIGINT) AS k FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT w) AS BIGINT) AS k_r,
+       |  CAST(count(DISTINCT s) AS BIGINT) AS k_c FROM cells),
+       |grid AS (
+       |  SELECT r.w, k.s, r.r, k.k, coalesce(cells.o, 0) AS o
+       |  FROM r CROSS JOIN k
+       |  LEFT JOIN cells ON cells.w = r.w AND cells.s = k.s),
+       |chi AS (
+       |  SELECT CAST(sum(
+       |    ((CAST(g.o AS HUGEINT) * t.n - CAST(g.r AS HUGEINT) * g.k)
+       |     * (CAST(g.o AS HUGEINT) * t.n - CAST(g.r AS HUGEINT) * g.k)
+       |     * 1000000)
+       |    // (CAST(t.n AS HUGEINT) * g.r * g.k)) AS HUGEINT) AS chi2q6
+       |  FROM grid g, tot t)
+       |SELECT t.n, t.k_r, t.k_c, CAST(chi.chi2q6 AS BIGINT) AS chi2_q6,
+       |  ${CramersVExpr.replace("\n", " ")} AS cramers_v
+       |FROM tot t, chi""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -13044,5 +13478,10 @@ object Queries {
     Q("q_mcnemar", mcnemar, Some(mcnemarSql)),
     Q("q_hot_deck", hotDeck, Some(hotDeckSql)),
     Q("q_cronbach_alpha", cronbachAlpha, Some(cronbachAlphaSql)),
+    Q("q_krippendorff", krippendorff, Some(krippendorffSql)),
+    Q("q_cochran_armitage", cochranArmitage, Some(cochranArmitageSql)),
+    Q("q_kendall_tau", kendallTau, Some(kendallTauSql)),
+    Q("q_greg_estimator", gregEstimator, Some(gregEstimatorSql)),
+    Q("q_cramers_v", cramersV, Some(cramersVSql)),
   )
 }

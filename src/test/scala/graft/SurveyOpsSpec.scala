@@ -405,4 +405,172 @@ class SurveyOpsSpec extends GraftSuite {
       assert(below * 2 >= tot && above * 2 >= tot - 1)
     }
   }
+
+  /** Spark's round(·, 6) on a double: BigDecimal HALF_UP at scale 6 —
+    * the replays must round the way the engine does, not via %.6f. */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_krippendorff equals the driver BigInt replay; alpha <= 1e6 and <= observed agreement") {
+    val labels = spark.read.parquet(s"$dir/documents.parquet")
+      .select(operators.TextAnalysis.langId(col("text")),
+        operators.TextAnalysis.langId(substring(col("text"), 1, 120)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val n = BigInt(labels.size)
+    val d = BigInt(labels.count(p => p._1 != p._2))
+    val marg = (labels.map(_._1) ++ labels.map(_._2))
+      .groupBy(identity).values.map(v => BigInt(v.size))
+    val q = marg.map(m => m * m).sum
+    val a = 4 * n * n - q
+    val num = a - 2 * d * (2 * n - 1)
+    val alpha =
+      if (a == 0) 1000000L
+      else if (num >= 0) (num * 1000000 / a).toLong
+      else -((-num * 1000000) / a).toLong
+    val doPpm = (d * 1000000 / n).toLong
+    val dePpm = (a * 1000000 / (2 * n * (2 * n - 1))).toLong
+    val r = SparkEntry.queries("q_krippendorff")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((n.toLong, d.toLong, doPpm, dePpm, alpha)))
+    assert(alpha <= 1000000L)
+    // alpha = 1 - Do/De can't exceed the raw agreement share
+    assert(alpha <= 1000000L - doPpm + 1)
+  }
+
+  test("q_cochran_armitage equals the driver replay computed in the same operation order") {
+    val rows = spark.read.parquet(s"$dir/orders.parquet")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long"),
+        (col("o_orderstatus") === "F").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val g = rows.groupBy(_._1).map { case (w, xs) =>
+      (w, xs.size.toLong, xs.map(_._2).sum)
+    }.toSeq
+    val (k, n, x) = (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum)
+    val sw = g.map(t => t._1 * t._2).sum
+    val sww = g.map(t => t._1 * t._1 * t._2).sum
+    val sx = g.map(t => t._1 * t._3).sum
+    val varW = sww.toDouble / n - (sw.toDouble / n) * (sw.toDouble / n)
+    val z =
+      if (x > 0 && x < n && k > 1 && varW > 0)
+        r6((sx.toDouble / n - (x.toDouble / n) * (sw.toDouble / n)) *
+          math.sqrt(n.toDouble) /
+          math.sqrt((x.toDouble / n) * (1.0 - x.toDouble / n) * varW))
+      else 0.0
+    val r = SparkEntry.queries("q_cochran_armitage")(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((k, n, x, sw, sww, sx)))
+    assert(math.abs(r.getDouble(6) - z) < 1e-9)
+  }
+
+  test("q_kendall_tau equals the driver pair replay; counts partition the pairs") {
+    val daily = ev.groupBy(e => e._4 / 86400000000L).toSeq
+      .map { case (day, es) =>
+        (day, es.size.toLong, es.map(_._2).distinct.size.toLong)
+      }.sortBy(_._1)
+    val pairs = for {
+      i <- daily.indices; j <- (i + 1) until daily.size
+    } yield (daily(i)._2, daily(i)._3, daily(j)._2, daily(j)._3)
+    val np = pairs.size.toLong
+    val c = pairs.count(p => (p._1 < p._3 && p._2 < p._4) ||
+      (p._1 > p._3 && p._2 > p._4)).toLong
+    val dd = pairs.count(p => (p._1 < p._3 && p._2 > p._4) ||
+      (p._1 > p._3 && p._2 < p._4)).toLong
+    val tx = pairs.count(p => p._1 == p._3 && p._2 != p._4).toLong
+    val ty = pairs.count(p => p._1 != p._3 && p._2 == p._4).toLong
+    val txy = pairs.count(p => p._1 == p._3 && p._2 == p._4).toLong
+    val tau =
+      if (np - tx - txy > 0 && np - ty - txy > 0)
+        r6((c - dd).toDouble /
+          math.sqrt((np - tx - txy).toDouble * (np - ty - txy).toDouble))
+      else 0.0
+    val r = SparkEntry.queries("q_kendall_tau")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((np, c, dd, tx, ty, txy)))
+    assert(math.abs(r.getDouble(6) - tau) < 1e-9)
+    assert(c + dd + tx + ty + txy == np)
+  }
+
+  test("q_greg_estimator equals the driver staged-BigInt replay; zero-slope cells reduce to expansion") {
+    val perCust = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        when(col("o_orderstatus") === "F",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(_._1).map { case (ck, os) =>
+        (ck, os.map(_._2).sum, os.map(_._3).sum)
+      }
+    val nations = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val custNk = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = perCust.toSeq.flatMap { case (ck, x, y) =>
+      custNk.get(ck).map(nk => (nk, ck, x, y))
+    }.groupBy(_._1).flatMap { case (nk, cs) =>
+      val samp = cs.filter(c => c._2 % 5 == 0)
+      if (samp.isEmpty) None else {
+        val (nf, ns) = (BigInt(cs.size), BigInt(samp.size))
+        val xPop = cs.map(c => BigInt(c._3)).sum
+        val yTrue = cs.map(c => BigInt(c._4)).sum
+        val sxS = samp.map(c => BigInt(c._3)).sum
+        val syS = samp.map(c => BigInt(c._4)).sum
+        val sxx = samp.map(c => BigInt(c._3) * c._3).sum
+        val sxy = samp.map(c => BigInt(c._3) * c._4).sum
+        val dx = ns * sxx - sxS * sxS
+        val bn = ns * sxy - sxS * syS
+        val bPpm =
+          if (dx <= 0) BigInt(0)
+          else if (bn >= 0) bn * 1000000 / dx
+          else -((-bn * 1000000) / dx)
+        val u = ns * xPop - nf * sxS
+        val v = bPpm * u
+        val adj = if (v >= 0) v / (ns * 1000000) else -((-v) / (ns * 1000000))
+        val yGreg = (nf * syS) / ns + adj
+        Some((nations(nk), nf.toLong, ns.toLong, xPop.toLong, yTrue.toLong,
+          bPpm.toLong, yGreg.toLong, (yGreg - yTrue).toLong))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_greg_estimator")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("q_cramers_v equals the driver full-grid replay; V lives in [0, 1]") {
+    val custSeg = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val obs = spark.read.parquet(s"$dir/orders.parquet")
+      .select(substring(col("o_orderpriority"), 1, 1), col("o_custkey"))
+      .collect().map(r => (r.getString(0), custSeg(r.getLong(1))))
+      .groupBy(identity).view.mapValues(v => BigInt(v.size)).toMap
+    val n = obs.values.sum
+    val rMarg = obs.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val cMarg = obs.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).toMap
+    val chi2 = (for {
+      (w, rm) <- rMarg.toSeq; (s, cm) <- cMarg.toSeq
+    } yield {
+      val o = obs.getOrElse((w, s), BigInt(0))
+      val diff = o * n - rm * cm
+      diff * diff * 1000000 / (n * rm * cm)
+    }).sum
+    val m = math.min(rMarg.size, cMarg.size).toLong - 1
+    val v =
+      if (n > 0 && m > 0)
+        r6(math.sqrt(chi2.toDouble / 1000000.0 / n.toDouble / m.toDouble))
+      else 0.0
+    val r = SparkEntry.queries("q_cramers_v")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n.toLong, rMarg.size.toLong, cMarg.size.toLong, chi2.toLong)))
+    assert(math.abs(r.getDouble(4) - v) < 1e-9)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
 }
