@@ -138,6 +138,113 @@ object Multimodal {
       when(col(idCol) % 2 === 0, "image/png").otherwise("audio/wav").as("media_type"))
   }
 
+  // ---- real WAV/RIFF container handling (pure stdlib byte reads) -------
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** A VALID minimal PCM WAV wrapping `payload` as its data chunk: real
+    * RIFF framing, real fmt chunk (PCM, 16-bit). Header-decodes in any
+    * WAV reader; total size is exactly payload.length + 44. */
+  def wavWrap(payload: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 44)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
+    def w32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    ascii("RIFF"); w32(36 + payload.length); ascii("WAVE")
+    ascii("fmt "); w32(16)
+    w16(1) // PCM
+    w16(channels)
+    w32(sampleRate)
+    w32(sampleRate * channels * 2) // byte rate at 16-bit
+    w16(channels * 2) // block align
+    w16(16) // bits per sample
+    ascii("data"); w32(payload.length)
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** Real (sampleRate, channels, bitsPerSample, dataBytes) from a
+    * RIFF/WAVE container header; None when the payload is not a WAV.
+    * Walks the chunk list (fmt may not be first; odd-sized chunks pad
+    * to even per the RIFF spec) and reads only header bytes — O(chunks),
+    * never the samples; out-of-bounds returns None, never throws. */
+  def decodeWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    try {
+      if (bytes.length < 44 ||
+          new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(bytes, 8, 4, "US-ASCII") != "WAVE") None
+      else {
+        var i = 12
+        var fmt: Option[(Int, Int, Int)] = None
+        var dataLen = -1
+        while (i + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+          val cid = new String(bytes, i, 4, "US-ASCII")
+          val clen = le32(bytes, i + 4)
+          if (cid == "fmt " && clen >= 16 && i + 8 + 16 <= bytes.length)
+            fmt = Some((le32(bytes, i + 12), le16(bytes, i + 10), le16(bytes, i + 22)))
+          else if (cid == "data") dataLen = clen
+          i += 8 + clen + (clen & 1) // RIFF pads odd chunks to even
+        }
+        for ((rate, ch, bits) <- fmt if dataLen >= 0)
+          yield (rate, ch, bits, dataLen)
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** Attach a deterministic VALID WAV payload derived from the text
+    * column — the audio counterpart of `withFakeMedia`: sample rate and
+    * channel count derive from the id, so an oracle can recompute every
+    * decoded field arithmetically (the content-determining-key
+    * discipline). */
+  def withFakeAudio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rates = Array(8000, 16000, 22050, 44100)
+    val wrap = udf((id: Long, text: String) =>
+      wavWrap(text.getBytes("UTF-8"), rates((id % 4).toInt), 1 + (id % 2).toInt))
+    docs.select(col(idCol),
+      wrap(col(idCol).cast("long"), col(textCol)).as("media"),
+      lit("audio/wav").as("media_type"))
+  }
+
+  /** Output schema of the audio metadata extractor. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("data_bytes", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("header_decoded", BooleanType, nullable = false),
+  ))
+
+  /** Partition-local WAV metadata extraction over (id, media): REAL
+    * RIFF header decode; undecodable payloads report zeros with the
+    * flag down rather than failing the batch. duration_ms is the exact
+    * integer floor of dataBytes·1000 / byteRate. Map-only — the audio
+    * bytes never reach a shuffle. */
+  def extractAudioMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
+    media.select(col("doc_id").cast("long"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          decodeWavHeader(bytes) match {
+            case Some((rate, ch, bits, dataLen)) =>
+              val byteRate = rate.toLong * ch * (bits / 8)
+              val durMs =
+                if (byteRate > 0) dataLen.toLong * 1000L / byteRate else 0L
+              Row(id, rate, ch, bits, dataLen, bytes.length, durMs, true)
+            case None => Row(id, 0, 0, 0, 0, bytes.length, 0L, false)
+          }
+        }
+      }(enc)
+  }
+
   /** STUB decode: a real implementation would hand `bytes` to an image /
     * audio codec. This fake derives stable pseudo-dimensions + a checksum
     * from the payload so tests are deterministic. */
