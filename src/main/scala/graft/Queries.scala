@@ -13198,6 +13198,38 @@ object Queries {
        |  ${CramersVExpr.replace("\n", " ")} AS cramers_v
        |FROM tot t, chi""".stripMargin
 
+  /** #281 audio-container metadata: REAL RIFF/WAVE header decode
+    * (Multimodal.decodeWavHeader — pure stdlib byte walks over the chunk
+    * list) on a partition-local map, the audio counterpart of
+    * q_multimodal_meta's PNG path. The fixture wraps each document's
+    * UTF-8 bytes in a VALID 44-byte PCM WAV container whose sample rate
+    * and channel count derive from doc_id, so the oracle recomputes
+    * every DECODED field arithmetically — a header-parse regression on
+    * any row breaks the hash compare. duration_ms is the exact integer
+    * floor of data_bytes·1000 / (rate·channels·2); both engines divide
+    * positive integers, so truncate == floor. Map-only: the audio bytes
+    * never reach a shuffle, and at 100 TB the decode distributes with
+    * the scan. */
+  private def audioMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioMeta(
+      Multimodal.withFakeAudio(
+        parallelize(s, t(s, dir, "documents")), "doc_id", "text"))
+
+  private val audioMetaSql =
+    """SELECT doc_id,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST(octet_length(encode(text)) AS INT) AS data_bytes,
+      |  CAST(octet_length(encode(text)) + 44 AS INT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) * 1000
+      |    // ((CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |         WHEN 2 THEN 22050 ELSE 44100 END) * (1 + doc_id % 2) * 2)
+      |    AS BIGINT) AS duration_ms,
+      |  TRUE AS header_decoded
+      |FROM documents""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -13483,5 +13515,6 @@ object Queries {
     Q("q_kendall_tau", kendallTau, Some(kendallTauSql)),
     Q("q_greg_estimator", gregEstimator, Some(gregEstimatorSql)),
     Q("q_cramers_v", cramersV, Some(cramersVSql)),
+    Q("q_audio_meta", audioMeta, Some(audioMetaSql)),
   )
 }

@@ -123,6 +123,51 @@ class MultimodalSpec extends GraftSuite {
     assert(got.groupBy(_._1).forall(_._2.size == 8), "8 frames per container")
   }
 
+  test("decodeWavHeader round-trips wavWrap and walks real chunk lists") {
+    // our own wrapper round-trips: rate/channels/bits/dataLen all real
+    val w = Multimodal.wavWrap("pcm bytes here".getBytes("UTF-8"), 44100, 2)
+    assert(w.length == 14 + 44)
+    assert(Multimodal.decodeWavHeader(w).contains((44100, 2, 16, 14)))
+    assert(Multimodal.decodeWavHeader(
+      Multimodal.wavWrap(Array.emptyByteArray, 8000, 1)).contains((8000, 1, 16, 0)))
+    // fmt need not be first: a LIST chunk (odd length → padded to even)
+    // before fmt must be skipped, not misread
+    val payload = "xyz".getBytes
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val std = Multimodal.wavWrap(payload, 22050, 1)
+    val reordered = ascii("RIFF") ++ le32(std.length - 8 + 12) ++ ascii("WAVE") ++
+      ascii("LIST") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++ // odd chunk + pad byte
+      std.drop(12) // fmt + data from the standard container
+    assert(Multimodal.decodeWavHeader(reordered).contains((22050, 1, 16, 3)))
+    // junk / truncated / PNG payloads: None, never a throw
+    assert(Multimodal.decodeWavHeader("RIFFnot a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeWavHeader(std.take(20)).isEmpty)
+    assert(Multimodal.decodeWavHeader(Multimodal.pngWrap("x".getBytes, 4, 4)).isEmpty)
+    assert(Multimodal.decodeWavHeader(Array.emptyByteArray).isEmpty)
+  }
+
+  test("q_audio_meta decodes every container and is map-only") {
+    val dir = "/root/testdata/sf0.001"
+    val rates = Array(8000, 16000, 22050, 44100)
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val id = r.getLong(0); val bytes = r.getString(1).getBytes("UTF-8").length
+        val rate = rates((id % 4).toInt); val ch = 1 + (id % 2).toInt
+        (id, rate, ch, 16, bytes, bytes + 44,
+          bytes.toLong * 1000L / (rate.toLong * ch * 2), true)
+      }.toSet
+    val q = SparkEntry.queries("q_audio_meta")(spark, dir)
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+      r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6), r.getBoolean(7))).toSet
+    assert(got == want)
+    assert(q.schema == Multimodal.audioSchema)
+    val plan = Multimodal.extractAudioMeta(Multimodal.withFakeAudio(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"), s"audio decode must be map-only:\n$plan")
+  }
+
   test("q_resize_plan hits a 224 short side from the REAL decoded dims") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q_resize_plan")(spark, dir)
