@@ -13230,6 +13230,354 @@ object Queries {
       |  TRUE AS header_decoded
       |FROM documents""".stripMargin
 
+  /** #282 one-way ANOVA — does mean order value differ across the five
+    * order priorities? The five groups are a FIXED vocabulary, so the
+    * per-group exact moments (n, Σ dollars, Σ dollars²) pivot into ONE
+    * row of fixed-order columns and the F fold is a single deterministic
+    * double expression — no cross-row double summation whose order an
+    * engine could choose (the #278 fixed-order-fold discipline). Upstream
+    * is one map-side-combinable groupBy; dollars are exact integer
+    * truncations of the DECIMAL price, so every operand entering the
+    * double fold is integer-exact in both engines. */
+  private def anova(s: SparkSession, dir: String): DataFrame = {
+    val g = parallelize(s, t(s, dir, "orders"))
+      .select(substring(col("o_orderpriority"), 1, 1).as("__g"),
+        // dollars via exact integral divide (DuckDB CAST(decimal AS
+        // BIGINT) ROUNDS — the cents div 100 form floors in both)
+        expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) div 100 AS BIGINT)")
+          .as("__x"))
+    val cells = g.groupBy("__g").agg(count(lit(1)).as("n"),
+      sum("__x").as("s"), sum(col("__x") * col("__x")).as("q"))
+    val pivotCols = (1 to 5).flatMap { i =>
+      Seq(coalesce(sum(when(col("__g") === i.toString, col("n"))), lit(0L))
+            .as(s"n$i"),
+        coalesce(sum(when(col("__g") === i.toString, col("s"))), lit(0L))
+          .as(s"s$i"),
+        coalesce(sum(when(col("__g") === i.toString, col("q"))), lit(0L))
+          .as(s"q$i"))
+    }
+    val one = cells.agg(pivotCols.head, pivotCols.tail: _*)
+    one.withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
+      .withColumn("k", expr(
+        "CAST((CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n4 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n5 > 0 THEN 1 ELSE 0 END) AS BIGINT)"))
+      .withColumn("f_stat", expr(AnovaFExpr))
+      .withColumn("eta2", expr(AnovaEtaExpr))
+      .select("n", "k", "f_stat", "eta2")
+  }
+
+  /** Fixed-order ANOVA folds shared verbatim with the oracle. Group
+    * terms enter left-to-right in priority order; every double derives
+    * from an exact BIGINT by the same conversion in both engines. */
+  private[graft] val AnovaGrandExpr: String =
+    "(CAST(s1+s2+s3+s4+s5 AS DOUBLE) / CAST(n1+n2+n3+n4+n5 AS DOUBLE))"
+  private def anovaSsb: String =
+    (1 to 5).map(i =>
+      s"(CASE WHEN n$i > 0 THEN CAST(n$i AS DOUBLE) * (CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE) - $AnovaGrandExpr) * (CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE) - $AnovaGrandExpr) ELSE 0.0 END)")
+      .mkString(" + ")
+  private def anovaSsw: String =
+    (1 to 5).map(i =>
+      s"(CASE WHEN n$i > 0 THEN CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE) ELSE 0.0 END)")
+      .mkString(" + ")
+  private[graft] lazy val AnovaFExpr: String =
+    s"""round(CASE WHEN k > 1 AND n > k AND ($anovaSsw) > 0.0
+      THEN (($anovaSsb) / CAST(k - 1 AS DOUBLE))
+           / (($anovaSsw) / CAST(n - k AS DOUBLE))
+      ELSE 0.0 END, 6)"""
+  private[graft] lazy val AnovaEtaExpr: String =
+    s"""round(CASE WHEN ($anovaSsb) + ($anovaSsw) > 0.0
+      THEN ($anovaSsb) / (($anovaSsb) + ($anovaSsw))
+      ELSE 0.0 END, 6)"""
+
+  private lazy val anovaSql = {
+    val cols = (1 to 5).flatMap { i =>
+      Seq(
+        s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN n END), 0) AS BIGINT) AS n$i",
+        s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN s END), 0) AS BIGINT) AS s$i",
+        s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN q END), 0) AS BIGINT) AS q$i")
+    }.mkString(",\n  ")
+    s"""WITH b AS (
+       |  SELECT substr(o_orderpriority, 1, 1) AS g,
+       |    CAST(CAST(o_totalprice * 100 AS BIGINT) // 100 AS BIGINT) AS x
+       |  FROM orders),
+       |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+       |        sum(x * x) AS q FROM b GROUP BY 1),
+       |one AS (SELECT $cols FROM c),
+       |f AS (SELECT *, n1+n2+n3+n4+n5 AS n,
+       |  CAST((CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n4 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n5 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM one)
+       |SELECT n, k, ${AnovaFExpr.replace("\n", " ")} AS f_stat,
+       |  ${AnovaEtaExpr.replace("\n", " ")} AS eta2
+       |FROM f""".stripMargin
+  }
+
+  /** #283 two-regressor OLS — l_extendedprice on (quantity, discount):
+    * the normal equations solved from EXACT integer moment sums (one
+    * map-side-combinable aggregate over the fact table; Σy² folds in
+    * DECIMAL(38) — cents² overflows BIGINT past sf1). The 2×2 centered
+    * solve runs in ONE fixed-order double expression over the nine
+    * exact moments (the #282 discipline): both engines evaluate the
+    * identical IEEE expression tree on identical integers, so the
+    * rounded coefficients hash-match without any cross-engine division
+    * semantics in play. Extends #135's single-regressor fit. */
+  private def ols2(s: SparkSession, dir: String): DataFrame =
+    parallelize(s, t(s, dir, "lineitem"))
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("__y"),
+        col("l_quantity").cast("decimal(18,2)").cast("long").as("__x1"),
+        (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("__x2"))
+      .agg(count(lit(1)).as("n"),
+        sum("__x1").as("sx1"), sum("__x2").as("sx2"),
+        sum(col("__x1") * col("__x1")).as("sx11"),
+        sum(col("__x2") * col("__x2")).as("sx22"),
+        sum(col("__x1") * col("__x2")).as("sx12"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x1") * col("__y")).as("sx1y"),
+        sum(col("__x2") * col("__y")).as("sx2y"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y")).as("syy"))
+      .withColumn("b1", expr(Ols2B1Expr))
+      .withColumn("b2", expr(Ols2B2Expr))
+      .withColumn("intercept", expr(Ols2InterceptExpr))
+      .withColumn("r2", expr(Ols2R2Expr))
+      .select("n", "b1", "b2", "intercept", "r2")
+
+  // Centered second moments (exact BIGINT/DECIMAL in, double out; the
+  // n-scaled identity n·Σab − Σa·Σb avoids any pre-division).
+  private def ols2Cm(sab: String, sa: String, sb: String): String =
+    s"(CAST(n AS DOUBLE)*CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE)*CAST($sb AS DOUBLE))"
+  private lazy val ols2C11 = ols2Cm("sx11", "sx1", "sx1")
+  private lazy val ols2C22 = ols2Cm("sx22", "sx2", "sx2")
+  private lazy val ols2C12 = ols2Cm("sx12", "sx1", "sx2")
+  private lazy val ols2C1y = ols2Cm("sx1y", "sx1", "sy")
+  private lazy val ols2C2y = ols2Cm("sx2y", "sx2", "sy")
+  private lazy val ols2Cyy = ols2Cm("syy", "sy", "sy")
+  private lazy val ols2Det = s"($ols2C11 * $ols2C22 - $ols2C12 * $ols2C12)"
+  private lazy val Ols2B1RawExpr: String =
+    s"""CASE WHEN $ols2Det <> 0.0
+      THEN ($ols2C22 * $ols2C1y - $ols2C12 * $ols2C2y) / $ols2Det
+      ELSE 0.0 END"""
+  private lazy val Ols2B2RawExpr: String =
+    s"""CASE WHEN $ols2Det <> 0.0
+      THEN ($ols2C11 * $ols2C2y - $ols2C12 * $ols2C1y) / $ols2Det
+      ELSE 0.0 END"""
+  private[graft] lazy val Ols2B1Expr: String = s"round($Ols2B1RawExpr, 6)"
+  private[graft] lazy val Ols2B2Expr: String = s"round($Ols2B2RawExpr, 6)"
+  private[graft] lazy val Ols2InterceptExpr: String =
+    s"""round((CAST(sy AS DOUBLE) - ($Ols2B1RawExpr) * CAST(sx1 AS DOUBLE)
+      - ($Ols2B2RawExpr) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE), 6)"""
+  private[graft] lazy val Ols2R2Expr: String =
+    s"""round(CASE WHEN $ols2Cyy > 0.0
+      THEN (($Ols2B1RawExpr) * $ols2C1y + ($Ols2B2RawExpr) * $ols2C2y)
+           / $ols2Cyy
+      ELSE 0.0 END, 6)"""
+
+  private lazy val ols2Sql =
+    s"""WITH b AS (
+       |  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS y,
+       |    CAST(l_quantity AS BIGINT) AS x1,
+       |    CAST(l_discount * 100 AS BIGINT) AS x2
+       |  FROM lineitem),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+       |  CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+       |  CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+       |  CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+       |  CAST(sum(y) AS BIGINT) AS sy,
+       |  CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+       |  CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+       |  sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM b)
+       |SELECT n, ${Ols2B1Expr.replace("\n", " ")} AS b1,
+       |  ${Ols2B2Expr.replace("\n", " ")} AS b2,
+       |  ${Ols2InterceptExpr.replace("\n", " ")} AS intercept,
+       |  ${Ols2R2Expr.replace("\n", " ")} AS r2
+       |FROM m""".stripMargin
+
+  /** #284 Theil–Sen robust trend — the median of all pairwise daily
+    * slopes of event volume: outlier-immune where #135's least squares
+    * is not. The pair scan is calendar-bounded (O(days²) ≈ 435 pairs,
+    * #278's broadcast-join shape — day count grows with the calendar,
+    * not the data). Each pair slope lands as a sign-split ppm integer
+    * (Δdays > 0 by construction, so truncation toward zero matches //
+    * after the sign split), and the LOWER MEDIAN is picked by exact
+    * rank — equal ppm values make the pick order-independent. */
+  private def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).as("__c"))
+      .select(datediff(col("__day"), lit("1970-01-01")).cast("long").as("__d"),
+        col("__c"))
+    val a = daily.select(col("__d").as("__d1"), col("__c").as("__c1"))
+    val b = daily.select(col("__d").as("__d2"), col("__c").as("__c2"))
+    val slopes = a.join(broadcast(b), col("__d1") < col("__d2"))
+      .select(expr(
+        """CASE WHEN __c2 - __c1 >= 0
+          THEN ((__c2 - __c1) * 1000000) div (__d2 - __d1)
+          ELSE -(((__c1 - __c2) * 1000000) div (__d2 - __d1)) END""")
+        .as("__ppm"))
+    val n = Window.orderBy("__ppm")
+    slopes
+      .withColumn("__rk", row_number().over(n).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("__rk") === expr("(__n + 1) div 2"))
+      .select(col("__n").as("n_pairs"), col("__ppm").as("slope_ppm"),
+        round(col("__ppm").cast("double") / 1e6, 6).as("slope_per_day"))
+  }
+
+  private val theilSenSql =
+    """WITH d AS (
+      |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT CASE WHEN b.c - a.c >= 0
+      |    THEN ((b.c - a.c) * 1000000) // (b.d - a.d)
+      |    ELSE -(((a.c - b.c) * 1000000) // (b.d - a.d)) END AS ppm
+      |  FROM d a JOIN d b ON a.d < b.d),
+      |r AS (SELECT ppm, row_number() OVER (ORDER BY ppm) AS rk,
+      |        count(*) OVER () AS n FROM p)
+      |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(ppm AS BIGINT) AS slope_ppm,
+      |  round(CAST(ppm AS DOUBLE) / 1e6, 6) AS slope_per_day
+      |FROM r WHERE rk = (n + 1) // 2""".stripMargin
+
+  /** #285 CUSUM drift scan — the classic mean-shift detector over the
+    * daily revenue series, DIVISION-FREE: the cumulative deviation
+    * Σ_{i≤k}(x_i − μ) is rescaled by D (days) so S*_k = D·Σ_{i≤k}x_i −
+    * k·Σx is an exact BIGINT at any SF (cents·days ≈ 3e16 at sf100).
+    * The running prefix is a calendar-bounded O(days) window (documented
+    * single-partition frame, the #137 EWMA precedent); the argmax day —
+    * the estimated change point — falls out of one max-over-all
+    * comparison on exact integers. Complements #122's segmented-fit
+    * changepoint with the sequential-detection formulation. */
+  private def cusumDetect(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__x"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("__dd", count(lit(1)).over(all))
+      .withColumn("__tot", sum("__x").over(all))
+      .withColumn("__k", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("cusum_scaled",
+        col("__dd") * sum("__x").over(w) - col("__k") * col("__tot"))
+      .withColumn("is_peak",
+        abs(col("cusum_scaled")) === max(abs(col("cusum_scaled"))).over(all))
+      .select("day", "cusum_scaled", "is_peak")
+  }
+
+  private val cusumDetectSql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT day, x,
+      |    count(*) OVER () AS dd, sum(x) OVER () AS tot,
+      |    row_number() OVER (ORDER BY day) AS k,
+      |    sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |                 AND CURRENT ROW) AS pre
+      |  FROM d)
+      |SELECT day, CAST(dd * pre - k * tot AS BIGINT) AS cusum_scaled,
+      |  abs(dd * pre - k * tot) = max(abs(dd * pre - k * tot)) OVER ()
+      |    AS is_peak
+      |FROM c""".stripMargin
+
+  /** #286 multi-class precision/recall/F1 — the per-class report card
+    * for the heuristic language labeler against the corpus labels
+    * (complements #107's raw confusion matrix and #249's single-number
+    * κ). tp/fp/fn fold exactly from two conditional aggregates over the
+    * one labeler pass; precision/recall land as ppm integer divisions
+    * (all operands nonnegative — no sign split needed) and F1 as the
+    * ppm harmonic mean (2·p·r) div (p+r), every step exact and
+    * engine-portable. Zero-denominator classes report 0, not NULL. */
+  private def multiclassPrf(s: SparkSession, dir: String): DataFrame = {
+    val labeled = parallelize(s, t(s, dir, "documents"))
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("__pred"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byTruth = labeled.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_true"),
+        sum((col("__pred") === col("lang")).cast("long")).as("tp"))
+    val byPred = labeled.groupBy(col("__pred").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTruth.join(byPred, Seq("cls"), "full")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN n_pred > 0 THEN (tp * 1000000) div n_pred ELSE 0 END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_true > 0 THEN (tp * 1000000) div n_true ELSE 0 END"))
+      .withColumn("f1_ppm", expr(
+        """CASE WHEN precision_ppm + recall_ppm > 0
+          THEN (2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)
+          ELSE 0 END"""))
+  }
+
+  private lazy val multiclassPrfSql =
+    s"""WITH l AS (SELECT lang, lang_guess AS pred FROM ($langIdSql)),
+       |t AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_true,
+       |        CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS tp
+       |      FROM l GROUP BY 1),
+       |p AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+       |      FROM l GROUP BY 1),
+       |j AS (SELECT coalesce(t.cls, p.cls) AS cls,
+       |        coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+       |        coalesce(tp, 0) AS tp
+       |      FROM t FULL JOIN p ON t.cls = p.cls),
+       |q AS (SELECT *,
+       |  CAST(CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred ELSE 0 END
+       |    AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN n_true > 0 THEN (tp * 1000000) // n_true ELSE 0 END
+       |    AS BIGINT) AS recall_ppm
+       |  FROM j)
+       |SELECT cls, n_true, n_pred, tp, precision_ppm, recall_ppm,
+       |  CAST(CASE WHEN precision_ppm + recall_ppm > 0
+       |    THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm)
+       |    ELSE 0 END AS BIGINT) AS f1_ppm
+       |FROM q""".stripMargin
+
+  /** #287 l-diversity audit — the release-hardening companion to
+    * #172's k-anonymity: a quasi-identifier class can be large (k-safe)
+    * yet still leak if every member shares one sensitive value. Over
+    * (priority, order-year) QI classes the sensitive attribute is
+    * order status; l = exact distinct statuses per class (the status
+    * vocabulary is tiny, so count_distinct partial-aggregates cleanly).
+    * Flags classes below l=2 plus each class's dominant-value share in
+    * ppm (a homogeneity-attack bound). O(QI classes) output. */
+  private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cls = parallelize(s, t(s, dir, "orders"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        col("o_orderstatus").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    cls.groupBy("priority", "order_year")
+      .agg(sum("__n").as("class_n"),
+        count(lit(1)).as("l_distinct"),
+        max("__n").as("__mx"))
+      .withColumn("dominant_ppm", expr("(__mx * 1000000) div class_n"))
+      .withColumn("at_risk", col("l_distinct") < 2)
+      .select("priority", "order_year", "class_n", "l_distinct",
+        "dominant_ppm", "at_risk")
+  }
+
+  private val lDiversitySql =
+    """WITH c AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |    o_orderstatus AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2, 3),
+      |g AS (SELECT priority, order_year, CAST(sum(n) AS BIGINT) AS class_n,
+      |        CAST(count(*) AS BIGINT) AS l_distinct,
+      |        CAST(max(n) AS BIGINT) AS mx
+      |      FROM c GROUP BY 1, 2)
+      |SELECT priority, order_year, class_n, l_distinct,
+      |  CAST((mx * 1000000) // class_n AS BIGINT) AS dominant_ppm,
+      |  l_distinct < 2 AS at_risk
+      |FROM g""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -13516,5 +13864,11 @@ object Queries {
     Q("q_greg_estimator", gregEstimator, Some(gregEstimatorSql)),
     Q("q_cramers_v", cramersV, Some(cramersVSql)),
     Q("q_audio_meta", audioMeta, Some(audioMetaSql)),
+    Q("q_anova", anova, Some(anovaSql)),
+    Q("q_ols2", ols2, Some(ols2Sql)),
+    Q("q_theil_sen", theilSen, Some(theilSenSql)),
+    Q("q_cusum", cusumDetect, Some(cusumDetectSql)),
+    Q("q_multiclass_prf", multiclassPrf, Some(multiclassPrfSql)),
+    Q("q_l_diversity", lDiversity, Some(lDiversitySql)),
   )
 }
