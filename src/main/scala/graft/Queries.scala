@@ -13578,6 +13578,349 @@ object Queries {
       |  l_distinct < 2 AS at_risk
       |FROM g""".stripMargin
 
+  // Shared DuckDB replay of copurchaseEdges (the co-purchase graph used
+  // by the whole graph family): distinct basket items, same-order pairs
+  // seen in >= 2 orders.
+  // MATERIALIZED: the oracles below reference e two or three times and
+  // DuckDB would otherwise replay the quadratic self-join per reference
+  // (the round-7 minhash-replay timeout lesson).
+  private val copurchaseEdgesCte: String =
+    """it AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT a.pk AS ea, b.pk AS eb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** #288 graph modularity — how well does the PART BRAND partition
+    * explain the co-purchase graph's community structure? Q folds
+    * EXACTLY: Q = Σ_c (4·m·e_c − d_c²) / (4m²), so each brand's
+    * numerator is one integer and the whole statistic is a sign-split
+    * ppm division — no per-community double terms to sum in an
+    * engine-chosen order. One edges build (the shared co-purchase
+    * plan), two joins to the brand dimension, O(brands) output. DECIMAL
+    * (38) arithmetic: 4m² passes BIGINT only below ~1.5e9 edges. */
+  private def modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bm = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val deg = edges.select(col("ea").as("v"))
+      .unionAll(edges.select(col("eb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val dc = deg.join(bm, col("v") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_vertices"), sum("deg").as("deg_sum"))
+    val ec = edges
+      .join(bm.select(col("p_partkey").as("ea"), col("p_brand").as("__ba")),
+        Seq("ea"))
+      .join(bm.select(col("p_partkey").as("eb"), col("p_brand").as("__bb")),
+        Seq("eb"))
+      .filter(col("__ba") === col("__bb"))
+      .groupBy(col("__ba").as("brand")).agg(count(lit(1)).as("e_within"))
+    val m = edges.agg(count(lit(1)).as("__m"))
+    dc.join(ec, Seq("brand"), "left")
+      .withColumn("e_within", coalesce(col("e_within"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_ppm", expr(
+        """CAST(CASE
+          WHEN 4 * CAST(__m AS DECIMAL(38,0)) * e_within - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum >= 0
+          THEN ((4 * CAST(__m AS DECIMAL(38,0)) * e_within - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum) * 1000000)
+               div (4 * CAST(__m AS DECIMAL(38,0)) * __m)
+          ELSE -(((CAST(deg_sum AS DECIMAL(38,0)) * deg_sum - 4 * CAST(__m AS DECIMAL(38,0)) * e_within) * 1000000)
+               div (4 * CAST(__m AS DECIMAL(38,0)) * __m))
+          END AS BIGINT)"""))
+      .select("brand", "n_vertices", "e_within", "deg_sum", "contrib_ppm")
+  }
+
+  private lazy val modularitySql =
+    s"""WITH $copurchaseEdgesCte,
+       |d AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT ea AS v FROM e UNION ALL SELECT eb FROM e) GROUP BY 1),
+       |dc AS (SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_vertices,
+       |         CAST(sum(deg) AS BIGINT) AS deg_sum
+       |       FROM d JOIN part p ON p.p_partkey = d.v GROUP BY 1),
+       |ec AS (SELECT pa.p_brand AS brand, CAST(count(*) AS BIGINT) AS e_within
+       |       FROM e JOIN part pa ON pa.p_partkey = e.ea
+       |            JOIN part pb ON pb.p_partkey = e.eb
+       |       WHERE pa.p_brand = pb.p_brand GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+       |SELECT dc.brand, dc.n_vertices, coalesce(ec.e_within, 0) AS e_within,
+       |  dc.deg_sum,
+       |  CAST(CASE
+       |    WHEN 4 * CAST(m.m AS HUGEINT) * coalesce(ec.e_within, 0) - CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum >= 0
+       |    THEN ((4 * CAST(m.m AS HUGEINT) * coalesce(ec.e_within, 0) - CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum) * 1000000)
+       |         // (4 * CAST(m.m AS HUGEINT) * m.m)
+       |    ELSE -(((CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum - 4 * CAST(m.m AS HUGEINT) * coalesce(ec.e_within, 0)) * 1000000)
+       |         // (4 * CAST(m.m AS HUGEINT) * m.m))
+       |    END AS BIGINT) AS contrib_ppm
+       |FROM dc LEFT JOIN ec ON ec.brand = dc.brand CROSS JOIN m""".stripMargin
+
+  /** #289 bipartite projection — supplier–supplier co-supply graph
+    * from the (part, supplier) bipartite fact: suppliers sharing ≥ 3
+    * distinct parts, with the STANDARD hub cut (parts supplied by > 64
+    * suppliers are dropped before pair generation — hubs connect
+    * everyone and blow the C(n,2) fan-out; the cut is part of the
+    * operator's declared semantics, the #114 domain-cap discipline).
+    * Pairs generate MAP-SIDE from each part's bounded sorted supplier
+    * set (the copurchaseEdges shape) — per-part fan-out ≤ C(64,2),
+    * total work linear in parts. Jaccard denominators use the FULL
+    * (uncut) per-supplier part counts. Top-20 under a total order. */
+  private def bipartiteProject(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sp.groupBy("sk").agg(count(lit(1)).as("n"))
+    val pairs = sp.groupBy("pk").agg(sort_array(collect_set(col("sk"))).as("ss"))
+      .filter(size(col("ss")) <= 64)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            y -> struct(x AS sa, y AS sb))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.sa").as("supp_a"), col("p.sb").as("supp_b"))
+      .groupBy("supp_a", "supp_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    pairs
+      .join(broadcast(cnt.select(col("sk").as("supp_a"), col("n").as("n_a"))),
+        Seq("supp_a"))
+      .join(broadcast(cnt.select(col("sk").as("supp_b"), col("n").as("n_b"))),
+        Seq("supp_b"))
+      .withColumn("jaccard_ppm",
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
+      .select("supp_a", "supp_b", "n_shared", "n_a", "n_b", "jaccard_ppm")
+      .orderBy(desc("n_shared"), asc("supp_a"), asc("supp_b")).limit(20)
+  }
+
+  private val bipartiteProjectSql =
+    """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      |            FROM lineitem),
+      |pd AS (SELECT pk, count(*) AS c FROM sp GROUP BY 1),
+      |ok AS (SELECT sp.pk, sp.sk FROM sp JOIN pd USING (pk) WHERE pd.c <= 64),
+      |pr AS (SELECT a.sk AS supp_a, b.sk AS supp_b,
+      |         CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM ok a JOIN ok b ON a.pk = b.pk AND a.sk < b.sk
+      |       GROUP BY 1, 2 HAVING count(*) >= 3),
+      |cnt AS (SELECT sk, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY 1)
+      |SELECT supp_a, supp_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+      |  CAST((n_shared * 1000000) // (ca.n + cb.n - n_shared) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM pr JOIN cnt ca ON ca.sk = supp_a JOIN cnt cb ON cb.sk = supp_b
+      |ORDER BY n_shared DESC, supp_a, supp_b LIMIT 20""".stripMargin
+
+  /** #290 degree distribution — the co-purchase graph's degree
+    * histogram with an exact CCDF: the first thing a graph audit reads
+    * (is the degree tail heavy enough for #54's skew handling, is the
+    * #154 wedge bound real?). O(distinct degrees) histogram rows; the
+    * CCDF prefix runs on that bounded histogram, not the vertex set. */
+  private def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    // persisted: one edges build feeds both endpoint projections
+    val edges = copurchaseEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("ea").as("v"))
+      .unionAll(edges.select(col("eb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("__d"))
+    val hist = deg.groupBy(col("__d").as("degree"))
+      .agg(count(lit(1)).as("n_vertices"))
+    val w = Window.orderBy(desc("degree"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    hist
+      .withColumn("__cum", sum("n_vertices").over(w))
+      .withColumn("__tot", sum("n_vertices").over(all))
+      .withColumn("ccdf_ppm", expr("(__cum * 1000000) div __tot"))
+      .select("degree", "n_vertices", "ccdf_ppm")
+  }
+
+  private lazy val degreeDistSql =
+    s"""WITH $copurchaseEdgesCte,
+       |d AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT ea AS v FROM e UNION ALL SELECT eb FROM e) GROUP BY 1),
+       |h AS (SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_vertices
+       |      FROM d GROUP BY 1)
+       |SELECT degree, n_vertices,
+       |  CAST((sum(n_vertices) OVER (ORDER BY degree DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+       |    // (sum(n_vertices) OVER ()) AS BIGINT) AS ccdf_ppm
+       |FROM h""".stripMargin
+
+  /** #291 readability — Flesch–Kincaid grade per document from three
+    * deterministic regex counts (words, sentence-terminator runs,
+    * vowel-group syllable proxy): the classic text-quality signal a
+    * curation pipeline ranks on next to #36's heuristics. Map-only
+    * codegen'd regex passes; the grade is one shared double expression
+    * over the three exact INTs (sentence floor 1 so terminator-free
+    * docs don't divide by zero). Patterns are RE2/Java-portable
+    * character classes — both engines count identical matches. */
+  private def readability(s: SparkSession, dir: String): DataFrame =
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("fk_grade", expr(FkGradeExpr))
+
+  /** F-K grade fold shared verbatim with the oracle (all-int inputs). */
+  private[graft] val FkGradeExpr: String =
+    """round(CASE WHEN n_words > 0
+      THEN 0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           - 15.59
+      ELSE 0.0 END, 6)"""
+
+  private lazy val readabilitySql =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_words,
+       |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+       |      AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+       |      AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ${FkGradeExpr.replace("\n", " ")} AS fk_grade
+       |FROM b""".stripMargin
+
+  /** #292 per-source character-class KL divergence — corpus forensics:
+    * which source's byte mix drifts furthest from the corpus (OCR dumps
+    * skew digits, code skews punctuation)? Five fixed classes count via
+    * length-difference regex folds (map-only, no explode of the text);
+    * the KL fold is EXACT integer arithmetic over +1-smoothed ppm
+    * shares using the property-tested ⌊ln·1e6⌋ quantization (#68's
+    * entropy discipline) — five fixed-order terms, scale 1e-12, no
+    * cross-row double sum. */
+  private def charKl(s: SparkSession, dir: String): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(lower(col("text"))) -
+        length(regexp_replace(lower(col("text")), cls, ""))).cast("long")
+    val perSource = parallelize(s, t(s, dir, "documents"))
+      .select(col("source"), length(col("text")).cast("long").as("__n"),
+        cnt("[aeiou]").as("__c1"),
+        cnt("[b-df-hj-np-tv-z]").as("__c2"),
+        cnt("[0-9]").as("__c3"),
+        cnt("\\s").as("__c4"))
+      .withColumn("__c5",
+        col("__n") - col("__c1") - col("__c2") - col("__c3") - col("__c4"))
+      .groupBy("source")
+      .agg(sum("__n").as("n_chars"),
+        sum("__c1").as("c1"), sum("__c2").as("c2"), sum("__c3").as("c3"),
+        sum("__c4").as("c4"), sum("__c5").as("c5"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = perSource.agg(sum("n_chars").as("tn"),
+      sum("c1").as("t1"), sum("c2").as("t2"), sum("c3").as("t3"),
+      sum("c4").as("t4"), sum("c5").as("t5"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("kl_q12", expr(CharKlExpr))
+      .withColumn("kl", round(col("kl_q12").cast("double") / 1e12, 6))
+      .select("source", "n_chars", "c1", "c2", "c3", "c4", "c5",
+        "kl_q12", "kl")
+  }
+
+  /** Σ p_ppm·(⌊ln p_ppm·1e6⌋ − ⌊ln q_ppm·1e6⌋) over the five classes,
+    * +1 smoothing, ppm floored at 1 (ln 0 guard). Exact BIGINT. */
+  private[graft] val CharKlExpr: String = (1 to 5).map { i =>
+    val p = s"greatest(1, ((c$i + 1) * 1000000) div (n_chars + 5))"
+    val q = s"greatest(1, ((t$i + 1) * 1000000) div (tn + 5))"
+    s"($p * (CAST(floor(ln($p) * 1000000) AS BIGINT) - CAST(floor(ln($q) * 1000000) AS BIGINT)))"
+  }.mkString(" + ")
+
+  private lazy val charKlSql = {
+    val duckExpr = CharKlExpr.replace(" div ", " // ")
+    s"""WITH b AS (
+       |  SELECT source, CAST(length(text) AS BIGINT) AS n,
+       |    CAST(length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS BIGINT) AS c1,
+       |    CAST(length(lower(text)) - length(regexp_replace(lower(text), '[b-df-hj-np-tv-z]', '', 'g')) AS BIGINT) AS c2,
+       |    CAST(length(lower(text)) - length(regexp_replace(lower(text), '[0-9]', '', 'g')) AS BIGINT) AS c3,
+       |    CAST(length(lower(text)) - length(regexp_replace(lower(text), '\\s', '', 'g')) AS BIGINT) AS c4
+       |  FROM documents),
+       |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
+       |        CAST(sum(c1) AS BIGINT) AS c1, CAST(sum(c2) AS BIGINT) AS c2,
+       |        CAST(sum(c3) AS BIGINT) AS c3, CAST(sum(c4) AS BIGINT) AS c4,
+       |        CAST(sum(n - c1 - c2 - c3 - c4) AS BIGINT) AS c5
+       |      FROM b GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tn,
+       |        CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2,
+       |        CAST(sum(c3) AS BIGINT) AS t3, CAST(sum(c4) AS BIGINT) AS t4,
+       |        CAST(sum(c5) AS BIGINT) AS t5
+       |      FROM s)
+       |SELECT source, n_chars, c1, c2, c3, c4, c5,
+       |  CAST($duckExpr AS BIGINT) AS kl_q12,
+       |  round(CAST($duckExpr AS DOUBLE) / 1e12, 6) AS kl
+       |FROM s, t""".stripMargin
+  }
+
+  /** #293 Wilcoxon signed-rank — the paired nonparametric companion to
+    * #174's Mann–Whitney: daily revenue vs the SAME day one year later
+    * (364 days — same weekday), is the YoY shift systematic? Average
+    * ranks stay integral as 2·rank = 2·#(<) + #(=) + 1 off the O(days)
+    * distinct-|diff| table (#174's rank-offset shape); W⁺, the tie
+    * correction Σ(t³−t), and n are exact BIGINTs; z is one shared
+    * double expression. Zero diffs drop per the standard procedure. */
+  private def wilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("__day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__x"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("b.__day") === date_add(col("a.__day"), 364))
+      .select((col("b.__x") - col("a.__x")).as("__diff"))
+      .filter(col("__diff") =!= 0L)
+      .withColumn("__absd", abs(col("__diff")))
+    val groups = pairs.groupBy("__absd")
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__diff") > 0, 1L).otherwise(0L)).as("__pos"))
+    val w = Window.orderBy("__absd").rowsBetween(Window.unboundedPreceding, -1)
+    groups
+      .withColumn("__lt", coalesce(sum("__t").over(w), lit(0L)))
+      .agg(sum(col("__t")).as("n_pairs"),
+        sum(col("__pos") * (lit(2) * col("__lt") + col("__t") + 1))
+          .as("w_plus_x2"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      .withColumn("z", expr(WilcoxonZExpr))
+      .select("n_pairs", "w_plus_x2", "z")
+  }
+
+  /** z fold over (n_pairs, w_plus_x2, __ties) — shared verbatim. */
+  private[graft] val WilcoxonZExpr: String =
+    """round(CASE
+      WHEN n_pairs > 0 AND
+           (CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1) / 24.0
+            - CAST(__ties AS DOUBLE) / 48.0) > 0.0
+      THEN (CAST(w_plus_x2 AS DOUBLE) / 2.0
+            - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0)
+           / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1) / 24.0
+                  - CAST(__ties AS DOUBLE) / 48.0)
+      ELSE 0.0 END, 6)"""
+
+  private lazy val wilcoxonSql =
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |p AS (SELECT b.x - a.x AS diff, abs(b.x - a.x) AS absd
+       |      FROM d a JOIN d b ON b.day = a.day + 364
+       |      WHERE b.x <> a.x),
+       |g AS (SELECT absd, CAST(count(*) AS BIGINT) AS t,
+       |        CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS pos
+       |      FROM p GROUP BY 1),
+       |r AS (SELECT *, coalesce(sum(t) OVER (ORDER BY absd
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+       |      FROM g),
+       |f AS (SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
+       |        CAST(sum(pos * (2 * lt + t + 1)) AS BIGINT) AS w_plus_x2,
+       |        CAST(sum(t * t * t - t) AS BIGINT) AS __ties
+       |      FROM r)
+       |SELECT n_pairs, w_plus_x2, ${WilcoxonZExpr.replace("\n", " ")} AS z
+       |FROM f""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -13870,5 +14213,11 @@ object Queries {
     Q("q_cusum", cusumDetect, Some(cusumDetectSql)),
     Q("q_multiclass_prf", multiclassPrf, Some(multiclassPrfSql)),
     Q("q_l_diversity", lDiversity, Some(lDiversitySql)),
+    Q("q_modularity", modularity, Some(modularitySql)),
+    Q("q_bipartite_project", bipartiteProject, Some(bipartiteProjectSql)),
+    Q("q_degree_dist", degreeDist, Some(degreeDistSql)),
+    Q("q_readability", readability, Some(readabilitySql)),
+    Q("q_char_kl", charKl, Some(charKlSql)),
+    Q("q_wilcoxon", wilcoxon, Some(wilcoxonSql)),
   )
 }
