@@ -13921,6 +13921,307 @@ object Queries {
        |SELECT n_pairs, w_plus_x2, ${WilcoxonZExpr.replace("\n", " ")} AS z
        |FROM f""".stripMargin
 
+  /** #294 t-closeness — the third leg of the release-audit trio
+    * (#172 k-anonymity, #287 l-diversity): a class can be k-large and
+    * l-diverse yet still skew the sensitive distribution. For ordered
+    * categories with unit spacing EMD is the mean absolute CDF gap, so
+    * over the 3-value status vocabulary it folds as (|d1|+|d2|) div 2
+    * on ppm-truncated CDFs — exact integers end to end, O(QI classes)
+    * output off one fact groupBy. */
+  private def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cls = parallelize(s, t(s, dir, "orders"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(count(lit(1)).as("class_n"),
+        sum((col("o_orderstatus") === "F").cast("long")).as("__f"),
+        sum((col("o_orderstatus") === "O").cast("long")).as("__o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cls.agg(sum("class_n").as("__n"),
+      sum("__f").as("__tf"), sum("__o").as("__to"))
+    cls.crossJoin(broadcast(tot))
+      .withColumn("emd_ppm", expr(
+        """(abs((__f * 1000000) div class_n - (__tf * 1000000) div __n)
+          + abs(((__f + __o) * 1000000) div class_n
+                - ((__tf + __to) * 1000000) div __n)) div 2"""))
+      .withColumn("t_violation", col("emd_ppm") > 150000L)
+      .select("priority", "order_year", "class_n", "emd_ppm", "t_violation")
+  }
+
+  private val tClosenessSql =
+    """WITH c AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |    CAST(count(*) AS BIGINT) AS class_n,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(class_n) AS BIGINT) AS n,
+      |        CAST(sum(f) AS BIGINT) AS tf, CAST(sum(o) AS BIGINT) AS tg
+      |      FROM c)
+      |SELECT priority, order_year, class_n,
+      |  CAST((abs((f * 1000000) // class_n - (tf * 1000000) // n)
+      |    + abs(((f + o) * 1000000) // class_n
+      |          - ((tf + tg) * 1000000) // n)) // 2 AS BIGINT) AS emd_ppm,
+      |  (abs((f * 1000000) // class_n - (tf * 1000000) // n)
+      |    + abs(((f + o) * 1000000) // class_n
+      |          - ((tf + tg) * 1000000) // n)) // 2 > 150000 AS t_violation
+      |FROM c CROSS JOIN t""".stripMargin
+
+  /** #295 Mann–Kendall trend test — the significance companion to
+    * #284's Theil–Sen slope: S = Σ_{i<j} sign(x_j − x_i) over the
+    * calendar-bounded day-pair scan (the #278 broadcast shape), exact
+    * tie groups off the distinct-value table, continuity-corrected z in
+    * one shared double fold. Everything before the z is BIGINT. */
+  private def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("__day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = daily.select(col("__day").as("__d1"), col("__x").as("__x1"))
+    val b = daily.select(col("__day").as("__d2"), col("__x").as("__x2"))
+    val sAgg = a.join(broadcast(b), col("__d1") < col("__d2"))
+      .agg(count(lit(1)).as("__pairs"),
+        sum(signum(col("__x2") - col("__x1")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("__x").agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+        .as("__tadj"), sum("__t").as("n_days"))
+    ties.crossJoin(broadcast(sAgg))
+      .withColumn("z", expr(MannKendallZExpr))
+      .select("n_days", "s_stat", "z")
+  }
+
+  /** Continuity-corrected MK z over (n_days, s_stat, __tadj). */
+  private[graft] val MannKendallZExpr: String =
+    """round(CASE
+      WHEN (CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)
+            - CAST(__tadj AS DOUBLE)) / 18.0 > 0.0 AND s_stat <> 0
+      THEN (CAST(s_stat AS DOUBLE)
+            - CAST(CASE WHEN s_stat > 0 THEN 1 ELSE -1 END AS DOUBLE))
+           / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)
+                   - CAST(__tadj AS DOUBLE)) / 18.0)
+      ELSE 0.0 END, 6)"""
+
+  private lazy val mannKendallSql =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS pairs,
+       |        CAST(sum(CASE WHEN b.x > a.x THEN 1
+       |                      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+       |          AS s_stat
+       |      FROM d a JOIN d b ON a.day < b.day),
+       |t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS __tadj,
+       |        CAST(sum(t) AS BIGINT) AS n_days
+       |      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY x))
+       |SELECT n_days, s_stat, ${MannKendallZExpr.replace("\n", " ")} AS z
+       |FROM t CROSS JOIN p""".stripMargin
+
+  /** #296 SAX symbolization — the daily revenue series as a symbolic
+    * string per month (alphabet 4), binned by EXACT RANK instead of
+    * z-normal breakpoints so the quantization is integer-deterministic:
+    * letter = chr(97 + ((rank−1)·4) div n) on the (cents, day) total
+    * order. The rank is one O(days) calendar-bounded window; the
+    * per-month string folds from a sorted struct array (DuckDB
+    * string_agg ORDER BY) — no engine-chosen aggregation order. */
+  private def saxSymbols(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__x"))
+    val w = Window.orderBy(col("__x"), col("__day"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    daily
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__letter", expr("chr(97 + ((__rk - 1) * 4) div __n)"))
+      .groupBy(substring(col("__day"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        array_join(expr("transform(array_sort(collect_list(struct(__day, __letter))), p -> p.__letter)"), "")
+          .as("sax"))
+  }
+
+  private val saxSymbolsSql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT day,
+      |        row_number() OVER (ORDER BY x, day) AS rk,
+      |        count(*) OVER () AS n
+      |      FROM d)
+      |SELECT substr(day, 1, 7) AS month, CAST(count(*) AS BIGINT) AS n_days,
+      |  string_agg(chr(97 + CAST(((rk - 1) * 4) // n AS INT)), ''
+      |             ORDER BY day) AS sax
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** #297 Shewhart control chart — which days' revenue breaches the
+    * ±3σ control limits? μ and σ come from the exact daily-cents
+    * moments (n·Σx² − (Σx)², the #275 shared-scale identity) and the
+    * per-day z is one shared double expression — identical IEEE tree on
+    * identical integers in both engines, so even boundary days compare
+    * identically. O(days) output with the exact cents kept. */
+  private def controlChart(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val m = daily.agg(count(lit(1)).as("__n"), sum("cents").as("__s"),
+      sum(col("cents").cast("decimal(38,0)") * col("cents")).as("__q"))
+    daily.crossJoin(broadcast(m))
+      .withColumn("z", expr(ControlZExpr))
+      .withColumn("out_of_control", abs(col("z")) > 3.0)
+      .select("day", "cents", "z", "out_of_control")
+  }
+
+  /** Per-day z over (cents, __n, __s, __q); sample variance via the
+    * n-scaled identity, divide-early to keep operands small-scale. */
+  private[graft] val ControlZExpr: String =
+    """round(CASE
+      WHEN __n > 1 AND
+           (CAST(__q AS DOUBLE) - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE)
+              / CAST(__n AS DOUBLE)) / (CAST(__n AS DOUBLE) - 1.0) > 0.0
+      THEN (CAST(cents AS DOUBLE) - CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE))
+           / sqrt((CAST(__q AS DOUBLE)
+                   - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE))
+                  / (CAST(__n AS DOUBLE) - 1.0))
+      ELSE 0.0 END, 6)"""
+
+  private lazy val controlChartSql =
+    s"""WITH d AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS __n,
+       |        CAST(sum(cents) AS BIGINT) AS __s,
+       |        sum(CAST(cents AS HUGEINT) * cents) AS __q
+       |      FROM d)
+       |SELECT day, cents, ${ControlZExpr.replace("\n", " ")} AS z,
+       |  abs(${ControlZExpr.replace("\n", " ")}) > 3.0 AS out_of_control
+       |FROM d CROSS JOIN m""".stripMargin
+
+  /** #298 Grubbs outlier test — is the most extreme day a statistical
+    * outlier? The argmax day picks on the EXACT scaled deviation
+    * |x·n − S| (integer — no double argmax ambiguity), tie-broken by
+    * day; G = max|x−μ|/s is one shared double fold over the exact
+    * moments; flagged against the fixed G > 3 critical value (declared
+    * semantics, not a p-value lookup). 1-row output. */
+  private def grubbs(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = daily.agg(count(lit(1)).as("__n"), sum("__x").as("__s"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__q"))
+    daily.crossJoin(broadcast(m))
+      .withColumn("__dev",
+        abs(col("__x").cast("decimal(38,0)") * col("__n") - col("__s")))
+      .orderBy(desc("__dev"), asc("__day")).limit(1)
+      .select(col("__day").as("extreme_day"), col("__x").as("cents"),
+        col("__n").as("n_days"),
+        expr(GrubbsGExpr).as("g_stat"))
+      .withColumn("is_outlier", col("g_stat") > 3.0)
+  }
+
+  /** G over (cents=__x, __n, __s, __q) for the selected row. */
+  private[graft] val GrubbsGExpr: String =
+    """round(CASE
+      WHEN __n > 1 AND
+           (CAST(__q AS DOUBLE) - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE)
+              / CAST(__n AS DOUBLE)) / (CAST(__n AS DOUBLE) - 1.0) > 0.0
+      THEN abs(CAST(__x AS DOUBLE) - CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE))
+           / sqrt((CAST(__q AS DOUBLE)
+                   - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE))
+                  / (CAST(__n AS DOUBLE) - 1.0))
+      ELSE 0.0 END, 6)"""
+
+  private lazy val grubbsSql =
+    s"""WITH d AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS __n,
+       |        CAST(sum(x) AS BIGINT) AS __s,
+       |        sum(CAST(x AS HUGEINT) * x) AS __q
+       |      FROM d),
+       |pick AS (
+       |  SELECT d.day, d.x AS __x, m.__n, m.__s, m.__q
+       |  FROM d CROSS JOIN m
+       |  ORDER BY abs(CAST(d.x AS HUGEINT) * m.__n - m.__s) DESC, d.day
+       |  LIMIT 1)
+       |SELECT day AS extreme_day, __x AS cents, __n AS n_days,
+       |  ${GrubbsGExpr.replace("\n", " ")} AS g_stat,
+       |  ${GrubbsGExpr.replace("\n", " ")} > 3.0 AS is_outlier
+       |FROM pick""".stripMargin
+
+  /** #299 Friedman test — do the five priorities rank consistently
+    * across days (complete blocks only, declared)? Within-block average
+    * ranks stay integral as 2·rank = 2·#(<) + #(=) + 1 over the 5-row
+    * day partition (#293's device); Σ(2R_j)² folds exactly in BIGINT
+    * and χ² is one shared double fold. The per-day window partitions by
+    * day — thousands of 5-row partitions, embarrassingly parallel. */
+  private def friedman(s: SparkSession, dir: String): DataFrame = {
+    val cell = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"),
+        substring(col("o_orderpriority"), 1, 1).as("__g"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__x"))
+    val full = Window.partitionBy("__day")
+    val complete = cell
+      .withColumn("__k", count(lit(1)).over(full))
+      .filter(col("__k") === 5)
+    // 2·avg-rank = 2·#(≤) − #(=) + 1: RANGE frame counts peers, the
+    // (day, x) partition counts the tie group
+    val r2 = complete
+      .withColumn("__r2", expr(
+        """2 * (count(*) OVER (PARTITION BY __day ORDER BY __x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           - (count(*) OVER (PARTITION BY __day, __x)) + 1"""))
+    val agg = r2.groupBy("__g")
+      .agg(count(lit(1)).as("__nb"), sum("__r2").as("__r2sum"))
+    // coalesce: zero complete blocks (tiny SF) must yield (0, 0.0),
+    // not a NULL row
+    val one = agg.agg(
+      coalesce(max("__nb"), lit(0L)).as("n_blocks"),
+      coalesce(sum(col("__r2sum").cast("decimal(38,0)") * col("__r2sum")),
+        lit(java.math.BigDecimal.ZERO)).as("__sumr2sq"))
+    one.withColumn("chi2", expr(FriedmanChi2Expr))
+      .select("n_blocks", "chi2")
+  }
+
+  /** χ² = 12/(n·k(k+1))·Σ R_j² − 3n(k+1) with R_j = (Σ2r)/2, k=5. */
+  private[graft] val FriedmanChi2Expr: String =
+    """round(CASE WHEN n_blocks > 0
+      THEN 12.0 * (CAST(__sumr2sq AS DOUBLE) / 4.0)
+           / (CAST(n_blocks AS DOUBLE) * 5.0 * 6.0)
+           - 3.0 * CAST(n_blocks AS DOUBLE) * 6.0
+      ELSE 0.0 END, 6)"""
+
+  private lazy val friedmanSql =
+    s"""WITH c AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    substr(o_orderpriority, 1, 1) AS g,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1, 2),
+       |k AS (SELECT *, count(*) OVER (PARTITION BY day) AS kk FROM c),
+       |f AS (SELECT day, g, x FROM k WHERE kk = 5),
+       |r AS (SELECT day, g,
+       |        2 * (count(*) OVER (PARTITION BY day ORDER BY x
+       |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |        - (count(*) OVER (PARTITION BY day, x)) + 1 AS r2
+       |      FROM f),
+       |a AS (SELECT g, CAST(count(*) AS BIGINT) AS nb,
+       |        CAST(sum(r2) AS BIGINT) AS r2sum
+       |      FROM r GROUP BY 1),
+       |one AS (SELECT CAST(coalesce(max(nb), 0) AS BIGINT) AS n_blocks,
+       |         coalesce(sum(CAST(r2sum AS HUGEINT) * r2sum), 0) AS __sumr2sq
+       |       FROM a)
+       |SELECT n_blocks, ${FriedmanChi2Expr.replace("\n", " ")} AS chi2
+       |FROM one""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -14219,5 +14520,11 @@ object Queries {
     Q("q_readability", readability, Some(readabilitySql)),
     Q("q_char_kl", charKl, Some(charKlSql)),
     Q("q_wilcoxon", wilcoxon, Some(wilcoxonSql)),
+    Q("q_t_closeness", tCloseness, Some(tClosenessSql)),
+    Q("q_mann_kendall", mannKendall, Some(mannKendallSql)),
+    Q("q_sax", saxSymbols, Some(saxSymbolsSql)),
+    Q("q_control_chart", controlChart, Some(controlChartSql)),
+    Q("q_grubbs", grubbs, Some(grubbsSql)),
+    Q("q_friedman", friedman, Some(friedmanSql)),
   )
 }

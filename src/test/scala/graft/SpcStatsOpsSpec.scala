@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ops 294-299 (round-8 widening, SPC + nonparametrics + privacy):
+  * t-closeness, Mann–Kendall, SAX, control chart, Grubbs, Friedman —
+  * driver replays at sf0.001 with plain Scala collections. */
+class SpcStatsOpsSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val daily: Seq[(String, Long)] =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+
+  test("q_t_closeness: ppm EMD replays; global class has EMD 0") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority"), year(col("o_orderdate")).cast("long"),
+        col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val tf = orders.count(_._3 == "F").toLong
+    val tg = orders.count(_._3 == "O").toLong
+    val n = orders.length.toLong
+    val want = orders.groupBy(o => (o._1, o._2)).map { case ((p, y), os) =>
+      val cn = os.size.toLong
+      val f = os.count(_._3 == "F").toLong
+      val o = os.count(_._3 == "O").toLong
+      val d1 = math.abs(f * 1000000L / cn - tf * 1000000L / n)
+      val d2 = math.abs((f + o) * 1000000L / cn - (tf + tg) * 1000000L / n)
+      val emd = (d1 + d2) / 2
+      (p, y, cn, emd, emd > 150000L)
+    }.toSet
+    val got = SparkEntry.queries("q_t_closeness")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == want)
+  }
+
+  test("q_mann_kendall: S, ties and z replay brute-force") {
+    val xs = daily.map(_._2)
+    var sStat = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.size)
+      sStat += java.lang.Long.signum(xs(j) - xs(i))
+    val n = xs.size.toLong
+    val tadj = xs.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varS = (n * (n - 1) * (2 * n + 5) - tadj) / 18.0
+    val z = if (varS > 0 && sStat != 0)
+      (sStat - (if (sStat > 0) 1 else -1)) / math.sqrt(varS) else 0.0
+    val got = SparkEntry.queries("q_mann_kendall")(spark, dir).collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == sStat)
+    assert(math.abs(got.getDouble(2) - z) < 5e-7)
+  }
+
+  test("q_sax: rank-binned letters concatenate in day order") {
+    val n = daily.size.toLong
+    val ranked = daily.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((d, _), i) => d -> ('a' + (i.toLong * 4 / n).toInt).toChar }
+      .toMap
+    val want = daily.map(_._1).groupBy(_.substring(0, 7)).map { case (m, ds) =>
+      (m, ds.size.toLong, ds.sorted.map(ranked).mkString)
+    }.toSet
+    val got = SparkEntry.queries("q_sax")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    // alphabet bins are near-equal by construction
+    val letters = got.toSeq.flatMap(_._3)
+    assert(letters.toSet == Set('a', 'b', 'c', 'd'))
+  }
+
+  test("q_control_chart + q_grubbs: moments, z, argmax replay") {
+    val n = daily.size.toLong
+    val sSum = daily.map(_._2).sum
+    val q = daily.map(t => BigInt(t._2) * t._2).sum
+    val mean = sSum.toDouble / n
+    val sd = math.sqrt((q.toDouble - sSum.toDouble * sSum.toDouble / n) / (n - 1.0))
+    val got = SparkEntry.queries("q_control_chart")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == daily.size)
+    got.foreach { case (d, cents, z, ooc) =>
+      val wantZ = (cents - mean) / sd
+      assert(math.abs(z - wantZ) < 5e-7, s"day $d")
+      assert(ooc == (math.abs(z) > 3.0))
+    }
+    val extreme = daily.minBy(t => (-(BigInt(t._2) * n - sSum).abs, t._1))
+    val g = SparkEntry.queries("q_grubbs")(spark, dir).collect().head
+    assert(g.getString(0) == extreme._1)
+    assert(g.getLong(1) == extreme._2)
+    assert(g.getLong(2) == n)
+    val wantG = math.abs(extreme._2 - mean) / sd
+    assert(math.abs(g.getDouble(3) - wantG) < 5e-7)
+    assert(g.getBoolean(4) == (g.getDouble(3) > 3.0))
+  }
+
+  test("q_friedman: complete-block 2·avg-ranks and chi2 replay") {
+    // sf0.001 has ~0.6 orders/day — zero complete 5-priority blocks;
+    // the operator must be TOTAL there, and the replay needs sf0.01
+    val zero = SparkEntry.queries("q_friedman")(spark, dir).collect().head
+    assert(zero.getLong(0) == 0L && zero.getDouble(1) == 0.0)
+    val dir01 = "/root/testdata/sf0.01"
+    val cells = spark.read.parquet(s"$dir01/orders.parquet")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        substring(col("o_orderpriority"), 1, 1).as("g"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val complete = cells.groupBy(_._1).filter(_._2.size == 5)
+    val r2ByG = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    complete.values.foreach { block =>
+      block.foreach { case (_, g, x) =>
+        val le = block.count(_._3 <= x).toLong
+        val eq = block.count(_._3 == x).toLong
+        r2ByG(g) += 2 * le - eq + 1
+      }
+    }
+    val nb = complete.size.toLong
+    val sumR2sq = r2ByG.values.map(v => BigInt(v) * v).sum
+    val chi2 = 12.0 * (sumR2sq.toDouble / 4.0) / (nb * 5.0 * 6.0) - 3.0 * nb * 6.0
+    val got = SparkEntry.queries("q_friedman")(spark, dir01).collect().head
+    assert(got.getLong(0) == nb)
+    assert(math.abs(got.getDouble(1) - chi2) < 5e-7)
+    // complete blocks dominate at this SF
+    assert(nb > 100)
+  }
+}
