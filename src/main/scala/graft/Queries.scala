@@ -14222,6 +14222,347 @@ object Queries {
        |SELECT n_blocks, ${FriedmanChi2Expr.replace("\n", " ")} AS chi2
        |FROM one""".stripMargin
 
+  /** #300 Brown–Forsythe / Levene — does order-value SPREAD differ by
+    * priority (the variance-homogeneity check behind #282's ANOVA)?
+    * Per-group EXACT lower medians come from the #270 compress-then-
+    * scan device (distinct dollar values, cumulative counts), the
+    * absolute deviations stay integer dollars, and the W statistic is
+    * the #282 fixed-column ANOVA fold applied to those deviations —
+    * the identical shared expression, zero new double machinery. */
+  private def levene(s: SparkSession, dir: String): DataFrame = {
+    val base = parallelize(s, t(s, dir, "orders"))
+      .select(substring(col("o_orderpriority"), 1, 1).as("__g"),
+        expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) div 100 AS BIGINT)")
+          .as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val compressed = base.groupBy("__g", "__x").agg(count(lit(1)).as("__w"))
+    val byG = Window.partitionBy("__g").orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = compressed
+      .withColumn("__cum", sum("__w").over(byG))
+      .withColumn("__tot", sum("__w").over(Window.partitionBy("__g")))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy("__g").agg(min("__x").as("__med"))
+    val z = base.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+    val cells = z.groupBy("__g").agg(count(lit(1)).as("n"),
+      sum("__z").as("s"), sum(col("__z") * col("__z")).as("q"))
+    val pivotCols = (1 to 5).flatMap { i =>
+      Seq(coalesce(sum(when(col("__g") === i.toString, col("n"))), lit(0L))
+            .as(s"n$i"),
+        coalesce(sum(when(col("__g") === i.toString, col("s"))), lit(0L))
+          .as(s"s$i"),
+        coalesce(sum(when(col("__g") === i.toString, col("q"))), lit(0L))
+          .as(s"q$i"))
+    }
+    cells.agg(pivotCols.head, pivotCols.tail: _*)
+      .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
+      .withColumn("k", expr(
+        "CAST((CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n4 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n5 > 0 THEN 1 ELSE 0 END) AS BIGINT)"))
+      .withColumn("w_stat", expr(AnovaFExpr))
+      .select("n", "k", "w_stat")
+  }
+
+  private lazy val leveneSql =
+    s"""WITH b AS (
+       |  SELECT substr(o_orderpriority, 1, 1) AS g,
+       |    CAST(CAST(o_totalprice * 100 AS BIGINT) // 100 AS BIGINT) AS x
+       |  FROM orders),
+       |cm AS (SELECT g, x, CAST(count(*) AS BIGINT) AS w FROM b GROUP BY 1, 2),
+       |cum AS (SELECT g, x,
+       |          sum(w) OVER (PARTITION BY g ORDER BY x
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+       |          sum(w) OVER (PARTITION BY g) AS tot
+       |        FROM cm),
+       |md AS (SELECT g, min(x) AS med FROM cum WHERE c * 2 >= tot GROUP BY 1),
+       |z AS (SELECT b.g, abs(b.x - md.med) AS z FROM b JOIN md USING (g)),
+       |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(z) AS s,
+       |        sum(z * z) AS q FROM z GROUP BY 1),
+       |one AS (SELECT ${(1 to 5).flatMap { i =>
+          Seq(s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN n END), 0) AS BIGINT) AS n$i",
+            s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN s END), 0) AS BIGINT) AS s$i",
+            s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN q END), 0) AS BIGINT) AS q$i")
+        }.mkString(", ")} FROM c),
+       |f AS (SELECT *, n1+n2+n3+n4+n5 AS n,
+       |  CAST((CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n4 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n5 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM one)
+       |SELECT n, k, ${AnovaFExpr.replace("\n", " ")} AS w_stat
+       |FROM f""".stripMargin
+
+  /** #301 pairwise effect sizes — Cohen's d (and the small-sample
+    * Hedges' g correction) for every priority pair: the magnitude
+    * companion to #282's F. The 5-row exact moment table self-joins
+    * into C(5,2) pairs; each d is one per-row shared double expression
+    * over six exact integers — no cross-row folding at all. */
+  private def effectSizes(s: SparkSession, dir: String): DataFrame = {
+    val cells = parallelize(s, t(s, dir, "orders"))
+      .select(substring(col("o_orderpriority"), 1, 1).as("__g"),
+        expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) div 100 AS BIGINT)")
+          .as("__x"))
+      .groupBy("__g").agg(count(lit(1)).as("n"),
+        sum("__x").as("s"), sum(col("__x") * col("__x")).as("q"))
+    val a = cells.select(col("__g").as("g_a"), col("n").as("na"),
+      col("s").as("sa"), col("q").as("qa"))
+    val b = cells.select(col("__g").as("g_b"), col("n").as("nb"),
+      col("s").as("sb"), col("q").as("qb"))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .withColumn("cohens_d", expr(CohensDExpr))
+      .withColumn("hedges_g", expr(
+        s"""round(($CohensDRawExpr) *
+          (1.0 - 3.0 / (4.0 * CAST(na + nb AS DOUBLE) - 9.0)), 6)"""))
+      .select("g_a", "g_b", "na", "nb", "cohens_d", "hedges_g")
+  }
+
+  private lazy val CohensDRawExpr: String =
+    """CASE WHEN na > 1 AND nb > 1 AND
+         ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/CAST(na AS DOUBLE))
+          + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)))
+         / (CAST(na + nb AS DOUBLE) - 2.0) > 0.0
+      THEN (CAST(sa AS DOUBLE)/CAST(na AS DOUBLE) - CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE))
+           / sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/CAST(na AS DOUBLE))
+                   + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)))
+                  / (CAST(na + nb AS DOUBLE) - 2.0))
+      ELSE 0.0 END"""
+  private lazy val CohensDExpr: String = s"round($CohensDRawExpr, 6)"
+
+  private lazy val effectSizesSql =
+    s"""WITH c AS (
+       |  SELECT substr(o_orderpriority, 1, 1) AS g,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT) // 100) AS BIGINT) AS s,
+       |    CAST(sum((CAST(o_totalprice * 100 AS BIGINT) // 100)
+       |             * (CAST(o_totalprice * 100 AS BIGINT) // 100)) AS BIGINT) AS q
+       |  FROM orders GROUP BY 1),
+       |p AS (SELECT a.g AS g_a, b.g AS g_b, a.n AS na, a.s AS sa, a.q AS qa,
+       |        b.n AS nb, b.s AS sb, b.q AS qb
+       |      FROM c a JOIN c b ON a.g < b.g)
+       |SELECT g_a, g_b, na, nb,
+       |  ${CohensDExpr.replace("\n", " ")} AS cohens_d,
+       |  round((${CohensDRawExpr.replace("\n", " ")}) *
+       |    (1.0 - 3.0 / (4.0 * CAST(na + nb AS DOUBLE) - 9.0)), 6) AS hedges_g
+       |FROM p""".stripMargin
+
+  /** #302 Benjamini–Hochberg FDR — multiple-testing control over the
+    * #297 per-day z family: p-values via the Zelen–Severo Φ tail
+    * polynomial quantized to ⌊p·1e6⌋ (the ⌊ln·1e6⌋ discipline — the
+    * 1-ulp libm gap between engines is absorbed by the quantization
+    * except on measure-zero boundaries), then the step-up rule runs
+    * ENTIRELY on integers: discovery ⇔ rank ≤ k* where k* = max rank
+    * with p_ppm·m ≤ rank·α_ppm (α = 5%). 1-row summary output. */
+  private def bhFdr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val m = daily.agg(count(lit(1)).as("__n"), sum("cents").as("__s"),
+      sum(col("cents").cast("decimal(38,0)") * col("cents")).as("__q"))
+    val z = daily.crossJoin(broadcast(m))
+      .withColumn("__z", expr(ControlZExpr))
+      .withColumn("p_ppm", expr(PhiTailPpmExpr))
+    val w = Window.orderBy(col("p_ppm"), col("day"))
+    val ranked = z
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__hit",
+        when(col("p_ppm") * col("__m") <= col("__rk") * 50000L, col("__rk")))
+    ranked.agg(max("__m").as("n_tests"),
+        coalesce(max("__hit"), lit(0L)).as("k_star"),
+        min("p_ppm").as("min_p_ppm"))
+      .withColumn("n_discoveries", col("k_star"))
+      .select("n_tests", "n_discoveries", "min_p_ppm")
+  }
+
+  /** ⌊two-sided normal tail·1e6⌋ from z (Zelen–Severo 26.2.17). */
+  private[graft] val PhiTailPpmExpr: String = {
+    val t = "(1.0 / (1.0 + 0.2316419 * abs(__z)))"
+    val poly = s"(0.319381530 * $t - 0.356563782 * $t * $t + 1.781477937 * $t * $t * $t - 1.821255978 * $t * $t * $t * $t + 1.330274429 * $t * $t * $t * $t * $t)"
+    s"CAST(floor(2.0 * (exp(-abs(__z) * abs(__z) / 2.0) / sqrt(2.0 * pi())) * $poly * 1000000.0) AS BIGINT)"
+  }
+
+  private lazy val bhFdrSql =
+    s"""WITH d AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS __n,
+       |        CAST(sum(cents) AS BIGINT) AS __s,
+       |        sum(CAST(cents AS HUGEINT) * cents) AS __q
+       |      FROM d),
+       |z AS (SELECT day, ${ControlZExpr.replace("\n", " ")} AS __z
+       |      FROM d CROSS JOIN m),
+       |p AS (SELECT day, ${PhiTailPpmExpr.replace("\n", " ")} AS p_ppm FROM z),
+       |r AS (SELECT p_ppm,
+       |        row_number() OVER (ORDER BY p_ppm, day) AS rk,
+       |        count(*) OVER () AS mm
+       |      FROM p)
+       |SELECT CAST(max(mm) AS BIGINT) AS n_tests,
+       |  CAST(coalesce(max(CASE WHEN p_ppm * mm <= rk * 50000
+       |                         THEN rk END), 0) AS BIGINT) AS n_discoveries,
+       |  CAST(min(p_ppm) AS BIGINT) AS min_p_ppm
+       |FROM r""".stripMargin
+
+  /** #303 normal Q–Q deciles — the normality diagnostic behind every
+    * z-based gate (#82, #297): exact rank-selected empirical deciles
+    * (rank ⌈q·n⌉ on the (cents, day) total order) against the fixed
+    * Φ⁻¹ decile constants (literals — nothing to approximate at run
+    * time). The z-standardization is the #297 shared fold. */
+  private def qqNormal(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val m = daily.agg(count(lit(1)).as("__n"), sum("cents").as("__s"),
+      sum(col("cents").cast("decimal(38,0)") * col("cents")).as("__q"))
+    val w = Window.orderBy(col("cents"), col("__day"))
+    val deciles = daily
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .withColumn("decile",
+        explode(expr("filter(sequence(1, 9), i -> __rk = (i * __n + 9) div 10)")))
+      .withColumn("decile", col("decile").cast("long"))
+    deciles
+      .withColumn("z_empirical", expr(QqZExpr))
+      .withColumn("z_theoretical", expr(
+        """round(CAST(element_at(array(-1.2815515655446004D, -0.8416212335729143D,
+          -0.5244005127080407D, -0.2533471031357997D, 0.0D,
+          0.2533471031357997D, 0.5244005127080407D, 0.8416212335729143D,
+          1.2815515655446004D), CAST(decile AS INT)) AS DOUBLE), 6)"""))
+      .withColumn("qq_gap", round(col("z_empirical") - col("z_theoretical"), 6))
+      .select("decile", "cents", "z_empirical", "z_theoretical", "qq_gap")
+  }
+
+  /** #297's z fold under the q-q column names. */
+  private[graft] val QqZExpr: String = ControlZExpr
+
+  private lazy val qqNormalSql =
+    s"""WITH d AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS __n,
+       |        CAST(sum(cents) AS BIGINT) AS __s,
+       |        sum(CAST(cents AS HUGEINT) * cents) AS __q
+       |      FROM d),
+       |r AS (SELECT day, cents, row_number() OVER (ORDER BY cents, day) AS rk
+       |      FROM d),
+       |dec AS (
+       |  SELECT i.decile, r.cents, m.__n, m.__s, m.__q
+       |  FROM r CROSS JOIN m
+       |  JOIN (SELECT unnest(generate_series(1, 9)) AS decile) i
+       |    ON r.rk = (i.decile * m.__n + 9) // 10),
+       |th AS (SELECT * FROM (VALUES
+       |  (1, -1.2815515655446004), (2, -0.8416212335729143),
+       |  (3, -0.5244005127080407), (4, -0.2533471031357997), (5, 0.0),
+       |  (6, 0.2533471031357997), (7, 0.5244005127080407),
+       |  (8, 0.8416212335729143), (9, 1.2815515655446004)) t(decile, zt))
+       |SELECT CAST(dec.decile AS BIGINT) AS decile, dec.cents,
+       |  ${ControlZExpr.replace("\n", " ")} AS z_empirical,
+       |  round(CAST(th.zt AS DOUBLE), 6) AS z_theoretical,
+       |  round(${ControlZExpr.replace("\n", " ")}
+       |        - round(CAST(th.zt AS DOUBLE), 6), 6) AS qq_gap
+       |FROM dec JOIN th ON th.decile = dec.decile""".stripMargin
+
+  /** #304 Jarque–Bera — skewness/kurtosis normality test on daily
+    * revenue in TRUNCATED K$ units (cents div 100000: the 4th power of
+    * a k$ total stays inside DECIMAL(38) to sf100, where cents⁴ would
+    * not). Four raw moments fold exactly; skew, excess kurtosis and JB
+    * are one shared divide-early double expression. */
+  private def jarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"))
+      .agg(expr("CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) div 100000 AS BIGINT)")
+        .as("__x"))
+    val x = col("__x").cast("decimal(38,0)")
+    daily.agg(count(lit(1)).as("n_days"), sum("__x").as("__s1"),
+        sum(x * x).as("__s2"), sum(x * x * x).as("__s3"),
+        sum(x * x * x * x).as("__s4"))
+      .withColumn("skewness", expr(JbSkewExpr))
+      .withColumn("kurtosis_excess", expr(JbKurtExpr))
+      .withColumn("jb_stat", expr(JbStatExpr))
+      .select("n_days", "skewness", "kurtosis_excess", "jb_stat")
+  }
+
+  // central moments via divide-early raw-moment identities; every
+  // operand derives from exact integers by the same conversions
+  private lazy val jbMu = "(CAST(__s1 AS DOUBLE) / CAST(n_days AS DOUBLE))"
+  private lazy val jbM2 =
+    s"(CAST(__s2 AS DOUBLE) / CAST(n_days AS DOUBLE) - $jbMu * $jbMu)"
+  private lazy val jbM3 =
+    s"(CAST(__s3 AS DOUBLE) / CAST(n_days AS DOUBLE) - 3.0 * $jbMu * CAST(__s2 AS DOUBLE) / CAST(n_days AS DOUBLE) + 2.0 * $jbMu * $jbMu * $jbMu)"
+  private lazy val jbM4 =
+    s"(CAST(__s4 AS DOUBLE) / CAST(n_days AS DOUBLE) - 4.0 * $jbMu * CAST(__s3 AS DOUBLE) / CAST(n_days AS DOUBLE) + 6.0 * $jbMu * $jbMu * CAST(__s2 AS DOUBLE) / CAST(n_days AS DOUBLE) - 3.0 * $jbMu * $jbMu * $jbMu * $jbMu)"
+  private lazy val JbSkewRaw =
+    s"(CASE WHEN $jbM2 > 0.0 THEN $jbM3 / ($jbM2 * sqrt($jbM2)) ELSE 0.0 END)"
+  private lazy val JbKurtRaw =
+    s"(CASE WHEN $jbM2 > 0.0 THEN $jbM4 / ($jbM2 * $jbM2) - 3.0 ELSE 0.0 END)"
+  private[graft] lazy val JbSkewExpr = s"round($JbSkewRaw, 6)"
+  private[graft] lazy val JbKurtExpr = s"round($JbKurtRaw, 6)"
+  private[graft] lazy val JbStatExpr =
+    s"""round(CAST(n_days AS DOUBLE) *
+      ($JbSkewRaw * $JbSkewRaw / 6.0 + $JbKurtRaw * $JbKurtRaw / 24.0), 6)"""
+
+  private lazy val jarqueBeraSql =
+    s"""WITH d AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) // 100000 AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |        CAST(sum(x) AS BIGINT) AS __s1,
+       |        sum(CAST(x AS HUGEINT) * x) AS __s2,
+       |        sum(CAST(x AS HUGEINT) * x * x) AS __s3,
+       |        sum(CAST(x AS HUGEINT) * x * x * x) AS __s4
+       |      FROM d)
+       |SELECT n_days, ${JbSkewExpr.replace("\n", " ")} AS skewness,
+       |  ${JbKurtExpr.replace("\n", " ")} AS kurtosis_excess,
+       |  ${JbStatExpr.replace("\n", " ")} AS jb_stat
+       |FROM m""".stripMargin
+
+  /** #305 Durbin–Watson — first-order serial correlation of the daily
+    * revenue series around its mean: DW = n·Σ(Δx)² / (n·Σx² − S²),
+    * numerator from one O(days) lag window, denominator the n-scaled
+    * variance identity — both exact integers, one double division. */
+  private def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"))
+      .agg(expr("CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) div 100 AS BIGINT)")
+        .as("__x"))
+    val w = Window.orderBy("__day")
+    val diffs = daily
+      .withColumn("__prev", lag("__x", 1).over(w))
+      .withColumn("__d", col("__x") - col("__prev"))
+    diffs.agg(count(lit(1)).as("n_days"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__q"),
+        sum(col("__d").cast("decimal(38,0)") * col("__d")).as("__dd"))
+      .withColumn("dw", expr(DwExpr))
+      .select("n_days", "dw")
+  }
+
+  private[graft] val DwExpr: String =
+    """round(CASE
+      WHEN CAST(n_days AS DOUBLE) * CAST(__q AS DOUBLE)
+           - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE) > 0.0
+      THEN CAST(n_days AS DOUBLE) * CAST(__dd AS DOUBLE)
+           / (CAST(n_days AS DOUBLE) * CAST(__q AS DOUBLE)
+              - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE))
+      ELSE 0.0 END, 6)"""
+
+  private lazy val durbinWatsonSql =
+    s"""WITH d AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) // 100 AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |l AS (SELECT x, x - lag(x) OVER (ORDER BY day) AS dd FROM d),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |        CAST(sum(x) AS BIGINT) AS __s,
+       |        sum(CAST(x AS HUGEINT) * x) AS __q,
+       |        sum(CAST(dd AS HUGEINT) * dd) AS __dd
+       |      FROM l)
+       |SELECT n_days, ${DwExpr.replace("\n", " ")} AS dw
+       |FROM m""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -14526,5 +14867,11 @@ object Queries {
     Q("q_control_chart", controlChart, Some(controlChartSql)),
     Q("q_grubbs", grubbs, Some(grubbsSql)),
     Q("q_friedman", friedman, Some(friedmanSql)),
+    Q("q_levene", levene, Some(leveneSql)),
+    Q("q_effect_sizes", effectSizes, Some(effectSizesSql)),
+    Q("q_bh_fdr", bhFdr, Some(bhFdrSql)),
+    Q("q_qq_normal", qqNormal, Some(qqNormalSql)),
+    Q("q_jarque_bera", jarqueBera, Some(jarqueBeraSql)),
+    Q("q_durbin_watson", durbinWatson, Some(durbinWatsonSql)),
   )
 }
