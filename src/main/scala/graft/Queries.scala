@@ -14563,6 +14563,273 @@ object Queries {
        |SELECT n_days, ${DwExpr.replace("\n", " ")} AS dw
        |FROM m""".stripMargin
 
+  /** #306 matrix profile — for every 7-day window of the daily revenue
+    * sequence, the nearest other window (motif/discord discovery, the
+    * UCR matrix-profile shape at daily granularity): windows are seven
+    * lead columns (one O(days) pass, positions not calendar — declared),
+    * distances are EXACT integer Σ(Δk$)² so the argmin has no double
+    * ambiguity, and the ±3 exclusion zone kills trivial self-matches.
+    * The pair scan is calendar-bounded O(days²) (the #278 broadcast
+    * shape); per-window minima pick by (dist², match_pos) total order. */
+  private def matrixProfile(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"))
+      .agg(expr("CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) div 100000 AS BIGINT)")
+        .as("__x"))
+    val w = Window.orderBy("__day")
+    val wins = daily
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cols = (0 to 6).map(k =>
+      (if (k == 0) col("__x") else lead(col("__x"), k).over(w)).as(s"x$k"))
+    val vecs = wins.select(Seq(col("__day"), col("__pos"), col("__n")) ++ cols: _*)
+      .filter(col("__pos") <= col("__n") - 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aCols = Seq(col("__day").as("start_day"), col("__pos").as("pa")) ++
+      (0 to 6).map(k => col(s"x$k").as(s"a$k"))
+    val a = vecs.select(aCols: _*)
+    val bCols = col("__pos").as("pb") +:
+      (0 to 6).map(k => col(s"x$k").as(s"b$k"))
+    val b = vecs.select(bCols: _*)
+    val d2 = (0 to 6).map(k =>
+      s"(a$k - b$k) * (a$k - b$k)").mkString(" + ")
+    val pairs = a.join(broadcast(b), abs(col("pa") - col("pb")) >= 4)
+      .withColumn("__d2", expr(d2))
+    val best = Window.partitionBy("pa").orderBy(col("__d2"), col("pb"))
+    pairs
+      .withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(col("pa").as("window_pos"), col("start_day"),
+        col("__d2").as("min_dist2"), col("pb").as("match_pos"))
+  }
+
+  private val matrixProfileSql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) // 100000 AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |v AS MATERIALIZED (
+      |  SELECT day, row_number() OVER (ORDER BY day) AS pos,
+      |    count(*) OVER () AS n, x AS x0,
+      |    lead(x, 1) OVER (ORDER BY day) AS x1,
+      |    lead(x, 2) OVER (ORDER BY day) AS x2,
+      |    lead(x, 3) OVER (ORDER BY day) AS x3,
+      |    lead(x, 4) OVER (ORDER BY day) AS x4,
+      |    lead(x, 5) OVER (ORDER BY day) AS x5,
+      |    lead(x, 6) OVER (ORDER BY day) AS x6
+      |  FROM d),
+      |vv AS MATERIALIZED (SELECT * FROM v WHERE pos <= n - 6),
+      |p AS (
+      |  SELECT a.pos AS pa, a.day AS start_day, b.pos AS pb,
+      |    (a.x0-b.x0)*(a.x0-b.x0) + (a.x1-b.x1)*(a.x1-b.x1)
+      |    + (a.x2-b.x2)*(a.x2-b.x2) + (a.x3-b.x3)*(a.x3-b.x3)
+      |    + (a.x4-b.x4)*(a.x4-b.x4) + (a.x5-b.x5)*(a.x5-b.x5)
+      |    + (a.x6-b.x6)*(a.x6-b.x6) AS d2
+      |  FROM vv a JOIN vv b ON abs(a.pos - b.pos) >= 4),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY pa ORDER BY d2, pb)
+      |        AS rk FROM p)
+      |SELECT CAST(pa AS BIGINT) AS window_pos, start_day,
+      |  CAST(d2 AS BIGINT) AS min_dist2, CAST(pb AS BIGINT) AS match_pos
+      |FROM r WHERE rk = 1""".stripMargin
+
+  /** #307 distinct-n diversity — the generation-eval lexical-diversity
+    * metric per source: distinct-1 = unigram types/tokens, distinct-2 =
+    * bigram types/bigrams, in ppm. Tokens split on the #291-portable
+    * character class; bigrams build inside the token array (one
+    * map-only pass) before the explode, so the shuffle carries n-grams,
+    * not documents. Exact counts; ppm floors. */
+  private def distinctN(s: SparkSession, dir: String): DataFrame = {
+    val toks = parallelize(s, t(s, dir, "documents"))
+      .select(col("source"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')")
+          .as("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(col("source"), explode(col("__ws")).as("__w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("__w")).as("n_types"))
+    // CASE guard: Spark's sequence(1, 0) DESCENDS instead of returning
+    // empty, which would index element_at(ws, 0)
+    val bi = toks.select(col("source"), explode(expr(
+        """CASE WHEN size(__ws) >= 2
+          |  THEN transform(sequence(1, size(__ws) - 1),
+          |    i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))
+          |  ELSE array() END"""
+          .stripMargin.replace("\n", " "))).as("__b"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_distinct(col("__b")).as("n_bigram_types"))
+    uni.join(bi, Seq("source"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("n_bigram_types", coalesce(col("n_bigram_types"), lit(0L)))
+      .withColumn("distinct1_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN (n_types * 1000000) div n_tokens ELSE 0 END"))
+      .withColumn("distinct2_ppm",
+        expr("CASE WHEN n_bigrams > 0 THEN (n_bigram_types * 1000000) div n_bigrams ELSE 0 END"))
+  }
+
+  private val distinctNSql =
+    """WITH base AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents),
+      |u AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT w) AS BIGINT) AS n_types
+      |  FROM (SELECT source, unnest(ws) AS w FROM base) GROUP BY 1),
+      |bl AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, greatest(len(ws), 1)),
+      |      i -> ws[i] || ' ' || ws[i + 1])) AS b
+      |  FROM base),
+      |bg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(count(DISTINCT b) AS BIGINT) AS n_bigram_types
+      |  FROM bl GROUP BY 1)
+      |SELECT u.source, u.n_tokens, u.n_types,
+      |  coalesce(bg.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(bg.n_bigram_types, 0) AS n_bigram_types,
+      |  CAST(CASE WHEN u.n_tokens > 0
+      |    THEN (u.n_types * 1000000) // u.n_tokens ELSE 0 END AS BIGINT)
+      |    AS distinct1_ppm,
+      |  CAST(CASE WHEN coalesce(bg.n_bigrams, 0) > 0
+      |    THEN (bg.n_bigram_types * 1000000) // bg.n_bigrams ELSE 0 END
+      |    AS BIGINT) AS distinct2_ppm
+      |FROM u LEFT JOIN bg ON bg.source = u.source""".stripMargin
+
+  /** #308 seasonal Mann–Kendall (Hirsch–Slack) — #295 restricted to
+    * within-month-of-year comparisons so a seasonal cycle cannot fake
+    * a trend: S and the tie-corrected variance fold PER SEASON (exact
+    * integers, Σ n_m² pairs ≈ 12·(days/12)² — smaller than #295's full
+    * scan), then combine additively into one continuity-corrected z. */
+  private def seasonalMk(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("__day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__x"))
+      .withColumn("__m", month(col("__day")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = daily.select(col("__m"), col("__day").as("__d1"), col("__x").as("__x1"))
+    val b = daily.select(col("__m").as("__m2"), col("__day").as("__d2"),
+      col("__x").as("__x2"))
+    val sPer = a.join(broadcast(b),
+        col("__m") === col("__m2") && col("__d1") < col("__d2"))
+      .groupBy("__m")
+      .agg(sum(signum(col("__x2") - col("__x1")).cast("long")).as("__sm"))
+    val varPer = daily.groupBy("__m", "__x").agg(count(lit(1)).as("__t"))
+      .groupBy("__m")
+      .agg(sum("__t").as("__nm"),
+        sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+          .as("__tm"))
+    sPer.join(varPer, Seq("__m"))
+      .agg(sum("__nm").as("n_days"), sum("__sm").as("s_stat"),
+        sum(expr("__nm * (__nm - 1) * (2 * __nm + 5) - __tm")).as("__var18"))
+      .withColumn("z", expr(SeasonalMkZExpr))
+      .select("n_days", "s_stat", "z")
+  }
+
+  private[graft] val SeasonalMkZExpr: String =
+    """round(CASE
+      WHEN CAST(__var18 AS DOUBLE) / 18.0 > 0.0 AND s_stat <> 0
+      THEN (CAST(s_stat AS DOUBLE)
+            - CAST(CASE WHEN s_stat > 0 THEN 1 ELSE -1 END AS DOUBLE))
+           / sqrt(CAST(__var18 AS DOUBLE) / 18.0)
+      ELSE 0.0 END, 6)"""
+
+  private lazy val seasonalMkSql =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(month(o_orderdate) AS INT) AS m,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1, 2),
+       |sp AS (SELECT a.m, CAST(sum(CASE WHEN b.x > a.x THEN 1
+       |                WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS sm
+       |       FROM d a JOIN d b ON a.m = b.m AND a.day < b.day GROUP BY 1),
+       |vp AS (SELECT m, CAST(sum(t) AS BIGINT) AS nm,
+       |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tm
+       |       FROM (SELECT m, x, CAST(count(*) AS BIGINT) AS t
+       |             FROM d GROUP BY 1, 2) GROUP BY 1),
+       |f AS (SELECT CAST(sum(nm) AS BIGINT) AS n_days,
+       |        CAST(sum(sm) AS BIGINT) AS s_stat,
+       |        CAST(sum(nm * (nm - 1) * (2 * nm + 5) - tm) AS BIGINT)
+       |          AS __var18
+       |      FROM sp JOIN vp USING (m))
+       |SELECT n_days, s_stat, ${SeasonalMkZExpr.replace("\n", " ")} AS z
+       |FROM f""".stripMargin
+
+  /** #309 Ljung–Box portmanteau — are the first 7 daily-revenue
+    * autocorrelations jointly zero (the i.i.d. sanity check behind
+    * #112's ACF and #305's DW)? Seven lead columns give the exact
+    * lagged cross-moments in one pass (k$ units keep Σx·x_lag inside
+    * BIGINT past sf10); r_k and Q fold in one fixed-order shared double
+    * expression — no per-lag double rows to sum. */
+  private def ljungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"))
+      .agg(expr("CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) div 100000 AS BIGINT)")
+        .as("__x"))
+    val w = Window.orderBy("__day")
+    val withLeads = (1 to 7).foldLeft(
+      daily.withColumn("__pos", row_number().over(w).cast("long"))) {
+      case (df, k) => df.withColumn(s"__l$k", lead(col("__x"), k).over(w))
+    }
+    val aggs = Seq(count(lit(1)).as("n_days"), sum("__x").as("s1"),
+      sum(col("__x") * col("__x")).as("s2")) ++ (1 to 7).flatMap { k =>
+      Seq(sum(col("__x") * col(s"__l$k")).as(s"a$k"),
+        sum(when(col(s"__l$k").isNotNull, col("__x"))).as(s"b$k"),
+        sum(col(s"__l$k")).as(s"c$k"))
+    }
+    withLeads.agg(aggs.head, aggs.tail: _*)
+      .withColumn("q_stat", expr(LjungBoxQExpr))
+      .withColumn("r1", expr(ljungR(1)))
+      .select("n_days", "r1", "q_stat")
+  }
+
+  // r_k = (A_k − x̄(B_k+C_k) + (n−k)x̄²) / ((Σx² − n·x̄²)); all operands
+  // exact integers, x̄ divided early
+  private def ljungR(k: Int): String = {
+    val mu = "(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    val den = s"(CAST(s2 AS DOUBLE) - CAST(n_days AS DOUBLE) * $mu * $mu)"
+    s"""round(CASE WHEN $den > 0.0
+      THEN (CAST(a$k AS DOUBLE) - $mu * (CAST(coalesce(b$k, 0) AS DOUBLE) + CAST(coalesce(c$k, 0) AS DOUBLE))
+            + CAST(n_days - $k AS DOUBLE) * $mu * $mu) / $den
+      ELSE 0.0 END, 6)"""
+  }
+  private[graft] lazy val LjungBoxQExpr: String = {
+    val terms = (1 to 7).map { k =>
+      val r = ljungR(k)
+      s"(($r) * ($r) / CAST(n_days - $k AS DOUBLE))"
+    }.mkString(" + ")
+    s"""round(CASE WHEN n_days > 8
+      THEN CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0) * ($terms)
+      ELSE 0.0 END, 6)"""
+  }
+
+  private lazy val ljungBoxSql = {
+    val leads = (1 to 7).map(k =>
+      s"lead(x, $k) OVER (ORDER BY day) AS l$k").mkString(",\n  ")
+    val moms = (1 to 7).map(k =>
+      s"""CAST(sum(x * l$k) AS BIGINT) AS a$k,
+         |  CAST(sum(CASE WHEN l$k IS NOT NULL THEN x END) AS BIGINT) AS b$k,
+         |  CAST(sum(l$k) AS BIGINT) AS c$k""".stripMargin).mkString(",\n  ")
+    s"""WITH d AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) // 100000 AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |l AS (SELECT x, $leads FROM d),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |  CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2,
+       |  $moms
+       |  FROM l)
+       |SELECT n_days, ${ljungR(1).replace("\n", " ")} AS r1,
+       |  ${LjungBoxQExpr.replace("\n", " ")} AS q_stat
+       |FROM m""".stripMargin
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -14873,5 +15140,9 @@ object Queries {
     Q("q_qq_normal", qqNormal, Some(qqNormalSql)),
     Q("q_jarque_bera", jarqueBera, Some(jarqueBeraSql)),
     Q("q_durbin_watson", durbinWatson, Some(durbinWatsonSql)),
+    Q("q_matrix_profile", matrixProfile, Some(matrixProfileSql)),
+    Q("q_distinct_n", distinctN, Some(distinctNSql)),
+    Q("q_seasonal_mk", seasonalMk, Some(seasonalMkSql)),
+    Q("q_ljung_box", ljungBox, Some(ljungBoxSql)),
   )
 }
