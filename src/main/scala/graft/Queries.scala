@@ -14830,6 +14830,229 @@ object Queries {
        |FROM m""".stripMargin
   }
 
+  /** #310 Cliff's delta — the nonparametric effect size for every
+    * priority pair (the ordinal companion to #301's Cohen's d):
+    * δ = (#(x>y) − #(x<y))/(n_a·n_b), computed WITHOUT any pair scan
+    * from the compressed value domain — order values quantize to
+    * DECA-DOLLARS (declared, bounding the distinct domain by the price
+    * range, not the row count), one row per distinct value carries the
+    * five per-group counts, exclusive-prefix windows give #(<v) per
+    * group, and Σ c_a·lt_b folds the 20 ordered-pair counts in ONE
+    * aggregate. Sign-split ppm division at the end. */
+  private def cliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val vals = parallelize(s, t(s, dir, "orders"))
+      .select(substring(col("o_orderpriority"), 1, 1).as("__g"),
+        expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) div 1000 AS BIGINT)")
+          .as("__v"))
+    val cCols = (1 to 5).map(g =>
+      sum(when(col("__g") === g.toString, 1L).otherwise(0L)).as(s"c$g"))
+    val compressed = vals.groupBy("__v").agg(cCols.head, cCols.tail: _*)
+    val w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = (1 to 5).foldLeft(compressed.as("cp")) { case (df, g) =>
+      df.withColumn(s"lt$g", coalesce(sum(col(s"c$g")).over(w), lit(0L)))
+    }
+    val aggs = (1 to 5).map(g => sum(col(s"c$g")).as(s"n$g")) ++
+      (for (a <- 1 to 5; b <- 1 to 5 if a != b)
+        yield sum(col(s"c$a") * col(s"lt$b")).as(s"gt${a}_$b"))
+    val one = cum.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = (for (a <- 1 to 5; b <- (a + 1) to 5) yield
+      s"""struct('$a' AS g_a, '$b' AS g_b, n$a AS na, n$b AS nb,
+         |  gt${a}_$b AS gt, gt${b}_$a AS lt)""".stripMargin.replace("\n", " "))
+      .mkString(", ")
+    one.select(explode(expr(s"array($pairStructs)")).as("p"))
+      .select(col("p.g_a").as("g_a"), col("p.g_b").as("g_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"),
+        col("p.gt").as("n_greater"), col("p.lt").as("n_less"))
+      .withColumn("delta_ppm", expr(
+        """CASE WHEN n_greater - n_less >= 0
+          THEN ((n_greater - n_less) * 1000000) div (na * nb)
+          ELSE -(((n_less - n_greater) * 1000000) div (na * nb)) END"""))
+  }
+
+  private lazy val cliffsDeltaSql = {
+    val cs = (1 to 5).map(g =>
+      s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS c$g")
+      .mkString(", ")
+    val lts = (1 to 5).map(g =>
+      s"""coalesce(sum(c$g) OVER (ORDER BY v
+         | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt$g"""
+        .stripMargin.replace("\n", " ")).mkString(", ")
+    val sums = (1 to 5).map(g => s"CAST(sum(c$g) AS BIGINT) AS n$g")
+      .mkString(", ") + ", " +
+      (for (a <- 1 to 5; b <- 1 to 5 if a != b)
+        yield s"CAST(sum(c$a * lt$b) AS BIGINT) AS gt${a}_$b").mkString(", ")
+    val rows = (for (a <- 1 to 5; b <- (a + 1) to 5) yield
+      s"SELECT '$a' AS g_a, '$b' AS g_b, n$a AS na, n$b AS nb, gt${a}_$b AS n_greater, gt${b}_$a AS n_less FROM one")
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT substr(o_orderpriority, 1, 1) AS g,
+       |    CAST(CAST(o_totalprice * 100 AS BIGINT) // 1000 AS BIGINT) AS v
+       |  FROM orders),
+       |cp AS (SELECT v, $cs FROM base GROUP BY 1),
+       |cum AS (SELECT v, c1, c2, c3, c4, c5, $lts FROM cp),
+       |one AS (SELECT $sums FROM cum),
+       |pairs AS ($rows)
+       |SELECT g_a, g_b, na, nb, n_greater, n_less,
+       |  CAST(CASE WHEN n_greater - n_less >= 0
+       |    THEN ((n_greater - n_less) * 1000000) // (na * nb)
+       |    ELSE -(((n_less - n_greater) * 1000000) // (na * nb)) END
+       |    AS BIGINT) AS delta_ppm
+       |FROM pairs""".stripMargin
+  }
+
+  /** #311 Hurst exponent — long-memory estimation of the daily revenue
+    * series by rescaled range over dyadic block sizes 8..256: within
+    * each FULL block the range of mean-centered prefix sums folds
+    * EXACTLY as Rs = max_k(w·P_k − k·S) − min_k(…) (the #285 scaled
+    * device — no division before the range), the denominator D = w·Q−S²
+    * is the n-scaled variance identity, and each block's R/S lands as
+    * ⌊(Rs ÷ √D)·1e6⌋ so the per-size MEAN is an integer division — no
+    * engine-ordered double summation. H is the fixed-order 6-point
+    * log-log OLS slope. One O(days·6) pass, windows partitioned per
+    * (size, block). */
+  private def hurst(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("__day"))
+      .agg(expr("CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18,0))) div 100000 AS BIGINT)")
+        .as("__x"))
+      .withColumn("__pos",
+        row_number().over(Window.orderBy("__day")).cast("long"))
+    val sized = daily.crossJoin(
+        broadcast(s.range(1).select(explode(expr(
+          "array(8L, 16L, 32L, 64L, 128L, 256L)")).as("__w"))))
+      .withColumn("__b", expr("(__pos - 1) div __w"))
+      .withColumn("__k", expr("__pos - __b * __w"))
+    val wB = Window.partitionBy("__w", "__b")
+    val wPfx = wB.orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)
+    val devs = sized
+      .withColumn("__cnt", count(lit(1)).over(wB))
+      .filter(col("__cnt") === col("__w"))
+      .withColumn("__sb", sum("__x").over(wB))
+      .withColumn("__qb", sum(col("__x") * col("__x")).over(wB))
+      .withColumn("__p", sum("__x").over(wPfx))
+      .withColumn("__dev", col("__w") * col("__p") - col("__k") * col("__sb"))
+    val blocks = devs.groupBy("__w", "__b")
+      .agg((max("__dev") - min("__dev")).as("__rstar"),
+        (max(col("__w") * col("__qb") - col("__sb") * col("__sb"))).as("__d"))
+      .filter(col("__d") > 0)
+      .withColumn("__rs_ppm", expr(
+        "CAST(floor(CAST(__rstar AS DOUBLE) / sqrt(CAST(__d AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    val perSize = blocks.groupBy("__w")
+      .agg(count(lit(1)).as("__nb"), expr("sum(__rs_ppm) div count(*)").as("__mean"))
+    val pivotCols = Seq(8, 16, 32, 64, 128, 256).flatMap { wsz =>
+      Seq(coalesce(sum(when(col("__w") === wsz, col("__mean"))), lit(0L))
+            .as(s"rs$wsz"),
+        coalesce(sum(when(col("__w") === wsz, col("__nb"))), lit(0L))
+          .as(s"nb$wsz"))
+    }
+    perSize.agg(pivotCols.head, pivotCols.tail: _*)
+      .withColumn("h_estimate", expr(HurstSlopeExpr))
+      .select("rs8", "rs32", "rs256", "h_estimate")
+  }
+
+  /** 6-point log-log OLS slope over the fixed size set; sizes with no
+    * blocks (rs=0) contribute via the guard. */
+  private[graft] lazy val HurstSlopeExpr: String = {
+    val sizes = Seq(8, 16, 32, 64, 128, 256)
+    val lnw = sizes.map(w => s"ln(${w}.0)")
+    val lnr = sizes.map(w => s"(CASE WHEN rs$w > 0 THEN ln(CAST(rs$w AS DOUBLE)) ELSE 0.0 END)")
+    val mw = s"((${lnw.mkString(" + ")}) / 6.0)"
+    val mr = s"((${lnr.mkString(" + ")}) / 6.0)"
+    val num = sizes.indices.map(i =>
+      s"((${lnw(i)} - $mw) * (${lnr(i)} - $mr))").mkString(" + ")
+    val den = sizes.indices.map(i =>
+      s"((${lnw(i)} - $mw) * (${lnw(i)} - $mw))").mkString(" + ")
+    s"round(CASE WHEN ($den) > 0.0 THEN ($num) / ($den) ELSE 0.0 END, 6)"
+  }
+
+  private lazy val hurstSql =
+    s"""WITH d AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) // 100000 AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |pos AS (SELECT x, row_number() OVER (ORDER BY day) AS p FROM d),
+       |sz AS (SELECT unnest([8, 16, 32, 64, 128, 256]) AS w),
+       |blk AS (
+       |  SELECT CAST(sz.w AS BIGINT) AS w, pos.x,
+       |    (pos.p - 1) // sz.w AS b, pos.p - ((pos.p - 1) // sz.w) * sz.w AS k
+       |  FROM pos CROSS JOIN sz),
+       |fb AS (
+       |  SELECT *, count(*) OVER (PARTITION BY w, b) AS cnt,
+       |    sum(x) OVER (PARTITION BY w, b) AS sb,
+       |    sum(x * x) OVER (PARTITION BY w, b) AS qb,
+       |    sum(x) OVER (PARTITION BY w, b ORDER BY k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+       |  FROM blk),
+       |dev AS (SELECT w, b, w * pf - k * sb AS dv, w * qb - sb * sb AS dd
+       |        FROM fb WHERE cnt = w),
+       |rs AS (
+       |  SELECT w, b,
+       |    CAST(floor(CAST(max(dv) - min(dv) AS DOUBLE)
+       |         / sqrt(CAST(max(dd) AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |      AS rs_ppm
+       |  FROM dev GROUP BY 1, 2 HAVING max(dd) > 0),
+       |ps AS (SELECT w, CAST(count(*) AS BIGINT) AS nb,
+       |         CAST(sum(rs_ppm) // count(*) AS BIGINT) AS mean_ppm
+       |       FROM rs GROUP BY 1),
+       |one AS (SELECT ${Seq(8, 16, 32, 64, 128, 256).map(w =>
+          s"CAST(coalesce(sum(CASE WHEN w = $w THEN mean_ppm END), 0) AS BIGINT) AS rs$w, CAST(coalesce(sum(CASE WHEN w = $w THEN nb END), 0) AS BIGINT) AS nb$w")
+          .mkString(", ")} FROM ps)
+       |SELECT rs8, rs32, rs256, ${HurstSlopeExpr.replace("\n", " ")}
+       |  AS h_estimate
+       |FROM one""".stripMargin
+
+  /** #312 entropy rate — the sequential-information companion to #117's
+    * transition matrix and #186's per-user entropy: H(next | current)
+    * over user event sequences, folded EXACTLY as
+    * Σ_ct n_ct·(⌊ln n_c·1e6⌋ − ⌊ln n_ct·1e6⌋) / (N·1e6) — the
+    * property-tested quantization, integer arithmetic end to end, one
+    * transition groupBy. Low entropy rate = predictable sessions. */
+  private def entropyRate(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events(s, dir)
+      .withColumn("__next", lead(col("event_type"), 1).over(byUser))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("__c"), col("__next").as("__t"))
+      .agg(count(lit(1)).as("__nct"))
+    val states = trans.groupBy("__c").agg(sum("__nct").as("__nc"))
+    trans.join(broadcast(states), Seq("__c"))
+      .agg(sum("__nct").as("n_transitions"),
+        count_distinct(col("__c")).as("n_states"),
+        sum(col("__nct") *
+          (floor(log(col("__nc").cast("double")) * 1e6).cast("long") -
+            floor(log(col("__nct").cast("double")) * 1e6).cast("long")))
+          .as("__hq"))
+      .withColumn("entropy_rate", expr(
+        """round(CASE WHEN n_transitions > 0
+          THEN CAST(__hq AS DOUBLE) / (1000000.0 * CAST(n_transitions AS DOUBLE))
+          ELSE 0.0 END, 6)"""))
+      .select("n_transitions", "n_states", "entropy_rate")
+  }
+
+  private val entropyRateSql =
+    """WITH seq AS (
+      |  SELECT event_type AS c,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS t
+      |  FROM events),
+      |tr AS (SELECT c, t, CAST(count(*) AS BIGINT) AS nct
+      |       FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+      |st AS (SELECT c, CAST(sum(nct) AS BIGINT) AS nc FROM tr GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(sum(nct) AS BIGINT) AS n_transitions,
+      |    CAST(count(DISTINCT tr.c) AS BIGINT) AS n_states,
+      |    CAST(sum(nct * (CAST(floor(ln(nc) * 1000000) AS BIGINT)
+      |                    - CAST(floor(ln(nct) * 1000000) AS BIGINT)))
+      |      AS BIGINT) AS hq
+      |  FROM tr JOIN st ON st.c = tr.c)
+      |SELECT n_transitions, n_states,
+      |  round(CASE WHEN n_transitions > 0
+      |    THEN CAST(hq AS DOUBLE) / (1000000.0 * CAST(n_transitions AS DOUBLE))
+      |    ELSE 0.0 END, 6) AS entropy_rate
+      |FROM f""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -15144,5 +15367,8 @@ object Queries {
     Q("q_distinct_n", distinctN, Some(distinctNSql)),
     Q("q_seasonal_mk", seasonalMk, Some(seasonalMkSql)),
     Q("q_ljung_box", ljungBox, Some(ljungBoxSql)),
+    Q("q_cliffs_delta", cliffsDelta, Some(cliffsDeltaSql)),
+    Q("q_hurst", hurst, Some(hurstSql)),
+    Q("q_entropy_rate", entropyRate, Some(entropyRateSql)),
   )
 }
