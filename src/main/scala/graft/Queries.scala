@@ -15053,6 +15053,209 @@ object Queries {
       |    ELSE 0.0 END, 6) AS entropy_rate
       |FROM f""".stripMargin
 
+  /** #313 invoice aging — the AR report every finance pipeline runs:
+    * OPEN orders bucketed by age at the corpus reference date
+    * (max order date — deterministic, no wall clock), with exact
+    * order counts and cents per bucket. One scan + broadcast 1-row
+    * reference; bucket edges are integer day comparisons. */
+  private def invoiceAging(s: SparkSession, dir: String): DataFrame = {
+    val ref = t(s, dir, "orders").agg(max(to_date(col("o_orderdate"))).as("__ref"))
+    parallelize(s, t(s, dir, "orders"))
+      .filter(col("o_orderstatus") === "O")
+      .crossJoin(broadcast(ref))
+      .withColumn("__age", datediff(col("__ref"), to_date(col("o_orderdate"))))
+      .withColumn("age_bucket",
+        when(col("__age") <= 30, "0-30")
+          .when(col("__age") <= 90, "31-90")
+          .when(col("__age") <= 365, "91-365")
+          .otherwise("365+"))
+      .groupBy("age_bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+  }
+
+  private val invoiceAgingSql =
+    """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS r FROM orders)
+      |SELECT CASE
+      |    WHEN CAST(ref.r - CAST(o_orderdate AS DATE) AS BIGINT) <= 30 THEN '0-30'
+      |    WHEN CAST(ref.r - CAST(o_orderdate AS DATE) AS BIGINT) <= 90 THEN '31-90'
+      |    WHEN CAST(ref.r - CAST(o_orderdate AS DATE) AS BIGINT) <= 365 THEN '91-365'
+      |    ELSE '365+' END AS age_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders CROSS JOIN ref
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY 1""".stripMargin
+
+  /** #314 ABC–XYZ inventory classification — the composite every
+    * supply-chain analyst runs: ABC by cumulative revenue share (A ≤
+    * 80%, B ≤ 95%, EXACT integer thresholds 5·cum ≤ 4·T / 20·cum ≤
+    * 19·T on the distributed rank+prefix scans — the #147 shape, never
+    * a single-reducer window) × XYZ by monthly-demand variability
+    * (CV ppm off exact (n, Σq, Σq²); single-month parts are Z by
+    * declaration). Output is the 3×3 class grid with exact counts and
+    * revenue. */
+  private def abcXyz(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__c"),
+        col("l_quantity").cast("long").as("__q"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val monthly = li.groupBy("pk", "__m").agg(sum("__q").as("__mq"))
+    val xyz = monthly.groupBy("pk")
+      .agg(count(lit(1)).as("__nm"), sum("__mq").as("__sq"),
+        sum(col("__mq") * col("__mq")).as("__qq"))
+      .withColumn("xyz_class", expr(
+        """CASE WHEN __nm < 2 THEN 'Z' ELSE
+          CASE WHEN floor(sqrt(CAST(__nm * __qq - __sq * __sq AS DOUBLE)
+                 * CAST(__nm AS DOUBLE) / CAST(__nm - 1 AS DOUBLE))
+               / CAST(__sq AS DOUBLE) * 1000000.0) <= 500000 THEN 'X'
+          WHEN floor(sqrt(CAST(__nm * __qq - __sq * __sq AS DOUBLE)
+                 * CAST(__nm AS DOUBLE) / CAST(__nm - 1 AS DOUBLE))
+               / CAST(__sq AS DOUBLE) * 1000000.0) <= 1000000 THEN 'Y'
+          ELSE 'Z' END END"""))
+      .select("pk", "xyz_class")
+    val rev = li.groupBy("pk").agg(sum("__c").as("__rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = rev.agg(sum("__rev").as("__T"))
+    val ranked = PrefixSum.withGlobalRank(
+      rev.withColumn("__negr", -col("__rev")), Seq("__negr", "pk"), "__r")
+    val cum = PrefixSum.runningTotal(ranked, "__r", "__rev")
+    val abc = ranked.join(cum.select(col("__r"), col("running_total")), Seq("__r"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class", expr(
+        """CASE WHEN 5 * running_total <= 4 * __T THEN 'A'
+          WHEN 20 * running_total <= 19 * __T THEN 'B'
+          ELSE 'C' END"""))
+      .select("pk", "abc_class", "__rev")
+    abc.join(xyz, Seq("pk"))
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum("__rev").as("revenue_cents"))
+  }
+
+  private val abcXyzSql =
+    """WITH li AS (
+      |  SELECT l_partkey AS pk, CAST(l_extendedprice * 100 AS BIGINT) AS c,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    strftime(l_shipdate, '%Y-%m') AS m
+      |  FROM lineitem),
+      |mo AS (SELECT pk, m, CAST(sum(q) AS BIGINT) AS mq
+      |       FROM li GROUP BY 1, 2),
+      |xyz AS (
+      |  SELECT pk, CASE WHEN count(*) < 2 THEN 'Z' ELSE
+      |    CASE WHEN floor(sqrt(CAST(count(*) * sum(mq * mq) - sum(mq) * sum(mq) AS DOUBLE)
+      |           * CAST(count(*) AS DOUBLE) / CAST(count(*) - 1 AS DOUBLE))
+      |         / CAST(sum(mq) AS DOUBLE) * 1000000.0) <= 500000 THEN 'X'
+      |    WHEN floor(sqrt(CAST(count(*) * sum(mq * mq) - sum(mq) * sum(mq) AS DOUBLE)
+      |           * CAST(count(*) AS DOUBLE) / CAST(count(*) - 1 AS DOUBLE))
+      |         / CAST(sum(mq) AS DOUBLE) * 1000000.0) <= 1000000 THEN 'Y'
+      |    ELSE 'Z' END END AS xyz_class
+      |  FROM mo GROUP BY pk),
+      |rev AS (SELECT pk, CAST(sum(c) AS BIGINT) AS r FROM li GROUP BY 1),
+      |tot AS (SELECT CAST(sum(r) AS BIGINT) AS T FROM rev),
+      |cum AS (SELECT pk, r,
+      |          sum(r) OVER (ORDER BY r DESC, pk
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+      |        FROM rev),
+      |abc AS (SELECT pk, r,
+      |          CASE WHEN 5 * ct <= 4 * T THEN 'A'
+      |               WHEN 20 * ct <= 19 * T THEN 'B'
+      |               ELSE 'C' END AS abc_class
+      |        FROM cum CROSS JOIN tot)
+      |SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(r) AS BIGINT) AS revenue_cents
+      |FROM abc JOIN xyz USING (pk)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** #315 price index — Laspeyres and Paasche month-over-base indices
+    * from the lineitem microdata (the econometrics staple): per
+    * (month, part) unit price quantized to EXACT milli-cents
+    * (Σcents·1000 div Σqty), matched-sample against the base month
+    * (declared — parts absent in either month drop from that month's
+    * basket), index = Σp_t·q_w ÷ Σp_0·q_w as one ppm integer division.
+    * Two joins against the broadcast base-month basket. */
+  private def priceIndex(s: SparkSession, dir: String): DataFrame = {
+    val pm = t(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("__m"),
+        col("l_partkey").as("pk"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("__c"),
+        sum(col("l_quantity").cast("long")).as("__q"))
+      .withColumn("__p3", expr("(__c * 1000) div __q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = pm.groupBy().agg(min("__m").as("__m0"))
+    val basket = pm.join(broadcast(base), col("__m") === col("__m0"))
+      .select(col("pk"), col("__p3").as("__p0"), col("__q").as("__q0"))
+    pm.join(broadcast(basket), Seq("pk"))
+      .groupBy(col("__m").as("month"))
+      .agg(count(lit(1)).as("n_matched"),
+        // DECIMAL(38): Σp·q·1e6 passes BIGINT only below ~1e12 of
+        // basket value — the cast is the sf100 headroom
+        expr("""(sum(CAST(__p3 AS DECIMAL(38,0)) * __q0) * 1000000)
+               | div sum(CAST(__p0 AS DECIMAL(38,0)) * __q0)"""
+          .stripMargin.replace("\n", " ")).cast("long").as("laspeyres_ppm"),
+        expr("""(sum(CAST(__p3 AS DECIMAL(38,0)) * __q) * 1000000)
+               | div sum(CAST(__p0 AS DECIMAL(38,0)) * __q)"""
+          .stripMargin.replace("\n", " ")).cast("long").as("paasche_ppm"))
+  }
+
+  private val priceIndexSql =
+    """WITH pm AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_partkey AS pk,
+      |    CAST(sum(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS c,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |pp AS (SELECT m, pk, (c * 1000) // q AS p3, q FROM pm),
+      |b AS (SELECT pk, p3 AS p0, q AS q0 FROM pp
+      |      WHERE m = (SELECT min(m) FROM pp))
+      |SELECT pp.m AS month, CAST(count(*) AS BIGINT) AS n_matched,
+      |  CAST((sum(CAST(pp.p3 AS HUGEINT) * b.q0) * 1000000)
+      |       // sum(CAST(b.p0 AS HUGEINT) * b.q0) AS BIGINT)
+      |    AS laspeyres_ppm,
+      |  CAST((sum(CAST(pp.p3 AS HUGEINT) * pp.q) * 1000000)
+      |       // sum(CAST(b.p0 AS HUGEINT) * pp.q) AS BIGINT)
+      |    AS paasche_ppm
+      |FROM pp JOIN b USING (pk)
+      |GROUP BY 1""".stripMargin
+
+  /** #316 DAU/MAU stickiness — per month: average daily distinct users
+    * over monthly distinct users, the engagement ratio product teams
+    * watch. Exact: Σ(daily distinct)·1e6 div (n_days·MAU); two
+    * partial-aggregated distinct counts, O(months) output. */
+  private def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM").as("__m"),
+        date_format(col("ts"), "yyyy-MM-dd").as("__d"), col("user_id"))
+    val daily = ev.groupBy("__m", "__d")
+      .agg(count_distinct(col("user_id")).as("__du"))
+      .groupBy("__m")
+      .agg(count(lit(1)).as("n_days"), sum("__du").as("__sdu"))
+    val mau = ev.groupBy("__m")
+      .agg(count_distinct(col("user_id")).as("mau"))
+    daily.join(mau, Seq("__m"))
+      .select(col("__m").as("month"), col("n_days"), col("mau"),
+        expr("(__sdu * 1000000) div (n_days * mau)").as("stickiness_ppm"))
+  }
+
+  private val stickinessSql =
+    """WITH e AS (
+      |  SELECT strftime(ts, '%Y-%m') AS m, strftime(ts, '%Y-%m-%d') AS d,
+      |    user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT m, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(du) AS BIGINT) AS sdu
+      |  FROM (SELECT m, d, CAST(count(DISTINCT user_id) AS BIGINT) AS du
+      |        FROM e GROUP BY 1, 2) GROUP BY 1),
+      |mm AS (SELECT m, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |       FROM e GROUP BY 1)
+      |SELECT daily.m AS month, n_days, mau,
+      |  CAST((sdu * 1000000) // (n_days * mau) AS BIGINT) AS stickiness_ppm
+      |FROM daily JOIN mm ON mm.m = daily.m""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -15370,5 +15573,9 @@ object Queries {
     Q("q_cliffs_delta", cliffsDelta, Some(cliffsDeltaSql)),
     Q("q_hurst", hurst, Some(hurstSql)),
     Q("q_entropy_rate", entropyRate, Some(entropyRateSql)),
+    Q("q_invoice_aging", invoiceAging, Some(invoiceAgingSql)),
+    Q("q_abc_xyz", abcXyz, Some(abcXyzSql)),
+    Q("q_price_index", priceIndex, Some(priceIndexSql)),
+    Q("q_stickiness", stickiness, Some(stickinessSql)),
   )
 }
