@@ -15256,6 +15256,205 @@ object Queries {
       |  CAST((sdu * 1000000) // (n_days * mau) AS BIGINT) AS stickiness_ppm
       |FROM daily JOIN mm ON mm.m = daily.m""".stripMargin
 
+  /** #317 boilerplate phrase mining — the top cross-document 5-gram
+    * PHRASES by document frequency: unlike the hash-space dedup family
+    * (#73 winnow, #201 shingle novelty) this MATERIALIZES the actual
+    * repeated text so a curator can read and strip it. Phrases build
+    * inside the token array before the explode (the #307 discipline —
+    * the shuffle carries n-grams, not documents); df ≥ 3 floor and a
+    * (df desc, phrase) total-order top-20. */
+  private def boilerplatePhrases(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')")
+          .as("__ws"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(__ws) >= 5
+          |  THEN transform(sequence(1, size(__ws) - 4),
+          |    i -> concat_ws(' ', element_at(__ws, i), element_at(__ws, i + 1),
+          |      element_at(__ws, i + 2), element_at(__ws, i + 3),
+          |      element_at(__ws, i + 4)))
+          |  ELSE array() END""".stripMargin.replace("\n", " "))).as("phrase"))
+      .groupBy("phrase")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df_share_ppm", expr("(df * 1000000) div __nd"))
+      .select("phrase", "df", "df_share_ppm")
+      .orderBy(desc("df"), asc("phrase")).limit(20)
+  }
+
+  private val boilerplatePhrasesSql =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |ws AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                w -> w <> '') AS l
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(l) - 3, 1)),
+      |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+      |           || l[i+3] || ' ' || l[i+4])) AS phrase
+      |  FROM ws),
+      |tf AS (SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM g GROUP BY 1)
+      |SELECT phrase, df,
+      |  CAST((df * 1000000) // nd AS BIGINT) AS df_share_ppm
+      |FROM tf CROSS JOIN n
+      |WHERE df >= 3
+      |ORDER BY df DESC, phrase LIMIT 20""".stripMargin
+
+  /** #318 HHI market concentration — the antitrust-standard Herfindahl
+    * index of supplier revenue within each customer nation: HHI =
+    * Σ share² on the (10000·share)² basis folds EXACTLY as
+    * (Σ r_i²·1e8) div T² in DECIMAL(38) — squared cents stay integers,
+    * no per-share doubles. One fact join to the nation dimension,
+    * O(nations) output with the top-supplier share for context. */
+  private def hhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("l_suppkey").as("__sk"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("__r"))
+    rev.groupBy("nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("__r").as("__T"),
+        sum(col("__r").cast("decimal(38,0)") * col("__r")).as("__r2"),
+        max("__r").as("__mx"))
+      .withColumn("hhi_points", expr(
+        "CAST((__r2 * 100000000) div (CAST(__T AS DECIMAL(38,0)) * __T) AS BIGINT)"))
+      .withColumn("top_share_ppm", expr("(__mx * 1000000) div __T"))
+      .select("nationkey", "n_suppliers", "hhi_points", "top_share_ppm")
+  }
+
+  private val hhiSql =
+    """WITH rev AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, l.l_suppkey AS sk,
+      |    CAST(sum(CAST(l.l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS r
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST((sum(CAST(r AS HUGEINT) * r) * 100000000)
+      |       // (CAST(sum(r) AS HUGEINT) * sum(r)) AS BIGINT) AS hhi_points,
+      |  CAST((max(r) * 1000000) // sum(r) AS BIGINT) AS top_share_ppm
+      |FROM rev GROUP BY 1""".stripMargin
+
+  /** #319 order cycle time — the ship-lag KPI per priority: exact p50 /
+    * p95 of datediff(shipdate, orderdate) via the distributed rank
+    * selection (DistributedPercentiles — O(groups·partitions) driver
+    * state, never a data-sized window), plus the exact ppm mean. One
+    * fact join. */
+  private def cycleTime(s: SparkSession, dir: String): DataFrame = {
+    val lags = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("__lag"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // floor() before the cast on BOTH sides — DuckDB CAST(double AS
+    // BIGINT) rounds where Spark truncates (the §5 gotcha)
+    val pct = DistributedPercentiles.exact(lags, "priority", "__lag",
+      Seq("p50" -> 0.5, "p95" -> 0.95))
+      .select(col("priority"), floor(col("p50")).cast("long").as("p50_days"),
+        floor(col("p95")).cast("long").as("p95_days"))
+    val mean = lags.groupBy("priority")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("(sum(__lag) * 1000000) div count(*)").as("mean_days_ppm"))
+    mean.join(pct, Seq("priority"))
+  }
+
+  private val cycleTimeSql =
+    """WITH lag AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+      |         AS BIGINT) AS lg
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST((sum(lg) * 1000000) // count(*) AS BIGINT) AS mean_days_ppm,
+      |  CAST(floor(quantile_cont(lg, 0.5)) AS BIGINT) AS p50_days,
+      |  CAST(floor(quantile_cont(lg, 0.95)) AS BIGINT) AS p95_days
+      |FROM lag GROUP BY 1""".stripMargin
+
+  /** #320 1-D earth-mover distance of document-length distributions —
+    * which source's length profile drifts furthest from the corpus
+    * (the continuous companion to #292's class KL and #94's binned
+    * PSI)? EMD(S, C) = ∫|CDF_S − CDF_C| dv computed EXACTLY on the
+    * compressed merged length domain: per (source, length) counts,
+    * corpus counts broadcast-joined, per-source prefix scans over the
+    * bounded distinct-length domain, Σ|cumS·nC − cumC·nS|·Δv in
+    * DECIMAL(38), ONE division at the end (milli-chars). */
+  private def emdLengths(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+      .select(col("source"), length(col("text")).cast("long").as("__len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bySrcLen = docs.groupBy("source", "__len")
+      .agg(count(lit(1)).as("__cs"))
+    val byLen = docs.groupBy("__len").agg(count(lit(1)).as("__cc"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("__ns"))
+    val nAll = docs.agg(count(lit(1)).as("__nc"))
+    // every (source, distinct length) cell — including lengths the
+    // source never hits (cs = 0), so the CDF steps align
+    val grid = totals.crossJoin(byLen)
+      .join(bySrcLen, Seq("source", "__len"), "left")
+      .withColumn("__cs", coalesce(col("__cs"), lit(0L)))
+    val w = Window.partitionBy("source").orderBy("__len")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("source").orderBy("__len")
+    grid
+      .withColumn("__cums", sum("__cs").over(w))
+      .withColumn("__cumc", sum("__cc").over(w))
+      .withColumn("__dv",
+        coalesce(lead(col("__len"), 1).over(wNext) - col("__len"), lit(0L)))
+      .crossJoin(broadcast(nAll))
+      .groupBy(col("source"), col("__ns").as("n_docs"))
+      .agg(sum(abs(col("__cums").cast("decimal(38,0)") * col("__nc") -
+          col("__cumc").cast("decimal(38,0)") * col("__ns")) * col("__dv"))
+        .as("__num"),
+        max(col("__ns").cast("decimal(38,0)") * col("__nc")).as("__den"))
+      .withColumn("emd_milli_chars",
+        expr("CAST((__num * 1000) div __den AS BIGINT)"))
+      .select("source", "n_docs", "emd_milli_chars")
+  }
+
+  private val emdLengthsSql =
+    """WITH d AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS len FROM documents),
+      |sl AS (SELECT source, len, CAST(count(*) AS BIGINT) AS cs
+      |       FROM d GROUP BY 1, 2),
+      |cl AS (SELECT len, CAST(count(*) AS BIGINT) AS cc FROM d GROUP BY 1),
+      |ts AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d GROUP BY 1),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM d),
+      |grid AS (
+      |  SELECT ts.source, ts.ns, cl.len, cl.cc, coalesce(sl.cs, 0) AS cs
+      |  FROM ts CROSS JOIN cl
+      |  LEFT JOIN sl ON sl.source = ts.source AND sl.len = cl.len),
+      |scan AS (
+      |  SELECT source, ns, len,
+      |    sum(cs) OVER (PARTITION BY source ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+      |    sum(cc) OVER (PARTITION BY source ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+      |    coalesce(lead(len) OVER (PARTITION BY source ORDER BY len) - len,
+      |             0) AS dv
+      |  FROM grid)
+      |SELECT source, ns AS n_docs,
+      |  CAST((sum(abs(CAST(cums AS HUGEINT) * na.nc
+      |                - CAST(cumc AS HUGEINT) * ns) * dv) * 1000)
+      |       // (CAST(ns AS HUGEINT) * na.nc) AS BIGINT) AS emd_milli_chars
+      |FROM scan CROSS JOIN na
+      |GROUP BY source, ns, na.nc""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -15577,5 +15776,9 @@ object Queries {
     Q("q_abc_xyz", abcXyz, Some(abcXyzSql)),
     Q("q_price_index", priceIndex, Some(priceIndexSql)),
     Q("q_stickiness", stickiness, Some(stickinessSql)),
+    Q("q_boilerplate_phrases", boilerplatePhrases, Some(boilerplatePhrasesSql)),
+    Q("q_hhi", hhi, Some(hhiSql)),
+    Q("q_cycle_time", cycleTime, Some(cycleTimeSql)),
+    Q("q_emd_lengths", emdLengths, Some(emdLengthsSql)),
   )
 }
