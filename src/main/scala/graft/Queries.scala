@@ -15455,6 +15455,383 @@ object Queries {
       |FROM scan CROSS JOIN na
       |GROUP BY source, ns, na.nc""".stripMargin
 
+  // Round-8 widening XIX: affinity / sketch-set / econometrics (321-324)
+  // ===========================================================================
+
+  /** #321 monthly price–volume–mix bridge — the revenue-decomposition
+    * KPI every commerce warehouse publishes: ΔGMV(m) splits into a
+    * price effect q₀·(p₁−p₀), a volume effect p₀·(q₁−q₀), a mix
+    * residual, plus NEW and LOST part revenue — and the five columns
+    * reconcile to the delta EXACTLY by construction (the residual is
+    * defined as the remainder, so truncation never breaks the
+    * identity). Per-part price never materializes as a fraction:
+    * q₀·p₁ = (q₀·r₁) div q₁ and p₀·q₁ = (r₀·q₁) div q₀ are single
+    * divisions of POSITIVE integer products (floor = truncate — no
+    * sign split needed). One (part, month) groupBy shuffle, a
+    * part-partitioned lag/lead window bounded by the month count,
+    * O(months) output; the month-bounds join is a 1-row broadcast. */
+  private def priceVolumeBridge(s: SparkSession, dir: String): DataFrame = {
+    val pm = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("__m"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__r"),
+        col("l_quantity").cast("long").as("__q"))
+      .groupBy("pk", "__m")
+      .agg(sum("__r").as("r1"), sum("__q").as("q1"))
+    val w = Window.partitionBy("pk").orderBy("__m")
+    val lagged = pm
+      .withColumn("__pm", lag("__m", 1).over(w))
+      .withColumn("r0", lag("r1", 1).over(w))
+      .withColumn("q0", lag("q1", 1).over(w))
+      .withColumn("__nm", lead("__m", 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = pm.agg(min("__m").as("__lo"), max("__m").as("__hi"))
+    // matched parts: sold in m-1 AND m — the price/volume/mix split
+    val matched = lagged.filter(col("__pm") === col("__m") - 1)
+      .withColumn("__price", expr(
+        "(CAST(q0 AS DECIMAL(38,0)) * r1) div q1 - r0"))
+      .withColumn("__vol", expr(
+        "(CAST(r0 AS DECIMAL(38,0)) * q1) div q0 - r0"))
+      .select(col("__m").as("bm"), (col("r1") - col("r0")).as("__d"),
+        col("__price").cast("long").as("__p"),
+        col("__vol").cast("long").as("__v"), lit(1L).as("__mt"),
+        lit(0L).as("__new"), lit(0L).as("__lost"))
+    // parts absent in m-1 (first sale or a gap): NEW revenue in m
+    val fresh = lagged
+      .filter(col("__pm").isNull || col("__pm") < col("__m") - 1)
+      .select(col("__m").as("bm"), col("r1").as("__d"), lit(0L).as("__p"),
+        lit(0L).as("__v"), lit(0L).as("__mt"), col("r1").as("__new"),
+        lit(0L).as("__lost"))
+    // parts absent in m+1: LOST revenue attributed to bridge month m+1
+    val lost = lagged
+      .filter(col("__nm").isNull || col("__nm") > col("__m") + 1)
+      .select((col("__m") + 1).as("bm"), (-col("r1")).as("__d"),
+        lit(0L).as("__p"), lit(0L).as("__v"), lit(0L).as("__mt"),
+        lit(0L).as("__new"), col("r1").as("__lost"))
+    matched.unionAll(fresh).unionAll(lost)
+      .crossJoin(broadcast(bounds))
+      .filter(col("bm") > col("__lo") && col("bm") <= col("__hi"))
+      .groupBy(make_date((col("bm") / 12).cast("int"),
+        (col("bm") % 12 + 1).cast("int"), lit(1)).as("month"))
+      .agg(sum("__d").as("gmv_delta_cents"),
+        sum("__p").as("price_effect_cents"),
+        sum("__v").as("volume_effect_cents"),
+        sum(col("__d") - col("__p") - col("__v") - col("__new")
+          + col("__lost")).as("mix_effect_cents"),
+        sum("__new").as("new_cents"), sum("__lost").as("lost_cents"),
+        sum("__mt").as("n_matched"))
+  }
+
+  private val priceVolumeBridgeSql =
+    """WITH pm AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m,
+      |    CAST(sum(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS r1,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1
+      |  FROM lineitem GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT pk, m, r1, q1,
+      |    lag(m) OVER w AS pmn, lag(r1) OVER w AS r0, lag(q1) OVER w AS q0,
+      |    lead(m) OVER w AS nm
+      |  FROM pm WINDOW w AS (PARTITION BY pk ORDER BY m)),
+      |b AS (SELECT min(m) AS lo, max(m) AS hi FROM pm),
+      |rows_all AS (
+      |  SELECT m AS bm, r1 - r0 AS d,
+      |    CAST((CAST(q0 AS HUGEINT) * r1) // q1 - r0 AS BIGINT) AS p,
+      |    CAST((CAST(r0 AS HUGEINT) * q1) // q0 - r0 AS BIGINT) AS v,
+      |    1 AS mt, 0 AS nw, 0 AS lst
+      |  FROM lagged WHERE pmn = m - 1
+      |  UNION ALL
+      |  SELECT m AS bm, r1 AS d, 0, 0, 0, r1 AS nw, 0
+      |  FROM lagged WHERE pmn IS NULL OR pmn < m - 1
+      |  UNION ALL
+      |  SELECT m + 1 AS bm, -r1 AS d, 0, 0, 0, 0, r1 AS lst
+      |  FROM lagged WHERE nm IS NULL OR nm > m + 1)
+      |SELECT make_date(CAST(bm // 12 AS INT), CAST(bm % 12 + 1 AS INT), 1)
+      |    AS month,
+      |  CAST(sum(d) AS BIGINT) AS gmv_delta_cents,
+      |  CAST(sum(p) AS BIGINT) AS price_effect_cents,
+      |  CAST(sum(v) AS BIGINT) AS volume_effect_cents,
+      |  CAST(sum(d - p - v - nw + lst) AS BIGINT) AS mix_effect_cents,
+      |  CAST(sum(nw) AS BIGINT) AS new_cents,
+      |  CAST(sum(lst) AS BIGINT) AS lost_cents,
+      |  CAST(sum(mt) AS BIGINT) AS n_matched
+      |FROM rows_all CROSS JOIN b
+      |WHERE bm > lo AND bm <= hi
+      |GROUP BY 1""".stripMargin
+
+  /** #322 Mantel–Haenszel stratified odds ratio + CMH test — does
+    * urgent-priority ordering associate with returns AFTER controlling
+    * for customer nation (the confounder-adjusted comparison a crude
+    * pooled table gets wrong under Simpson's paradox)? Per-stratum 2×2
+    * cells fold from ONE order-level aggregate; the MH estimator is a
+    * ratio of Σ(a·d/n) sums quantized per-stratum to ppm (positive
+    * products — floor = truncate), and the CMH variance folds STAGED —
+    * (a+b)(c+d) div n FIRST, then ·(a+c)(b+d)·1e6 div (n·(n−1)) — so
+    * every intermediate stays inside DECIMAL(38) at 1e9 orders per
+    * stratum where the naive four-way product·1e6 overflows. The final
+    * test statistic is the one divide-early double. O(strata) rows
+    * after the fact join; 1-row output. */
+  private def mantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val returned = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(max((col("l_returnflag") === "R").cast("long")).as("__ret"))
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("__exp"))
+      .join(returned, Seq("ok"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val cells = base.groupBy(col("c_nationkey").as("__nk"))
+      .agg(sum(expr("__exp * __ret")).as("a"),
+        sum(expr("__exp * (1 - __ret)")).as("b"),
+        sum(expr("(1 - __exp) * __ret")).as("c"),
+        sum(expr("(1 - __exp) * (1 - __ret)")).as("d"))
+      .withColumn("n", expr("a + b + c + d"))
+      .filter(col("n") > 1)
+    cells.agg(count(lit(1)).as("k_strata"), sum("n").as("n_orders"),
+        sum(expr("(CAST(a AS DECIMAL(38,0)) * d * 1000000) div n"))
+          .cast("long").as("__num"),
+        sum(expr("(CAST(b AS DECIMAL(38,0)) * c * 1000000) div n"))
+          .cast("long").as("__den"),
+        sum("a").as("__sa"),
+        sum(expr("(CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000) div n"))
+          .cast("long").as("__se"),
+        sum(expr("""(((CAST(a + b AS DECIMAL(38,0)) * (c + d)) div n)
+                  |  * (CAST(a + c AS DECIMAL(38,0)) * (b + d)) * 1000000)
+                  | div (CAST(n AS DECIMAL(38,0)) * (n - 1))
+                  |""".stripMargin.replace("\n", " ")))
+          .cast("long").as("__sv"),
+        sum(expr("a * d")).as("__ad"), sum(expr("b * c")).as("__bc"))
+      .withColumn("mh_or_ppm", expr("(__num * 1000000) div __den"))
+      .withColumn("crude_or_ppm", expr(
+        "(CAST(__ad AS DECIMAL(38,0)) * 1000000) div __bc"))
+      .withColumn("cmh_stat", round(
+        pow(abs(col("__sa") * lit(1000000L) - col("__se")) - lit(500000.0), 2)
+          / (col("__sv").cast("double") * 1e6), 6))
+      .select("k_strata", "n_orders", "mh_or_ppm", "crude_or_ppm", "cmh_stat")
+  }
+
+  private val mantelHaenszelSql =
+    """WITH ret AS (
+      |  SELECT l_orderkey AS ok,
+      |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      |  FROM lineitem GROUP BY 1),
+      |base AS (
+      |  SELECT c.c_nationkey AS nk,
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS exp,
+      |    ret.ret
+      |  FROM orders o JOIN ret ON ret.ok = o.o_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey),
+      |cells AS (
+      |  SELECT nk, CAST(sum(exp * ret) AS BIGINT) AS a,
+      |    CAST(sum(exp * (1 - ret)) AS BIGINT) AS b,
+      |    CAST(sum((1 - exp) * ret) AS BIGINT) AS c,
+      |    CAST(sum((1 - exp) * (1 - ret)) AS BIGINT) AS d
+      |  FROM base GROUP BY 1),
+      |g AS (
+      |  SELECT count(*) AS k_strata, sum(a + b + c + d) AS n_orders,
+      |    sum((CAST(a AS HUGEINT) * d * 1000000) // (a + b + c + d)) AS num,
+      |    sum((CAST(b AS HUGEINT) * c * 1000000) // (a + b + c + d)) AS den,
+      |    sum(a) AS sa,
+      |    sum((CAST(a + b AS HUGEINT) * (a + c) * 1000000)
+      |        // (a + b + c + d)) AS se,
+      |    sum((((CAST(a + b AS HUGEINT) * (c + d)) // (a + b + c + d))
+      |         * (CAST(a + c AS HUGEINT) * (b + d)) * 1000000)
+      |        // (CAST(a + b + c + d AS HUGEINT) * (a + b + c + d - 1))) AS sv,
+      |    sum(CAST(a AS HUGEINT) * d) AS ad, sum(CAST(b AS HUGEINT) * c) AS bc
+      |  FROM cells WHERE a + b + c + d > 1)
+      |SELECT CAST(k_strata AS BIGINT) AS k_strata,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST((num * 1000000) // den AS BIGINT) AS mh_or_ppm,
+      |  CAST((ad * 1000000) // bc AS BIGINT) AS crude_or_ppm,
+      |  round(pow(abs(CAST(sa AS BIGINT) * 1000000 - CAST(se AS BIGINT))
+      |            - 500000.0, 2)
+      |        / (CAST(CAST(sv AS BIGINT) AS DOUBLE) * 1e6), 6) AS cmh_stat
+      |FROM g""".stripMargin
+
+  /** #323 theta-sketch audience intersection — estimated distinct-user
+    * overlap between every event-type pair from k-minimum-value
+    * sketches (the mergeable path: at 100 TB the per-type sketch is
+    * 256 hashes, the pair estimate never touches the full distinct
+    * domain — the set-operation companion to #185's KMV cardinality
+    * and #119's HLL union, which cannot intersect). Same hash ⇒ same
+    * user, so the sketch self-join on the hash value IS the set
+    * intersection below θ = min(θ_a, θ_b); est = |S|·M div θ (HUGEINT
+    * product — 256·M overflows BIGINT). The exact overlap rides along
+    * as the audit column (at this SF it's one co-partitioned
+    * self-join; the sketch is the answer at scale). Types with < k
+    * distinct users keep θ = M: the sketch IS the set and the
+    * estimate collapses to exact. */
+  private def thetaIntersect(s: SparkSession, dir: String): DataFrame = {
+    val K = 256L
+    val M = TextAnalysis.FingerprintMod
+    val tu = t(s, dir, "events")
+      .select(col("event_type").as("et"), col("user_id").as("u")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = tu.withColumn("__h", expr(multHashExpr("u")))
+    val w = Window.partitionBy("et").orderBy("__h")
+    val sk = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= K)
+      .select("et", "__h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val th = sk.groupBy("et")
+      .agg(count(lit(1)).as("__c"), max("__h").as("__mx"))
+      .withColumn("__theta",
+        when(col("__c") >= K, col("__mx")).otherwise(lit(M)))
+      .select("et", "__theta")
+    // every type pair appears even when no sketch hashes collide
+    val pairs = th.as("ta").crossJoin(th.as("tb"))
+      .filter(col("ta.et") < col("tb.et"))
+      .select(col("ta.et").as("type_a"), col("tb.et").as("type_b"),
+        least(col("ta.__theta"), col("tb.__theta")).as("__th"))
+    val common = sk.as("a")
+      .join(sk.as("b"), col("a.__h") === col("b.__h")
+        && col("a.et") < col("b.et"))
+      .join(broadcast(pairs), col("a.et") === col("type_a")
+        && col("b.et") === col("type_b"))
+      .filter(col("a.__h") < col("__th"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("__cnt"))
+    val exact = tu.as("x")
+      .join(tu.as("y"), col("x.u") === col("y.u") && col("x.et") < col("y.et"))
+      .groupBy(col("x.et").as("type_a"), col("y.et").as("type_b"))
+      .agg(count(lit(1)).as("exact_common"))
+    pairs
+      .join(common, Seq("type_a", "type_b"), "left")
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
+      .withColumn("est_common", expr(
+        s"CAST((CAST(__cnt AS DECIMAL(38,0)) * $M) div __th AS BIGINT)"))
+      .withColumn("exact_common", coalesce(col("exact_common"), lit(0L)))
+      .withColumn("err_ppm", expr(
+        """CASE WHEN exact_common = 0 THEN 0
+          | WHEN est_common >= exact_common
+          | THEN ((est_common - exact_common) * 1000000) div exact_common
+          | ELSE -(((exact_common - est_common) * 1000000) div exact_common)
+          | END""".stripMargin.replace("\n", " ")))
+      .select("type_a", "type_b", "est_common", "exact_common", "err_ppm")
+  }
+
+  private lazy val thetaIntersectSql = {
+    val M = TextAnalysis.FingerprintMod
+    s"""WITH tu AS (SELECT DISTINCT event_type AS et, user_id AS u FROM events),
+      |h AS (SELECT et, u, ${multHashDuck("u")} AS hh FROM tu),
+      |rk AS (SELECT et, hh,
+      |         row_number() OVER (PARTITION BY et ORDER BY hh) AS rn
+      |       FROM h),
+      |sk AS (SELECT et, hh FROM rk WHERE rn <= 256),
+      |th AS (
+      |  SELECT et, CASE WHEN count(*) >= 256 THEN max(hh)
+      |             ELSE ${M} END AS theta
+      |  FROM sk GROUP BY 1),
+      |pairs AS (
+      |  SELECT ta.et AS type_a, tb.et AS type_b,
+      |    least(ta.theta, tb.theta) AS th
+      |  FROM th ta CROSS JOIN th tb WHERE ta.et < tb.et),
+      |cm AS (
+      |  SELECT a.et AS type_a, b.et AS type_b, p.th,
+      |    CAST(count(*) FILTER (WHERE a.hh < p.th) AS BIGINT) AS cnt
+      |  FROM sk a JOIN sk b ON a.hh = b.hh AND a.et < b.et
+      |  JOIN pairs p ON p.type_a = a.et AND p.type_b = b.et
+      |  GROUP BY 1, 2, 3),
+      |ex AS (
+      |  SELECT x.et AS type_a, y.et AS type_b,
+      |    CAST(count(*) AS BIGINT) AS exact_common
+      |  FROM tu x JOIN tu y ON x.u = y.u AND x.et < y.et
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b,
+      |  CAST((CAST(coalesce(cm.cnt, 0) AS HUGEINT) * ${M}) // p.th AS BIGINT)
+      |    AS est_common,
+      |  coalesce(ex.exact_common, 0) AS exact_common,
+      |  CASE WHEN coalesce(ex.exact_common, 0) = 0 THEN 0
+      |    WHEN CAST((CAST(coalesce(cm.cnt, 0) AS HUGEINT) * ${M}) // p.th
+      |         AS BIGINT) >= ex.exact_common
+      |    THEN ((CAST((CAST(coalesce(cm.cnt, 0) AS HUGEINT) * ${M}) // p.th
+      |           AS BIGINT) - ex.exact_common) * 1000000) // ex.exact_common
+      |    ELSE -(((ex.exact_common
+      |             - CAST((CAST(coalesce(cm.cnt, 0) AS HUGEINT) * ${M}) // p.th
+      |               AS BIGINT)) * 1000000) // ex.exact_common)
+      |    END AS err_ppm
+      |FROM pairs p
+      |LEFT JOIN cm ON cm.type_a = p.type_a AND cm.type_b = p.type_b
+      |LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b""".stripMargin
+  }
+
+  /** #324 bigram collocation mining by Dunning log-likelihood (G²) —
+    * the significance-ranked companion to #80's PMI (PMI over-ranks
+    * rare pairs; G² weights by evidence mass, the standard collocation
+    * statistic). The 2×2 cell entropy identity G² = 2·[Σ O·lnO −
+    * Σ R·lnR − Σ C·lnC + N·lnN] folds in the property-tested
+    * ⌊ln(int)·1e6⌋ fixed point — every x·⌊ln x·1e6⌋ term is an exact
+    * DECIMAL(38) product (BIGINT·1e6-micronats overflows long at
+    * 100-TB token counts), so the G² ranking key is a total order in
+    * exact integers. Margins come FROM the bigram table itself (two
+    * shuffle aggregates re-joined on the token key — never broadcast:
+    * the vocabulary is corpus-sized); N is a 1-row broadcast; the
+    * top-20 cut is TakeOrderedAndProject. */
+  private def collocationLlr(s: SparkSession, dir: String): DataFrame = {
+    def xlq(x: String): String =
+      s"""CASE WHEN $x > 0 THEN CAST($x AS DECIMAL(38,0))
+         | * CAST(floor(ln($x) * 1e6) AS BIGINT) ELSE CAST(0 AS DECIMAL(38,0))
+         | END""".stripMargin.replace("\n", " ")
+    val big = t(s, dir, "documents")
+      .select(expr(
+        """filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')""")
+        .as("__l"))
+      .filter(expr("size(__l) >= 2")) // sequence(1, 0) would DESCEND
+      .select(explode(expr(
+        """transform(sequence(1, size(__l) - 1),
+          |  i -> struct(element_at(__l, i) AS w1,
+          |              element_at(__l, i + 1) AS w2))"""
+          .stripMargin.replace("\n", " "))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = big.groupBy("w1").agg(sum("k11").as("r1"))
+    val c = big.groupBy("w2").agg(sum("k11").as("c1"))
+    val n = big.agg(sum("k11").as("nn"))
+    big.filter(col("k11") >= 5)
+      .join(r, Seq("w1")).join(c, Seq("w2")).crossJoin(broadcast(n))
+      .withColumn("g2_micronats", expr(
+        s"""CAST(2 * (${xlq("k11")} + ${xlq("r1 - k11")} + ${xlq("c1 - k11")}
+           | + ${xlq("nn - r1 - c1 + k11")} - ${xlq("r1")} - ${xlq("nn - r1")}
+           | - ${xlq("c1")} - ${xlq("nn - c1")} + ${xlq("nn")})
+           | AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .select(col("w1"), col("w2"), col("k11").as("n_pair"),
+        col("g2_micronats"))
+      .orderBy(desc("g2_micronats"), asc("w1"), asc("w2")).limit(20)
+  }
+
+  private val collocationLlrSql = {
+    def xlq(x: String): String =
+      s"CASE WHEN $x > 0 THEN CAST($x AS HUGEINT)" +
+        s" * CAST(floor(ln($x) * 1e6) AS BIGINT) ELSE 0 END"
+    s"""WITH ws AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     w -> w <> '') AS l
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, greatest(len(l), 1)),
+      |           i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS b
+      |  FROM ws),
+      |big AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS k11
+      |        FROM bg WHERE b.w2 IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS r1 FROM big GROUP BY 1),
+      |c AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |n AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM big)
+      |SELECT big.w1, big.w2, k11 AS n_pair,
+      |  CAST(2 * (${xlq("k11")} + ${xlq("r1 - k11")} + ${xlq("c1 - k11")}
+      |    + ${xlq("nn - r1 - c1 + k11")} - ${xlq("r1")} - ${xlq("nn - r1")}
+      |    - ${xlq("c1")} - ${xlq("nn - c1")} + ${xlq("nn")}) AS BIGINT)
+      |    AS g2_micronats
+      |FROM big JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN n
+      |WHERE k11 >= 5
+      |ORDER BY g2_micronats DESC, big.w1, big.w2 LIMIT 20""".stripMargin
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -15780,5 +16157,9 @@ object Queries {
     Q("q_hhi", hhi, Some(hhiSql)),
     Q("q_cycle_time", cycleTime, Some(cycleTimeSql)),
     Q("q_emd_lengths", emdLengths, Some(emdLengthsSql)),
+    Q("q_price_volume_bridge", priceVolumeBridge, Some(priceVolumeBridgeSql)),
+    Q("q_mantel_haenszel", mantelHaenszel, Some(mantelHaenszelSql)),
+    Q("q_theta_intersect", thetaIntersect, Some(thetaIntersectSql)),
+    Q("q_collocation_llr", collocationLlr, Some(collocationLlrSql)),
   )
 }
