@@ -15832,6 +15832,407 @@ object Queries {
       |ORDER BY g2_micronats DESC, big.w1, big.w2 LIMIT 20""".stripMargin
   }
 
+  // Round-8 widening XX: spectral / resampling series statistics (325-328)
+  // ===========================================================================
+
+  /** Shared by #325-327: the dense daily-GMV series — day index from a
+    * fixed epoch (1992-01-01, a Wednesday — weekday math stays pure
+    * integer, never an engine calendar function), value = daily order
+    * total in k$ (cents div 1e5: the JB-precedent unit that keeps
+    * squared and 4th-power folds inside DECIMAL(38) at 100-TB scale).
+    * Gap days are REAL zeros (the q_autocorr discipline). O(days)
+    * rows. */
+  private def dailyGmvGrid(s: SparkSession, dir: String): DataFrame = {
+    val dd = t(s, dir, "orders")
+      .select(datediff(to_date(col("o_orderdate")),
+        lit("1992-01-01").cast("date")).cast("long").as("d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__c"))
+      .groupBy("d").agg(expr("sum(__c) div 100000").as("x"))
+    val span = dd.agg(min("d").as("__lo"), max("d").as("__hi"))
+    span.select(explode(expr("sequence(__lo, __hi)")).as("d"))
+      .join(dd, Seq("d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+  }
+
+  private val dailyGmvGridSql =
+    """dd AS (
+      |  SELECT CAST(date_diff('day', DATE '1992-01-01',
+      |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) // 100000 AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |sp AS (SELECT min(d) AS lo, max(d) AS hi FROM dd),
+      |grid AS (
+      |  SELECT CAST(u.d AS BIGINT) AS d, coalesce(dd.x, 0) AS x
+      |  FROM sp CROSS JOIN unnest(range(sp.lo, sp.hi + 1)) AS u(d)
+      |  LEFT JOIN dd ON dd.d = u.d)""".stripMargin
+
+  /** Engine-portable sign-split ppm division fragment: truncate-toward-
+    * zero semantics on BOTH engines (Spark `div` truncates, DuckDB `//`
+    * floors — they differ exactly on negative numerators). */
+  private def sdivPpm(num: String, den: String, duck: Boolean): String = {
+    val d = if (duck) "//" else "div"
+    s"""CASE WHEN ($num) >= 0 THEN (($num) * 1000000) $d ($den)
+       | ELSE -((-($num)) * 1000000 $d ($den)) END"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** #325 partial autocorrelation (PACF lags 1-3) of the daily GMV
+    * series — the AR-order diagnostic ACF alone can't give (ACF of an
+    * AR(1) decays forever; PACF cuts off at the true order). The
+    * autocovariances fold EXACTLY: n²·c_k = n²Σ'x_t·x_{t+k} −
+    * n·S·(Σ'x_t + Σ'x_{t+k}) + (n−k)·S² in DECIMAL(38) off three lead
+    * columns over the calendar-bounded grid (the Ljung–Box device —
+    * the unpartitioned window is O(days), never row-count-sized), ρ_k
+    * lands as a sign-split ppm integer, and only the Durbin–Levinson
+    * recursion φ22/φ33 runs in divide-early doubles (BIGINT→DOUBLE is
+    * exactly rounded on both engines; HUGEINT→DOUBLE is not — the §5
+    * rule). 1-row output. */
+  private def pacf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("d")
+    val g = dailyGmvGrid(s, dir)
+      .withColumn("x1", lead("x", 1).over(w))
+      .withColumn("x2", lead("x", 2).over(w))
+      .withColumn("x3", lead("x", 3).over(w))
+    val m = g.agg(count(lit(1)).as("n"), sum("x").as("s"),
+      sum(expr("x * x")).as("sxx"),
+      sum(expr("x * x1")).as("p1"), sum(expr("x * x2")).as("p2"),
+      sum(expr("x * x3")).as("p3"),
+      sum(when(col("x1").isNotNull, col("x"))).as("a1"),
+      sum(when(col("x2").isNotNull, col("x"))).as("a2"),
+      sum(when(col("x3").isNotNull, col("x"))).as("a3"),
+      sum("x1").as("b1"), sum("x2").as("b2"), sum("x3").as("b3"))
+    def c2(k: Int): String =
+      s"""(CAST(n AS DECIMAL(38,0)) * n * p$k
+         | - CAST(n AS DECIMAL(38,0)) * s * (a$k + b$k)
+         | + CAST(n - $k AS DECIMAL(38,0)) * s * s)"""
+        .stripMargin.replace("\n", " ")
+    val c20 =
+      """(CAST(n AS DECIMAL(38,0)) * n * sxx
+        | - CAST(n AS DECIMAL(38,0)) * s * s)""".stripMargin.replace("\n", " ")
+    m.select(col("n").as("n_days"),
+        expr(sdivPpm(c2(1), c20, duck = false)).cast("long").as("r1_ppm"),
+        expr(sdivPpm(c2(2), c20, duck = false)).cast("long").as("r2_ppm"),
+        expr(sdivPpm(c2(3), c20, duck = false)).cast("long").as("r3_ppm"))
+      .withColumn("pacf1", expr("round(CAST(r1_ppm AS DOUBLE) / 1e6, 6)"))
+      .withColumn("pacf2", expr(
+        """round((CAST(r2_ppm AS DOUBLE) / 1e6
+          |        - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+          |      / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6)),
+          |      6)""".stripMargin.replace("\n", " ")))
+      .withColumn("pacf3", expr(
+        """round(((CAST(r3_ppm AS DOUBLE) / 1e6)
+          | - ((CAST(r1_ppm AS DOUBLE) / 1e6) * (1.0
+          |     - ((CAST(r2_ppm AS DOUBLE) / 1e6)
+          |        - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+          |       / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))))
+          |   * (CAST(r2_ppm AS DOUBLE) / 1e6)
+          | - (((CAST(r2_ppm AS DOUBLE) / 1e6)
+          |     - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+          |    / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6)))
+          |   * (CAST(r1_ppm AS DOUBLE) / 1e6))
+          |/ (1.0
+          | - ((CAST(r1_ppm AS DOUBLE) / 1e6) * (1.0
+          |     - ((CAST(r2_ppm AS DOUBLE) / 1e6)
+          |        - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+          |       / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))))
+          |   * (CAST(r1_ppm AS DOUBLE) / 1e6)
+          | - (((CAST(r2_ppm AS DOUBLE) / 1e6)
+          |     - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+          |    / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6)))
+          |   * (CAST(r2_ppm AS DOUBLE) / 1e6)), 6)"""
+          .stripMargin.replace("\n", " ")))
+  }
+
+  private val pacfSql = {
+    def c2(k: Int): String =
+      s"""(CAST(n AS HUGEINT) * n * p$k
+         | - CAST(n AS HUGEINT) * s * (a$k + b$k)
+         | + CAST(n - $k AS HUGEINT) * s * s)"""
+        .stripMargin.replace("\n", " ")
+    val c20 =
+      "(CAST(n AS HUGEINT) * n * sxx - CAST(n AS HUGEINT) * s * s)"
+    s"""WITH $dailyGmvGridSql,
+      |ld AS (
+      |  SELECT d, x, lead(x, 1) OVER (ORDER BY d) AS x1,
+      |    lead(x, 2) OVER (ORDER BY d) AS x2,
+      |    lead(x, 3) OVER (ORDER BY d) AS x3
+      |  FROM grid),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * x1) AS BIGINT) AS p1,
+      |    CAST(sum(x * x2) AS BIGINT) AS p2,
+      |    CAST(sum(x * x3) AS BIGINT) AS p3,
+      |    CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS a1,
+      |    CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS a2,
+      |    CAST(sum(CASE WHEN x3 IS NOT NULL THEN x END) AS BIGINT) AS a3,
+      |    CAST(sum(x1) AS BIGINT) AS b1, CAST(sum(x2) AS BIGINT) AS b2,
+      |    CAST(sum(x3) AS BIGINT) AS b3
+      |  FROM ld),
+      |r AS (
+      |  SELECT n AS n_days,
+      |    CAST(${sdivPpm(c2(1), c20, duck = true)} AS BIGINT) AS r1_ppm,
+      |    CAST(${sdivPpm(c2(2), c20, duck = true)} AS BIGINT) AS r2_ppm,
+      |    CAST(${sdivPpm(c2(3), c20, duck = true)} AS BIGINT) AS r3_ppm
+      |  FROM m)
+      |SELECT n_days, r1_ppm, r2_ppm, r3_ppm,
+      |  round(CAST(r1_ppm AS DOUBLE) / 1e6, 6) AS pacf1,
+      |  round((CAST(r2_ppm AS DOUBLE) / 1e6
+      |         - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+      |       / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6)),
+      |       6) AS pacf2,
+      |  round(((CAST(r3_ppm AS DOUBLE) / 1e6)
+      |  - ((CAST(r1_ppm AS DOUBLE) / 1e6) * (1.0
+      |      - ((CAST(r2_ppm AS DOUBLE) / 1e6)
+      |         - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+      |        / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))))
+      |    * (CAST(r2_ppm AS DOUBLE) / 1e6)
+      |  - (((CAST(r2_ppm AS DOUBLE) / 1e6)
+      |      - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+      |     / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6)))
+      |    * (CAST(r1_ppm AS DOUBLE) / 1e6))
+      | / (1.0
+      |  - ((CAST(r1_ppm AS DOUBLE) / 1e6) * (1.0
+      |      - ((CAST(r2_ppm AS DOUBLE) / 1e6)
+      |         - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+      |        / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))))
+      |    * (CAST(r1_ppm AS DOUBLE) / 1e6)
+      |  - (((CAST(r2_ppm AS DOUBLE) / 1e6)
+      |      - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6))
+      |     / (1.0 - (CAST(r1_ppm AS DOUBLE) / 1e6) * (CAST(r1_ppm AS DOUBLE) / 1e6)))
+      |    * (CAST(r2_ppm AS DOUBLE) / 1e6)), 6) AS pacf3
+      |FROM r""".stripMargin
+  }
+
+  /** #326 weekly/monthly periodogram — spectral power of the daily GMV
+    * series at the P=7 and P=30 candidate cycles, as the FRACTION of
+    * total variance each harmonic explains (Schuster periodogram, one
+    * bin per period). Transcendental-free: the cos/sin tables are ppm
+    * INTEGER LITERALS generated once in Scala and embedded textually
+    * in both engines' SQL (the #244 nDCG discount-literal pattern), so
+    * the fold Σ y·c_j is exact DECIMAL(38) arithmetic on the
+    * mean-centered scaled series y_t = n·x_t − S. Amplitudes divide by
+    * n BEFORE squaring for 100-TB headroom. O(days) grid, 2-row
+    * output. */
+  private def periodogram(s: SparkSession, dir: String): DataFrame = {
+    val g = dailyGmvGrid(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = g.agg(count(lit(1)).as("n"), sum("x").as("s"),
+      sum(expr("x * x")).as("sxx"))
+    def caseTab(p: Int, f: Int => Long): String =
+      (0 until p).map(j => s"WHEN ${j} THEN ${f(j)}")
+        .mkString(s"CASE pmod(d, $p) ", " ", " ELSE 0 END")
+    def cosPpm(p: Int)(j: Int): Long =
+      Math.round(Math.cos(2 * Math.PI * j / p) * 1e6)
+    def sinPpm(p: Int)(j: Int): Long =
+      Math.round(Math.sin(2 * Math.PI * j / p) * 1e6)
+    val rows = Seq(7, 30).map { p =>
+      g.crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_days"),
+          sum(expr(
+            s"(CAST(n AS DECIMAL(38,0)) * x - s) * (${caseTab(p, cosPpm(p))})"))
+            .as("__A"),
+          sum(expr(
+            s"(CAST(n AS DECIMAL(38,0)) * x - s) * (${caseTab(p, sinPpm(p))})"))
+            .as("__B"),
+          max(expr(
+            "CAST(n AS DECIMAL(38,0)) * n * sxx - CAST(n AS DECIMAL(38,0)) * s * s"))
+            .as("__c20"), max(col("n")).as("__n"))
+        .select(lit(p.toLong).as("period"), col("n_days"),
+          expr(
+            // abs BEFORE the div: the amplitude is squared anyway, and
+            // truncation (Spark div) vs floor (DuckDB //) differ on
+            // negative numerators. Spark `div` returns LONG — route the
+            // squares and the denominator product back through
+            // DECIMAL(38) (the amplitude² · 2e6 overflows long at sf1;
+            // caught by the sf1 sweep)
+            """CAST((( CAST(abs(__A) div (__n * 1000000) AS DECIMAL(38,0))
+              |        * (abs(__A) div (__n * 1000000))
+              |      + CAST(abs(__B) div (__n * 1000000) AS DECIMAL(38,0))
+              |        * (abs(__B) div (__n * 1000000)))
+              |      * 2000000)
+              |  div (CAST(CASE WHEN __c20 div (CAST(__n AS DECIMAL(38,0)) * __n) = 0
+              |       THEN 1 ELSE __c20 div (CAST(__n AS DECIMAL(38,0)) * __n) END
+              |       AS DECIMAL(38,0)) * __n) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")).as("power_share_ppm"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  private val periodogramSql = {
+    def caseTab(p: Int, f: Int => Long): String =
+      (0 until p).map(j => s"WHEN ${j} THEN ${f(j)}")
+        .mkString(s"CASE d % $p ", " ", " ELSE 0 END")
+    def cosPpm(p: Int)(j: Int): Long =
+      Math.round(Math.cos(2 * Math.PI * j / p) * 1e6)
+    def sinPpm(p: Int)(j: Int): Long =
+      Math.round(Math.sin(2 * Math.PI * j / p) * 1e6)
+    def one(p: Int): String =
+      s"""SELECT CAST($p AS BIGINT) AS period, t.n AS n_days,
+        |  CAST((( (abs(A) // (t.n * 1000000)) * (abs(A) // (t.n * 1000000))
+        |        + (abs(B) // (t.n * 1000000)) * (abs(B) // (t.n * 1000000))) * 2000000)
+        |    // (CASE WHEN c20 // (CAST(t.n AS HUGEINT) * t.n) = 0 THEN 1
+        |         ELSE c20 // (CAST(t.n AS HUGEINT) * t.n) END * t.n)
+        |    AS BIGINT) AS power_share_ppm
+        |FROM (
+        |  SELECT sum((CAST(t.n AS HUGEINT) * g.x - t.s)
+        |             * (${caseTab(p, cosPpm(p))})) AS A,
+        |    sum((CAST(t.n AS HUGEINT) * g.x - t.s)
+        |        * (${caseTab(p, sinPpm(p))})) AS B,
+        |    max(CAST(t.n AS HUGEINT) * t.n * t.sxx
+        |        - CAST(t.n AS HUGEINT) * t.s * t.s) AS c20
+        |  FROM grid g CROSS JOIN tot t) q CROSS JOIN tot t""".stripMargin
+    s"""WITH $dailyGmvGridSql,
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+      |          CAST(sum(x * x) AS BIGINT) AS sxx FROM grid)
+      |${one(7)}
+      |UNION ALL
+      |${one(30)}""".stripMargin
+  }
+
+  /** #327 deterministic permutation test — is the weekend/weekday GMV
+    * gap significant, by randomization inference instead of a
+    * distributional assumption (the nonparametric companion to #101's
+    * Welch t)? The day's TRUE weekday is pure integer math off the
+    * fixed epoch ((d+2) mod 7 — 1992-01-01 was a Wednesday; no engine
+    * calendar call). B=200 pseudo-permutations relabel DAYS via the
+    * multiplicative hash (hash(d·211+b) mod 7 < 2 — same expected
+    * weekend mass), each replicate folds the same sign-split ppm
+    * mean-difference, and p = (1 + #extreme)/(B+1) in ppm. The explode
+    * is O(days·B) — bounded by the calendar, never by fact rows. */
+  private def permutationTest(s: SparkSession, dir: String): DataFrame = {
+    val B = 200
+    val g = dailyGmvGrid(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val diffPpm = (sw: String, nw: String, sd: String, nd: String) =>
+      sdivPpm(s"CAST($sw AS DECIMAL(38,0)) * $nd - CAST($sd AS DECIMAL(38,0)) * $nw",
+        s"CAST($nw AS DECIMAL(38,0)) * $nd", duck = false)
+    val obs = g.agg(
+        sum(when(expr("pmod(d + 2, 7) >= 5"), col("x"))).as("__sw"),
+        sum(when(expr("pmod(d + 2, 7) >= 5"), lit(1L))).as("__nw"),
+        sum(when(expr("pmod(d + 2, 7) < 5"), col("x"))).as("__sd"),
+        sum(when(expr("pmod(d + 2, 7) < 5"), lit(1L))).as("__nd"),
+        count(lit(1)).as("n_days"))
+      .withColumn("obs_diff_ppm",
+        expr(diffPpm("__sw", "__nw", "__sd", "__nd")).cast("long"))
+    val perm = g
+      .select(col("d"), col("x"), explode(expr(
+        s"sequence(1, $B)")).as("b"))
+      .withColumn("__w", expr(
+        s"pmod(${multHashExpr(s"d * 211 + b")}, 7) < 2"))
+      .groupBy("b")
+      .agg(sum(when(col("__w"), col("x"))).as("__sw"),
+        sum(when(col("__w"), lit(1L))).as("__nw"),
+        sum(when(!col("__w"), col("x"))).as("__sd"),
+        sum(when(!col("__w"), lit(1L))).as("__nd"))
+      .filter(col("__nw") > 0 && col("__nd") > 0)
+      .withColumn("stat_ppm",
+        expr(diffPpm("__sw", "__nw", "__sd", "__nd")).cast("long"))
+    perm.crossJoin(broadcast(obs.select("n_days", "obs_diff_ppm")))
+      .agg(max("n_days").as("n_days"),
+        max("obs_diff_ppm").as("obs_diff_ppm"),
+        count(lit(1)).as("n_perm"),
+        sum(when(abs(col("stat_ppm")) >= abs(col("obs_diff_ppm")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .withColumn("p_ppm",
+        expr("((1 + n_extreme) * 1000000) div (n_perm + 1)"))
+  }
+
+  private val permutationTestSql = {
+    val diffPpm = (sw: String, nw: String, sd: String, nd: String) =>
+      sdivPpm(s"CAST($sw AS HUGEINT) * $nd - CAST($sd AS HUGEINT) * $nw",
+        s"CAST($nw AS HUGEINT) * $nd", duck = true)
+    s"""WITH $dailyGmvGridSql,
+      |obs AS (
+      |  SELECT CAST(sum(CASE WHEN (d + 2) % 7 >= 5 THEN x END) AS BIGINT) AS sw,
+      |    CAST(sum(CASE WHEN (d + 2) % 7 >= 5 THEN 1 END) AS BIGINT) AS nw,
+      |    CAST(sum(CASE WHEN (d + 2) % 7 < 5 THEN x END) AS BIGINT) AS sd,
+      |    CAST(sum(CASE WHEN (d + 2) % 7 < 5 THEN 1 END) AS BIGINT) AS nd,
+      |    CAST(count(*) AS BIGINT) AS n_days
+      |  FROM grid),
+      |ob AS (SELECT n_days,
+      |         CAST(${diffPpm("sw", "nw", "sd", "nd")} AS BIGINT)
+      |           AS obs_diff_ppm FROM obs),
+      |pm AS (
+      |  SELECT b.b,
+      |    CAST(sum(CASE WHEN ${multHashDuck("g.d * 211 + b.b")} % 7 < 2
+      |             THEN g.x END) AS BIGINT) AS sw,
+      |    CAST(sum(CASE WHEN ${multHashDuck("g.d * 211 + b.b")} % 7 < 2
+      |             THEN 1 END) AS BIGINT) AS nw,
+      |    CAST(sum(CASE WHEN ${multHashDuck("g.d * 211 + b.b")} % 7 >= 2
+      |             THEN g.x END) AS BIGINT) AS sd,
+      |    CAST(sum(CASE WHEN ${multHashDuck("g.d * 211 + b.b")} % 7 >= 2
+      |             THEN 1 END) AS BIGINT) AS nd
+      |  FROM grid g CROSS JOIN (SELECT unnest(range(1, 201)) AS b) b
+      |  GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(${diffPpm("sw", "nw", "sd", "nd")} AS BIGINT) AS stat_ppm
+      |  FROM pm WHERE nw > 0 AND nd > 0)
+      |SELECT ob.n_days, ob.obs_diff_ppm,
+      |  CAST(count(*) AS BIGINT) AS n_perm,
+      |  CAST(sum(CASE WHEN abs(stat_ppm) >= abs(ob.obs_diff_ppm)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+      |  CAST(((1 + sum(CASE WHEN abs(stat_ppm) >= abs(ob.obs_diff_ppm)
+      |                 THEN 1 ELSE 0 END)) * 1000000)
+      |       // (count(*) + 1) AS BIGINT) AS p_ppm
+      |FROM st CROSS JOIN ob
+      |GROUP BY ob.n_days, ob.obs_diff_ppm""".stripMargin
+  }
+
+  /** #328 Poisson overdispersion audit — is each event type's daily
+    * arrival count Poisson (variance ≈ mean), or bursty (the decision
+    * between a Poisson rate model and a negative-binomial one; the
+    * daily companion to #150's hourly Fano factor, with a dispersion
+    * INDEX, exact fold, and per-type dense day grids). D = s²/x̄ folds
+    * as ((n·Σx² − S²)·1e6) div ((n−1)·S) — every term an exact integer
+    * (counts!), positive, one division. O(types·days) grid, O(types)
+    * output. */
+  private def overdispersion(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("dd"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = ev.groupBy("event_type")
+      .agg(min("dd").as("__lo"), max("dd").as("__hi"))
+    span.select(col("event_type"), explode(expr("sequence(__lo, __hi)")).as("dd"))
+      .join(ev, Seq("event_type", "dd"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("n_events"),
+        sum(expr("cnt * cnt")).as("__sxx"))
+      .withColumn("mean_ppm", expr("(n_events * 1000000) div n_days"))
+      .withColumn("dispersion_ppm", expr(
+        """CAST(((CAST(n_days AS DECIMAL(38,0)) * __sxx
+          |  - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000)
+          | div (CAST(n_days - 1 AS DECIMAL(38,0)) * n_events) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .select("event_type", "n_days", "n_events", "mean_ppm",
+        "dispersion_ppm")
+  }
+
+  private val overdispersionSql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS dd,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT event_type, min(dd) AS lo, max(dd) AS hi
+      |       FROM ev GROUP BY 1),
+      |grid AS (
+      |  SELECT sp.event_type, CAST(u.dd AS BIGINT) AS dd,
+      |    coalesce(ev.cnt, 0) AS cnt
+      |  FROM sp CROSS JOIN unnest(range(sp.lo, sp.hi + 1)) AS u(dd)
+      |  LEFT JOIN ev ON ev.event_type = sp.event_type AND ev.dd = u.dd)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(cnt) AS BIGINT) AS n_events,
+      |  CAST((sum(cnt) * 1000000) // count(*) AS BIGINT) AS mean_ppm,
+      |  CAST(((CAST(count(*) AS HUGEINT) * sum(cnt * cnt)
+      |         - CAST(sum(cnt) AS HUGEINT) * sum(cnt)) * 1000000)
+      |       // (CAST(count(*) - 1 AS HUGEINT) * sum(cnt)) AS BIGINT)
+      |    AS dispersion_ppm
+      |FROM grid GROUP BY 1""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -16161,5 +16562,9 @@ object Queries {
     Q("q_mantel_haenszel", mantelHaenszel, Some(mantelHaenszelSql)),
     Q("q_theta_intersect", thetaIntersect, Some(thetaIntersectSql)),
     Q("q_collocation_llr", collocationLlr, Some(collocationLlrSql)),
+    Q("q_pacf", pacf, Some(pacfSql)),
+    Q("q_periodogram", periodogram, Some(periodogramSql)),
+    Q("q_permutation_test", permutationTest, Some(permutationTestSql)),
+    Q("q_overdispersion", overdispersion, Some(overdispersionSql)),
   )
 }
