@@ -15870,11 +15870,25 @@ object Queries {
 
   /** Engine-portable sign-split ppm division fragment: truncate-toward-
     * zero semantics on BOTH engines (Spark `div` truncates, DuckDB `//`
-    * floors — they differ exactly on negative numerators). */
+    * floors — they differ exactly on negative numerators). Assumes a
+    * POSITIVE denominator — use [[sdivPpm2]] when the denominator can
+    * go negative too. */
   private def sdivPpm(num: String, den: String, duck: Boolean): String = {
     val d = if (duck) "//" else "div"
     s"""CASE WHEN ($num) >= 0 THEN (($num) * 1000000) $d ($den)
        | ELSE -((-($num)) * 1000000 $d ($den)) END"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** Fully sign-symmetric ppm division: result sign = sign(num·den),
+    * magnitude = (|num|·1e6) div |den| — identical under Spark's
+    * truncating `div` and DuckDB's flooring `//` for ANY operand
+    * signs. */
+  private def sdivPpm2(num: String, den: String, duck: Boolean): String = {
+    val d = if (duck) "//" else "div"
+    s"""CASE WHEN (($num) >= 0) = (($den) >= 0)
+       | THEN (abs($num) * 1000000) $d abs($den)
+       | ELSE -((abs($num) * 1000000) $d abs($den)) END"""
       .stripMargin.replace("\n", " ")
   }
 
@@ -16233,6 +16247,311 @@ object Queries {
       |    AS dispersion_ppm
       |FROM grid GROUP BY 1""".stripMargin
 
+  // Round-8 widening XXI: schema forensics + causal inference (329-332)
+  // ===========================================================================
+
+  /** #329 candidate-key discovery — which column sets uniquely identify
+    * an events row (the profiling pass behind dedup keys, upsert keys,
+    * and CDC ordering — the constructive complement to #198's FD
+    * audit, which checks DEPENDENCE between two named columns)? Each
+    * of the six fixed combos folds n vs n_distinct in its own
+    * partial-aggregated distinct shuffle (bounded combo list — never
+    * the 2^cols lattice); uniqueness lands as exact ppm. At 100 TB
+    * each COUNT(DISTINCT combo) shuffles the combo key once —
+    * #41/#185's sketches are the cheap pre-screen when exactness can
+    * be traded. */
+  private def keyDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val combos: Seq[(String, Seq[String])] = Seq(
+      "event_id" -> Seq("event_id"),
+      "event_type" -> Seq("event_type"),
+      "ts" -> Seq("ts"),
+      "user_id" -> Seq("user_id"),
+      "user_id,ts" -> Seq("user_id", "ts"),
+      "user_id,event_type,ts" -> Seq("user_id", "event_type", "ts"))
+    combos.map { case (name, cols) =>
+      ev.agg(count(lit(1)).as("n_rows"),
+          count_distinct(col(cols.head), cols.tail.map(col): _*)
+            .as("n_distinct"))
+        .select(lit(name).as("combo"), col("n_rows"), col("n_distinct"),
+          expr("(n_distinct * 1000000) div n_rows").as("uniqueness_ppm"),
+          (col("n_distinct") === col("n_rows")).as("is_key"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val keyDiscoverySql = {
+    def one(name: String, cols: String): String =
+      s"""SELECT '$name' AS combo, CAST((SELECT count(*) FROM events) AS BIGINT)
+        |    AS n_rows,
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT $cols FROM events))
+        |    AS BIGINT) AS n_distinct,
+        |  CAST(((SELECT count(*) FROM (SELECT DISTINCT $cols FROM events))
+        |        * 1000000)
+        |    // (SELECT count(*) FROM events) AS BIGINT) AS uniqueness_ppm,
+        |  (SELECT count(*) FROM (SELECT DISTINCT $cols FROM events))
+        |    = (SELECT count(*) FROM events) AS is_key""".stripMargin
+    Seq("event_id" -> "event_id", "event_type" -> "event_type",
+      "ts" -> "ts", "user_id" -> "user_id",
+      "user_id,ts" -> "user_id, ts",
+      "user_id,event_type,ts" -> "user_id, event_type, ts")
+      .map { case (n, c) => one(n, c) }.mkString("\nUNION ALL\n")
+  }
+
+  /** #330 Tukey HSD post-hoc contrasts — WHICH priority pairs differ in
+    * mean order value, after #282's ANOVA says SOME do (the multiple-
+    * comparison step a bare pairwise t inflates): all 10 pairwise
+    * studentized-range statistics against the shared q*₀.₀₅(5,∞)=3.858
+    * literal. Reuses the ANOVA fixed-column pivot verbatim — one
+    * map-side-combinable groupBy, one 1-row moment pivot, and the 10
+    * pair rows come from a LITERAL pair table cross-joined onto it
+    * (single scan; CASE selects the group's moments), so every double
+    * is the same fixed-order expression over exact integers on both
+    * engines. */
+  private def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val g = parallelize(s, t(s, dir, "orders"))
+      .select(substring(col("o_orderpriority"), 1, 1).as("__g"),
+        expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) div 100 AS BIGINT)")
+          .as("__x"))
+    val cells = g.groupBy("__g").agg(count(lit(1)).as("n"),
+      sum("__x").as("s"), sum(col("__x") * col("__x")).as("q"))
+    val pivotCols = (1 to 5).flatMap { i =>
+      Seq(coalesce(sum(when(col("__g") === i.toString, col("n"))), lit(0L))
+            .as(s"n$i"),
+        coalesce(sum(when(col("__g") === i.toString, col("s"))), lit(0L))
+          .as(s"s$i"),
+        coalesce(sum(when(col("__g") === i.toString, col("q"))), lit(0L))
+          .as(s"q$i"))
+    }
+    val one = cells.agg(pivotCols.head, pivotCols.tail: _*)
+      .withColumn("n", expr("n1 + n2 + n3 + n4 + n5"))
+      .withColumn("k", lit(5L))
+    val pairs = (1 to 5).flatMap(i => ((i + 1) to 5).map(j => (i, j)))
+    def sel(f: String, v: String): String =
+      s"CASE $v WHEN 1 THEN ${f}1 WHEN 2 THEN ${f}2 WHEN 3 THEN ${f}3" +
+        s" WHEN 4 THEN ${f}4 ELSE ${f}5 END"
+    one.select(col("*"), explode(expr(
+        pairs.map { case (i, j) => s"struct($i AS i, $j AS j)" }
+          .mkString("array(", ",", ")"))).as("__p"))
+      .withColumn("__i", col("__p.i")).withColumn("__j", col("__p.j"))
+      .select(expr("CAST(__i AS STRING)").as("pri_a"),
+        expr("CAST(__j AS STRING)").as("pri_b"),
+        expr(sel("n", "__i")).as("n_a"), expr(sel("n", "__j")).as("n_b"),
+        expr(TukeyDiffExpr(sel)).as("mean_diff"),
+        expr(TukeyQExpr(sel)).as("q_stat"))
+      .withColumn("significant", expr("abs(q_stat) > 3.858"))
+  }
+
+  /** Fixed-order HSD folds shared verbatim with the oracle (ANOVA SSW
+    * reused for the pooled MSW). */
+  private def TukeyDiffExpr(sel: (String, String) => String): String =
+    s"""round(CAST(${sel("s", "__i")} AS DOUBLE) / CAST(${sel("n", "__i")} AS DOUBLE)
+       | - CAST(${sel("s", "__j")} AS DOUBLE) / CAST(${sel("n", "__j")} AS DOUBLE),
+       | 6)""".stripMargin.replace("\n", " ")
+  private def TukeyQExpr(sel: (String, String) => String): String =
+    s"""round((CAST(${sel("s", "__i")} AS DOUBLE) / CAST(${sel("n", "__i")} AS DOUBLE)
+       |  - CAST(${sel("s", "__j")} AS DOUBLE) / CAST(${sel("n", "__j")} AS DOUBLE))
+       | / sqrt((($anovaSsw) / CAST(n - k AS DOUBLE)) * 0.5
+       |        * (1.0 / CAST(${sel("n", "__i")} AS DOUBLE)
+       |           + 1.0 / CAST(${sel("n", "__j")} AS DOUBLE))),
+       | 6)""".stripMargin.replace("\n", " ")
+
+  private lazy val tukeyHsdSql = {
+    val cols = (1 to 5).flatMap { i =>
+      Seq(
+        s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN n END), 0) AS BIGINT) AS n$i",
+        s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN s END), 0) AS BIGINT) AS s$i",
+        s"CAST(coalesce(sum(CASE WHEN g = '$i' THEN q END), 0) AS BIGINT) AS q$i")
+    }.mkString(",\n  ")
+    def sel(f: String, v: String): String =
+      s"CASE $v WHEN 1 THEN ${f}1 WHEN 2 THEN ${f}2 WHEN 3 THEN ${f}3" +
+        s" WHEN 4 THEN ${f}4 ELSE ${f}5 END"
+    val pairs = (1 to 5).flatMap(i => ((i + 1) to 5).map(j => s"($i, $j)"))
+      .mkString(", ")
+    s"""WITH b AS (
+       |  SELECT substr(o_orderpriority, 1, 1) AS g,
+       |    CAST(CAST(o_totalprice * 100 AS BIGINT) // 100 AS BIGINT) AS x
+       |  FROM orders),
+       |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+       |        sum(x * x) AS q FROM b GROUP BY 1),
+       |one AS (SELECT $cols FROM c),
+       |f AS (SELECT *, n1+n2+n3+n4+n5 AS n, CAST(5 AS BIGINT) AS k FROM one),
+       |p AS (SELECT * FROM f CROSS JOIN (VALUES $pairs) pr(i, j))
+       |SELECT CAST(i AS VARCHAR) AS pri_a, CAST(j AS VARCHAR) AS pri_b,
+       |  ${sel("n", "i")} AS n_a, ${sel("n", "j")} AS n_b,
+       |  ${TukeyDiffExpr((f, v) => sel(f, if (v == "__i") "i" else "j"))
+            .replace("\n", " ")} AS mean_diff,
+       |  ${TukeyQExpr((f, v) => sel(f, if (v == "__i") "i" else "j"))
+            .replace("\n", " ")} AS q_stat,
+       |  abs(${TukeyQExpr((f, v) => sel(f, if (v == "__i") "i" else "j"))
+            .replace("\n", " ")}) > 3.858 AS significant
+       |FROM p""".stripMargin
+  }
+
+  /** #331 difference-in-differences — did BUILDING-segment order values
+    * move differently from the rest of the market after the policy
+    * date (the 2×2 causal baseline every experiment platform publishes
+    * when it can't randomize)? The policy date is the CORPUS MIDPOINT
+    * — lo + (hi−lo) div 2 on epoch-day indexes off a 1-row broadcast
+    * (a fixed calendar literal would empty a cell whenever the data
+    * window moves; wall-clock-free). Four cell means quantized to
+    * exact ppm cents (positive sums — one integral division each),
+    * DID as pure integer arithmetic on the quantized means; the
+    * parallel-trends gap is the reader's judgment, the table gives
+    * both trends. One fact join + one 4-cell aggregate; 1-row
+    * output. */
+  private def did(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "orders")
+      .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select((col("c_mktsegment") === "BUILDING").cast("long").as("__t"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01").cast("date")).cast("long").as("__d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__c"))
+    val bounds = days.agg(min("__d").as("__lo"), max("__d").as("__hi"))
+    val base = days.crossJoin(broadcast(bounds))
+      .withColumn("__post",
+        (col("__d") >= expr("__lo + (__hi - __lo) div 2")).cast("long"))
+    base.agg(
+        sum(when(expr("__t = 1 AND __post = 1"), 1L).otherwise(0L)).as("n_t1"),
+        sum(when(expr("__t = 1 AND __post = 0"), 1L).otherwise(0L)).as("n_t0"),
+        sum(when(expr("__t = 0 AND __post = 1"), 1L).otherwise(0L)).as("n_c1"),
+        sum(when(expr("__t = 0 AND __post = 0"), 1L).otherwise(0L)).as("n_c0"),
+        sum(when(expr("__t = 1 AND __post = 1"), col("__c"))).as("__s_t1"),
+        sum(when(expr("__t = 1 AND __post = 0"), col("__c"))).as("__s_t0"),
+        sum(when(expr("__t = 0 AND __post = 1"), col("__c"))).as("__s_c1"),
+        sum(when(expr("__t = 0 AND __post = 0"), col("__c"))).as("__s_c0"))
+      .withColumn("treat_trend_ppm", expr(
+        """(CAST(__s_t1 AS DECIMAL(38,0)) * 1000000) div n_t1
+          | - (CAST(__s_t0 AS DECIMAL(38,0)) * 1000000) div n_t0"""
+          .stripMargin.replace("\n", " ")).cast("long"))
+      .withColumn("control_trend_ppm", expr(
+        """(CAST(__s_c1 AS DECIMAL(38,0)) * 1000000) div n_c1
+          | - (CAST(__s_c0 AS DECIMAL(38,0)) * 1000000) div n_c0"""
+          .stripMargin.replace("\n", " ")).cast("long"))
+      .withColumn("did_ppm",
+        expr("treat_trend_ppm - control_trend_ppm"))
+      .select("n_t1", "n_t0", "n_c1", "n_c0", "treat_trend_ppm",
+        "control_trend_ppm", "did_ppm")
+  }
+
+  private val didSql =
+    """WITH days AS (
+      |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+      |    CAST(date_diff('day', DATE '1992-01-01',
+      |                   CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(o.o_totalprice * 100 AS BIGINT) AS c
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |bnd AS (SELECT min(d) AS lo, max(d) AS hi FROM days),
+      |base AS (
+      |  SELECT t, CASE WHEN d >= lo + (hi - lo) // 2 THEN 1 ELSE 0 END AS post,
+      |    c
+      |  FROM days CROSS JOIN bnd),
+      |g AS (
+      |  SELECT CAST(sum(CASE WHEN t = 1 AND post = 1 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_t1,
+      |    CAST(sum(CASE WHEN t = 1 AND post = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t0,
+      |    CAST(sum(CASE WHEN t = 0 AND post = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c1,
+      |    CAST(sum(CASE WHEN t = 0 AND post = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c0,
+      |    sum(CASE WHEN t = 1 AND post = 1 THEN c END) AS s_t1,
+      |    sum(CASE WHEN t = 1 AND post = 0 THEN c END) AS s_t0,
+      |    sum(CASE WHEN t = 0 AND post = 1 THEN c END) AS s_c1,
+      |    sum(CASE WHEN t = 0 AND post = 0 THEN c END) AS s_c0
+      |  FROM base)
+      |SELECT n_t1, n_t0, n_c1, n_c0,
+      |  CAST((CAST(s_t1 AS HUGEINT) * 1000000) // n_t1
+      |       - (CAST(s_t0 AS HUGEINT) * 1000000) // n_t0 AS BIGINT)
+      |    AS treat_trend_ppm,
+      |  CAST((CAST(s_c1 AS HUGEINT) * 1000000) // n_c1
+      |       - (CAST(s_c0 AS HUGEINT) * 1000000) // n_c0 AS BIGINT)
+      |    AS control_trend_ppm,
+      |  CAST((CAST(s_t1 AS HUGEINT) * 1000000) // n_t1
+      |       - (CAST(s_t0 AS HUGEINT) * 1000000) // n_t0
+      |       - ((CAST(s_c1 AS HUGEINT) * 1000000) // n_c1
+      |          - (CAST(s_c0 AS HUGEINT) * 1000000) // n_c0) AS BIGINT)
+      |    AS did_ppm
+      |FROM g""".stripMargin
+
+  /** #332 instrumental-variable Wald estimator — the causal price-per-
+    * unit slope when quantity is endogenous: β_IV = cov(y,z)/cov(x,z)
+    * with part size as the instrument, next to the naive OLS slope
+    * (the IV-vs-OLS gap IS the endogeneity diagnostic; extends #135's
+    * descriptive fit with the causal estimand). All covariances fold
+    * as exact n·Σab − Σa·Σb integers in DECIMAL(38) off ONE aggregate
+    * over the fact join; β's land as sign-split ppm — split on BOTH
+    * operands: cov(x,z) can be negative, and a negative DENOMINATOR is
+    * where one-sided splits still diverge (Spark div truncates, DuckDB
+    * // floors); the first-stage corr (instrument strength — the
+    * weak-IV gate, near zero on this synthetic data BY DESIGN) is the
+    * one divide-early double. 1-row output. */
+  private def ivWald(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("__y"),
+        col("l_quantity").cast("long").as("__x"),
+        col("p_size").cast("long").as("__z"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum("__y").as("sy"), sum("__x").as("sx"), sum("__z").as("sz"),
+      sum(expr("__y * __z")).as("syz"), sum(expr("__x * __z")).as("sxz"),
+      sum(expr("CAST(__y AS DECIMAL(38,0)) * __x")).as("sxy"),
+      sum(expr("__x * __x")).as("sxx"), sum(expr("__z * __z")).as("szz"))
+    m.select(col("n").as("n_lines"),
+        expr(sdivPpm2(
+          "CAST(n AS DECIMAL(38,0)) * syz - CAST(sy AS DECIMAL(38,0)) * sz",
+          "CAST(n AS DECIMAL(38,0)) * sxz - CAST(sx AS DECIMAL(38,0)) * sz",
+          duck = false)).cast("long").as("beta_iv_ppm"),
+        expr(sdivPpm2(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sy AS DECIMAL(38,0)) * sx",
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx",
+          duck = false)).cast("long").as("beta_ols_ppm"),
+        expr(
+          """round((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+            |        - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+            |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |         * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+            |            - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)"""
+            .stripMargin.replace("\n", " ")).as("first_stage_corr"))
+  }
+
+  private val ivWaldSql = {
+    s"""WITH base AS (
+      |  SELECT CAST(l.l_extendedprice * 100 AS BIGINT) AS y,
+      |    CAST(l.l_quantity AS BIGINT) AS x, CAST(p.p_size AS BIGINT) AS z
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sz,
+      |    CAST(sum(y * z) AS BIGINT) AS syz, CAST(sum(x * z) AS BIGINT) AS sxz,
+      |    sum(CAST(y AS HUGEINT) * x) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(z * z) AS BIGINT) AS szz
+      |  FROM base)
+      |SELECT n AS n_lines,
+      |  CAST(${sdivPpm2(
+          "CAST(n AS HUGEINT) * syz - CAST(sy AS HUGEINT) * sz",
+          "CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz",
+          duck = true)} AS BIGINT) AS beta_iv_ppm,
+      |  CAST(${sdivPpm2(
+          "CAST(n AS HUGEINT) * sxy - CAST(sy AS HUGEINT) * sx",
+          "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx",
+          duck = true)} AS BIGINT) AS beta_ols_ppm,
+      |  round((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+      |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+      |             - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+      |    AS first_stage_corr
+      |FROM m""".stripMargin
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -16566,5 +16885,9 @@ object Queries {
     Q("q_periodogram", periodogram, Some(periodogramSql)),
     Q("q_permutation_test", permutationTest, Some(permutationTestSql)),
     Q("q_overdispersion", overdispersion, Some(overdispersionSql)),
+    Q("q_key_discovery", keyDiscovery, Some(keyDiscoverySql)),
+    Q("q_tukey_hsd", tukeyHsd, Some(tukeyHsdSql)),
+    Q("q_did", did, Some(didSql)),
+    Q("q_iv_wald", ivWald, Some(ivWaldSql)),
   )
 }
