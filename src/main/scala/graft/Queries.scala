@@ -16552,6 +16552,295 @@ object Queries {
       |FROM m""".stripMargin
   }
 
+  // Round-8 widening XXII: normalization / growth-law corpus ops (333-336)
+  // ===========================================================================
+
+  /** #333 quantile-normalization map — the per-source → corpus decile
+    * mapping table (the batch-effect correction ML data prep applies
+    * when sources have incomparable length distributions; the
+    * TRANSFORM companion to #320's EMD, which only scores the
+    * mismatch). Both quantile sets ride `DistributedPercentiles.exact`
+    * (per-partition run-length counts + rank-targeted second pass —
+    * never a global sort), interpolation matches `quantile_cont`,
+    * floor-before-cast on both engines. O(sources · 9) output. */
+  private def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+      .select(col("source"), length(col("text")).cast("long").as("__len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probs = (1 to 9).map(i => s"p$i" -> i / 10.0)
+    val srcQ = DistributedPercentiles.exact(docs, "source", "__len", probs)
+    val corQ = DistributedPercentiles.exact(
+      docs.withColumn("__g", lit("all")), "__g", "__len", probs)
+    def unpivot(df: DataFrame, out: String): DataFrame =
+      df.select(col(df.columns.head), expr(
+        (1 to 9).map(i => s"$i, p$i").mkString("stack(9, ", ", ", ")"))
+        .as(Seq("decile", "__v")))
+        .select(col(df.columns.head), col("decile").cast("int").as("decile"),
+          floor(col("__v")).cast("long").as(out))
+    unpivot(srcQ, "src_len")
+      .join(broadcast(unpivot(corQ, "corpus_len").drop("__g")), Seq("decile"))
+      .withColumn("shift_chars", col("corpus_len") - col("src_len"))
+      .select("source", "decile", "src_len", "corpus_len", "shift_chars")
+  }
+
+  private val quantileNormalizeSql =
+    """WITH d AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS len FROM documents),
+      |sq AS (
+      |  SELECT source,
+      |    quantile_cont(len, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      |  FROM d GROUP BY 1),
+      |cq AS (
+      |  SELECT quantile_cont(len, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      |  FROM d),
+      |ix AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS decile)
+      |SELECT sq.source, ix.decile,
+      |  CAST(floor(sq.qs[ix.decile]) AS BIGINT) AS src_len,
+      |  CAST(floor(cq.qs[ix.decile]) AS BIGINT) AS corpus_len,
+      |  CAST(floor(cq.qs[ix.decile]) AS BIGINT)
+      |    - CAST(floor(sq.qs[ix.decile]) AS BIGINT) AS shift_chars
+      |FROM sq CROSS JOIN ix CROSS JOIN cq""".stripMargin
+
+  /** #334 week-over-week audience overlap — how much of each week's
+    * active-user set carries into the next (the set-level churn view
+    * #134's rolling distinct COUNT and #64's cohort retention both
+    * miss: counts can hold steady while the population fully turns
+    * over). One distinct (week, user) shuffle; the intersection is a
+    * user-key self-join restricted to adjacent weeks; jaccard /
+    * retained / new land as exact ppm. O(weeks) output. */
+  private def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val wu = events(s, dir)
+      .select(expr("unix_micros(ts) div 604800000000").as("wk"),
+        col("user_id").as("u"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = wu.groupBy("wk").agg(count(lit(1)).as("n"))
+    val common = wu.as("a")
+      .join(wu.as("b"), col("a.u") === col("b.u")
+        && col("b.wk") === col("a.wk") + 1)
+      .groupBy(col("a.wk").as("wk")).agg(count(lit(1)).as("n_common"))
+    n.as("na")
+      .join(n.as("nb"), col("nb.wk") === col("na.wk") + 1)
+      .join(common.withColumnRenamed("wk", "__cw"),
+        col("__cw") === col("na.wk"), "left")
+      .select(col("na.wk").as("week_a"), col("nb.wk").as("week_b"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_ppm", expr(
+        "(n_common * 1000000) div (n_a + n_b - n_common)"))
+      .withColumn("retained_ppm", expr("(n_common * 1000000) div n_a"))
+      .withColumn("new_ppm", expr("((n_b - n_common) * 1000000) div n_b"))
+  }
+
+  private val audienceOverlapSql =
+    """WITH wu AS (
+      |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id AS u
+      |  FROM events),
+      |n AS (SELECT wk, CAST(count(*) AS BIGINT) AS n FROM wu GROUP BY 1),
+      |cm AS (
+      |  SELECT a.wk AS wk, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM wu a JOIN wu b ON b.u = a.u AND b.wk = a.wk + 1
+      |  GROUP BY 1)
+      |SELECT na.wk AS week_a, nb.wk AS week_b, na.n AS n_a, nb.n AS n_b,
+      |  coalesce(cm.n_common, 0) AS n_common,
+      |  (coalesce(cm.n_common, 0) * 1000000)
+      |    // (na.n + nb.n - coalesce(cm.n_common, 0)) AS jaccard_ppm,
+      |  (coalesce(cm.n_common, 0) * 1000000) // na.n AS retained_ppm,
+      |  ((nb.n - coalesce(cm.n_common, 0)) * 1000000) // nb.n AS new_ppm
+      |FROM n na JOIN n nb ON nb.wk = na.wk + 1
+      |LEFT JOIN cm ON cm.wk = na.wk""".stripMargin
+
+  /** #335 price elasticity of demand — the log-log slope of per-part
+    * demand on retail price (the pricing-curve estimate behind every
+    * revenue-management model): β = cov(ln Q, ln P)/var(ln P) over
+    * parts, both logs in the property-tested ⌊ln(int)·1e6⌋ fixed point
+    * (price cents and quantity sums are exact integers), cross-moments
+    * in DECIMAL(38) (micronat² products overflow long at catalog
+    * scale), slope sign-split ppm, corr divide-early double. One fact
+    * groupBy + one O(parts) aggregate; 1-row output. */
+  private def elasticity(s: SparkSession, dir: String): DataFrame = {
+    val byPart = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("__q"))
+      .join(t(s, dir, "part").select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__p")),
+        col("pk") === col("p_partkey"))
+      .select(expr(s"${lnQ6("__p")}").as("x"), expr(s"${lnQ6("__q")}").as("y"))
+    val m = byPart.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    // corr via n²-scaled integer covariances: the raw micronat² moments
+    // exceed BIGINT at sf1, and HUGEINT/DECIMAL→DOUBLE casts are not
+    // correctly rounded cross-engine past 2^53 (§5) — but cov div n²
+    // fits BIGINT, BIGINT→DOUBLE is exact-rounded, and corr is
+    // scale-invariant (identical truncation on both engines)
+    m.select(col("n").as("n_parts"),
+        expr(sdivPpm(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy",
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx",
+          duck = false)).cast("long").as("elasticity_ppm"),
+        expr(
+          """round(CAST(CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy
+            |    - CAST(sx AS DECIMAL(38,0)) * sy >= 0
+            |  THEN (CAST(n AS DECIMAL(38,0)) * sxy
+            |        - CAST(sx AS DECIMAL(38,0)) * sy)
+            |       div (CAST(n AS DECIMAL(38,0)) * n)
+            |  ELSE -((CAST(sx AS DECIMAL(38,0)) * sy
+            |          - CAST(n AS DECIMAL(38,0)) * sxy)
+            |         div (CAST(n AS DECIMAL(38,0)) * n)) END AS BIGINT) AS DOUBLE)
+            |  / sqrt(CAST(CAST((CAST(n AS DECIMAL(38,0)) * sxx
+            |           - CAST(sx AS DECIMAL(38,0)) * sx)
+            |          div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS DOUBLE)
+            |         * CAST(CAST((CAST(n AS DECIMAL(38,0)) * syy
+            |             - CAST(sy AS DECIMAL(38,0)) * sy)
+            |            div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS DOUBLE)),
+            | 6)""".stripMargin.replace("\n", " ")).as("log_log_corr"))
+  }
+
+  private val elasticitySql = {
+    def ln6(x: String): String = s"CAST(floor(ln($x) * 1e6) AS BIGINT)"
+    s"""WITH bp AS (
+      |  SELECT l.l_partkey AS pk, CAST(sum(CAST(l.l_quantity AS BIGINT))
+      |    AS BIGINT) AS q
+      |  FROM lineitem l GROUP BY 1),
+      |xy AS (
+      |  SELECT ${ln6("CAST(p.p_retailprice * 100 AS BIGINT)")} AS x,
+      |    ${ln6("bp.q")} AS y
+      |  FROM bp JOIN part p ON p.p_partkey = bp.pk),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM xy)
+      |SELECT n AS n_parts,
+      |  CAST(${sdivPpm(
+          "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy",
+          "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx",
+          duck = true)} AS BIGINT) AS elasticity_ppm,
+      |  round(CAST(CAST(CASE WHEN CAST(n AS HUGEINT) * sxy
+      |      - CAST(sx AS HUGEINT) * sy >= 0
+      |    THEN (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+      |         // (CAST(n AS HUGEINT) * n)
+      |    ELSE -((CAST(sx AS HUGEINT) * sy - CAST(n AS HUGEINT) * sxy)
+      |           // (CAST(n AS HUGEINT) * n)) END AS BIGINT) AS DOUBLE)
+      |   / sqrt(CAST(CAST((CAST(n AS HUGEINT) * sxx
+      |            - CAST(sx AS HUGEINT) * sx)
+      |           // (CAST(n AS HUGEINT) * n) AS BIGINT) AS DOUBLE)
+      |          * CAST(CAST((CAST(n AS HUGEINT) * syy
+      |              - CAST(sy AS HUGEINT) * sy)
+      |             // (CAST(n AS HUGEINT) * n) AS BIGINT) AS DOUBLE)), 6)
+      |    AS log_log_corr
+      |FROM m""".stripMargin
+  }
+
+  /** #336 Heaps'-law vocabulary growth — V(N) ≈ K·N^β measured at ten
+    * corpus-prefix checkpoints (the vocabulary-saturation signal a
+    * tokenizer/corpus curator reads before sizing a vocab: natural
+    * text sits at β≈0.5-0.7; template/synthetic corpora saturate to
+    * β≈0). Checkpoints are exact doc_id deciles (the rank scan, no
+    * global sort); each token contributes its FIRST-occurrence doc
+    * (one groupBy min — never a per-checkpoint distinct over the
+    * corpus); cumulative token/vocab counts fold through a 10-row
+    * broadcast of cuts; β is the OLS slope over the ten
+    * (⌊ln N⌋, ⌊ln V⌋) fixed-point pairs, sign-split ppm. O(10)
+    * output. */
+  private def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')").as("__l"))
+      .select(col("doc_id"), col("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probs = (1 to 10).map(i => s"p$i" -> i / 10.0)
+    val cuts = DistributedPercentiles.exact(
+      docs.select(col("doc_id"), col("doc_id").as("__v"))
+        .withColumn("__g", lit("all")), "__g", "__v", probs)
+      .select(expr((1 to 10).map(i => s"$i, CAST(floor(p$i) AS BIGINT)")
+        .mkString("stack(10, ", ", ", ")")).as(Seq("decile", "cut_doc_id")))
+    val nk = docs.select(col("doc_id"), size(col("__l")).cast("long")
+        .as("__nt"))
+      .crossJoin(broadcast(cuts))
+      .filter(col("doc_id") <= col("cut_doc_id"))
+      .groupBy("decile", "cut_doc_id")
+      .agg(sum("__nt").as("n_tokens_cum"), count(lit(1)).as("n_docs_cum"))
+    val firstOcc = docs
+      .select(col("doc_id"), explode(expr("array_distinct(__l)")).as("__w"))
+      .groupBy("__w").agg(min("doc_id").as("__fd"))
+    val vk = firstOcc.crossJoin(broadcast(cuts))
+      .filter(col("__fd") <= col("cut_doc_id"))
+      .groupBy("decile").agg(count(lit(1)).as("vocab_cum"))
+    val pts = nk.join(vk, Seq("decile"))
+      .withColumn("__x", expr(lnQ6("n_tokens_cum")))
+      .withColumn("__y", expr(lnQ6("vocab_cum")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val beta = pts.agg(count(lit(1)).as("__n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __y")).as("__sxy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __x")).as("__sxx"))
+      .select(expr(sdivPpm(
+        "CAST(__n AS DECIMAL(38,0)) * __sxy - CAST(__sx AS DECIMAL(38,0)) * __sy",
+        "CAST(__n AS DECIMAL(38,0)) * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx",
+        duck = false)).cast("long").as("heaps_beta_ppm"))
+    pts.crossJoin(broadcast(beta))
+      .select(col("decile").cast("int").as("decile"), col("cut_doc_id"),
+        col("n_docs_cum"), col("n_tokens_cum"), col("vocab_cum"),
+        col("heaps_beta_ppm"))
+  }
+
+  private val heapsLawSql = {
+    def ln6(x: String): String = s"CAST(floor(ln($x) * 1e6) AS BIGINT)"
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                w -> w <> '') AS l
+      |  FROM documents),
+      |cq AS (
+      |  SELECT quantile_cont(doc_id,
+      |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qs
+      |  FROM d),
+      |cuts AS (
+      |  SELECT CAST(i.i AS INT) AS decile,
+      |    CAST(floor(cq.qs[i.i]) AS BIGINT) AS cut_doc_id
+      |  FROM cq CROSS JOIN (SELECT unnest(range(1, 11)) AS i) i),
+      |nk AS (
+      |  SELECT c.decile, c.cut_doc_id,
+      |    CAST(sum(len(d.l)) AS BIGINT) AS n_tokens_cum,
+      |    CAST(count(*) AS BIGINT) AS n_docs_cum
+      |  FROM d CROSS JOIN cuts c
+      |  WHERE d.doc_id <= c.cut_doc_id
+      |  GROUP BY 1, 2),
+      |fo AS (
+      |  SELECT w, min(doc_id) AS fd
+      |  FROM (SELECT doc_id, unnest(list_distinct(l)) AS w FROM d)
+      |  GROUP BY 1),
+      |vk AS (
+      |  SELECT c.decile, CAST(count(*) AS BIGINT) AS vocab_cum
+      |  FROM fo CROSS JOIN cuts c
+      |  WHERE fo.fd <= c.cut_doc_id
+      |  GROUP BY 1),
+      |pts AS (
+      |  SELECT nk.decile, nk.cut_doc_id, nk.n_docs_cum, nk.n_tokens_cum,
+      |    vk.vocab_cum,
+      |    ${ln6("nk.n_tokens_cum")} AS x, ${ln6("vk.vocab_cum")} AS y
+      |  FROM nk JOIN vk ON vk.decile = nk.decile),
+      |b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM pts)
+      |SELECT pts.decile, pts.cut_doc_id, pts.n_docs_cum, pts.n_tokens_cum,
+      |  pts.vocab_cum,
+      |  CAST(${sdivPpm(
+          "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy",
+          "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx",
+          duck = true)} AS BIGINT) AS heaps_beta_ppm
+      |FROM pts CROSS JOIN b""".stripMargin
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -16889,5 +17178,9 @@ object Queries {
     Q("q_tukey_hsd", tukeyHsd, Some(tukeyHsdSql)),
     Q("q_did", did, Some(didSql)),
     Q("q_iv_wald", ivWald, Some(ivWaldSql)),
+    Q("q_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
+    Q("q_audience_overlap", audienceOverlap, Some(audienceOverlapSql)),
+    Q("q_elasticity", elasticity, Some(elasticitySql)),
+    Q("q_heaps_law", heapsLaw, Some(heapsLawSql)),
   )
 }
