@@ -16841,6 +16841,285 @@ object Queries {
       |FROM pts CROSS JOIN b""".stripMargin
   }
 
+  // Round-8 widening XXIII: causal blocking / web-pipeline / risk (337-340)
+  // ===========================================================================
+
+  /** #337 stratified (blocking) ATE — the treatment effect of BUILDING-
+    * segment membership on order value adjusted for account-balance
+    * decile (the observational-causal step between #157's raw segment
+    * RFM and #332's IV: block on the confounder, weight by block
+    * size). Deciles are exact rank bands on (cents, custkey) — the
+    * total-order NPS device, per-customer; the ATE folds as
+    * Σ_d n_d·(m_td − m_cd) div N over ppm-quantized block means,
+    * blocks missing an arm are DROPPED (reported) rather than
+    * imputed. The naive unadjusted gap rides along — the adjustment
+    * delta IS the confounding measurement. O(deciles) intermediate,
+    * 1-row output. */
+  private def stratifiedAte(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("__cents"), col("c_custkey"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("__t"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("__cents"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+    val n1 = cust.agg(count(lit(1)).as("__nc"))
+    val strata = cust.crossJoin(broadcast(n1))
+      .withColumn("__d", expr("((__rk - 1) * 10) div __nc"))
+      .select("c_custkey", "__t", "__d")
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__y"))
+      .join(strata, col("o_custkey") === col("c_custkey"))
+    val cells = orders.groupBy("__d")
+      .agg(sum(when(col("__t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("__t") === 1, col("__y"))).as("st"),
+        sum(when(col("__t") === 0, col("__y"))).as("sc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+    cells.agg(count(lit(1)).as("n_strata_used"),
+        sum(expr("nt + nc")).as("n_orders"),
+        sum(expr(
+          """(nt + nc) * ((CAST(st AS DECIMAL(38,0)) * 1000000) div nt
+            | - (CAST(sc AS DECIMAL(38,0)) * 1000000) div nc)"""
+            .stripMargin.replace("\n", " "))).as("__w"),
+        sum("st").as("__sta"), sum("nt").as("__nta"),
+        sum("sc").as("__sca"), sum("nc").as("__nca"))
+      .withColumn("ate_ppm", expr(
+        """CASE WHEN __w >= 0 THEN CAST(__w div n_orders AS BIGINT)
+          | ELSE -CAST((-__w) div n_orders AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("naive_diff_ppm", expr(
+        """CAST((CAST(__sta AS DECIMAL(38,0)) * 1000000) div __nta
+          | - (CAST(__sca AS DECIMAL(38,0)) * 1000000) div __nca AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .select("n_strata_used", "n_orders", "ate_ppm", "naive_diff_ppm")
+  }
+
+  private val stratifiedAteSql =
+    """WITH cust AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+      |    row_number() OVER (ORDER BY CAST(c_acctbal * 100 AS BIGINT),
+      |                       c_custkey) AS rk,
+      |    (SELECT count(*) FROM customer) AS nc_all
+      |  FROM customer),
+      |st AS (SELECT c_custkey, t,
+      |         CAST(((rk - 1) * 10) // nc_all AS BIGINT) AS d
+      |       FROM cust),
+      |o AS (
+      |  SELECT st.d, st.t, CAST(o_totalprice * 100 AS BIGINT) AS y
+      |  FROM orders JOIN st ON st.c_custkey = o_custkey),
+      |cells AS (
+      |  SELECT d,
+      |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    sum(CASE WHEN t = 1 THEN y END) AS stt,
+      |    sum(CASE WHEN t = 0 THEN y END) AS sc
+      |  FROM o GROUP BY 1),
+      |used AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+      |    CAST(sum(nt + nc) AS BIGINT) AS n_orders,
+      |    sum((nt + nc) * ((CAST(stt AS HUGEINT) * 1000000) // nt
+      |        - (CAST(sc AS HUGEINT) * 1000000) // nc)) AS w,
+      |    CAST(sum(stt) AS BIGINT) AS sta, CAST(sum(nt) AS BIGINT) AS nta,
+      |    CAST(sum(sc) AS BIGINT) AS sca, CAST(sum(nc) AS BIGINT) AS nca
+      |  FROM used)
+      |SELECT n_strata_used, n_orders,
+      |  CASE WHEN w >= 0 THEN CAST(w // n_orders AS BIGINT)
+      |    ELSE -CAST((-w) // n_orders AS BIGINT) END AS ate_ppm,
+      |  CAST((CAST(sta AS HUGEINT) * 1000000) // nta
+      |       - (CAST(sca AS HUGEINT) * 1000000) // nca AS BIGINT)
+      |    AS naive_diff_ppm
+      |FROM g""".stripMargin
+
+  /** #338 HTML boilerplate stripping — the web-corpus cleaning pass
+    * (tag removal + script elimination + whitespace collapse) proven
+    * by construction: each document is wrapped in a VALID formulaic
+    * HTML shell derived from doc_id (the #248 planted-corruption
+    * pattern), the Spark side runs the REAL strip regexes, and the
+    * oracle recomputes every output column arithmetically from the
+    * id formula WITHOUT stripping — any regex regression on any row
+    * breaks the hash compare. Map-only; the regex chain is
+    * codegen-friendly `regexp_replace`, no UDF. */
+  private def htmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val wrapped = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("text"), concat(
+        lit("<html><body><div id=\"d"), col("doc_id"), lit("\" class=\"c"),
+        pmod(col("doc_id"), lit(7)), lit("\"><h1>T</h1><p>"), col("text"),
+        lit("</p><script>var x="), col("doc_id"),
+        lit(";</script></div></body></html>")).as("__html"))
+    wrapped
+      // 1. drop script blocks WITH their content; 2. drop every
+      // remaining tag; 3. collapse runs of whitespace introduced by
+      // tag boundaries
+      .withColumn("__noscript",
+        regexp_replace(col("__html"), "<script>.*?</script>", " "))
+      .withColumn("__notags",
+        regexp_replace(col("__noscript"), "<[^>]*>", " "))
+      .withColumn("__clean",
+        expr("trim(regexp_replace(__notags, '\\\\s+', ' '))"))
+      .select(col("doc_id"),
+        length(col("__html")).cast("long").as("html_len"),
+        length(col("__clean")).cast("long").as("clean_len"),
+        (length(col("__html")) - length(col("__clean"))).cast("long")
+          .as("removed_chars"),
+        (!col("__clean").contains("<") &&
+          !col("__clean").contains("var x=")).as("strip_ok"))
+  }
+
+  private val htmlStripSql =
+    """SELECT doc_id,
+      |  CAST(95 + 2 * length(CAST(doc_id AS VARCHAR))
+      |    + length(CAST(doc_id % 7 AS VARCHAR)) + length(text)
+      |    AS BIGINT) AS html_len,
+      |  CAST(2 + length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      |    AS BIGINT) AS clean_len,
+      |  CAST(95 + 2 * length(CAST(doc_id AS VARCHAR))
+      |    + length(CAST(doc_id % 7 AS VARCHAR)) + length(text)
+      |    - 2 - length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      |    AS BIGINT) AS removed_chars,
+      |  TRUE AS strip_ok
+      |FROM documents""".stripMargin
+
+  /** #339 sample-size / MDE table — the experiment-design numbers every
+    * A/B platform derives before launching: per relative MDE, the
+    * required per-arm n at α=0.05 two-sided / power 0.8, from the
+    * MEASURED baseline purchase share of events (two-proportion normal
+    * approximation n = (z_{α/2}+z_β)²·2p(1−p)/δ², the z's as shared
+    * literals). The baseline is the EVENT-level purchase share — the
+    * user-level "ever purchased" rate is exactly 1.0 on this synthetic
+    * stream (every user converts, the #258 vacuous-predicate lesson)
+    * and p(1−p)=0 would zero the whole table. The n lands via ceil of
+    * an integral-safe double (both engines' IEEE ceil agree; the cast
+    * is of an integral value). O(4) output. */
+  private def powerMde(s: SparkSession, dir: String): DataFrame = {
+    val conv = events(s, dir).agg(
+      count(lit(1)).as("__n"),
+      sum((col("event_type") === "purchase").cast("long")).as("__k"))
+    val zsum = "2.801586"  // z_{0.025} + z_{0.2} = 1.959964 + 0.841621
+    conv.select(col("*"), explode(expr(
+        "array(50000, 100000, 200000, 500000)")).as("rel_mde_ppm"))
+      .withColumn("p_ppm", expr("(__k * 1000000) div __n"))
+      .withColumn("n_per_arm", expr(
+        s"""CAST(ceil(($zsum * $zsum
+           |  * 2.0 * (CAST(p_ppm AS DOUBLE) / 1e6)
+           |  * (1.0 - CAST(p_ppm AS DOUBLE) / 1e6))
+           | / ((CAST(p_ppm AS DOUBLE) / 1e6)
+           |    * (CAST(rel_mde_ppm AS DOUBLE) / 1e6)
+           |    * (CAST(p_ppm AS DOUBLE) / 1e6)
+           |    * (CAST(rel_mde_ppm AS DOUBLE) / 1e6))) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("rel_mde_ppm").cast("long").as("rel_mde_ppm"),
+        col("__n").as("n_events"), col("p_ppm"), col("n_per_arm"))
+  }
+
+  private val powerMdeSql = {
+    val zsum = "2.801586"
+    s"""WITH conv AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM events),
+      |m AS (SELECT unnest([50000, 100000, 200000, 500000]) AS rel_mde_ppm)
+      |SELECT CAST(m.rel_mde_ppm AS BIGINT) AS rel_mde_ppm, conv.n AS n_events,
+      |  CAST((k * 1000000) // n AS BIGINT) AS p_ppm,
+      |  CAST(ceil(($zsum * $zsum
+      |    * 2.0 * (CAST((k * 1000000) // n AS DOUBLE) / 1e6)
+      |    * (1.0 - CAST((k * 1000000) // n AS DOUBLE) / 1e6))
+      |   / ((CAST((k * 1000000) // n AS DOUBLE) / 1e6)
+      |      * (CAST(m.rel_mde_ppm AS DOUBLE) / 1e6)
+      |      * (CAST((k * 1000000) // n AS DOUBLE) / 1e6)
+      |      * (CAST(m.rel_mde_ppm AS DOUBLE) / 1e6))) AS BIGINT) AS n_per_arm
+      |FROM conv CROSS JOIN m""".stripMargin
+  }
+
+  /** #340 Gumbel extreme-value fit — the 100-period return level of
+    * daily GMV from monthly maxima (the capacity-planning / risk
+    * number a peak-detection op can't give: what peak should we
+    * EXPECT once per 100 months?). Monthly maxima are exact integers
+    * (max of daily k$ sums — one groupBy); the method-of-moments fit
+    * β̂ = s·√6/π, μ̂ = x̄ − γ·β̂ and the return level
+    * x_T = μ̂ − β̂·ln(−ln(1−1/T)) use SHARED numeric literals (γ,
+    * √6/π, and the precomputed Gumbel variate for T=100) so both
+    * engines evaluate the identical IEEE expression over identical
+    * integers. O(months) intermediate, 1-row output. */
+  private def gumbelFit(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("__dt"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__c"))
+      .groupBy("__dt").agg(expr("sum(__c) div 100000").as("x"))
+      .select((year(col("__dt")) * 12 + month(col("__dt")) - 1).cast("long")
+        .as("__m"), col("x"))
+    val mx = daily.groupBy("__m").agg(max("x").as("mx"))
+    // -ln(-ln(1 - 1/100)) precomputed once; sqrt(6)/pi; Euler gamma
+    val y100 = "4.600149"; val s6pi = "0.779697"; val gamma = "0.577216"
+    mx.agg(count(lit(1)).as("n_months"), max("mx").as("max_observed"),
+        sum("mx").as("__s"), sum(expr("mx * mx")).as("__q"))
+      .withColumn("gumbel_scale", expr(
+        s"""round($s6pi * sqrt((CAST(n_months AS DOUBLE) * CAST(__q AS DOUBLE)
+           |  - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE))
+           | / (CAST(n_months AS DOUBLE) * CAST(n_months - 1 AS DOUBLE))), 6)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("gumbel_loc", expr(
+        s"""round(CAST(__s AS DOUBLE) / CAST(n_months AS DOUBLE)
+           | - $gamma * ($s6pi * sqrt((CAST(n_months AS DOUBLE) * CAST(__q AS DOUBLE)
+           |     - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE))
+           |    / (CAST(n_months AS DOUBLE) * CAST(n_months - 1 AS DOUBLE)))), 6)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("return_level_100", expr(
+        s"""round(CAST(__s AS DOUBLE) / CAST(n_months AS DOUBLE)
+           | - $gamma * ($s6pi * sqrt((CAST(n_months AS DOUBLE) * CAST(__q AS DOUBLE)
+           |     - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE))
+           |    / (CAST(n_months AS DOUBLE) * CAST(n_months - 1 AS DOUBLE))))
+           | + $y100 * ($s6pi * sqrt((CAST(n_months AS DOUBLE) * CAST(__q AS DOUBLE)
+           |     - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE))
+           |    / (CAST(n_months AS DOUBLE) * CAST(n_months - 1 AS DOUBLE)))), 6)"""
+          .stripMargin.replace("\n", " ")))
+      .select("n_months", "max_observed", "gumbel_loc", "gumbel_scale",
+        "return_level_100")
+  }
+
+  private val gumbelFitSql = {
+    val y100 = "4.600149"; val s6pi = "0.779697"; val gamma = "0.577216"
+    s"""WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS dt,
+      |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) // 100000 AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |mm AS (
+      |  SELECT CAST(year(dt) * 12 + month(dt) - 1 AS BIGINT) AS m,
+      |    CAST(max(x) AS BIGINT) AS mx
+      |  FROM daily GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_months,
+      |    CAST(max(mx) AS BIGINT) AS max_observed,
+      |    CAST(sum(mx) AS BIGINT) AS s, CAST(sum(mx * mx) AS BIGINT) AS q
+      |  FROM mm)
+      |SELECT n_months, max_observed,
+      |  round(CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE)
+      |   - $gamma * ($s6pi * sqrt((CAST(n_months AS DOUBLE) * CAST(q AS DOUBLE)
+      |       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |      / (CAST(n_months AS DOUBLE) * CAST(n_months - 1 AS DOUBLE)))), 6)
+      |    AS gumbel_loc,
+      |  round($s6pi * sqrt((CAST(n_months AS DOUBLE) * CAST(q AS DOUBLE)
+      |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |   / (CAST(n_months AS DOUBLE) * CAST(n_months - 1 AS DOUBLE))), 6)
+      |    AS gumbel_scale,
+      |  round(CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE)
+      |   - $gamma * ($s6pi * sqrt((CAST(n_months AS DOUBLE) * CAST(q AS DOUBLE)
+      |       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |      / (CAST(n_months AS DOUBLE) * CAST(n_months - 1 AS DOUBLE))))
+      |   + $y100 * ($s6pi * sqrt((CAST(n_months AS DOUBLE) * CAST(q AS DOUBLE)
+      |       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |      / (CAST(n_months AS DOUBLE) * CAST(n_months - 1 AS DOUBLE)))), 6)
+      |    AS return_level_100
+      |FROM g""".stripMargin
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -17182,5 +17461,9 @@ object Queries {
     Q("q_audience_overlap", audienceOverlap, Some(audienceOverlapSql)),
     Q("q_elasticity", elasticity, Some(elasticitySql)),
     Q("q_heaps_law", heapsLaw, Some(heapsLawSql)),
+    Q("q_stratified_ate", stratifiedAte, Some(stratifiedAteSql)),
+    Q("q_html_strip", htmlStrip, Some(htmlStripSql)),
+    Q("q_power_mde", powerMde, Some(powerMdeSql)),
+    Q("q_gumbel_fit", gumbelFit, Some(gumbelFitSql)),
   )
 }
