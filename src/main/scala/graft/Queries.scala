@@ -17120,6 +17120,558 @@ object Queries {
       |FROM g""".stripMargin
   }
 
+  /** #341 silhouette score per k-means cluster — the clustering-quality
+    * number q_kmeans_train's inertia can't give (inertia always falls
+    * with k; silhouette penalizes clusters whose members sit nearly as
+    * close to a NEIGHBOUR centroid). Simplified (centroid-based)
+    * silhouette: a = distance to the OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b). Both come out of ONE
+    * map-only `nearest_cells(v, cents, 2)` projection — the own
+    * centroid is rank 1 and the nearest other is necessarily rank 2,
+    * so no |D|·nlist cross join and no per-vector window. The two
+    * distance folds run in the pinned left-fold order, s quantizes to
+    * ppm per vector BEFORE the cross-row sum (the #191 rule), and the
+    * per-cluster mean divides sign-split (s can be negative: a vector
+    * closer to a neighbour's centroid than its own). O(nlist) output. */
+  private def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val cents = IvfIndex.trainReplicable(e, "vec_id", "embedding",
+      nlist = 16, iters = 3, sampleMod = 4)
+    val centDf = s.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+      .toDF("__ocid", "__cvec")
+    val n2 = e.select(col("vec_id"), col("embedding"),
+        graft.functions.NativeVec.nearest_cells(col("embedding"), cents, 2)
+          .as("__nc"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("__nc"), 1).as("cid"),
+        element_at(col("__nc"), 2).as("__c2"))
+    def dfold(cv: String): Column = expr(
+      s"""sqrt(aggregate(zip_with(embedding, $cv,
+         |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+         |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"""
+        .stripMargin.replace("\n", " "))
+    n2.join(broadcast(centDf.select(col("__ocid").as("cid"),
+        col("__cvec").as("__v1"))), Seq("cid"))
+      .join(broadcast(centDf.select(col("__ocid").as("__c2"),
+        col("__cvec").as("__v2"))), Seq("__c2"))
+      .withColumn("__da", dfold("__v1"))
+      .withColumn("__db", dfold("__v2"))
+      .select(col("cid"), expr(
+        """CASE WHEN greatest(__da, __db) > 0.0
+          | THEN CAST(floor((__db - __da) / greatest(__da, __db) * 1000000.0)
+          |           AS BIGINT)
+          | ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", " "))
+        .as("__s"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("""CASE WHEN sum(__s) >= 0 THEN sum(__s) div count(1)
+               | ELSE -((-sum(__s)) div count(1)) END"""
+          .stripMargin.replace("\n", " ")).as("mean_sil_ppm"),
+        min("__s").as("min_sil_ppm"), max("__s").as("max_sil_ppm"))
+  }
+
+  private val silhouetteSql = {
+    val dist = ivfDistSql(64) _
+    s"""WITH ${ivfAssignCtes(64, 16, 3)},
+       |nn AS (
+       |  SELECT vec_id, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM (SELECT t.vec_id, c.cid, ${dist("t.v", "c.cvec")} AS d
+       |        FROM e t CROSS JOIN c3 c)),
+       |ab AS (
+       |  SELECT vec_id,
+       |    min(CASE WHEN rn = 1 THEN cid END) AS cid,
+       |    min(CASE WHEN rn = 1 THEN sqrt(d) END) AS da,
+       |    min(CASE WHEN rn = 2 THEN sqrt(d) END) AS db
+       |  FROM nn WHERE rn <= 2 GROUP BY 1),
+       |sr AS (
+       |  SELECT cid,
+       |    CASE WHEN greatest(da, db) > 0.0
+       |      THEN CAST(floor((db - da) / greatest(da, db) * 1000000.0) AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS sq
+       |  FROM ab)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(CASE WHEN sum(sq) >= 0 THEN sum(sq) // count(*)
+       |       ELSE -((-sum(sq)) // count(*)) END AS BIGINT) AS mean_sil_ppm,
+       |  CAST(min(sq) AS BIGINT) AS min_sil_ppm,
+       |  CAST(max(sq) AS BIGINT) AS max_sil_ppm
+       |FROM sr GROUP BY 1""".stripMargin
+  }
+
+  /** #342 lead–lag cross-correlation (CCF, lags −7..+7) between the
+    * daily VIEW count and the daily PURCHASE count — "does browsing
+    * lead buying, and by how many days?" (the lag that maximizes the
+    * CCF is the conversion latency a forecaster feeds on; q_autocorr
+    * is the single-series special case). Both series live on ONE dense
+    * day grid (gap days are REAL zeros); the lagged pairing is one
+    * equi-join on day+lag after a constant 15× map-side explode — no
+    * per-lag rescan, no window. All Pearson moments fold as exact
+    * longs; only the final per-lag projection is double. */
+  private def crossCorr(s: SparkSession, dir: String): DataFrame = {
+    val dc = events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val span = dc.agg(min("d").as("d0"), max("d").as("d1"))
+    // persisted: the grid is both the x side and the y side of the
+    // lag join — without this the whole events aggregate re-runs per side
+    val grid = span
+      .select(explode(expr("sequence(d0, d1)")).as("d"))
+      .join(dc, Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lagged = grid
+      .select(col("d"), col("x"), explode(expr("sequence(-7, 7)")).as("lag"))
+      .withColumn("d", col("d") + col("lag"))
+    val m = lagged
+      .join(grid.select(col("d"), col("y")), Seq("d"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val np = col("n_pairs").cast("double")
+    val cov = np * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = np * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = np * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("lag").cast("int").as("lag"), col("n_pairs"),
+      when(vx > 0.0 && vy > 0.0, round(cov / sqrt(vx * vy), 6)).as("ccf"))
+  }
+
+  private val crossCorrSql =
+    """WITH dc AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS d,
+      |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |sp AS (SELECT min(d) AS d0, max(d) AS d1 FROM dc),
+      |grid AS (
+      |  SELECT CAST(u.d AS BIGINT) AS d,
+      |    CAST(coalesce(dc.x, 0) AS BIGINT) AS x,
+      |    CAST(coalesce(dc.y, 0) AS BIGINT) AS y
+      |  FROM sp CROSS JOIN unnest(range(sp.d0, sp.d1 + 1)) AS u(d)
+      |  LEFT JOIN dc ON dc.d = u.d),
+      |m AS (
+      |  SELECT l.lag, count(*) AS n_pairs,
+      |    sum(a.x) AS sx, sum(b.y) AS sy, sum(a.x * b.y) AS sxy,
+      |    sum(a.x * a.x) AS sxx, sum(b.y * b.y) AS syy
+      |  FROM grid a
+      |  CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) l
+      |  JOIN grid b ON b.d = a.d + l.lag
+      |  GROUP BY 1)
+      |SELECT CAST(lag AS INT) AS lag, n_pairs,
+      |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+      |        AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+      |    THEN round(
+      |      (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |           (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+      |      6)
+      |  END AS ccf
+      |FROM m""".stripMargin
+
+  /** #343 UCB1 arm ranking — the deterministic explore/exploit score a
+    * bandit-driven rollout (which variant gets the next batch of
+    * traffic?) reads each morning: per event-type arm, the [0,1]-
+    * normalized mean reward (exact cent sums over the global max cent
+    * reward) plus the √(2·ln N / n) exploration bonus; the CHOSEN arm
+    * is rank 1 on the rounded score. One pass over events (the global
+    * N and max fold from the per-arm aggregate, never a second scan),
+    * O(types) output; the only doubles are the final projection off
+    * exact BIGINT moments (never HUGEINT→DOUBLE), and both engines
+    * evaluate the identical fixed-order expression. */
+  private def ucbArms(s: SparkSession, dir: String): DataFrame = {
+    val arm = events(s, dir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("__c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pulls"), sum("__c").as("__sc"),
+        max("__c").as("__amx"))
+    val tot = arm.agg(sum("n_pulls").as("__nn"), max("__amx").as("__mx"))
+    val scored = arm.crossJoin(broadcast(tot))
+      .withColumn("mean_reward", expr(
+        "round(CAST(__sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(__mx AS DOUBLE)), 6)"))
+      .withColumn("ucb_bonus", expr(
+        "round(sqrt(2.0 * ln(CAST(__nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6)"))
+      .withColumn("ucb_score", expr(
+        """round(CAST(__sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(__mx AS DOUBLE))
+          | + sqrt(2.0 * ln(CAST(__nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6)"""
+          .stripMargin.replace("\n", " ")))
+    // unpartitioned window: O(event types) rows — bounded by design
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ucb_score").desc, col("event_type"))).cast("int"))
+      .select("event_type", "n_pulls", "mean_reward", "ucb_bonus",
+        "ucb_score", "rank")
+  }
+
+  private val ucbArmsSql =
+    """WITH arm AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pulls,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc,
+      |    CAST(max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS amx
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS nn, max(amx) AS mx FROM arm),
+      |sel AS (
+      |  SELECT event_type, n_pulls,
+      |    round(CAST(sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(mx AS DOUBLE)), 6) AS mean_reward,
+      |    round(sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6) AS ucb_bonus,
+      |    round(CAST(sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(mx AS DOUBLE))
+      |      + sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6) AS ucb_score
+      |  FROM arm CROSS JOIN tot)
+      |SELECT event_type, n_pulls, mean_reward, ucb_bonus, ucb_score,
+      |  CAST(row_number() OVER (ORDER BY ucb_score DESC, event_type) AS INT) AS rank
+      |FROM sel""".stripMargin
+
+  /** #344 exact Shapley channel attribution — the game-theoretic
+    * successor of q_attribution's last-touch rule: each of the 4 touch
+    * channels (view/click/signup/error) gets its Shapley value under
+    * the coalition game v(S) = conversions REACHABLE with channels in
+    * S (users whose touched-channel set ⊆ S and who purchased). With
+    * K=4 the 16-subset lattice is exact and tiny: one user-level
+    * bitmask aggregate (the only data-sized pass), then the whole
+    * lattice/marginal computation runs as O(16)-row broadcast joins —
+    * never a driver loop. φ·4! stays an exact integer (weights
+    * |S|!·(K−1−|S|)! ∈ {6,2,2,6}); the ppm share divides the
+    * non-negative marginal mass, and Σφ = v(full)−v(∅) by efficiency
+    * (the spec asserts it). */
+  private def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val touch = events(s, dir).groupBy("user_id").agg(
+      (max(when(col("event_type") === "view", 1L).otherwise(0L)) +
+        max(when(col("event_type") === "click", 1L).otherwise(0L)) * 2L +
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)) * 4L +
+        max(when(col("event_type") === "error", 1L).otherwise(0L)) * 8L)
+        .as("mask"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val mc = touch.filter(col("conv") === 1L)
+      .groupBy("mask").agg(count(lit(1)).as("c"))
+    val lat = s.range(0, 16).toDF("S")
+    // persisted: v is read three times (both marginal sides + the
+    // efficiency bounds) and its lineage holds the full user aggregate
+    val v = lat.join(broadcast(mc), expr("(mask & S) = mask"), "left")
+      .groupBy("S").agg(coalesce(sum("c"), lit(0L)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ch = s.createDataFrame(
+      Seq(("view", 1L), ("click", 2L), ("signup", 4L), ("error", 8L)))
+      .toDF("channel", "bit")
+    val pairs = broadcast(ch)
+      .crossJoin(broadcast(v.select(col("S").as("S0"), col("v").as("v0s"))))
+      .filter(expr("(S0 & bit) = 0"))
+      .join(broadcast(v.select(col("S").as("S1"), col("v").as("v1s"))),
+        expr("S1 = S0 + bit"))
+      .withColumn("w", expr(
+        """CASE (S0 % 2) + ((S0 div 2) % 2) + ((S0 div 4) % 2) + ((S0 div 8) % 2)
+          | WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"""
+          .stripMargin.replace("\n", " ")))
+    val phi = pairs.groupBy("channel")
+      .agg(sum(expr("w * (v1s - v0s)")).as("phi_x24"))
+    val bounds = v.agg(
+      sum(when(col("S") === 15, col("v"))).as("__vfull"),
+      sum(when(col("S") === 0, col("v"))).as("__vempty"))
+    phi.crossJoin(broadcast(bounds))
+      .select(col("channel"), col("phi_x24"),
+        expr("""CASE WHEN __vfull - __vempty > 0
+               | THEN (phi_x24 * 1000000) div (24 * (__vfull - __vempty)) END"""
+          .stripMargin.replace("\n", " ")).as("share_ppm"),
+        col("__vfull").as("n_conv_reachable"))
+  }
+
+  private val shapleyAttributionSql =
+    """WITH touch AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |    + max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 2
+      |    + max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+      |    + max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 8 AS mask,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |mc AS (SELECT mask, count(*) AS c FROM touch WHERE conv = 1 GROUP BY 1),
+      |lat AS (SELECT CAST(u.S AS BIGINT) AS S FROM unnest(range(0, 16)) AS u(S)),
+      |v AS (
+      |  SELECT l.S, CAST(coalesce(sum(c), 0) AS BIGINT) AS v
+      |  FROM lat l LEFT JOIN mc ON (mc.mask & l.S) = mc.mask GROUP BY 1),
+      |ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4),
+      |       ('error', 8)) AS t(channel, bit)),
+      |pairs AS (
+      |  SELECT ch.channel,
+      |    CASE (s0.S % 2) + ((s0.S // 2) % 2) + ((s0.S // 4) % 2) + ((s0.S // 8) % 2)
+      |      WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS w,
+      |    s1.v - s0.v AS dv
+      |  FROM ch
+      |  JOIN v s0 ON (s0.S & ch.bit) = 0
+      |  JOIN v s1 ON s1.S = s0.S + ch.bit),
+      |phi AS (SELECT channel, CAST(sum(w * dv) AS BIGINT) AS phi_x24
+      |        FROM pairs GROUP BY 1),
+      |b AS (SELECT CAST(sum(CASE WHEN S = 15 THEN v END) AS BIGINT) AS vfull,
+      |             CAST(sum(CASE WHEN S = 0 THEN v END) AS BIGINT) AS vempty
+      |      FROM v)
+      |SELECT channel, phi_x24,
+      |  CASE WHEN vfull - vempty > 0
+      |    THEN CAST((phi_x24 * 1000000) // (24 * (vfull - vempty)) AS BIGINT)
+      |  END AS share_ppm,
+      |  vfull AS n_conv_reachable
+      |FROM phi CROSS JOIN b""".stripMargin
+
+  /** #345 URL parsing + tracking-param strip — the web-corpus URL
+    * normalization pass, proven by construction (the #338 html_strip
+    * pattern): a VALID formulaic URL is planted per event (host/path/
+    * query derive from event_id; 1 in 4 carries no utm tracking), the
+    * Spark side runs the REAL `parse_url` extractions (HOST, PATH,
+    * QUERY, and the keyed QUERY:utm_source form) plus the tracking-
+    * param strip regex, and the oracle recomputes every aggregate
+    * arithmetically from the id formulas WITHOUT parsing — a parse or
+    * strip regression on any row breaks n_parse_ok or the clean-query
+    * length sum. Map-only until the O(hosts) aggregate. */
+  private def urlParse(s: SparkSession, dir: String): DataFrame = {
+    val planted = events(s, dir).select(col("event_id"), concat(
+      lit("https://shop"), pmod(col("event_id"), lit(5)),
+      lit(".example.com/p/"), pmod(col("event_id"), lit(100)), lit("?"),
+      when(pmod(col("event_id"), lit(4)) === 0,
+        concat(lit("sid="), col("event_id")))
+        .otherwise(concat(lit("utm_source=s"), pmod(col("event_id"), lit(3)),
+          lit("&sid="), col("event_id")))).as("__url"))
+    planted
+      .withColumn("__host", expr("parse_url(__url, 'HOST')"))
+      .withColumn("__path", expr("parse_url(__url, 'PATH')"))
+      .withColumn("__q", expr("parse_url(__url, 'QUERY')"))
+      .withColumn("__utm", expr("parse_url(__url, 'QUERY', 'utm_source')"))
+      .withColumn("__clean",
+        regexp_replace(col("__q"), "utm_[a-z]+=[^&]*&?", ""))
+      .groupBy(col("__host").as("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("__path")).as("n_paths"),
+        sum(when(col("__utm").isNotNull, 1L).otherwise(0L)).as("n_tracked"),
+        sum(length(col("__clean")).cast("long")).as("sum_clean_qlen"),
+        sum(when(col("__host") === concat(lit("shop"),
+            pmod(col("event_id"), lit(5)), lit(".example.com")) &&
+          col("__path") === concat(lit("/p/"), pmod(col("event_id"), lit(100))),
+          1L).otherwise(0L)).as("n_parse_ok"))
+  }
+
+  private val urlParseSql =
+    """SELECT 'shop' || (event_id % 5) || '.example.com' AS host,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT event_id % 100) AS BIGINT) AS n_paths,
+      |  CAST(sum(CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tracked,
+      |  CAST(sum(4 + length(CAST(event_id AS VARCHAR))) AS BIGINT)
+      |    AS sum_clean_qlen,
+      |  CAST(count(*) AS BIGINT) AS n_parse_ok
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** #346 RAKE keyphrase extraction — multi-word keyphrases by the
+    * Rapid-Automatic-Keyword-Extraction score (degree/frequency), the
+    * phrase-level complement of q_tfidf (unigrams) and
+    * q_boilerplate_phrases (which surfaces REPEATED text — RAKE
+    * surfaces CONTENT-BEARING text). Candidate phrases are maximal
+    * stopword-free token runs, built in the ARRAY domain off the
+    * parity-proven `[^a-z0-9]+` split (stopwords → '|' markers, join,
+    * one regex split — no per-row loop); word degree folds Σ|phrase|
+    * per occurrence, score(w) = ⌊deg·1e6/freq⌋, and a phrase scores
+    * Σ score(w) — exact integers end to end. The shuffles carry
+    * words and phrases, never documents; the top-15 cut plans as
+    * TakeOrderedAndProject. */
+  private def keyphraseRake(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "for",
+      "on", "with", "as")
+    val stopSql = stop.map(w => s"'$w'").mkString(", ")
+    val docs = parallelize(s, t(s, dir, "documents"))
+    val phrases = docs
+      .select(expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')")
+        .as("__ws"))
+      .select(explode(expr(
+        s"""filter(split(concat_ws(' ',
+           |  transform(__ws, w -> CASE WHEN w IN ($stopSql) THEN '|' ELSE w END)),
+           |  ' *\\\\| *'), p -> p <> '')"""
+          .stripMargin.replace("\n", " "))).as("phrase"))
+      .filter(expr("size(split(phrase, ' ')) <= 6"))
+      // read twice (word stats + phrase counts); the lineage re-splits
+      // the whole corpus per read otherwise
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = phrases
+      .select(expr("size(split(phrase, ' '))").cast("long").as("__plen"),
+        explode(expr("split(phrase, ' ')")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("__freq"), sum("__plen").as("__deg"))
+      .select(col("w"), expr("(__deg * 1000000) div __freq").as("__wscore"))
+    phrases.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("n_occ"),
+        explode(expr("split(phrase, ' ')")).as("w"))
+      .join(stats, Seq("w"))
+      .groupBy("phrase", "n_occ")
+      .agg(sum("__wscore").as("rake_score"))
+      .orderBy(desc("rake_score"), asc("phrase")).limit(15)
+  }
+
+  private val keyphraseRakeSql = {
+    val stopSql = Seq("the", "a", "an", "and", "of", "to", "in", "is", "for",
+      "on", "with", "as").map(w => s"'$w'").mkString(", ")
+    s"""WITH ws AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                     w -> w <> '') AS l
+       |  FROM documents),
+       |ph AS (
+       |  SELECT p AS phrase
+       |  FROM ws, unnest(list_filter(string_split_regex(
+       |    array_to_string(list_transform(l,
+       |      w -> CASE WHEN w IN ($stopSql) THEN '|' ELSE w END), ' '),
+       |    ' *\\| *'), p -> p <> '')) AS t(p)),
+       |phf AS (SELECT phrase FROM ph
+       |        WHERE len(string_split(phrase, ' ')) <= 6),
+       |pw AS (
+       |  SELECT u.w, len(string_split(phrase, ' ')) AS plen
+       |  FROM phf, unnest(string_split(phrase, ' ')) AS u(w)),
+       |sc AS (
+       |  SELECT w, CAST((CAST(sum(plen) AS BIGINT) * 1000000) // count(*)
+       |              AS BIGINT) AS wscore
+       |  FROM pw GROUP BY 1),
+       |pc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+       |       FROM phf GROUP BY 1)
+       |SELECT pc.phrase, pc.n_occ,
+       |  CAST(sum(sc.wscore) AS BIGINT) AS rake_score
+       |FROM pc, unnest(string_split(pc.phrase, ' ')) AS u(w)
+       |JOIN sc ON sc.w = u.w
+       |GROUP BY 1, 2
+       |ORDER BY rake_score DESC, phrase LIMIT 15""".stripMargin
+  }
+
+  /** #347 Bloom-filter false-positive audit — the measured honesty
+    * check for q_bloom_prune's runtime-filter family: build an
+    * m=8192-bit / k=3 Bloom set over the customers WITH orders (slots
+    * via the engine-portable multiplicative hash), probe it with every
+    * customer WITHOUT orders (true non-members by anti-join), and
+    * report the empirical false-positive rate next to both theory
+    * curves ((1−e^{−kn/m})^k and the sharper (bits_set/m)^k). The bit
+    * relation is ≤m rows — it BROADCASTS to the probe side, so the
+    * probe pass is map-only however many probes; the sketch itself is
+    * mergeable (slot union). 1-row output. */
+  private def bloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val m = 8192; val k = 3
+    def slotE(i: Int) = s"pmod(${multHashExpr(s"(__x * $k + $i)")}, $m)"
+    val members = t(s, dir, "orders")
+      .select(col("o_custkey").as("__x")).distinct()
+    val bits = members
+      .select(explode(array((0 until k).map(i => expr(slotE(i))): _*)).as("slot"))
+      .distinct()
+    val probes = t(s, dir, "customer").select(col("c_custkey").as("__x"))
+      .join(members, Seq("__x"), "left_anti")
+    val hits = probes
+      .select(col("__x"), explode(array((0 until k).map(i => expr(slotE(i))): _*))
+        .as("slot"))
+      .join(broadcast(bits.withColumn("__b", lit(1L))), Seq("slot"), "left")
+      .groupBy("__x").agg(sum(coalesce(col("__b"), lit(0L))).as("__h"))
+    val counts = hits.agg(count(lit(1)).as("n_probes"),
+      sum(when(col("__h") === k, 1L).otherwise(0L)).as("n_fp"))
+    val nm = members.agg(count(lit(1)).as("n_members"))
+    val nb = bits.agg(count(lit(1)).as("n_bits_set"))
+    counts.crossJoin(broadcast(nm)).crossJoin(broadcast(nb))
+      .select(col("n_members"), col("n_bits_set"), col("n_probes"), col("n_fp"),
+        expr("(n_fp * 1000000) div n_probes").as("fpr_ppm"),
+        expr(s"""CAST(floor(pow(1.0 - exp(-($k.0 * CAST(n_members AS DOUBLE)) / $m.0), $k.0)
+               | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("theory_ppm"),
+        expr(s"""CAST(floor(pow(CAST(n_bits_set AS DOUBLE) / $m.0, $k.0)
+               | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("load_ppm"))
+  }
+
+  private val bloomFprSql = {
+    val m = 8192; val k = 3
+    def slotD(i: Int) = s"(${multHashDuck(s"(x * $k + $i)")}) % $m"
+    s"""WITH members AS (SELECT DISTINCT o_custkey AS x FROM orders),
+       |bits AS (
+       |  SELECT DISTINCT CASE i.i WHEN 0 THEN ${slotD(0)}
+       |    WHEN 1 THEN ${slotD(1)} ELSE ${slotD(2)} END AS slot
+       |  FROM members CROSS JOIN (SELECT unnest(range(0, $k)) AS i) i),
+       |probes AS (
+       |  SELECT c_custkey AS x FROM customer
+       |  WHERE c_custkey NOT IN (SELECT x FROM members)),
+       |ph AS (
+       |  SELECT p.x, count(b.slot) AS h
+       |  FROM (SELECT x, CASE i.i WHEN 0 THEN ${slotD(0)}
+       |          WHEN 1 THEN ${slotD(1)} ELSE ${slotD(2)} END AS slot
+       |        FROM probes CROSS JOIN (SELECT unnest(range(0, $k)) AS i) i) p
+       |  LEFT JOIN bits b ON b.slot = p.slot GROUP BY 1),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |        CAST(sum(CASE WHEN h = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+       |      FROM ph),
+       |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM members),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+       |SELECT n_members, n_bits_set, n_probes, n_fp,
+       |  CAST((n_fp * 1000000) // n_probes AS BIGINT) AS fpr_ppm,
+       |  CAST(floor(pow(1.0 - exp(-($k.0 * CAST(n_members AS DOUBLE)) / $m.0), $k.0)
+       |    * 1000000.0) AS BIGINT) AS theory_ppm,
+       |  CAST(floor(pow(CAST(n_bits_set AS DOUBLE) / $m.0, $k.0)
+       |    * 1000000.0) AS BIGINT) AS load_ppm
+       |FROM c CROSS JOIN nm CROSS JOIN nb""".stripMargin
+  }
+
+  /** #348 per-user feature matrix — the training-ready behavioral
+    * feature table a churn/propensity model consumes (the RAW features
+    * q_rfm bands and q_churn_hazard summarize): one events pass, one
+    * per-user aggregate, the corpus max timestamp as a 1-row broadcast
+    * for recency. Every feature is an exact integer (epoch-µs day
+    * arithmetic, cent sums, ppm shares) — no doubles anywhere, so the
+    * matrix is bit-stable under any partitioning at any scale. Pairs
+    * with q_train_split/q_group_split for the downstream
+    * label/split step. */
+  private def featureMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsMicros(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("__c"))
+    val mx = ev.agg(max("ts_us").as("__gmax"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"),
+        count_distinct(col("event_type")).as("n_types"),
+        sum("__c").as("sum_cents"), max("__c").as("max_cents"),
+        min("ts_us").as("__first"), max("ts_us").as("__last"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("n_errors"), col("n_types"), col("sum_cents"), col("max_cents"),
+        expr("(__gmax - __last) div 86400000000").as("recency_days"),
+        expr("(__last - __first) div 86400000000").as("tenure_days"),
+        expr("(n_purchases * 1000000) div n_events").as("purchase_share_ppm"),
+        expr("(n_events * 1000000) div ((__last - __first) div 86400000000 + 1)")
+          .as("intensity_ppm"))
+  }
+
+  private val featureMatrixSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |mx AS (SELECT max(us) AS gmax FROM ev),
+      |u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchases,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_errors,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      |    CAST(sum(c) AS BIGINT) AS sum_cents,
+      |    CAST(max(c) AS BIGINT) AS max_cents,
+      |    min(us) AS f, max(us) AS l
+      |  FROM ev GROUP BY 1)
+      |SELECT user_id, n_events, n_purchases, n_errors, n_types, sum_cents,
+      |  max_cents,
+      |  CAST((gmax - l) // 86400000000 AS BIGINT) AS recency_days,
+      |  CAST((l - f) // 86400000000 AS BIGINT) AS tenure_days,
+      |  CAST((n_purchases * 1000000) // n_events AS BIGINT)
+      |    AS purchase_share_ppm,
+      |  CAST((n_events * 1000000) // ((l - f) // 86400000000 + 1) AS BIGINT)
+      |    AS intensity_ppm
+      |FROM u CROSS JOIN mx""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -17465,5 +18017,13 @@ object Queries {
     Q("q_html_strip", htmlStrip, Some(htmlStripSql)),
     Q("q_power_mde", powerMde, Some(powerMdeSql)),
     Q("q_gumbel_fit", gumbelFit, Some(gumbelFitSql)),
+    Q("q_silhouette", silhouette, Some(silhouetteSql)),
+    Q("q_cross_corr", crossCorr, Some(crossCorrSql)),
+    Q("q_ucb_arms", ucbArms, Some(ucbArmsSql)),
+    Q("q_shapley_attribution", shapleyAttribution, Some(shapleyAttributionSql)),
+    Q("q_url_parse", urlParse, Some(urlParseSql)),
+    Q("q_keyphrase_rake", keyphraseRake, Some(keyphraseRakeSql)),
+    Q("q_bloom_fpr", bloomFpr, Some(bloomFprSql)),
+    Q("q_feature_matrix", featureMatrix, Some(featureMatrixSql)),
   )
 }
