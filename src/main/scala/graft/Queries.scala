@@ -7945,6 +7945,14 @@ object Queries {
     s"CAST(pmod(CAST($c AS DECIMAL(38,0)) * $HashMult, ${TextAnalysis.FingerprintMod}) AS BIGINT)"
   private[graft] def multHashDuck(c: String): String =
     s"CAST((CAST($c AS HUGEINT) * $HashMult) % ${TextAnalysis.FingerprintMod} AS BIGINT)"
+  // second independent multiplier (L'Ecuyer's LCG constant) — pairs with
+  // HashMult for double-hashed slot families (#347 Bloom FPR): slot
+  // strides must vary PER KEY or the audit's bit set is structured
+  private[graft] val HashMult2 = 2862933555777941757L
+  private[graft] def multHash2Expr(c: String): String =
+    s"CAST(pmod(CAST($c AS DECIMAL(38,0)) * $HashMult2, ${TextAnalysis.FingerprintMod}) AS BIGINT)"
+  private[graft] def multHash2Duck(c: String): String =
+    s"CAST((CAST($c AS HUGEINT) * $HashMult2) % ${TextAnalysis.FingerprintMod} AS BIGINT)"
 
   /** #185 KMV (k-minimum-values) distinct sketch — the mergeable
     * distinct-count estimator that complements q_approx_distinct's
@@ -11784,6 +11792,13 @@ object Queries {
         expr("(n_resp * 1000000) div greatest(deff_ppm, 1)"))
   }
 
+  // Oracle fold stays in BIGINT end to end (the §5 output-cast rule:
+  // DuckDB's HUGEINT division/cast chain has measured environment-
+  // dependent behavior — round 8's only driver-gate hash miss was this
+  // query's HUGEINT fold, cell-exact locally). Every sum() is cast to
+  // BIGINT immediately and every product is BIGINT-bounded at the gate
+  // scale factors: w ≤ 1e7, v ≤ ~2e7, Σresp·v ≈ R·1e6, so
+  // Σresp·v² ≤ v_max·Σresp·v ≈ 2e13·R — under 2^63 through sf1.
   private val designEffectSql =
     """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
       |    c_mktsegment AS seg FROM customer),
@@ -11794,27 +11809,24 @@ object Queries {
       |  FROM (SELECT DISTINCT o_custkey FROM orders
       |        WHERE o_orderstatus = 'F') o
       |  JOIN c ON c.c_custkey = o.o_custkey GROUP BY 1, 2),
-      |t AS (SELECT (SELECT sum(pop) FROM pop) AS N,
-      |             (SELECT sum(resp) FROM r) AS R),
+      |t AS (SELECT CAST((SELECT sum(pop) FROM pop) AS BIGINT) AS N,
+      |             CAST((SELECT sum(resp) FROM r) AS BIGINT) AS R),
       |cells AS (
       |  SELECT pop.pop, r.resp,
-      |    least((CAST(pop.pop AS HUGEINT) * t.R * 1000000)
-      |      // (CAST(r.resp AS HUGEINT) * t.N), 10000000) AS w
+      |    least((pop.pop * t.R * 1000000) // (r.resp * t.N),
+      |          CAST(10000000 AS BIGINT)) AS w
       |  FROM pop JOIN r ON r.nk = pop.nk AND r.seg = pop.seg
       |  CROSS JOIN t),
-      |s AS (SELECT sum(CAST(resp AS HUGEINT) * w) AS S FROM cells),
-      |v AS (
-      |  SELECT resp,
-      |    (CAST(w AS HUGEINT) * t.R * 1000000) // s.S AS v, w
-      |  FROM cells, s, t)
+      |s AS (SELECT CAST(sum(resp * w) AS BIGINT) AS S FROM cells),
+      |v AS (SELECT resp, (w * t.R * 1000000) // s.S AS v
+      |      FROM cells, s, t),
+      |sv AS (SELECT CAST(sum(resp * v * v) AS BIGINT) AS svv FROM v)
       |SELECT t.N AS n_pop, t.R AS n_resp,
       |  CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
       |  CAST((SELECT max(w) FROM cells) AS BIGINT) AS w_max_ppm,
-      |  CAST(sum(CAST(resp AS HUGEINT) * v * v)
-      |    // (CAST(t.R AS HUGEINT) * 1000000) AS BIGINT) AS deff_ppm,
-      |  CAST((t.R * 1000000) // greatest(sum(CAST(resp AS HUGEINT) * v * v)
-      |    // (CAST(t.R AS HUGEINT) * 1000000), 1) AS BIGINT) AS n_eff
-      |FROM v, t GROUP BY t.N, t.R""".stripMargin
+      |  sv.svv // (t.R * 1000000) AS deff_ppm,
+      |  (t.R * 1000000) // greatest(sv.svv // (t.R * 1000000), 1) AS n_eff
+      |FROM sv, t""".stripMargin
 
   /** #261 attempt-conversion curve — response rate by attempt number,
     * the CATI dialer's core fieldwork KPI (ref feeder.py retry-loop
@@ -17240,8 +17252,13 @@ object Queries {
       col("sx").cast("double") * col("sx").cast("double")
     val vy = np * col("syy").cast("double") -
       col("sy").cast("double") * col("sy").cast("double")
-    m.select(col("lag").cast("int").as("lag"), col("n_pairs"),
-      when(vx > 0.0 && vy > 0.0, round(cov / sqrt(vx * vy), 6)).as("ccf"))
+    // left-join the lag spine: a day span shorter than the lag window
+    // must still emit all 15 rows (n_pairs=0, NULL ccf), not silently
+    // shrink the CCF table
+    val spine = s.range(-7, 8).select(col("id").cast("int").as("lag"))
+    spine.join(m.withColumn("lag", col("lag").cast("int")), Seq("lag"), "left")
+      .select(col("lag"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(vx > 0.0 && vy > 0.0, round(cov / sqrt(vx * vy), 6)).as("ccf"))
   }
 
   private val crossCorrSql =
@@ -17265,16 +17282,18 @@ object Queries {
       |  CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) l
       |  JOIN grid b ON b.d = a.d + l.lag
       |  GROUP BY 1)
-      |SELECT CAST(lag AS INT) AS lag, n_pairs,
-      |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
-      |        AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+      |SELECT CAST(l.lag AS INT) AS lag,
+      |  CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CASE WHEN CAST(m.n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+      |        AND CAST(m.n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
       |    THEN round(
-      |      (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |      sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |           (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+      |      (CAST(m.n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      sqrt((CAST(m.n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |           (CAST(m.n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
       |      6)
       |  END AS ccf
-      |FROM m""".stripMargin
+      |FROM (SELECT unnest(range(-7, 8)) AS lag) l
+      |LEFT JOIN m ON m.lag = l.lag""".stripMargin
 
   /** #343 UCB1 arm ranking — the deterministic explore/exploit score a
     * bandit-driven rollout (which variant gets the next batch of
@@ -17294,14 +17313,18 @@ object Queries {
       .agg(count(lit(1)).as("n_pulls"), sum("__c").as("__sc"),
         max("__c").as("__amx"))
     val tot = arm.agg(sum("n_pulls").as("__nn"), max("__amx").as("__mx"))
+    // __mx > 0 guard: all-zero rewards would otherwise form 0/0 (NaN),
+    // which the two engines order differently — degenerate data must
+    // yield NULL identically on both sides
     val scored = arm.crossJoin(broadcast(tot))
       .withColumn("mean_reward", expr(
-        "round(CAST(__sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(__mx AS DOUBLE)), 6)"))
+        "CASE WHEN __mx > 0 THEN round(CAST(__sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(__mx AS DOUBLE)), 6) END"))
       .withColumn("ucb_bonus", expr(
         "round(sqrt(2.0 * ln(CAST(__nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6)"))
       .withColumn("ucb_score", expr(
-        """round(CAST(__sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(__mx AS DOUBLE))
-          | + sqrt(2.0 * ln(CAST(__nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6)"""
+        """CASE WHEN __mx > 0 THEN
+          | round(CAST(__sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(__mx AS DOUBLE))
+          | + sqrt(2.0 * ln(CAST(__nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6) END"""
           .stripMargin.replace("\n", " ")))
     // unpartitioned window: O(event types) rows — bounded by design
     scored
@@ -17320,10 +17343,10 @@ object Queries {
       |tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS nn, max(amx) AS mx FROM arm),
       |sel AS (
       |  SELECT event_type, n_pulls,
-      |    round(CAST(sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(mx AS DOUBLE)), 6) AS mean_reward,
+      |    CASE WHEN mx > 0 THEN round(CAST(sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(mx AS DOUBLE)), 6) END AS mean_reward,
       |    round(sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6) AS ucb_bonus,
-      |    round(CAST(sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(mx AS DOUBLE))
-      |      + sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6) AS ucb_score
+      |    CASE WHEN mx > 0 THEN round(CAST(sc AS DOUBLE) / (CAST(n_pulls AS DOUBLE) * CAST(mx AS DOUBLE))
+      |      + sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6) END AS ucb_score
       |  FROM arm CROSS JOIN tot)
       |SELECT event_type, n_pulls, mean_reward, ucb_bonus, ucb_score,
       |  CAST(row_number() OVER (ORDER BY ucb_score DESC, event_type) AS INT) AS rank
@@ -17542,26 +17565,48 @@ object Queries {
   }
 
   /** #347 Bloom-filter false-positive audit — the measured honesty
-    * check for q_bloom_prune's runtime-filter family: build an
-    * m=8192-bit / k=3 Bloom set over the customers WITH orders (slots
-    * via the engine-portable multiplicative hash), probe it with every
-    * customer WITHOUT orders (true non-members by anti-join), and
-    * report the empirical false-positive rate next to both theory
-    * curves ((1−e^{−kn/m})^k and the sharper (bits_set/m)^k). The bit
-    * relation is ≤m rows — it BROADCASTS to the probe side, so the
-    * probe pass is map-only however many probes; the sketch itself is
-    * mergeable (slot union). 1-row output. */
+    * check for q_bloom_prune's runtime-filter family: build a k=3
+    * Bloom set over the customers WITH orders and probe it with a
+    * non-member set that exists BY CONSTRUCTION — every customer key
+    * shifted past the max key of both tables (the previous anti-join
+    * probe set "customers without orders" was EMPTY on the shipped
+    * fixtures, a vacuous audit) — reporting the empirical
+    * false-positive rate next to both theory curves
+    * ((1−e^{−kn/m})^k and the sharper (bits_set/m)^k). Two scale
+    * disciplines, both learned the measured way: (a) slots use
+    * Kirsch–Mitzenmacher DOUBLE hashing, slot_i = (h1 + i·h2) mod m
+    * with two independent multiplicative hashes — the earlier
+    * hash(x·k+i) gave every key the SAME inter-slot stride and the
+    * empirical FPR read 100× under theory; (b) m is CORPUS-RELATIVE
+    * (8·n+1 bits, computed in-query — integer arithmetic, no float
+    * log2 boundary), because a fixed m=8192 was 100% saturated at
+    * sf0.1 and the audit measured nothing but 1.0. The bit relation
+    * is the filter itself — it fits memory by definition of a usable
+    * Bloom filter, so it BROADCASTS and the probe pass is map-only
+    * however many probes; the sketch is mergeable (slot union).
+    * 1-row output. */
   private def bloomFpr(s: SparkSession, dir: String): DataFrame = {
-    val m = 8192; val k = 3
-    def slotE(i: Int) = s"pmod(${multHashExpr(s"(__x * $k + $i)")}, $m)"
+    val k = 3
+    def slotE(i: Int) =
+      s"pmod(${multHashExpr("__x")} + $i * ${multHash2Expr("__x")}, __m)"
     val members = t(s, dir, "orders")
       .select(col("o_custkey").as("__x")).distinct()
-    val bits = members
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mrow = members.agg((count(lit(1)) * 8L + 1L).as("__m"))
+    val bits = members.crossJoin(broadcast(mrow))
       .select(explode(array((0 until k).map(i => expr(slotE(i))): _*)).as("slot"))
       .distinct()
-    val probes = t(s, dir, "customer").select(col("c_custkey").as("__x"))
-      .join(members, Seq("__x"), "left_anti")
-    val hits = probes
+    // shift past the max key of BOTH tables: orders can reference
+    // custkeys beyond max(c_custkey) (the late-dimension fixture), so
+    // the customer max alone does not bound the member domain
+    // +1: keys start at 0, so a shift of exactly max would map key 0
+    // onto the max member
+    val mx = t(s, dir, "customer").agg(max(col("c_custkey")).as("__cm"))
+      .crossJoin(members.agg(max(col("__x")).as("__om")))
+      .select((greatest(col("__cm"), col("__om")) + 1L).as("__mx"))
+    val probes = t(s, dir, "customer").crossJoin(broadcast(mx))
+      .select((col("c_custkey") + col("__mx")).as("__x"))
+    val hits = probes.crossJoin(broadcast(mrow))
       .select(col("__x"), explode(array((0 until k).map(i => expr(slotE(i))): _*))
         .as("slot"))
       .join(broadcast(bits.withColumn("__b", lit(1L))), Seq("slot"), "left")
@@ -17571,32 +17616,39 @@ object Queries {
     val nm = members.agg(count(lit(1)).as("n_members"))
     val nb = bits.agg(count(lit(1)).as("n_bits_set"))
     counts.crossJoin(broadcast(nm)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(mrow))
       .select(col("n_members"), col("n_bits_set"), col("n_probes"), col("n_fp"),
         expr("(n_fp * 1000000) div n_probes").as("fpr_ppm"),
-        expr(s"""CAST(floor(pow(1.0 - exp(-($k.0 * CAST(n_members AS DOUBLE)) / $m.0), $k.0)
+        expr(s"""CAST(floor(pow(1.0 - exp(-($k.0 * CAST(n_members AS DOUBLE)) / CAST(__m AS DOUBLE)), $k.0)
                | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
           .as("theory_ppm"),
-        expr(s"""CAST(floor(pow(CAST(n_bits_set AS DOUBLE) / $m.0, $k.0)
+        expr(s"""CAST(floor(pow(CAST(n_bits_set AS DOUBLE) / CAST(__m AS DOUBLE), $k.0)
                | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
           .as("load_ppm"))
   }
 
   private val bloomFprSql = {
-    val m = 8192; val k = 3
-    def slotD(i: Int) = s"(${multHashDuck(s"(x * $k + $i)")}) % $m"
+    val k = 3
+    def slotD(i: Int) =
+      s"((${multHashDuck("x")}) + $i * (${multHash2Duck("x")})) % mm.m"
     s"""WITH members AS (SELECT DISTINCT o_custkey AS x FROM orders),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) * 8 + 1 AS m FROM members),
        |bits AS (
        |  SELECT DISTINCT CASE i.i WHEN 0 THEN ${slotD(0)}
        |    WHEN 1 THEN ${slotD(1)} ELSE ${slotD(2)} END AS slot
-       |  FROM members CROSS JOIN (SELECT unnest(range(0, $k)) AS i) i),
+       |  FROM members CROSS JOIN mm
+       |  CROSS JOIN (SELECT unnest(range(0, $k)) AS i) i),
        |probes AS (
-       |  SELECT c_custkey AS x FROM customer
-       |  WHERE c_custkey NOT IN (SELECT x FROM members)),
+       |  SELECT c_custkey + greatest(
+       |      (SELECT max(c_custkey) FROM customer),
+       |      (SELECT max(x) FROM members)) + 1 AS x
+       |  FROM customer),
        |ph AS (
        |  SELECT p.x, count(b.slot) AS h
        |  FROM (SELECT x, CASE i.i WHEN 0 THEN ${slotD(0)}
        |          WHEN 1 THEN ${slotD(1)} ELSE ${slotD(2)} END AS slot
-       |        FROM probes CROSS JOIN (SELECT unnest(range(0, $k)) AS i) i) p
+       |        FROM probes CROSS JOIN mm
+       |        CROSS JOIN (SELECT unnest(range(0, $k)) AS i) i) p
        |  LEFT JOIN bits b ON b.slot = p.slot GROUP BY 1),
        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
        |        CAST(sum(CASE WHEN h = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
@@ -17605,11 +17657,11 @@ object Queries {
        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
        |SELECT n_members, n_bits_set, n_probes, n_fp,
        |  CAST((n_fp * 1000000) // n_probes AS BIGINT) AS fpr_ppm,
-       |  CAST(floor(pow(1.0 - exp(-($k.0 * CAST(n_members AS DOUBLE)) / $m.0), $k.0)
+       |  CAST(floor(pow(1.0 - exp(-($k.0 * CAST(n_members AS DOUBLE)) / CAST(mm.m AS DOUBLE)), $k.0)
        |    * 1000000.0) AS BIGINT) AS theory_ppm,
-       |  CAST(floor(pow(CAST(n_bits_set AS DOUBLE) / $m.0, $k.0)
+       |  CAST(floor(pow(CAST(n_bits_set AS DOUBLE) / CAST(mm.m AS DOUBLE), $k.0)
        |    * 1000000.0) AS BIGINT) AS load_ppm
-       |FROM c CROSS JOIN nm CROSS JOIN nb""".stripMargin
+       |FROM c CROSS JOIN nm CROSS JOIN nb CROSS JOIN mm""".stripMargin
   }
 
   /** #348 per-user feature matrix — the training-ready behavioral
@@ -17671,6 +17723,68 @@ object Queries {
       |  CAST((n_events * 1000000) // ((l - f) // 86400000000 + 1) AS BIGINT)
       |    AS intensity_ppm
       |FROM u CROSS JOIN mx""".stripMargin
+
+  /** #349 DataSource V2 paged-feed read — the reference's REST pager
+    * (feeder.py:22-47) as a REAL TableProvider
+    * (sources/v2/PagedFeed.scala, registered as `graft-paged`): one
+    * InputPartition PER PAGE so the scheduler owns fetch parallelism/
+    * retry, executor-side transport, column pruning pushed into the
+    * line parser. The fixture stands in for the HTTP endpoint (zero
+    * egress): orders serialized driver-side as page-NNNNN.tsv files of
+    * 2500 rows in orderkey order — fixture IO, excluded from the bench
+    * like the other fabrication queries. The query is the read-side
+    * parity gate: a full-feed aggregate by status off the DSv2 scan
+    * must equal the parquet truth. PagedFeedSpec asserts the
+    * partition-per-page plan and pruned read schema. */
+  private def pagedDsv2(s: SparkSession, dir: String): DataFrame = {
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_dsv2_") &&
+        f.lastModified < System.currentTimeMillis() - 6L * 3600 * 1000)
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete()); d.delete()
+      }
+    val pageDir = new java.io.File(tmpRoot,
+      s"graft_dsv2_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    if (scratchHooked.add(pageDir.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        Option(pageDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        pageDir.delete(); ()
+      }))
+    }
+    buildLock(pageDir.getAbsolutePath).synchronized {
+      pageDir.mkdirs()
+      Option(pageDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".tsv")).foreach(_.delete())
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .orderBy("o_orderkey").collect()
+      rows.grouped(2500).zipWithIndex.foreach { case (chunk, i) =>
+        val f = new java.io.File(pageDir, f"page-$i%05d.tsv")
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        chunk.foreach(r => w.println(
+          s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getString(2)}\t${r.getLong(3)}"))
+        w.close()
+      }
+    }
+    s.read.format("graft-paged")
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, cents BIGINT")
+      .option("dir", pageDir.getAbsolutePath)
+      .load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        sum("cents").as("sum_cents"))
+  }
+
+  private val pagedDsv2Sql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders GROUP BY 1""".stripMargin
 
   // ===========================================================================
   // Registry
@@ -18025,5 +18139,6 @@ object Queries {
     Q("q_keyphrase_rake", keyphraseRake, Some(keyphraseRakeSql)),
     Q("q_bloom_fpr", bloomFpr, Some(bloomFprSql)),
     Q("q_feature_matrix", featureMatrix, Some(featureMatrixSql)),
+    Q("q_paged_dsv2", pagedDsv2, Some(pagedDsv2Sql), bench = false),
   )
 }

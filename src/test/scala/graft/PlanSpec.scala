@@ -122,6 +122,40 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("Window"), s"winnowing needs its per-doc window:\n$plan")
   }
 
+  test("ops 333-348 (causal/web/risk + eval/bandit batches): no cartesian, no keyed global sort") {
+    // the round-8 widening tail — every plan must be shuffle-sane:
+    // no CartesianProduct anywhere, and any Window without a
+    // PARTITION BY must sit above an aggregated (bounded) frame,
+    // which these plans express as a HashAggregate below the window
+    val tail = Seq("q_quantile_normalize", "q_audience_overlap", "q_elasticity",
+      "q_heaps_law", "q_stratified_ate", "q_html_strip", "q_power_mde",
+      "q_gumbel_fit", "q_silhouette", "q_cross_corr", "q_ucb_arms",
+      "q_shapley_attribution", "q_url_parse", "q_keyphrase_rake",
+      "q_bloom_fpr", "q_feature_matrix")
+    tail.foreach { k =>
+      val plan = q(k).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$k has a cartesian:\n$plan")
+      if (plan.contains("Window")) assert(plan.contains("HashAggregate"),
+        s"$k windows over a non-aggregated (unbounded) frame:\n$plan")
+    }
+  }
+
+  test("q_feature_matrix: one partial-aggregated pass, no window, no join on the event scan") {
+    val plan = q("q_feature_matrix").queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    assert(!plan.contains("Window"), s"feature fold must be one aggregate:\n$plan")
+  }
+
+  test("q_html_strip stays inside whole-stage codegen (map-only strip + aggregate)") {
+    val df = q("q_html_strip")
+    // materialize first: under AQE the pre-execution plan string hides
+    // the WholeStageCodegen stage markers
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"strip fell out of codegen:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_quantile_sketch state aggregation is partial (map-side combinable)") {
     val plan = q("q_quantile_sketch").queryExecution.executedPlan.toString
     assert(plan.contains("partial_count") || plan.contains("partial"),

@@ -763,6 +763,15 @@ class TrainingOpsSpec extends GraftSuite {
       val v = w * bigR * 1000000L / s
       r * v * v
     }.sum
+    // the DuckDB oracle folds in BIGINT (round 8's only driver-gate
+    // hash miss was the old HUGEINT chain): every intermediate the
+    // rewritten SQL forms must fit a signed 64-bit integer here
+    val longMax = BigInt(Long.MaxValue)
+    assert(s <= longMax && svv <= longMax)
+    assert(cells.forall { case (r, w) =>
+      w * bigR * 1000000L <= longMax && r * bigN <= longMax
+    })
+    assert(pop.forall { case (_, p) => p * bigR * 1000000L <= longMax })
     val deff = (svv / (bigR * 1000000L)).toLong
     val want = (bigN.toLong, bigR.toLong, cells.size.toLong,
       cells.map(_._2).max.toLong, deff,

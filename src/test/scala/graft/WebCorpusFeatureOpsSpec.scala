@@ -67,15 +67,26 @@ class WebCorpusFeatureOpsSpec extends GraftSuite {
 
   test("q_bloom_fpr: bit-set replay; fp count matches; probes non-empty") {
     val hm = BigInt(Queries.HashMult)
+    val hm2 = BigInt(Queries.HashMult2)
     val md = BigInt("36028797018963913")
-    def slot(x: Long, i: Int): Long =
-      ((BigInt(x * 3 + i) * hm).mod(md) % 8192).toLong
     val members = spark.read.parquet(s"$dir/orders.parquet")
       .select("o_custkey").distinct().collect().map(_.getLong(0))
+    // corpus-relative filter size (8 bits/key): a fixed m saturates at
+    // 10x the keys and the audit measures nothing but 1.0
+    val m = members.length.toLong * 8 + 1
+    // double hashing: slot_i = (h1 + i*h2) mod m, per-key stride
+    def slot(x: Long, i: Int): Long =
+      (((BigInt(x) * hm).mod(md) + i * (BigInt(x) * hm2).mod(md)) % m).toLong
     val bits = members.flatMap(x => (0 until 3).map(i => slot(x, i))).toSet
-    val probes = spark.read.parquet(s"$dir/customer.parquet")
+    // non-members by construction: every custkey shifted past the max
+    // key of BOTH tables (orders can reference late-dim custkeys beyond
+    // max(c_custkey))
+    val custkeys = spark.read.parquet(s"$dir/customer.parquet")
       .select("c_custkey").collect().map(_.getLong(0))
-      .filterNot(members.toSet)
+    val shift = math.max(custkeys.max, members.max) + 1
+    val probes = custkeys.map(_ + shift)
+    assert(probes.forall(p => !members.contains(p)),
+      "shifted keys must be true non-members")
     val nFp = probes.count(x => (0 until 3).forall(i => bits(slot(x, i)))).toLong
     val r = SparkEntry.queries("q_bloom_fpr")(spark, dir).collect()(0)
     assert(r.getLong(0) == members.length.toLong)
@@ -83,12 +94,19 @@ class WebCorpusFeatureOpsSpec extends GraftSuite {
     assert(r.getLong(2) == probes.length.toLong)
     assert(probes.nonEmpty, "need true non-members for the audit to bite")
     assert(r.getLong(3) == nFp)
+    // when enough probes exist for the binomial to concentrate, the
+    // EMPIRICAL rate must track the load curve — the whole point of the
+    // audit (the old fixed-stride slots read 100x under theory)
+    val expFp = probes.length.toDouble * math.pow(bits.size.toDouble / m, 3)
+    if (expFp >= 20.0)
+      assert(nFp >= expFp / 4 && nFp <= expFp * 4,
+        s"empirical fp $nFp should track expectation $expFp")
     assert(r.getLong(4) == nFp * 1000000L / probes.length)
     val n = members.length.toDouble
     assert(r.getLong(5) ==
-      math.floor(math.pow(1.0 - math.exp(-(3.0 * n) / 8192.0), 3.0) * 1e6).toLong)
+      math.floor(math.pow(1.0 - math.exp(-(3.0 * n) / m), 3.0) * 1e6).toLong)
     assert(r.getLong(6) ==
-      math.floor(math.pow(bits.size.toDouble / 8192.0, 3.0) * 1e6).toLong)
+      math.floor(math.pow(bits.size.toDouble / m, 3.0) * 1e6).toLong)
   }
 
   test("q_feature_matrix: exact-integer replay for every user") {
