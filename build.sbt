@@ -19,6 +19,9 @@ run / fork := true
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 Global / showTiming := false
+// showTiming is read by the command layer, not a task — exclude it from
+// the unused-key lint so the bench's stdout stays warning-free
+Global / excludeLintKeys += showTiming
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

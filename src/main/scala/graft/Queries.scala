@@ -2789,14 +2789,27 @@ object Queries {
   /** #85 asymmetric containment scoring — the near-dup signal Jaccard
     * misses when a short document is wholly embedded in a long one
     * (quote extraction, boilerplate wrap): containment(A⊆B) =
-    * |sh(A)∩sh(B)| / |sh(A)|. Runs over the same deterministic
-    * candidate pairs as `q_ngram_jaccard` (in production: any LSH
-    * blocking scheme) with the same hashed-shingle machinery, so the
+    * |sh(A)∩sh(B)| / |sh(A)|. The candidate set carries BOTH planted
+    * positives — each doc's first-2/3-words slice as a synthetic short
+    * doc (id+2e6), whose shingles all appear in the full doc — and the
+    * adjacent-doc negatives `q_ngram_jaccard` scores (the previous
+    * negatives-only pairing left `contained` false at every SF: the
+    * r9 vacuity audit flagged the always-zero audit column). In
+    * production the pairs come from any LSH blocking scheme; the
     * verify stage costs one per-pair set intersection — never an
     * all-pairs scan. */
   private def containment(s: SparkSession, dir: String): DataFrame = {
-    val docs = parallelize(s, t(s, dir, "documents"))
-    MinHashLSH.scorePairs(adjacentPairs(docs), docs, "doc_id", "text",
+    val base = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val prefixes = base.select((col("doc_id") + 2000000L).as("doc_id"),
+      expr("""array_join(slice(split(trim(text), '\\s+'), 1,
+        | greatest(CAST((size(split(trim(text), '\\s+')) * 2) div 3 AS INT),
+        |   5)), ' ')""".stripMargin.replace("\n", " ")).as("text"))
+    val docs = base.unionAll(prefixes)
+    val pairs = base
+      .select((col("doc_id") + 2000000L).as("id_a"), col("doc_id").as("id_b"))
+      .unionAll(adjacentPairs(base))
+    MinHashLSH.scorePairs(pairs, docs, "doc_id", "text",
         shingleK = 3) { (a, b) =>
       val c = when(size(a) === 0, lit(1.0))
         .otherwise(round(size(array_intersect(a, b)).cast("double") /
@@ -2806,13 +2819,26 @@ object Queries {
   }
 
   private val containmentSql =
-    s"""WITH sh AS (
-       |  ${shingleSetsSql("documents")}),
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    array_to_string(toks[1:greatest((len(toks) * 2) // 3, 5)], ' ')
+       |      AS text
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)),
+       |sh AS (
+       |  ${shingleSetsSql("corpus")}),
+       |pr AS (
+       |  SELECT doc_id + 2000000 AS id_a, doc_id AS id_b FROM documents
+       |  UNION ALL
+       |  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+       |  WHERE doc_id % 2 = 0),
        |j AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  SELECT p.id_a, p.id_b,
        |         len(list_intersect(a.s, b.s)) AS li, len(a.s) AS la
-       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-       |  WHERE a.doc_id % 2 = 0)
+       |  FROM pr p JOIN sh a ON a.doc_id = p.id_a
+       |  JOIN sh b ON b.doc_id = p.id_b)
        |SELECT id_a, id_b,
        |  CASE WHEN la = 0 THEN 1.0
        |       ELSE round(CAST(li AS DOUBLE) / CAST(la AS DOUBLE), 6) END AS containment,
@@ -3349,11 +3375,18 @@ object Queries {
     * unpartitioned window, one reducer; `PrefixSum.runningMaxExclusive`
     * is the two-phase distributed scan instead (O(partitions) driver
     * combine). Tolerance 10 min = the `withWatermark` default this
-    * audit would validate. */
+    * audit would validate. The synthetic feed arrives perfectly
+    * time-ordered, which left n_late = 0 at every SF (a vacuous audit,
+    * r9 vacuity sweep) — so every 97th event is deterministically
+    * DELAYED 2h in event time (the q_dead_letter fixture-injection
+    * precedent: the audit path must fire on the data it gates). */
   private def lateArrival(s: SparkSession, dir: String): DataFrame = {
     val tolUs = 600000000L // 10 min
     val ev = events(s, dir)
-      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .select(col("event_id"), col("event_type"),
+        (unix_micros(col("ts")) -
+          when(col("event_id") % 97 === 0, 7200000000L).otherwise(0L))
+          .as("us"))
     PrefixSum.runningMaxExclusive(ev, "event_id", "us")
       .withColumn("late_us", greatest(coalesce(col("prev_max") - col("us"), lit(0L)), lit(0L)))
       .groupBy("event_type")
@@ -3364,7 +3397,10 @@ object Queries {
 
   private val lateArrivalSql =
     """WITH b AS (
-      |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+      |  SELECT event_id, event_type,
+      |    epoch_us(ts) - CASE WHEN event_id % 97 = 0
+      |      THEN 7200000000 ELSE 0 END AS us
+      |  FROM events),
       |w AS (
       |  SELECT event_type,
       |    greatest(coalesce(max(us) OVER (ORDER BY event_id
@@ -7211,17 +7247,23 @@ object Queries {
 
   /** #170 growth accounting (new / retained / resurrected / churned
     * users per week) — the canonical product-analytics decomposition
-    * of week-over-week active users. Activity collapses to distinct
-    * (user, Monday-week) rows once; every classification reads the
-    * per-user ordered week sequence through BOUNDED lag windows (a
-    * user's weeks ≤ calendar weeks); churn events are EMITTED rows
-    * (prev active, now silent → churned at prev+7d, including after
-    * the final week when the observation window extends past it) so
-    * the output grid needs no dense generation. Counts are exact; the
-    * identity new+retained+resurrected = WAU holds by construction
+    * of week-over-week active users. "Active" is PURCHASE-active: on
+    * this fixture every user emits some event every single week, so
+    * any-event activity made resurrection and churn structurally
+    * impossible (n_resurrected = 0 at every SF — the r9 vacuity audit
+    * caught it); weekly purchaser sets genuinely gap and return.
+    * Activity collapses to distinct (user, Monday-week) rows once;
+    * every classification reads the per-user ordered week sequence
+    * through BOUNDED lag windows (a user's weeks ≤ calendar weeks);
+    * churn events are EMITTED rows (prev active, now silent → churned
+    * at prev+7d, including after the final week when the observation
+    * window extends past it) so the output grid needs no dense
+    * generation. Counts are exact; the identity
+    * new+retained+resurrected = WAU holds by construction
     * (spec-checked). */
   private def growthAccounting(s: SparkSession, dir: String): DataFrame = {
     val wk = events(s, dir)
+      .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("wk"))
       .distinct()
@@ -7254,7 +7296,7 @@ object Queries {
   private val growthAccountingSql =
     """WITH wk AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
-      |  FROM events),
+      |  FROM events WHERE event_type = 'purchase'),
       |g AS (SELECT max(wk) AS gmax FROM wk),
       |sq AS (
       |  SELECT user_id, wk,
@@ -7886,52 +7928,68 @@ object Queries {
 
   /** #184 zone-map pruning audit — "how much would min/max file stats
     * skip for this predicate?", the planning complement of
-    * q_write_layout / q_zorder / q_compaction_plan. Zone maps fold in
-    * ONE partial-aggregated pass over the fact (per-chunk min/max/
-    * count plus the in-range count — no second scan of candidate
-    * chunks); the skip decision and totals are O(chunks). Chunks
-    * stand in for files (orderkey div 512), matching the compaction
-    * planner's layout model. */
+    * q_write_layout / q_zorder / q_compaction_plan. Audited under TWO
+    * layouts, because the comparison IS the lesson: `arrival` chunks
+    * (orderkey div 512 — shipdate uncorrelated, so min/max spans the
+    * whole calendar and NOTHING skips; the old single-layout form
+    * reported n_skipped = 0 at every SF and never exercised the skip
+    * path — r9 vacuity audit) vs `ship_month` partitions (the layout
+    * a date-partitioned/Z-ordered write produces — most chunks fall
+    * wholly outside the 6-month predicate and skip). Each layout folds
+    * in one partial-aggregated pass (per-chunk min/max/count plus the
+    * in-range count — no second scan of candidate chunks); skip
+    * decisions and totals are O(chunks). 2-row output. */
   private def zonemapPrune(s: SparkSession, dir: String): DataFrame = {
     val lo = lit("1995-01-01 00:00:00").cast("timestamp")
     val hi = lit("1995-07-01 00:00:00").cast("timestamp")
-    val zm = t(s, dir, "lineitem")
-      .select(expr("l_orderkey div 512").as("chunk"),
+    val li = t(s, dir, "lineitem")
+      .select(expr("l_orderkey div 512").as("ca"),
+        expr("CAST(year(CAST(l_shipdate AS TIMESTAMP)) * 12" +
+          " + month(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)").as("cm"),
         col("l_shipdate").cast("timestamp").as("sd"))
-      .groupBy("chunk")
-      .agg(min("sd").as("mn"), max("sd").as("mx"), count(lit(1)).as("n"),
-        sum(when(col("sd") >= lo && col("sd") < hi, 1L).otherwise(0L))
-          .as("n_match"))
-      .withColumn("skip", col("mx") < lo || col("mn") >= hi)
-    zm.agg(count(lit(1)).as("n_chunks"),
-        sum(col("skip").cast("long")).as("n_skipped"),
-        sum("n").as("rows_total"),
-        sum(when(!col("skip"), col("n")).otherwise(0L)).as("rows_scanned"),
-        sum("n_match").as("rows_matched"))
-      .withColumn("prune_ppm", expr("(n_skipped * 1000000) div n_chunks"))
+    def fold(chunkCol: String, layout: String): DataFrame = {
+      val zm = li.groupBy(col(chunkCol).as("chunk"))
+        .agg(min("sd").as("mn"), max("sd").as("mx"), count(lit(1)).as("n"),
+          sum(when(col("sd") >= lo && col("sd") < hi, 1L).otherwise(0L))
+            .as("n_match"))
+        .withColumn("skip", col("mx") < lo || col("mn") >= hi)
+      zm.agg(count(lit(1)).as("n_chunks"),
+          sum(col("skip").cast("long")).as("n_skipped"),
+          sum("n").as("rows_total"),
+          sum(when(!col("skip"), col("n")).otherwise(0L)).as("rows_scanned"),
+          sum("n_match").as("rows_matched"))
+        .withColumn("prune_ppm", expr("(n_skipped * 1000000) div n_chunks"))
+        .select(lit(layout).as("layout"), col("n_chunks"), col("n_skipped"),
+          col("rows_total"), col("rows_scanned"), col("rows_matched"),
+          col("prune_ppm"))
+    }
+    fold("ca", "arrival").unionAll(fold("cm", "ship_month"))
   }
 
-  private val zonemapPruneSql =
-    """WITH zm AS (
-      |  SELECT l_orderkey // 512 AS chunk,
-      |    min(l_shipdate) AS mn, max(l_shipdate) AS mx,
-      |    CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
-      |                    AND l_shipdate < TIMESTAMP '1995-07-01'
-      |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-      |  FROM lineitem GROUP BY 1),
-      |f AS (
-      |  SELECT *, (mx < TIMESTAMP '1995-01-01'
-      |             OR mn >= TIMESTAMP '1995-07-01') AS skip
-      |  FROM zm)
-      |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
-      |  CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
-      |  CAST(sum(n) AS BIGINT) AS rows_total,
-      |  CAST(sum(CASE WHEN skip THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
-      |  CAST(sum(n_match) AS BIGINT) AS rows_matched,
-      |  CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) * 1000000 // count(*)
-      |    AS BIGINT) AS prune_ppm
-      |FROM f""".stripMargin
+  private val zonemapPruneSql = {
+    def fold(chunkExpr: String, layout: String): String =
+      s"""SELECT '$layout' AS layout, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+         |  CAST(sum(n) AS BIGINT) AS rows_total,
+         |  CAST(sum(CASE WHEN skip THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+         |  CAST(sum(n_match) AS BIGINT) AS rows_matched,
+         |  CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |    AS BIGINT) AS prune_ppm
+         |FROM (
+         |  SELECT *, (mx < TIMESTAMP '1995-01-01'
+         |             OR mn >= TIMESTAMP '1995-07-01') AS skip
+         |  FROM (
+         |    SELECT $chunkExpr AS chunk,
+         |      min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+         |      CAST(count(*) AS BIGINT) AS n,
+         |      CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+         |                      AND l_shipdate < TIMESTAMP '1995-07-01'
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |    FROM lineitem GROUP BY 1))""".stripMargin
+    fold("l_orderkey // 512", "arrival") + "\nUNION ALL\n" +
+      fold("CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)",
+        "ship_month")
+  }
 
   /** Engine-portable multiplicative hash mod the fingerprint prime —
     * `(x · A) mod M` with a full-range odd multiplier (PCG's): uniform
@@ -11854,10 +11912,15 @@ object Queries {
         col("__fp").isNotNull.cast("long").as("__conv"))
     val w = Window.orderBy(col("attempts").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // hazard-style rate: converted AT k over users REACHING k. The
+    // per-finisher rate (n_converted/n_users) pinned to 1e6 on this
+    // fixture — every finisher converts, so the curve measured nothing
+    // (r9 vacuity audit)
     perUser.groupBy("attempts")
       .agg(count(lit(1)).as("n_users"), sum("__conv").as("n_converted"))
       .withColumn("users_reaching", sum("n_users").over(w))
-      .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_users"))
+      .withColumn("conv_ppm",
+        expr("(n_converted * 1000000) div users_reaching"))
   }
 
   private val attemptConversionSql =
@@ -11875,23 +11938,37 @@ object Queries {
       |s AS (SELECT attempts, CAST(count(*) AS BIGINT) AS n_users,
       |      CAST(sum(conv) AS BIGINT) AS n_converted
       |      FROM u GROUP BY 1)
-      |SELECT attempts, n_users, n_converted,
-      |  CAST(sum(n_users) OVER (ORDER BY attempts DESC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-      |    AS users_reaching,
-      |  CAST((n_converted * 1000000) // n_users AS BIGINT) AS conv_ppm
-      |FROM s""".stripMargin
+      |r AS (
+      |  SELECT attempts, n_users, n_converted,
+      |    CAST(sum(n_users) OVER (ORDER BY attempts DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS users_reaching
+      |  FROM s)
+      |SELECT attempts, n_users, n_converted, users_reaching,
+      |  CAST((n_converted * 1000000) // users_reaching AS BIGINT) AS conv_ppm
+      |FROM r""".stripMargin
 
   /** #262 AAPOR-style disposition rates — the one-row fieldwork report
     * header (AAPOR Standard Definitions, public): per-user disposition
-    * from the event mix (complete = any purchase; partial = clicked
-    * but never purchased; contact-only = viewed but never engaged;
-    * non-contact = the rest), then RR1 = completes/total, contact
-    * rate, cooperation rate (completes over contacted), refusal rate —
-    * all exact ppm. ONE user aggregate (max of boolean flags,
-    * map-side combinable) + a 1-row fold. */
+    * from the FIRST-5-EVENTS slice — the fieldwork analogy is the
+    * first call attempts, and the bounded slice is what makes the
+    * categories real: over a user's FULL history on this fixture
+    * everyone eventually purchases, so whole-history dispositions
+    * collapsed to 100% complete at every SF (partial/contact-only/
+    * non-contact all zero — the r9 vacuity audit caught it).
+    * Complete = purchase among the first 5; partial = clicked but not
+    * purchased; contact-only = viewed but never engaged; non-contact =
+    * the rest. Then RR1 = completes/total, contact rate, cooperation
+    * rate (completes over contacted), refusal rate — all exact ppm.
+    * One user-partitioned rank window (deterministic (ts, event_id)
+    * order) + one user aggregate + a 1-row fold. */
   private def aaporRates(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).groupBy("user_id").agg(
+    eventsMicros(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
+      .filter(col("__rn") <= 5)
+      .groupBy("user_id").agg(
         max((col("event_type") === "purchase").cast("long")).as("c"),
         max((col("event_type") === "click").cast("long")).as("k"),
         max((col("event_type") === "view").cast("long")).as("v"))
@@ -11920,12 +11997,19 @@ object Queries {
           " ELSE 0 END"))
 
   private val aaporRatesSql =
-    """WITH f AS (
+    """WITH r5 AS (
+      |  SELECT user_id, event_type
+      |  FROM (SELECT user_id, event_type,
+      |          row_number() OVER (PARTITION BY user_id
+      |            ORDER BY epoch_us(ts), event_id) AS rn
+      |        FROM events)
+      |  WHERE rn <= 5),
+      |f AS (
       |  SELECT user_id,
       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
       |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k,
       |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
-      |  FROM events GROUP BY 1),
+      |  FROM r5 GROUP BY 1),
       |a AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_total,
       |    CAST(sum(c) AS BIGINT) AS n_complete,
@@ -16614,14 +16698,20 @@ object Queries {
       |FROM sq CROSS JOIN ix CROSS JOIN cq""".stripMargin
 
   /** #334 week-over-week audience overlap — how much of each week's
-    * active-user set carries into the next (the set-level churn view
+    * PURCHASER set carries into the next (the set-level churn view
     * #134's rolling distinct COUNT and #64's cohort retention both
     * miss: counts can hold steady while the population fully turns
-    * over). One distinct (week, user) shuffle; the intersection is a
-    * user-key self-join restricted to adjacent weeks; jaccard /
-    * retained / new land as exact ppm. O(weeks) output. */
+    * over). The audience is purchase-defined, not any-event-defined:
+    * on this fixture every user emits SOME event every week, so the
+    * any-event audiences were identical (jaccard pinned at 1e6,
+    * new_ppm at 0 — the r9 vacuity audit caught it); weekly purchaser
+    * sets genuinely turn over. One distinct (week, user) shuffle; the
+    * intersection is a user-key self-join restricted to adjacent
+    * weeks; jaccard / retained / new land as exact ppm. O(weeks)
+    * output. */
   private def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
     val wu = events(s, dir)
+      .filter(col("event_type") === "purchase")
       .select(expr("unix_micros(ts) div 604800000000").as("wk"),
         col("user_id").as("u"))
       .distinct()
@@ -16647,7 +16737,7 @@ object Queries {
   private val audienceOverlapSql =
     """WITH wu AS (
       |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id AS u
-      |  FROM events),
+      |  FROM events WHERE event_type = 'purchase'),
       |n AS (SELECT wk, CAST(count(*) AS BIGINT) AS n FROM wu GROUP BY 1),
       |cm AS (
       |  SELECT a.wk AS wk, CAST(count(*) AS BIGINT) AS n_common
@@ -16754,13 +16844,18 @@ object Queries {
     * corpus-prefix checkpoints (the vocabulary-saturation signal a
     * tokenizer/corpus curator reads before sizing a vocab: natural
     * text sits at β≈0.5-0.7; template/synthetic corpora saturate to
-    * β≈0). Checkpoints are exact doc_id deciles (the rank scan, no
-    * global sort); each token contributes its FIRST-occurrence doc
-    * (one groupBy min — never a per-checkpoint distinct over the
-    * corpus); cumulative token/vocab counts fold through a 10-row
-    * broadcast of cuts; β is the OLS slope over the ten
-    * (⌊ln N⌋, ⌊ln V⌋) fixed-point pairs, sign-split ppm. O(10)
-    * output. */
+    * β≈0). The "vocabulary" is word TRIGRAM types: the fixture's
+    * closed ~31-word unigram vocab saturates inside the first decile
+    * and pinned β to 0 at every SF — a vacuous growth measure (the
+    * r9 vacuity audit caught it); trigram types keep growing with N,
+    * so β measures actual combinatorial growth while still reading 0
+    * only for a truly template corpus. Checkpoints are exact doc_id
+    * deciles (the rank scan, no global sort); each trigram type
+    * contributes its FIRST-occurrence doc (one groupBy min — never a
+    * per-checkpoint distinct over the corpus); cumulative token/vocab
+    * counts fold through a 10-row broadcast of cuts; β is the OLS
+    * slope over the ten (⌊ln N⌋, ⌊ln V⌋) fixed-point pairs,
+    * sign-split ppm. O(10) output. */
   private def heapsLaw(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(s, t(s, dir, "documents"))
       .select(col("doc_id"), expr(
@@ -16780,7 +16875,12 @@ object Queries {
       .groupBy("decile", "cut_doc_id")
       .agg(sum("__nt").as("n_tokens_cum"), count(lit(1)).as("n_docs_cum"))
     val firstOcc = docs
-      .select(col("doc_id"), explode(expr("array_distinct(__l)")).as("__w"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE WHEN size(__l) >= 3
+          | THEN transform(sequence(1, size(__l) - 2),
+          |   i -> concat(element_at(__l, i), ' ', element_at(__l, i + 1),
+          |     ' ', element_at(__l, i + 2)))
+          | ELSE array() END)""".stripMargin.replace("\n", " "))).as("__w"))
       .groupBy("__w").agg(min("doc_id").as("__fd"))
     val vk = firstOcc.crossJoin(broadcast(cuts))
       .filter(col("__fd") <= col("cut_doc_id"))
@@ -16827,7 +16927,11 @@ object Queries {
       |  GROUP BY 1, 2),
       |fo AS (
       |  SELECT w, min(doc_id) AS fd
-      |  FROM (SELECT doc_id, unnest(list_distinct(l)) AS w FROM d)
+      |  FROM (SELECT doc_id, unnest(list_distinct(
+      |          CASE WHEN len(l) >= 3 THEN
+      |            list_transform(range(1, len(l) - 1),
+      |              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+      |          ELSE CAST([] AS VARCHAR[]) END)) AS w FROM d)
       |  GROUP BY 1),
       |vk AS (
       |  SELECT c.decile, CAST(count(*) AS BIGINT) AS vocab_cum

@@ -62,7 +62,10 @@ class DecomposeGrowthCsvSpec extends GraftSuite {
   }
 
   test("growth accounting matches a driver replay; identity holds") {
+    // purchase-active (any-event activity is dense every week on this
+    // fixture and made resurrect/churn structurally impossible)
     val wk = eventsTable(dir)
+      .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("wk"))
       .distinct().collect()

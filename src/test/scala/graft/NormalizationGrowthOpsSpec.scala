@@ -41,7 +41,10 @@ class NormalizationGrowthOpsSpec extends GraftSuite {
   }
 
   test("q_audience_overlap: set algebra replays; ppm identities hold") {
+    // purchaser audiences: any-event audiences are identical every week
+    // on this fixture (jaccard pinned at 1e6 — a vacuous overlap)
     val wu = eventsTable(dir)
+      .filter(col("event_type") === "purchase")
       .select(expr("unix_micros(ts) div 604800000000"), col("user_id"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val byWk = wu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -108,10 +111,14 @@ class NormalizationGrowthOpsSpec extends GraftSuite {
       math.floor((1.0 - f) * lo + f * hi).toLong
     }
     val cuts = (1 to 10).map(i => (i, qcont(i / 10.0)))
+    // trigram types: the 31-word unigram vocab saturates in the first
+    // decile and pinned beta to 0 — a vacuous growth measure
     val firstOcc = scala.collection.mutable.Map.empty[String, Long]
     toks.foreach { case (id, ws) =>
-      ws.foreach(w => if (!firstOcc.contains(w)) firstOcc(w) = id
-      else if (firstOcc(w) > id) firstOcc(w) = id)
+      ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).foreach { w =>
+        if (!firstOcc.contains(w)) firstOcc(w) = id
+        else if (firstOcc(w) > id) firstOcc(w) = id
+      }
     }
     def ln6(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val pts = cuts.map { case (k, cut) =>
@@ -134,8 +141,9 @@ class NormalizationGrowthOpsSpec extends GraftSuite {
         r.getLong(4), r.getLong(5))).sortBy(_._1)
     assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq == pts)
     assert(got.forall(_._6 == beta))
-    // the synthetic template corpus saturates its tiny vocabulary fast:
-    // beta must sit far below natural text's ~0.5
-    assert(beta < 200000, s"beta $beta")
+    // trigram types keep growing with the corpus — the slope must be
+    // clearly positive (a saturated/template vocabulary would read ~0,
+    // which is exactly the degenerate state the measure exists to flag)
+    assert(beta > 500000, s"beta $beta")
   }
 }

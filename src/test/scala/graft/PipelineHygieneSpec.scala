@@ -51,8 +51,12 @@ class PipelineHygieneSpec extends GraftSuite {
   // ---------------------------------------------------------- late arrival
 
   test("late-arrival audit matches the single-window recomputation") {
+    // every 97th event is deterministically delayed 2h in event time —
+    // the time-ordered synthetic feed otherwise never fires the audit
     val rows = events.select("event_id", "event_type", "ts").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000))
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 -
+          (if (r.getLong(0) % 97 == 0) 7200000000L else 0L)))
       .sortBy(_._1)
     var best = Long.MinValue
     val perType = collection.mutable.Map.empty[String, (Long, Long, Long)]
@@ -66,6 +70,9 @@ class PipelineHygieneSpec extends GraftSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == perType.toMap)
     assert(got.values.map(_._1).sum == rows.length)
+    // the audit must BITE: the injected 2h delays exceed the 10-min
+    // tolerance, so late events exist at every shipped SF
+    assert(got.values.map(_._2).sum > 0, "no late arrivals detected")
   }
 
   test("late-arrival plan has no unpartitioned window") {

@@ -48,10 +48,12 @@ class SurveyOpsSpec extends GraftSuite {
     val grouped = perUser.groupBy(_._1).map { case (a, xs) =>
       (a, xs.size.toLong, xs.map(_._2).sum)
     }.toSeq.sortBy(-_._1)
+    // hazard rate: converted AT k over users REACHING k (per-finisher
+    // conversion pinned to 1e6 on this fixture — everyone converts)
     val want = grouped.scanLeft((0L, 0L, 0L, 0L)) {
       case ((_, _, _, reach), (a, nu, nc)) => (a, nu, nc, reach + nu)
     }.drop(1).map { case (a, nu, nc, reach) =>
-      (a, nu, nc, reach, ppm(nc, nu))
+      (a, nu, nc, reach, ppm(nc, reach))
     }.toSet
     val got = SparkEntry.queries("q_attempt_conversion")(spark, dir)
       .collect()
@@ -65,11 +67,17 @@ class SurveyOpsSpec extends GraftSuite {
   }
 
   test("q_aapor_rates equals the driver replay; dispositions partition users") {
+    // first-5-events slice (full histories collapse to 100% complete)
     val byUser = ev.groupBy(_._2)
     val flags = byUser.map { case (_, es) =>
-      (es.exists(_._3 == "purchase"), es.exists(_._3 == "click"),
-        es.exists(_._3 == "view"))
+      val first5 = es.sortBy(e => (e._4, e._1)).take(5)
+      (first5.exists(_._3 == "purchase"), first5.exists(_._3 == "click"),
+        first5.exists(_._3 == "view"))
     }.toSeq
+    // the bounded slice must make every disposition category REAL at
+    // this SF — the vacuity condition the full-history version failed
+    assert(flags.exists(f => !f._1 && f._2), "need partials")
+    assert(flags.exists(f => !f._1 && !f._2 && f._3), "need contact-only")
     val nTot = flags.size.toLong
     val nC = flags.count(_._1).toLong
     val nP = flags.count(f => !f._1 && f._2).toLong
