@@ -158,6 +158,30 @@ object Bench {
       // says broken queries don't appear as timings)
       if (rep.nonEmpty && !failed) { times :+= name -> rep.min; raws :+= name -> rep }
     }
+    def invertedNow(r: Seq[Double]): Boolean =
+      r.length >= 2 && r.drop(1).min > r.head * 1.5 && r.drop(1).min - r.head > 0.5
+    // Quiet-tail retry (r9 verdict): queries whose later rep inverted
+    // re-time ONCE more after the sweep, when the transient external
+    // load that polluted them has had time to clear. The min survives
+    // into the timing, and an inversion that disappears on retry stops
+    // counting — so BENCH_r{N} doesn't need manual re-timing to be
+    // trusted (r9: 7 inversions, all co-load artifacts 2-6× over their
+    // isolated times).
+    val flagged = raws.filter(kv => invertedNow(kv._2)).map(_._1)
+    if (flagged.nonEmpty) {
+      System.err.println(s"[bench] quiet-tail retry for ${flagged.size} rep-inverted queries: ${flagged.mkString(",")}")
+      flagged.foreach { name =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val t0 = System.nanoTime()
+        try {
+          all(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          raws = raws.map { case (k, r) => if (k == name) k -> (r :+ t) else k -> r }
+          times = times.map { case (k, v) => if (k == name) k -> math.min(v, t) else k -> v }
+        } catch { case _: Throwable => () } // already timed twice; a retry failure keeps the prior reps
+      }
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -193,9 +217,7 @@ object Bench {
     // >0.5s absolute, to ignore sub-second jitter) means something else
     // was stealing CPU while it ran. Flag noisy when start pressure was
     // high despite the gate, or >10% of queries inverted.
-    val inverted = raws.count { case (_, r) =>
-      r.length >= 2 && r.last > r.head * 1.5 && r.last - r.head > 0.5
-    }
+    val inverted = raws.count(kv => invertedNow(kv._2))
     val noisy = psiStart > 0.3 ||
       (raws.nonEmpty && inverted.toDouble / raws.size > 0.1)
     def summaryLine(topK: Int, errK: Int): String = {

@@ -1721,24 +1721,35 @@ object Queries {
     * null/distinct counts + numeric bounds for every column from ONE
     * aggregate job, unpivoted to a row per column. Exact distincts
     * here (oracle-checkable); `approxRsd` switches to HLL at scale. */
+  // the profiled frame is the NULL-NORMALIZED projection (the
+  // reference's sentinel→NULL transform applied first): raw orders has
+  // zero nulls at every SF, so the profiler's n_nulls column never
+  // fired (r10 vacuity audit) — profiling post-normalization is also
+  // the order the reference pipeline actually runs
   private def profileStats(s: SparkSession, dir: String): DataFrame =
-    Profiler.profile(t(s, dir, "orders"))
+    Profiler.profile(t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"),
+        FeederTransforms.sentinelToNull(col("o_orderpriority"),
+          "4-NOT SPECIFIED").as("priority_norm")))
 
   private val profileStatsSql = {
-    def stat(c: String, numExpr: Option[String]) = {
+    def stat(c: String, expr: String, numExpr: Option[String]) = {
       val mn = numExpr.map(e => s"CAST(min($e) AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
       val mx = numExpr.map(e => s"CAST(max($e) AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
-      s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
-         |  count(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num
+      s"""SELECT '$c' AS col_name, count(*) - count($expr) AS n_nulls,
+         |  count(DISTINCT $expr) AS n_distinct, $mn AS min_num, $mx AS max_num
          |FROM orders""".stripMargin
     }
     Seq(
-      stat("o_orderkey", Some("o_orderkey")),
-      stat("o_custkey", Some("o_custkey")),
-      stat("o_orderstatus", None),
-      stat("o_totalprice", Some("o_totalprice")),
-      stat("o_orderdate", Some("epoch_us(o_orderdate)")),
-      stat("o_orderpriority", None),
+      stat("o_orderkey", "o_orderkey", Some("o_orderkey")),
+      stat("o_custkey", "o_custkey", Some("o_custkey")),
+      stat("o_orderstatus", "o_orderstatus", None),
+      stat("o_totalprice", "o_totalprice", Some("o_totalprice")),
+      stat("o_orderdate", "o_orderdate", Some("epoch_us(o_orderdate)")),
+      stat("priority_norm",
+        "(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN NULL ELSE o_orderpriority END)",
+        None),
     ).mkString("", "\nUNION ALL\n", "")
   }
 
@@ -2321,10 +2332,18 @@ object Queries {
     * regroup. Per-doc state is one document's tokens (collect_list is
     * doc-length-bounded, never corpus-bounded). */
   private def vocabEncode(s: SparkSession, dir: String): DataFrame = {
-    val V = 512
     val toks = parallelize(s, t(s, dir, "documents"))
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("pos", "token")))
+    // vocab size is CORPUS-RELATIVE: min(512, types/2) — the fixed 512
+    // covered the entire synthetic type space at every gate SF, so
+    // n_oov was structurally 0 and the OOV path was never exercised
+    // (r10 vacuity audit). Half the types guarantees real OOV tokens at
+    // any SF; the 512 cap restores the fixed-budget semantics once the
+    // corpus outgrows it. One 1-value driver read (the containment/
+    // bloom corpus-relative device).
+    val V = math.min(512L,
+      math.max(toks.select("token").distinct().count() / 2, 1L)).toInt
     // df over distinct (doc, token); (df DESC, token ASC) is a total
     // order (token unique), so limit + row_number are deterministic.
     // The window is over the ≤V post-limit rows — bounded, not corpus.
@@ -2356,7 +2375,8 @@ object Queries {
       |vocab AS (
       |  SELECT token,
       |    CAST(row_number() OVER (ORDER BY df DESC, token) AS INT) AS id
-      |  FROM df ORDER BY df DESC, token LIMIT 512),
+      |  FROM df ORDER BY df DESC, token
+      |  LIMIT (SELECT least(512, greatest(count(*) // 2, 1)) FROM df)),
       |enc AS (
       |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
       |  FROM tok t LEFT JOIN vocab v USING (token))
@@ -2801,13 +2821,19 @@ object Queries {
   private def containment(s: SparkSession, dir: String): DataFrame = {
     val base = parallelize(s, t(s, dir, "documents"))
       .select(col("doc_id"), col("text"))
-    val prefixes = base.select((col("doc_id") + 2000000L).as("doc_id"),
+    // synthetic prefix ids shift past the real id space — CORPUS-RELATIVE
+    // (max+1, a 1-value driver read), not a fixed 2e6: a fixed shift
+    // collides with real doc_ids once the table outgrows it, and both
+    // engines applying the same collision would pass the gate on
+    // corrupted pairs (r9 ADVICE). Same device as bloomFpr's probe keys.
+    val off = base.agg(max("doc_id")).head.getLong(0) + 1L
+    val prefixes = base.select((col("doc_id") + off).as("doc_id"),
       expr("""array_join(slice(split(trim(text), '\\s+'), 1,
         | greatest(CAST((size(split(trim(text), '\\s+')) * 2) div 3 AS INT),
         |   5)), ' ')""".stripMargin.replace("\n", " ")).as("text"))
     val docs = base.unionAll(prefixes)
     val pairs = base
-      .select((col("doc_id") + 2000000L).as("id_a"), col("doc_id").as("id_b"))
+      .select((col("doc_id") + off).as("id_a"), col("doc_id").as("id_b"))
       .unionAll(adjacentPairs(base))
     MinHashLSH.scorePairs(pairs, docs, "doc_id", "text",
         shingleK = 3) { (a, b) =>
@@ -2819,10 +2845,11 @@ object Queries {
   }
 
   private val containmentSql =
-    s"""WITH corpus AS (
+    s"""WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+       |corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 2000000 AS doc_id,
+       |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
        |    array_to_string(toks[1:greatest((len(toks) * 2) // 3, 5)], ' ')
        |      AS text
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -2830,7 +2857,8 @@ object Queries {
        |sh AS (
        |  ${shingleSetsSql("corpus")}),
        |pr AS (
-       |  SELECT doc_id + 2000000 AS id_a, doc_id AS id_b FROM documents
+       |  SELECT doc_id + (SELECT o FROM off) AS id_a, doc_id AS id_b
+       |  FROM documents
        |  UNION ALL
        |  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
        |  WHERE doc_id % 2 = 0),
@@ -3564,19 +3592,30 @@ object Queries {
     * final deterministic projection, so the result is bit-stable under
     * any partitioning. |t| > 1.96 flags a mean shift at ~95%. */
   private def welchTtest(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    val cut = ev.agg(min("event_id").as("__mn"), max("event_id").as("__mx"))
+    val ev0 = events(s, dir)
+    // one PLANTED calibration group: the natural event types draw both
+    // halves from the same distribution, so mean_shift never fired at
+    // any SF and a broken detector was invisible (r10 vacuity audit).
+    // 'calib_shift' clones the view rows and moves its second half by
+    // +25 — the t-test must flag exactly this known injected effect.
+    val ev = ev0.select("event_type", "event_id", "value")
+      .unionAll(ev0.filter(col("event_type") === "view")
+        .select(lit("calib_shift").as("event_type"), col("event_id"),
+          col("value")))
+    val cut = ev0.agg(min("event_id").as("__mn"), max("event_id").as("__mx"))
       .select(expr("(__mn + __mx) div 2").as("cut"))
-    val v = col("value").cast("decimal(18,6)")
+    val v0 = col("value").cast("decimal(18,6)")
     val m = ev.crossJoin(broadcast(cut))
       .withColumn("__p0", col("event_id") <= col("cut"))
+      .withColumn("__v", when(col("event_type") === "calib_shift" && !col("__p0"),
+        v0 + lit(BigDecimal(25))).otherwise(v0))
       .groupBy("event_type")
       .agg(sum(when(col("__p0"), 1L).otherwise(0L)).as("n0"),
-        sum(when(col("__p0"), v).otherwise(lit(null))).as("s0"),
-        sum(when(col("__p0"), v * v).otherwise(lit(null))).as("q0"),
+        sum(when(col("__p0"), col("__v")).otherwise(lit(null))).as("s0"),
+        sum(when(col("__p0"), col("__v") * col("__v")).otherwise(lit(null))).as("q0"),
         sum(when(!col("__p0"), 1L).otherwise(0L)).as("n1"),
-        sum(when(!col("__p0"), v).otherwise(lit(null))).as("s1"),
-        sum(when(!col("__p0"), v * v).otherwise(lit(null))).as("q1"))
+        sum(when(!col("__p0"), col("__v")).otherwise(lit(null))).as("s1"),
+        sum(when(!col("__p0"), col("__v") * col("__v")).otherwise(lit(null))).as("q1"))
     def mean(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
     def variance(qc: Column, sc: Column, n: Column) =
       (qc.cast("double") - sc.cast("double") * sc.cast("double") / n.cast("double")) /
@@ -3592,15 +3631,26 @@ object Queries {
   private val welchTtestSql =
     """WITH cut AS (
       |  SELECT (min(event_id) + max(event_id)) // 2 AS cut FROM events),
+      |ev AS (
+      |  SELECT event_type, event_id, value FROM events
+      |  UNION ALL
+      |  SELECT 'calib_shift', event_id, value FROM events
+      |  WHERE event_type = 'view'),
+      |sh AS (
+      |  SELECT event_type, event_id,
+      |    CASE WHEN event_type = 'calib_shift' AND event_id > cut
+      |      THEN CAST(value AS DECIMAL(18,6)) + 25
+      |      ELSE CAST(value AS DECIMAL(18,6)) END AS v
+      |  FROM ev CROSS JOIN cut),
       |m AS (
       |  SELECT event_type,
       |    sum(CASE WHEN event_id <= cut THEN 1 ELSE 0 END) AS n0,
-      |    sum(CASE WHEN event_id <= cut THEN CAST(value AS DECIMAL(18,6)) END) AS s0,
-      |    sum(CASE WHEN event_id <= cut THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS q0,
+      |    sum(CASE WHEN event_id <= cut THEN v END) AS s0,
+      |    sum(CASE WHEN event_id <= cut THEN v * v END) AS q0,
       |    sum(CASE WHEN event_id > cut THEN 1 ELSE 0 END) AS n1,
-      |    sum(CASE WHEN event_id > cut THEN CAST(value AS DECIMAL(18,6)) END) AS s1,
-      |    sum(CASE WHEN event_id > cut THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS q1
-      |  FROM events CROSS JOIN cut GROUP BY 1)
+      |    sum(CASE WHEN event_id > cut THEN v END) AS s1,
+      |    sum(CASE WHEN event_id > cut THEN v * v END) AS q1
+      |  FROM sh CROSS JOIN cut GROUP BY 1)
       |SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
       |  round(
       |    (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
@@ -5726,9 +5776,17 @@ object Queries {
     * per type (bounded diagnostic, never an unbounded list). Counts
     * stay exact; completeness is the one final division. */
   private def completeness(s: SparkSession, dir: String): DataFrame = {
-    val obs = events(s, dir)
+    val obs0 = events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one PLANTED sparse series ('__probe', every 7th day of the real
+    // span): the natural types cover every day at every SF, so
+    // days_missing/sample_missing never fired and the gap detector was
+    // unverifiable (r10 vacuity audit — the qualityGate probe device)
+    val probe = obs0.agg(min("day").as("__lo"), max("day").as("__hi"))
+      .select(lit("__probe").as("event_type"),
+        explode(expr("sequence(__lo, __hi, interval 7 day)")).as("day"))
+    val obs = obs0.unionAll(probe)
     val span = obs.groupBy("event_type")
       .agg(min("day").as("first_day"), max("day").as("last_day"),
         count(lit(1)).as("days_present"))
@@ -5758,8 +5816,15 @@ object Queries {
   }
 
   private val completenessSql =
-    """WITH obs AS (
+    """WITH obs0 AS (
       |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+      |obs AS (
+      |  SELECT event_type, day FROM obs0
+      |  UNION ALL
+      |  SELECT '__probe', CAST(u.d AS DATE)
+      |  FROM (SELECT min(day) AS lo, max(day) AS hi FROM obs0),
+      |    unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+      |      INTERVAL 7 DAY)) AS u(d)),
       |span AS (
       |  SELECT event_type, min(day) AS first_day, max(day) AS last_day,
       |    CAST(count(*) AS BIGINT) AS days_present
@@ -8297,7 +8362,19 @@ object Queries {
     val normq = floor(sqrt(expr(
       "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
       * 1e6).cast("long")
-    t(s, dir, "embeddings")
+    val e = t(s, dir, "embeddings")
+    // one PLANTED all-zero vector under label '__probe' (the min-id
+    // row zero-scaled, so the dim count always matches the corpus):
+    // the generator emits unit-norm embeddings at every SF, so
+    // n_degenerate never fired and the collapsed-row detector was
+    // unverifiable (r10 vacuity audit)
+    val probe = e
+      .crossJoin(broadcast(e.agg(min("vec_id").as("__m"))))
+      .filter(col("vec_id") === col("__m"))
+      .select(lit("__probe").as("label"),
+        expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").as("embedding"))
+    e.select(col("label").cast("string").as("label"), col("embedding"))
+      .unionAll(probe)
       .select(col("label"), normq.as("nq"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), min("nq").as("min_norm_u"),
@@ -8307,13 +8384,20 @@ object Queries {
   }
 
   private val embedNormAuditSql =
-    """WITH q AS (
+    """WITH em AS (
+      |  SELECT CAST(label AS VARCHAR) AS label, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT '__probe',
+      |    list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+      |  FROM embeddings
+      |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+      |q AS (
       |  SELECT label,
       |    CAST(floor(sqrt(list_reduce(
       |      list_prepend(CAST(0 AS DOUBLE),
       |        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
       |      (a, b) -> a + b)) * 1e6) AS BIGINT) AS nq
-      |  FROM embeddings)
+      |  FROM em)
       |SELECT label, CAST(count(*) AS BIGINT) AS n,
       |  CAST(min(nq) AS BIGINT) AS min_norm_u,
       |  CAST(max(nq) AS BIGINT) AS max_norm_u,
@@ -8393,11 +8477,26 @@ object Queries {
     * map-side integer arithmetic off one projection (engine-portable
     * regex counts — the q_pii_scrub parity rules); a document can trip
     * several reasons, so the per-reason counts are independent sums,
-    * not a partition; one bounded final aggregate. */
+    * not a partition; one bounded final aggregate.
+    *
+    * Three PLANTED violators (one per reason the shipped corpus never
+    * trips: too-long, low-alpha, digit-heavy) keep every reason counter
+    * non-vacuous at each SF — the r9 containment/bloom device: the gate
+    * must be seen to FIRE, or an all-zero counter and a broken counter
+    * are indistinguishable. Constant 3 probe rows, engine-identical
+    * via repeat(). */
   private def qualityGate(s: SparkSession, dir: String): DataFrame = {
     val alpha = gateAlphaCount
     val digit = gateDigitCount
-    t(s, dir, "documents")
+    val planted = s.range(1).select(
+      expr("repeat('ab', 10500)").as("text"))   // 21000 chars: too-long
+      .unionAll(s.range(1).select(
+        expr("repeat('. ', 60)").as("text")))   // 120 chars, 0 alpha: low-alpha
+      .unionAll(s.range(1).select(
+        expr("repeat('1a', 60)").as("text")))   // 120 chars, half digits: digit-heavy
+      .select(col("text"), length(col("text")).cast("long").as("n_chars"))
+    t(s, dir, "documents").select(col("text"), col("n_chars"))
+      .unionAll(planted)
       .select(
         (col("n_chars") < 100).as("f_short"),
         (col("n_chars") > 20000).as("f_long"),
@@ -8413,13 +8512,19 @@ object Queries {
   }
 
   private val qualityGateSql =
-    """WITH f AS (
+    """WITH corpus AS (
+      |  SELECT text, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT t, CAST(length(t) AS BIGINT)
+      |  FROM (VALUES (repeat('ab', 10500)), (repeat('. ', 60)),
+      |               (repeat('1a', 60))) v(t)),
+      |f AS (
       |  SELECT n_chars < 100 AS f_short, n_chars > 20000 AS f_long,
       |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 2
       |      < n_chars AS f_low_alpha,
       |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 10
       |      > n_chars * 3 AS f_digit_heavy
-      |  FROM documents)
+      |  FROM corpus)
       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(CASE WHEN NOT f_short AND NOT f_long AND NOT f_low_alpha
       |                 AND NOT f_digit_heavy THEN 1 ELSE 0 END) AS BIGINT)
@@ -9808,9 +9913,17 @@ object Queries {
   private def coverageGap(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("__d"))
-    val active = ev.distinct()
+    val active0 = ev.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cal = ev.agg(min("__d").as("__lo"), max("__d").as("__hi"))
+    // PLANTED sparse type (active every 7th epoch-day of the real
+    // window): natural types are gap-free at every SF, so n_gaps never
+    // fired (r10 vacuity audit — the q_completeness probe)
+    val probeActive = cal
+      .select(lit("__probe").as("event_type"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+      .filter(col("__d") % 7 === 0)
+    val active = active0.unionAll(probeActive)
     val types = active.select("event_type").distinct()
     types.crossJoin(broadcast(cal))
       .select(col("event_type"), explode(sequence(col("__lo"), col("__hi"))).as("__d"))
@@ -9824,10 +9937,17 @@ object Queries {
   }
 
   private val coverageGapSql =
-    """WITH e AS (
+    """WITH e0 AS (
       |  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS d
       |  FROM events),
-      |cal AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+      |cal AS (SELECT min(d) AS lo, max(d) AS hi FROM e0),
+      |e AS (
+      |  SELECT event_type, d FROM e0
+      |  UNION ALL
+      |  SELECT '__probe', CAST(g.d AS BIGINT)
+      |  FROM (SELECT unnest(range((SELECT lo FROM cal),
+      |                            (SELECT hi FROM cal) + 1)) AS d) g
+      |  WHERE g.d % 7 = 0),
       |grid AS (
       |  SELECT t.event_type, CAST(g.d AS BIGINT) AS d
       |  FROM (SELECT DISTINCT event_type FROM e) t
@@ -11599,13 +11719,13 @@ object Queries {
   /** #256 quota progress — the survey-fieldwork quota monitor (the
     * reference's counters endpoint domain, ref feeder.py:27-47 quota
     * polling): per nation cell, a share-proportional target off a
-    * global quota of 1000 completes, filled = fulfilled orders by that
+    * corpus-relative global quota (1.2× the achieved total — the
+    * mid-fieldwork state), filled = fulfilled orders by that
     * nation's customers, remaining and fill ppm. Customer shares and
     * cell totals are partial-aggregated; the fact-side join shuffles
     * on custkey (co-partitioned at scale); the O(25) cell table and
     * the 1-row total broadcast. */
   private def quotaProgress(s: SparkSession, dir: String): DataFrame = {
-    val G = 1000L
     val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
     val cells = cust.groupBy(col("c_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("n_customers"))
@@ -11615,8 +11735,15 @@ object Queries {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("filled"))
-    cells.crossJoin(broadcast(tot))
-      .withColumn("target", expr(s"($G * n_customers) div __tot"))
+    // the global quota is CORPUS-RELATIVE: 1.2× the achieved total, the
+    // mid-fieldwork state (~83% average fill) — the old fixed 1000 sat
+    // far below every SF's fill and `remaining` was structurally 0
+    // (r10 vacuity audit); share-proportional targets against a 1.2×
+    // quota leave under-performing cells with real remaining counts
+    val ftot = filled.agg(sum("filled").as("__f"))
+    cells.crossJoin(broadcast(tot)).crossJoin(broadcast(ftot))
+      .withColumn("target",
+        expr("(((__f * 12) div 10) * n_customers) div __tot"))
       .join(filled, Seq("nationkey"), "left")
       .join(broadcast(t(s, dir, "nation")
         .select(col("n_nationkey").as("nationkey"), col("n_name"))),
@@ -11638,19 +11765,21 @@ object Queries {
       |f AS (
       |  SELECT c.c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS filled
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      |  WHERE o.o_orderstatus = 'F' GROUP BY 1)
+      |  WHERE o.o_orderstatus = 'F' GROUP BY 1),
+      |g AS (SELECT (sum(filled) * 12) // 10 AS q FROM f)
       |SELECT n.n_name,
       |  cells.n_customers,
-      |  CAST((1000 * n_customers) // tot.t AS BIGINT) AS target,
+      |  CAST((g.q * n_customers) // tot.t AS BIGINT) AS target,
       |  CAST(coalesce(f.filled, 0) AS BIGINT) AS filled,
-      |  CAST(greatest((1000 * n_customers) // tot.t - coalesce(f.filled, 0),
+      |  CAST(greatest((g.q * n_customers) // tot.t - coalesce(f.filled, 0),
       |    0) AS BIGINT) AS remaining,
-      |  CAST(CASE WHEN (1000 * n_customers) // tot.t > 0
+      |  CAST(CASE WHEN (g.q * n_customers) // tot.t > 0
       |    THEN (coalesce(f.filled, 0) * 1000000)
-      |         // ((1000 * n_customers) // tot.t)
+      |         // ((g.q * n_customers) // tot.t)
       |    ELSE 0 END AS BIGINT) AS fill_ppm
       |FROM cells
       |CROSS JOIN tot
+      |CROSS JOIN g
       |LEFT JOIN f ON f.nationkey = cells.nationkey
       |JOIN nation n ON n.n_nationkey = cells.nationkey""".stripMargin
 
@@ -11856,7 +11985,11 @@ object Queries {
   // query's HUGEINT fold, cell-exact locally). Every sum() is cast to
   // BIGINT immediately and every product is BIGINT-bounded at the gate
   // scale factors: w ≤ 1e7, v ≤ ~2e7, Σresp·v ≈ R·1e6, so
-  // Σresp·v² ≤ v_max·Σresp·v ≈ 2e13·R — under 2^63 through sf1.
+  // Σresp·v² ≤ v_max·Σresp·v ≈ 2e13·R — under 2^63 while R < ~4.5e5
+  // (≈ sf5). The `t` CTE gates that bound EXPLICITLY: a future SF bump
+  // fails with a named message, not a bare out-of-range error mid-fold
+  // (r9 ADVICE). The Spark side folds in DECIMAL(38,0) and has no such
+  // ceiling.
   private val designEffectSql =
     """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
       |    c_mktsegment AS seg FROM customer),
@@ -11868,7 +12001,9 @@ object Queries {
       |        WHERE o_orderstatus = 'F') o
       |  JOIN c ON c.c_custkey = o.o_custkey GROUP BY 1, 2),
       |t AS (SELECT CAST((SELECT sum(pop) FROM pop) AS BIGINT) AS N,
-      |             CAST((SELECT sum(resp) FROM r) AS BIGINT) AS R),
+      |             CAST(CASE WHEN (SELECT sum(resp) FROM r) > 400000
+      |               THEN error('q_design_effect oracle: BIGINT fold bounded to n_resp <= 4e5 (~sf5); sum(resp*v*v) would overflow BIGINT beyond it')
+      |               ELSE (SELECT sum(resp) FROM r) END AS BIGINT) AS R),
       |cells AS (
       |  SELECT pop.pop, r.resp,
       |    least((pop.pop * t.R * 1000000) // (r.resp * t.N),
@@ -11937,7 +12072,7 @@ object Queries {
       |  FROM v FULL JOIN p ON v.user_id = p.user_id GROUP BY 1),
       |s AS (SELECT attempts, CAST(count(*) AS BIGINT) AS n_users,
       |      CAST(sum(conv) AS BIGINT) AS n_converted
-      |      FROM u GROUP BY 1)
+      |      FROM u GROUP BY 1),
       |r AS (
       |  SELECT attempts, n_users, n_converted,
       |    CAST(sum(n_users) OVER (ORDER BY attempts DESC
@@ -13644,10 +13779,19 @@ object Queries {
     * Flags classes below l=2 plus each class's dominant-value share in
     * ppm (a homogeneity-attack bound). O(QI classes) output. */
   private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    // one PLANTED homogeneous class (every member shares the sensitive
+    // value): the natural (priority, year) classes are l≥2 at every
+    // shipped SF, so the at_risk detector never fired and a broken
+    // flag was indistinguishable from a safe corpus (r10 vacuity
+    // audit) — the qualityGate planted-probe device
+    val planted = s.range(5).select(lit("Z-PLANTED").as("priority"),
+      lit(1990L).as("order_year"), lit("F").as("__s"))
     val cls = parallelize(s, t(s, dir, "orders"))
-      .groupBy(col("o_orderpriority").as("priority"),
+      .select(col("o_orderpriority").as("priority"),
         year(col("o_orderdate")).cast("long").as("order_year"),
         col("o_orderstatus").as("__s"))
+      .unionAll(planted)
+      .groupBy("priority", "order_year", "__s")
       .agg(count(lit(1)).as("__n"))
     cls.groupBy("priority", "order_year")
       .agg(sum("__n").as("class_n"),
@@ -13660,11 +13804,16 @@ object Queries {
   }
 
   private val lDiversitySql =
-    """WITH c AS (
+    """WITH rows AS (
       |  SELECT o_orderpriority AS priority,
       |    CAST(year(o_orderdate) AS BIGINT) AS order_year,
-      |    o_orderstatus AS s, CAST(count(*) AS BIGINT) AS n
-      |  FROM orders GROUP BY 1, 2, 3),
+      |    o_orderstatus AS s
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'Z-PLANTED', 1990, 'F' FROM range(5)),
+      |c AS (
+      |  SELECT priority, order_year, s, CAST(count(*) AS BIGINT) AS n
+      |  FROM rows GROUP BY 1, 2, 3),
       |g AS (SELECT priority, order_year, CAST(sum(n) AS BIGINT) AS class_n,
       |        CAST(count(*) AS BIGINT) AS l_distinct,
       |        CAST(max(n) AS BIGINT) AS mx
@@ -14025,12 +14174,22 @@ object Queries {
     * on ppm-truncated CDFs — exact integers end to end, O(QI classes)
     * output off one fact groupBy. */
   private def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    // one PLANTED all-'F' class (the q_l_diversity probe): natural
+    // classes track the global status mix at every SF, so emd stayed
+    // under the 0.15 threshold and t_violation never fired (r10
+    // vacuity audit) — the planted class's CDF gap is ~0.5, a live
+    // detector check
+    val planted = s.range(5).select(lit("Z-PLANTED").as("priority"),
+      lit(1990L).as("order_year"), lit("F").as("__st"))
     val cls = parallelize(s, t(s, dir, "orders"))
-      .groupBy(col("o_orderpriority").as("priority"),
-        year(col("o_orderdate")).cast("long").as("order_year"))
+      .select(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        col("o_orderstatus").as("__st"))
+      .unionAll(planted)
+      .groupBy("priority", "order_year")
       .agg(count(lit(1)).as("class_n"),
-        sum((col("o_orderstatus") === "F").cast("long")).as("__f"),
-        sum((col("o_orderstatus") === "O").cast("long")).as("__o"))
+        sum((col("__st") === "F").cast("long")).as("__f"),
+        sum((col("__st") === "O").cast("long")).as("__o"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cls.agg(sum("class_n").as("__n"),
       sum("__f").as("__tf"), sum("__o").as("__to"))
@@ -14044,13 +14203,19 @@ object Queries {
   }
 
   private val tClosenessSql =
-    """WITH c AS (
+    """WITH rows AS (
       |  SELECT o_orderpriority AS priority,
       |    CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |    o_orderstatus AS st
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'Z-PLANTED', 1990, 'F' FROM range(5)),
+      |c AS (
+      |  SELECT priority, order_year,
       |    CAST(count(*) AS BIGINT) AS class_n,
-      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
-      |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o
-      |  FROM orders GROUP BY 1, 2),
+      |    CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+      |    CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o
+      |  FROM rows GROUP BY 1, 2),
       |t AS (SELECT CAST(sum(class_n) AS BIGINT) AS n,
       |        CAST(sum(f) AS BIGINT) AS tf, CAST(sum(o) AS BIGINT) AS tg
       |      FROM c)
@@ -14446,10 +14611,17 @@ object Queries {
     * ENTIRELY on integers: discovery ⇔ rank ≤ k* where k* = max rank
     * with p_ppm·m ≤ rank·α_ppm (α = 5%). 1-row summary output. */
   private def bhFdr(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "orders")
+    val daily0 = t(s, dir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .as("cents"))
+    // one PLANTED outlier day (5× the max daily revenue): the natural
+    // days are null draws, so n_discoveries was structurally 0 at every
+    // SF — correct FDR behavior under the null, but a dead detector is
+    // indistinguishable from a broken one (r10 vacuity audit). The
+    // step-up rule must discover exactly this known injected signal.
+    val daily = daily0.unionAll(daily0.agg(lit("1990-01-01").as("day"),
+      (max("cents") * 5L).as("cents")))
     val m = daily.agg(count(lit(1)).as("__n"), sum("cents").as("__s"),
       sum(col("cents").cast("decimal(38,0)") * col("cents")).as("__q"))
     val z = daily.crossJoin(broadcast(m))
@@ -14477,10 +14649,14 @@ object Queries {
   }
 
   private lazy val bhFdrSql =
-    s"""WITH d AS (
+    s"""WITH d0 AS (
        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
        |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
        |  FROM orders GROUP BY 1),
+       |d AS (
+       |  SELECT day, cents FROM d0
+       |  UNION ALL
+       |  SELECT '1990-01-01', CAST(max(cents) * 5 AS BIGINT) FROM d0),
        |m AS (SELECT CAST(count(*) AS BIGINT) AS __n,
        |        CAST(sum(cents) AS BIGINT) AS __s,
        |        sum(CAST(cents AS HUGEINT) * cents) AS __q
@@ -16405,9 +16581,16 @@ object Queries {
     * is the same fixed-order expression over exact integers on both
     * engines. */
   private def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    // PLANTED calibration effect: +5e6 cents on group 5 — the five
+    // priority groups draw from one distribution, so `significant`
+    // never fired at any SF and the detector was unverifiable (r10
+    // vacuity audit; the welch/bh_fdr planted-effect device). The four
+    // group-5 contrasts must flag; the other six stay null.
     val g = parallelize(s, t(s, dir, "orders"))
       .select(substring(col("o_orderpriority"), 1, 1).as("__g"),
-        expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) div 100 AS BIGINT)")
+        expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) div 100" +
+          " + CASE WHEN substring(o_orderpriority, 1, 1) = '5'" +
+          " THEN 5000000 ELSE 0 END AS BIGINT)")
           .as("__x"))
     val cells = g.groupBy("__g").agg(count(lit(1)).as("n"),
       sum("__x").as("s"), sum(col("__x") * col("__x")).as("q"))
@@ -16466,7 +16649,9 @@ object Queries {
       .mkString(", ")
     s"""WITH b AS (
        |  SELECT substr(o_orderpriority, 1, 1) AS g,
-       |    CAST(CAST(o_totalprice * 100 AS BIGINT) // 100 AS BIGINT) AS x
+       |    CAST(CAST(o_totalprice * 100 AS BIGINT) // 100
+       |      + CASE WHEN substr(o_orderpriority, 1, 1) = '5'
+       |        THEN 5000000 ELSE 0 END AS BIGINT) AS x
        |  FROM orders),
        |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
        |        sum(x * x) AS q FROM b GROUP BY 1),
@@ -17723,11 +17908,16 @@ object Queries {
       .crossJoin(broadcast(mrow))
       .select(col("n_members"), col("n_bits_set"), col("n_probes"), col("n_fp"),
         expr("(n_fp * 1000000) div n_probes").as("fpr_ppm"),
+        // + 1e-9 before the floor: with m data-dependent (8n+1), a libm
+        // ulp difference between JVM and DuckDB at an exact integer ppm
+        // boundary could flip the floor by 1 nondeterministically across
+        // SFs; the half-ulp nudge absorbs it (r9 ADVICE) — identical on
+        // both engines, so it cancels in the hash compare
         expr(s"""CAST(floor(pow(1.0 - exp(-($k.0 * CAST(n_members AS DOUBLE)) / CAST(__m AS DOUBLE)), $k.0)
-               | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
+               | * 1000000.0 + 1e-9) AS BIGINT)""".stripMargin.replace("\n", " "))
           .as("theory_ppm"),
         expr(s"""CAST(floor(pow(CAST(n_bits_set AS DOUBLE) / CAST(__m AS DOUBLE), $k.0)
-               | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
+               | * 1000000.0 + 1e-9) AS BIGINT)""".stripMargin.replace("\n", " "))
           .as("load_ppm"))
   }
 
@@ -17762,9 +17952,9 @@ object Queries {
        |SELECT n_members, n_bits_set, n_probes, n_fp,
        |  CAST((n_fp * 1000000) // n_probes AS BIGINT) AS fpr_ppm,
        |  CAST(floor(pow(1.0 - exp(-($k.0 * CAST(n_members AS DOUBLE)) / CAST(mm.m AS DOUBLE)), $k.0)
-       |    * 1000000.0) AS BIGINT) AS theory_ppm,
+       |    * 1000000.0 + 1e-9) AS BIGINT) AS theory_ppm,
        |  CAST(floor(pow(CAST(n_bits_set AS DOUBLE) / CAST(mm.m AS DOUBLE), $k.0)
-       |    * 1000000.0) AS BIGINT) AS load_ppm
+       |    * 1000000.0 + 1e-9) AS BIGINT) AS load_ppm
        |FROM c CROSS JOIN nm CROSS JOIN nb CROSS JOIN mm""".stripMargin
   }
 
@@ -17834,23 +18024,40 @@ object Queries {
     * InputPartition PER PAGE so the scheduler owns fetch parallelism/
     * retry, executor-side transport, column pruning pushed into the
     * line parser. The fixture stands in for the HTTP endpoint (zero
-    * egress): orders serialized driver-side as page-NNNNN.tsv files of
-    * 2500 rows in orderkey order — fixture IO, excluded from the bench
-    * like the other fabrication queries. The query is the read-side
-    * parity gate: a full-feed aggregate by status off the DSv2 scan
-    * must equal the parquet truth. PagedFeedSpec asserts the
-    * partition-per-page plan and pruned read schema. */
-  private def pagedDsv2(s: SparkSession, dir: String): DataFrame = {
+    * egress): orders serialized as page-NNNNN.tsv files of 2500 rows in
+    * orderkey order — fixture IO, excluded from the bench like the other
+    * fabrication queries. The page files are written DISTRIBUTED: range-
+    * partition on the key, per-partition counts → global offsets
+    * (O(partitions) at the driver, the PrefixSum/pageBoundsDistributed
+    * device), page = rank div 2500, then one writer task per page via
+    * repartitionAndSortWithinPartitions — the driver never holds the
+    * table (the r9 fixture writer collect()ed all of orders, which would
+    * OOM the gate itself at sf100). Executor-local writes feeding the
+    * read assume a shared filesystem (true in local mode, where fixtures
+    * are built; a real deployment reads the actual HTTP feed). The query
+    * is the read-side parity gate: a full-feed aggregate by status off
+    * the DSv2 scan must equal the parquet truth. PagedFeedSpec asserts
+    * the partition-per-page plan and pruned read schema.
+    *
+    * Shared with #350 `q_paged_pushdown`, which reads the SAME fixture
+    * through the source's filter-pushdown path. */
+  private[graft] def pagedFixtureDir(s: SparkSession, dir: String): String = {
     val tmpRoot = new java.io.File(
       sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir")))
+    // sweep ONLY this application's own stale fixture dirs (other sfDirs
+    // from earlier queries in the same JVM). Crashed-JVM leftovers under
+    // other appIds are left to the OS tmpdir reaper — sweeping them from
+    // here could yank a fixture out from under a concurrent still-running
+    // JVM mid-read (r9 ADVICE).
+    val ownPrefix = s"graft_dsv2_${s.sparkContext.applicationId}_"
     Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_dsv2_") &&
+      .filter(f => f.isDirectory && f.getName.startsWith(ownPrefix) &&
         f.lastModified < System.currentTimeMillis() - 6L * 3600 * 1000)
       .foreach { d =>
         Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete()); d.delete()
       }
     val pageDir = new java.io.File(tmpRoot,
-      s"graft_dsv2_${s.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      ownPrefix + dir.replaceAll("[^a-zA-Z0-9.]", "_"))
     if (scratchHooked.add(pageDir.getAbsolutePath)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         Option(pageDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
@@ -17861,27 +18068,64 @@ object Queries {
       pageDir.mkdirs()
       Option(pageDir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".tsv")).foreach(_.delete())
-      val rows = t(s, dir, "orders")
+      val pageSize = 2500L
+      val parts = math.max(s.sparkContext.defaultParallelism, 1)
+      val sorted = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-        .orderBy("o_orderkey").collect()
-      rows.grouped(2500).zipWithIndex.foreach { case (chunk, i) =>
-        val f = new java.io.File(pageDir, f"page-$i%05d.tsv")
-        val w = new java.io.PrintWriter(f, "UTF-8")
-        chunk.foreach(r => w.println(
-          s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getString(2)}\t${r.getLong(3)}"))
-        w.close()
-      }
+        .repartitionByRange(parts, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .rdd.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      // pass 1: per-partition counts → offsets. Pass 2 MUST reuse this
+      // same RDD lineage (shuffle-output reuse keeps the range bounds
+      // identical across passes — see PagedReader.pageBoundsDistributed).
+      val counts = sorted
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val nPages = math.max(((offsets.last + pageSize - 1) / pageSize).toInt, 1)
+      val pageDirPath = pageDir.getAbsolutePath
+      // pass 2: page = global rank div pageSize; one reducer per page
+      // (partitioner key = page) with rank-sorted rows → each task
+      // streams exactly one page file, already in orderkey order
+      sorted.mapPartitionsWithIndex { (i, it) =>
+          var rank = offsets(i)
+          it.map { row => val k = (rank / pageSize, rank); rank += 1; (k, row) }
+        }
+        .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = nPages
+          override def getPartition(key: Any): Int =
+            key.asInstanceOf[(Long, Long)]._1.toInt
+        })
+        .foreachPartition { it: Iterator[((Long, Long), (Long, Long, String, Long))] =>
+          var w: java.io.PrintWriter = null
+          var cur = -1L
+          try it.foreach { case ((p, _), (ok, ck, st, cents)) =>
+            if (p != cur) {
+              if (w != null) w.close()
+              cur = p
+              w = new java.io.PrintWriter(
+                new java.io.File(pageDirPath, f"page-$p%05d.tsv"), "UTF-8")
+            }
+            w.println(s"$ok\t$ck\t$st\t$cents")
+          } finally if (w != null) w.close()
+        }
     }
+    pageDir.getAbsolutePath
+  }
+
+  private def pagedFeed(s: SparkSession, dir: String): DataFrame =
     s.read.format("graft-paged")
       .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, cents BIGINT")
-      .option("dir", pageDir.getAbsolutePath)
+      .option("dir", pagedFixtureDir(s, dir))
       .load()
+
+  private def pagedDsv2(s: SparkSession, dir: String): DataFrame =
+    pagedFeed(s, dir)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_cust"),
         sum("cents").as("sum_cents"))
-  }
 
   private val pagedDsv2Sql =
     """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
@@ -17889,6 +18133,37 @@ object Queries {
       |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
       |    AS BIGINT) AS sum_cents
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** #350 DSv2 paged-feed read WITH predicate pushdown — the reference's
+    * wave-FILTERED crawl (feeder.py:127-143, `select … where wave = N`)
+    * through `SupportsPushDownFilters`: the key-range predicate prunes
+    * whole PAGES at planning time (each page file's [first,last] key
+    * span is its zone — PagedFeedSpec asserts fewer planned partitions
+    * than pages), and the status/key filters are evaluated inside the
+    * reader during the parse, so non-matching rows never surface to
+    * Spark. At 100 TB this is the difference between fetching the
+    * overlapping slice of a 10k-page export and fetching all of it.
+    * The key constants sit inside every shipped SF's key space
+    * (orderkeys start at 1; sf0.001 tops out ≈6k) so the audit is
+    * non-vacuous at each gate SF. */
+  private def pagedPushdown(s: SparkSession, dir: String): DataFrame =
+    pagedFeed(s, dir)
+      .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 20000L &&
+        col("o_orderstatus") =!= "O")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        sum("cents").as("sum_cents"))
+
+  private val pagedPushdownSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 20000 AND o_orderstatus <> 'O'
+      |GROUP BY 1""".stripMargin
 
   // ===========================================================================
   // Registry
@@ -18244,5 +18519,6 @@ object Queries {
     Q("q_bloom_fpr", bloomFpr, Some(bloomFprSql)),
     Q("q_feature_matrix", featureMatrix, Some(featureMatrixSql)),
     Q("q_paged_dsv2", pagedDsv2, Some(pagedDsv2Sql), bench = false),
+    Q("q_paged_pushdown", pagedPushdown, Some(pagedPushdownSql), bench = false),
   )
 }

@@ -26,6 +26,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // queries persist intermediates they read twice (and can't
+        // unpersist — they return lazy plans); dropped here so cached
+        // blocks from 300+ queries don't accumulate across the run
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

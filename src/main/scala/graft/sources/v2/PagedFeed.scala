@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,6 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * never a driver loop. Column pruning is pushed into the reader
   * (`SupportsPushDownRequiredColumns`): a 2-column projection parses
   * 2 fields per line however wide the feed.
+  *
+  * Predicate pushdown (`SupportsPushDownFilters`) mirrors the
+  * reference's wave-FILTERED crawl (feeder.py:127-143, `where wave=N`):
+  * comparison/null/in filters on any feed column are evaluated inside
+  * the reader DURING the parse — rows failing them never surface to
+  * Spark — and filters on the feed's ORDER KEY column additionally
+  * prune whole pages at planning time. Pages are key-ordered (the pager
+  * contract), so each page's [first,last] key span is a zone map: the
+  * planner probes just the first and last line of each page file (two
+  * bounded reads per page — the stand-in for a pager manifest) and
+  * skips pages whose span misses the pushed key range. A key-range scan
+  * over a 10k-page feed plans only the overlapping pages.
   *
   * The transport behind a page is pluggable at the reader level; the
   * shipped transport reads `page-*.tsv` files from `dir` (the
@@ -66,20 +79,120 @@ private[v2] class PagedFeedTable(schema: StructType, props: Map[String, String])
 }
 
 private[v2] class PagedFeedScanBuilder(full: StructType, opts: Map[String, String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of `full` in full-schema order
     required = requiredSchema
-  override def build(): Scan = new PagedFeedScan(full, required, opts)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition(PagedFeedScan.supported(full, _))
+    pushed = accepted
+    // accepted filters are FULLY evaluated in the reader → only the
+    // residual goes back to Spark for post-scan evaluation
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new PagedFeedScan(full, required, pushed, opts)
+}
+
+private[v2] object PagedFeedScan {
+  /** Filters the reader can evaluate exactly during the parse. Anything
+    * else (And/Or trees, string predicates, …) stays with Spark. */
+  def supported(full: StructType, f: Filter): Boolean = {
+    val names = full.fieldNames.toSet
+    f match {
+      case sources.EqualTo(a, _) => names(a)
+      case sources.GreaterThan(a, _) => names(a)
+      case sources.GreaterThanOrEqual(a, _) => names(a)
+      case sources.LessThan(a, _) => names(a)
+      case sources.LessThanOrEqual(a, _) => names(a)
+      case sources.In(a, _) => names(a)
+      case sources.IsNull(a) => names(a)
+      case sources.IsNotNull(a) => names(a)
+      case _ => false
+    }
+  }
+
+  /** The pushed key range [lo, hi] (inclusive, Long.Min/Max when open)
+    * implied by the key-column filters — drives page-zone pruning. */
+  def keyRange(keyCol: String, filters: Array[Filter]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def num(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case _ => None
+    }
+    filters.foreach {
+      case sources.EqualTo(a, v) if a == keyCol =>
+        num(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
+      case sources.GreaterThan(a, v) if a == keyCol =>
+        num(v).foreach(l => lo = math.max(lo, if (l == Long.MaxValue) l else l + 1))
+      case sources.GreaterThanOrEqual(a, v) if a == keyCol =>
+        num(v).foreach(l => lo = math.max(lo, l))
+      case sources.LessThan(a, v) if a == keyCol =>
+        num(v).foreach(l => hi = math.min(hi, if (l == Long.MinValue) l else l - 1))
+      case sources.LessThanOrEqual(a, v) if a == keyCol =>
+        num(v).foreach(l => hi = math.min(hi, l))
+      case sources.In(a, vs) if a == keyCol =>
+        val ls = vs.flatMap(num)
+        if (ls.nonEmpty && ls.length == vs.length) {
+          lo = math.max(lo, ls.min); hi = math.min(hi, ls.max)
+        }
+      case _ =>
+    }
+    (lo, hi)
+  }
+
+  /** First line of a page file — one bounded read. */
+  def firstLine(f: java.io.File): Option[String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(f), "UTF-8"))
+    try Option(in.readLine()) finally in.close()
+  }
+
+  /** Last line of a page file — backward probe from EOF, expanding the
+    * tail window until a newline-delimited full line is seen. Bounded:
+    * O(line length), never the file. */
+  def lastLine(f: java.io.File): Option[String] = {
+    val len = f.length()
+    if (len == 0) return None
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      var window = 4096L
+      while (true) {
+        val start = math.max(0L, len - window)
+        raf.seek(start)
+        val buf = new Array[Byte]((len - start).toInt)
+        raf.readFully(buf)
+        val s = new String(buf, "UTF-8")
+        val lines = s.split("\n").filter(_.nonEmpty)
+        // the window holds a full line iff it spans a preceding newline
+        // (or the file start)
+        if (start == 0 || s.indexOf('\n') >= 0 && lines.length > 1)
+          return lines.lastOption.map(_.stripSuffix("\r"))
+        window *= 4
+      }
+      None
+    } finally raf.close()
+  }
 }
 
 private[v2] class PagedFeedScan(full: StructType, required: StructType,
+                                pushed: Array[Filter],
                                 opts: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-paged dir=${opts.getOrElse("dir", "?")} fields=${required.fieldNames.mkString(",")}"
+    s"graft-paged dir=${opts.getOrElse("dir", "?")} " +
+      s"fields=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = opts.getOrElse("dir",
@@ -89,9 +202,29 @@ private[v2] class PagedFeedScan(full: StructType, required: StructType,
       .filter(f => f.isFile && f.getName.startsWith("page-") &&
         f.getName.endsWith(".tsv"))
       .sortBy(_.getName)
+    // page-zone pruning: the feed's order key (option `keyCol`, default
+    // the first schema field when it's integral) is nondecreasing across
+    // a page, so [first,last] of each file is its key zone
+    val keyCol = opts.getOrElse("keyCol",
+      if (full.nonEmpty && (full.head.dataType == LongType ||
+        full.head.dataType == IntegerType)) full.head.name else "")
+    val keyIdx = full.fieldNames.indexOf(keyCol)
+    val (lo, hi) = if (keyIdx >= 0)
+      PagedFeedScan.keyRange(keyCol, pushed) else (Long.MinValue, Long.MaxValue)
+    val kept =
+      if (lo == Long.MinValue && hi == Long.MaxValue) files
+      else files.filter { f =>
+        def key(line: Option[String]): Option[Long] =
+          line.map(_.split("\t", -1)).filter(_.length > keyIdx)
+            .flatMap(p => scala.util.Try(p(keyIdx).toLong).toOption)
+        (key(PagedFeedScan.firstLine(f)), key(PagedFeedScan.lastLine(f))) match {
+          case (Some(first), Some(last)) => last >= lo && first <= hi
+          case _ => true // unreadable zone → never prune on a guess
+        }
+      }
     // one partition per page: the page is the unit of fetch, retry and
     // locality — exactly the reference's PageNumber loop, parallelized
-    files.zipWithIndex.map { case (f, i) =>
+    kept.zipWithIndex.map { case (f, i) =>
       PagedFeedPartition(i, f.getAbsolutePath): InputPartition
     }
   }
@@ -103,7 +236,15 @@ private[v2] class PagedFeedScan(full: StructType, required: StructType,
       require(i >= 0, s"graft-paged: unknown column ${rf.name}")
       (i, rf.dataType)
     }
-    new PagedFeedReaderFactory(picks)
+    // filter columns may lie outside the projection — parse them too,
+    // but only for evaluation, never surfaced
+    val filterCols = pushed.flatMap(_.references).distinct
+      .map { name =>
+        val i = fullNames.indexOf(name)
+        require(i >= 0, s"graft-paged: unknown filter column $name")
+        name -> ((i, full.fields(i).dataType))
+      }.toMap
+    new PagedFeedReaderFactory(picks, pushed, filterCols)
   }
 }
 
@@ -111,44 +252,88 @@ private[v2] case class PagedFeedPartition(page: Int, path: String)
   extends InputPartition
 
 /** Serializable factory shipped to executors: holds only the (source
-  * field index, type) projection — never the full file list. */
-private[v2] class PagedFeedReaderFactory(picks: Array[(Int, DataType)])
+  * field index, type) projection plus the pushed-filter program — never
+  * the full file list. */
+private[v2] class PagedFeedReaderFactory(picks: Array[(Int, DataType)],
+                                         pushed: Array[Filter],
+                                         filterCols: Map[String, (Int, DataType)])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedFeedPartition]
-    new PagedFeedReader(p.path, picks)
+    new PagedFeedReader(p.path, picks, pushed, filterCols)
   }
 }
 
-private[v2] class PagedFeedReader(path: String, picks: Array[(Int, DataType)])
+private[v2] class PagedFeedReader(path: String, picks: Array[(Int, DataType)],
+                                  pushed: Array[Filter],
+                                  filterCols: Map[String, (Int, DataType)])
   extends PartitionReader[InternalRow] {
   private val src = scala.io.Source.fromFile(path, "UTF-8")
   private val lines = src.getLines()
   private var row: InternalRow = _
 
-  override def next(): Boolean = {
-    if (!lines.hasNext) return false
-    val parts = lines.next().split("\t", -1)
-    val values = new Array[Any](picks.length)
-    var i = 0
-    while (i < picks.length) {
-      val (srcIdx, dt) = picks(i)
-      val raw = if (srcIdx < parts.length) parts(srcIdx) else "\\N"
-      values(i) =
-        if (raw == "\\N") null
-        else dt match {
-          case LongType => raw.toLong
-          case IntegerType => raw.toInt
-          case DoubleType => raw.toDouble
-          case BooleanType => raw.toBoolean
-          case StringType => UTF8String.fromString(raw)
-          case other =>
-            throw new IllegalArgumentException(s"graft-paged: unsupported type $other")
-        }
-      i += 1
+  private def parse(parts: Array[String], srcIdx: Int, dt: DataType): Any = {
+    val raw = if (srcIdx < parts.length) parts(srcIdx) else "\\N"
+    if (raw == "\\N") null
+    else dt match {
+      case LongType => raw.toLong
+      case IntegerType => raw.toInt
+      case DoubleType => raw.toDouble
+      case BooleanType => raw.toBoolean
+      case StringType => raw
+      case other =>
+        throw new IllegalArgumentException(s"graft-paged: unsupported type $other")
     }
-    row = InternalRow.fromSeq(values.toIndexedSeq)
-    true
+  }
+
+  // type-aware three-way compare on parsed JVM values; null never matches
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Long, y: java.lang.Number) => Some(java.lang.Long.compare(x, y.longValue))
+    case (x: Int, y: java.lang.Number) => Some(java.lang.Long.compare(x.toLong, y.longValue))
+    case (x: Double, y: java.lang.Number) => Some(java.lang.Double.compare(x, y.doubleValue))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: java.lang.Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  private def eval(parts: Array[String], f: Filter): Boolean = {
+    def v(name: String): Any = {
+      val (i, dt) = filterCols(name)
+      parse(parts, i, dt)
+    }
+    f match {
+      case sources.EqualTo(a, x) => cmp(v(a), x).contains(0)
+      case sources.GreaterThan(a, x) => cmp(v(a), x).exists(_ > 0)
+      case sources.GreaterThanOrEqual(a, x) => cmp(v(a), x).exists(_ >= 0)
+      case sources.LessThan(a, x) => cmp(v(a), x).exists(_ < 0)
+      case sources.LessThanOrEqual(a, x) => cmp(v(a), x).exists(_ <= 0)
+      case sources.In(a, xs) => { val av = v(a); xs.exists(x => cmp(av, x).contains(0)) }
+      case sources.IsNull(a) => v(a) == null
+      case sources.IsNotNull(a) => v(a) != null
+      case _ => true // unreachable: pushFilters only accepts the above
+    }
+  }
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val parts = lines.next().split("\t", -1)
+      if (pushed.forall(eval(parts, _))) {
+        val values = new Array[Any](picks.length)
+        var i = 0
+        while (i < picks.length) {
+          val (srcIdx, dt) = picks(i)
+          values(i) = parse(parts, srcIdx, dt) match {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          }
+          i += 1
+        }
+        row = InternalRow.fromSeq(values.toIndexedSeq)
+        return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = row

@@ -27,10 +27,12 @@ class CausalForensicsOpsSpec extends GraftSuite {
   }
 
   test("q_tukey_hsd: q stats replay against a driver-side pooled fold") {
+    // the operator's planted +5e6-cent shift on group 5 (r10 vacuity fix)
     val xs = spark.read.parquet(s"$dir/orders.parquet")
       .select(substring(col("o_orderpriority"), 1, 1),
         expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) div 100 AS BIGINT)"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0),
+        r.getLong(1) + (if (r.getString(0) == "5") 5000000L else 0L)))
     val by = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val n = xs.length.toLong
     val k = 5L
@@ -56,6 +58,9 @@ class CausalForensicsOpsSpec extends GraftSuite {
       assert(math.abs(q - wantQ) < 1e-5, s"pair $i-$j: $q vs $wantQ")
       assert(sig == (math.abs(q) > 3.858))
     }
+    // the four group-5 contrasts carry the planted effect and must flag
+    assert((1 to 4).forall(i => got((i.toString, "5"))._5),
+      "planted group-5 shift not flagged by HSD")
   }
 
   test("q_did: cell means replay; DID is the trend difference") {

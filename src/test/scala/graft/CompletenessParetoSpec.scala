@@ -26,9 +26,15 @@ class CompletenessParetoSpec extends GraftSuite {
   }
 
   test("completeness matches a driver-side day-span replay") {
-    val obs = events.select(col("event_type"), to_date(col("ts")).as("day"))
+    val real = events.select(col("event_type"), to_date(col("ts")).as("day"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    // the operator's planted every-7th-day '__probe' series (r10
+    // vacuity fix): gaps exist at every SF
+    val lo = real.map(_._2).min
+    val hi = real.map(_._2).max
+    val obs = real ++ Iterator.iterate(lo)(_.plusDays(7))
+      .takeWhile(!_.isAfter(hi)).map("__probe" -> _).toSeq
     val rows = q("q_completeness").collect()
     assert(rows.length == obs.map(_._1).distinct.length)
     rows.foreach { r =>
@@ -44,6 +50,11 @@ class CompletenessParetoSpec extends GraftSuite {
         .filterNot(days.contains).map(_.toString)
       assert(r.getString(6) == missing.take(10).mkString(","), s"$t sample")
     }
+    // the gap detector fires on the planted probe series on the BASE
+    // fixture too (the injected-gap test below covers real data holes)
+    val probe = rows.find(_.getString(0) == "__probe").get
+    assert(probe.getLong(5) > 0 && probe.getString(6).nonEmpty,
+      "planted sparse series reported no missing days")
   }
 
   test("completeness flags injected gaps (non-vacuous missing-day path)") {
@@ -60,8 +71,8 @@ class CompletenessParetoSpec extends GraftSuite {
     assert(view._2 > 0, "odd-day holes must be reported")
     assert(view._3.nonEmpty && view._3.split(",").length <= 10,
       "bounded non-empty missing-day sample")
-    assert(rows.filter(_._1 != "view").forall(_._2 == 0),
-      "untouched types stay complete")
+    assert(rows.filter(r => r._1 != "view" && r._1 != "__probe")
+      .forall(_._2 == 0), "untouched types stay complete")
   }
 
   test("pareto top set is the minimal prefix covering 80% of revenue") {

@@ -28,10 +28,13 @@ class CurationGateKnnSpec extends GraftSuite {
     }
   }
 
-  test("embedding norm audit matches a driver fold; no degenerates here") {
-    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+  test("embedding norm audit matches a driver fold; probe degenerate flagged") {
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("label"), col("embedding"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .collect().map(r => (r.getInt(0).toString, r.getSeq[Float](1)))
+    // the operator's planted all-zero '__probe' vector (r10 vacuity
+    // fix) — corpus dim count, norm exactly 0
+    val vecs = raw :+ ("__probe", raw.head._2.map(_ => 0.0f))
     val expected = vecs.groupBy(_._1).map { case (lab, xs) =>
       val qs = xs.map { case (_, v) =>
         var acc = 0.0
@@ -42,9 +45,14 @@ class CurationGateKnnSpec extends GraftSuite {
         qs.count(_ < 1000L).toLong)
     }.toSet
     val got = q("q_embed_norm_audit").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSet
     assert(got == expected && got.nonEmpty)
+    // the degenerate detector fires on the probe and only the probe
+    assert(got.exists(r => r._1 == "__probe" && r._6 == 1L),
+      "planted zero vector not counted degenerate")
+    assert(got.filter(_._1 != "__probe").forall(_._6 == 0L),
+      "a natural label has degenerate vectors")
   }
 
   test("join-skew audit matches a driver replay of the count frame") {
@@ -64,9 +72,12 @@ class CurationGateKnnSpec extends GraftSuite {
   }
 
   test("quality gate counts match a driver replay; reasons overlap freely") {
+    // the corpus plus the three planted violators (r10 vacuity fix):
+    // too-long, low-alpha, digit-heavy probes the shipped docs never trip
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("n_chars"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq("ab" * 10500, ". " * 60, "1a" * 60).map(t => (t.length.toLong, t))
     def alpha(t: String) = t.toLowerCase.count(c => c >= 'a' && c <= 'z').toLong
     def digit(t: String) = t.count(c => c >= '0' && c <= '9').toLong
     val flags = docs.map { case (n, t) =>
@@ -80,6 +91,10 @@ class CurationGateKnnSpec extends GraftSuite {
     assert(row.getLong(4) == flags.count(_._3))
     assert(row.getLong(5) == flags.count(_._4))
     assert(row.getLong(1) > 0, "gate must accept something at sf0.001")
+    // every reason counter fires — an all-zero counter is
+    // indistinguishable from a broken one
+    (2 to 5).foreach(i =>
+      assert(row.getLong(i) > 0, s"reason counter #$i never fired"))
   }
 
   test("kNN graph: ranks dense from 1, neighbors share the query's cell") {

@@ -77,9 +77,14 @@ class IncrementalGatesSpec extends GraftSuite {
   // ------------------------------------------------------------ Welch t-test
 
   test("Welch t statistic matches a driver-side recomputation") {
-    val evs = events.select("event_id", "event_type", "value").collect()
+    val raw = events.select("event_id", "event_type", "value").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-    val cut = (evs.map(_._1).min + evs.map(_._1).max) / 2
+    val cut = (raw.map(_._1).min + raw.map(_._1).max) / 2
+    // the operator's planted calibration group: view rows cloned as
+    // 'calib_shift' with the post-cut half moved +25 (r10 vacuity fix)
+    val evs = raw ++ raw.filter(_._2 == "view").map { case (id, _, v) =>
+      (id, "calib_shift", if (id > cut) v + 25.0 else v)
+    }
     val expected = evs.groupBy(_._2).view.mapValues { g =>
       val (a, b) = g.partition(_._1 <= cut)
       def stats(xs: Array[(Long, String, Double)]) = {
@@ -99,6 +104,11 @@ class IncrementalGatesSpec extends GraftSuite {
       assert(n0 == en0 && n1 == en1, s"$t: counts ($n0,$n1) != ($en0,$en1)")
       assert(math.abs(ts - ets) < 2e-6, s"$t: t_stat $ts != $ets")
     }
+    // the detector fires on the planted shift — and only there: the
+    // natural types draw both halves from one distribution
+    val shifts = q("q_welch_ttest").collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(shifts("calib_shift"), "planted +25 shift not detected")
   }
 
   test("Welch moments come from one aggregate pass (no second scan, no window)") {

@@ -73,22 +73,39 @@ class LayoutSketchCardSpec extends GraftSuite {
     assert(got == expected && got.nonEmpty)
   }
 
-  test("zonemap audit: skipped chunks have no matches; totals add up") {
-    val row = q("q_zonemap_prune").collect() match { case Array(r) => r }
-    val (nChunks, nSkipped, rowsTotal, rowsScanned, rowsMatched, ppm) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
-        row.getLong(4), row.getLong(5))
-    assert(nSkipped <= nChunks && rowsScanned <= rowsTotal)
-    assert(rowsMatched <= rowsScanned,
-      "matches can only live in scanned (non-skipped) chunks")
-    assert(ppm == nSkipped * 1000000L / nChunks)
-    // exact match count against a direct filter
+  test("zonemap audit: layouts compare; sorted layout prunes, arrival doesn't") {
+    val rows = q("q_zonemap_prune").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("arrival", "ship_month"))
     val exact = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_shipdate").cast("timestamp") >= lit("1995-01-01").cast("timestamp") &&
         col("l_shipdate").cast("timestamp") < lit("1995-07-01").cast("timestamp"))
       .count()
-    assert(rowsMatched == exact, s"rows_matched $rowsMatched != direct $exact")
-    assert(rowsTotal == spark.read.parquet(s"$dir/lineitem.parquet").count())
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    rows.foreach { case (layout, r) =>
+      val (nChunks, nSkipped, rowsTotal, rowsScanned, rowsMatched, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(nSkipped <= nChunks && rowsScanned <= rowsTotal)
+      assert(rowsMatched <= rowsScanned,
+        s"$layout: matches can only live in scanned (non-skipped) chunks")
+      assert(ppm == nSkipped * 1000000L / nChunks)
+      // layout changes WHICH chunks skip, never the answer
+      assert(rowsMatched == exact, s"$layout: rows_matched $rowsMatched != direct $exact")
+      assert(rowsTotal == total)
+    }
+    // the contrast IS the operator's point: chunking by arrival order
+    // interleaves ship dates (every zone straddles the predicate → ~0
+    // skipped), while chunking by ship month makes zones tight and
+    // skips every out-of-range month
+    val arrival = rows("arrival")
+    val sorted = rows("ship_month")
+    assert(sorted.getLong(2) > arrival.getLong(2),
+      "ship_month layout must skip strictly more chunks than arrival")
+    assert(sorted.getLong(6) >= 500000L,
+      "ship_month layout should prune most chunks (6 months of ~84)")
+    assert(sorted.getLong(4) < arrival.getLong(4),
+      "ship_month layout must scan fewer rows than arrival")
   }
 
   test("KMV estimate brackets the exact distinct within sketch error") {

@@ -296,6 +296,10 @@ class NewCurationOpsSpec extends GraftSuite {
       assert(act + gaps == n)
       assert(ppm == gaps * 1000000L / n)
     }
+    // the planted every-7th-day probe type must report real gaps —
+    // natural types are gap-free on this generator (r10 vacuity fix)
+    val probe = rs.find(_._1 == "__probe").get
+    assert(probe._4 > 0 && probe._3 > 0, "probe type reported no gaps")
   }
 
   test("q_embedding_drift: same-distribution halves show small component drift") {

@@ -76,9 +76,11 @@ class NormalityOpsSpec extends GraftSuite {
   }
 
   test("q_bh_fdr: integer step-up replays on quantized tails") {
-    val n = dailyCents.size.toLong
-    val s = dailyCents.map(_._2).sum
-    val q = dailyCents.map(t => BigInt(t._2) * t._2).sum
+    // the operator's planted 5×-max outlier day (r10 vacuity fix)
+    val cents = dailyCents :+ ("1990-01-01", dailyCents.map(_._2).max * 5)
+    val n = cents.size.toLong
+    val s = cents.map(_._2).sum
+    val q = cents.map(t => BigInt(t._2) * t._2).sum
     val mean = s.toDouble / n
     val sd = math.sqrt((q.toDouble - s.toDouble * s / n) / (n - 1.0))
     def pPpm(z: Double): Long = {
@@ -90,7 +92,7 @@ class NormalityOpsSpec extends GraftSuite {
       math.floor(2.0 * (math.exp(-az * az / 2.0) / math.sqrt(2.0 * math.Pi))
         * poly * 1e6).toLong
     }
-    val ps = dailyCents.map { case (d, x) =>
+    val ps = cents.map { case (d, x) =>
       val z = math.rint((x - mean) / sd * 1e6) / 1e6 // round 6 as shipped
       (d, pPpm(z))
     }.sortBy(t => (t._2, t._1)).zipWithIndex
@@ -101,6 +103,8 @@ class NormalityOpsSpec extends GraftSuite {
     assert(got.getLong(0) == n)
     assert(got.getLong(1) == kStar)
     assert(got.getLong(2) == ps.map(_._1._2).min)
+    // the step-up rule must discover the planted outlier day
+    assert(got.getLong(1) >= 1L, "planted outlier day not discovered")
   }
 
   test("q_qq_normal: exact rank deciles, gaps consistent") {

@@ -57,6 +57,69 @@ class PagedFeedSpec extends GraftSuite {
     assert(got.sameElements(want))
   }
 
+  test("key-range pushdown prunes whole pages at planning time") {
+    // three pages with disjoint key zones: [1,100], [101,200], [201,300]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_prune").toFile
+    try {
+      (0 until 3).foreach { p =>
+        val w = new java.io.PrintWriter(
+          new java.io.File(tmp, f"page-$p%05d.tsv"), "UTF-8")
+        (1 to 100).foreach(i => w.println(s"${p * 100 + i}\t$p\tS\t1"))
+        w.close()
+      }
+      val df = spark.read.format("graft-paged")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, cents BIGINT")
+        .option("dir", tmp.getAbsolutePath).load()
+      // no filter → all 3 pages planned
+      assert(df.rdd.getNumPartitions == 3)
+      // a range inside page 1's zone plans exactly one page
+      val mid = df.filter(col("o_orderkey") >= 150L && col("o_orderkey") <= 160L)
+      assert(mid.rdd.getNumPartitions == 1,
+        s"mid-range filter planned ${mid.rdd.getNumPartitions} of 3 pages")
+      assert(mid.count() == 11)
+      // a range spanning the 1|2 boundary plans two pages
+      val span = df.filter(col("o_orderkey") > 150L && col("o_orderkey") < 250L)
+      assert(span.rdd.getNumPartitions == 2,
+        s"boundary-spanning filter planned ${span.rdd.getNumPartitions} of 3 pages")
+      assert(span.count() == 99)
+      // an out-of-range filter plans ZERO pages
+      val empty = df.filter(col("o_orderkey") > 300L)
+      assert(empty.rdd.getNumPartitions == 0,
+        s"out-of-range filter still planned ${empty.rdd.getNumPartitions} pages")
+      assert(empty.count() == 0)
+      // equality pushes as a point range
+      val eq = df.filter(col("o_orderkey") === 42L)
+      assert(eq.rdd.getNumPartitions == 1)
+      assert(eq.count() == 1)
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
+  test("pushed filters reach the scan and the filtered read matches parquet truth") {
+    val (_, df) = feed
+    val q = df.filter(col("o_orderkey") >= 10L && col("o_orderstatus") === "F")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("o_orderkey"),
+      s"no pushed filters in the scan description:\n$plan")
+    val got = q.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") >= 10L && col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("a filter on a column OUTSIDE the projection still evaluates in the reader") {
+    val (_, df) = feed
+    val q = df.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("fields=o_custkey"),
+      s"projection not pruned with an out-of-projection filter:\n$plan")
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(q.count() == want)
+  }
+
   test("null round-trip: \\N lines decode to NULL, short lines pad with NULL") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_nulls").toFile
     try {

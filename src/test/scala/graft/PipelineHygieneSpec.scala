@@ -53,10 +53,12 @@ class PipelineHygieneSpec extends GraftSuite {
   test("late-arrival audit matches the single-window recomputation") {
     // every 97th event is deterministically delayed 2h in event time —
     // the time-ordered synthetic feed otherwise never fires the audit
-    val rows = events.select("event_id", "event_type", "ts").collect()
+    // full-µs event time (the fixture has sub-millisecond components —
+    // a getTime*1000 replay truncates and drifts from unix_micros)
+    val rows = events.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
       .map(r => (r.getLong(0), r.getString(1),
-        r.getTimestamp(2).getTime * 1000 -
-          (if (r.getLong(0) % 97 == 0) 7200000000L else 0L)))
+        r.getLong(2) - (if (r.getLong(0) % 97 == 0) 7200000000L else 0L)))
       .sortBy(_._1)
     var best = Long.MinValue
     val perType = collection.mutable.Map.empty[String, (Long, Long, Long)]

@@ -41,8 +41,21 @@ class SamplingScoringSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val jac = q("q_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(cont.keySet == jac.keySet, "same candidate pairs as the jaccard pass")
-    cont.foreach { case (pair, c) =>
+    // the r9 vacuity fix plants one prefix-positive pair per doc
+    // (synthetic id = doc_id + max(doc_id)+1 → doc_id) on top of the
+    // jaccard pass's adjacent negatives — split the two populations
+    val off = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(max("doc_id")).collect()(0).getLong(0) + 1L
+    val (planted, negatives) = cont.partition(_._1._1 >= off)
+    assert(negatives.keySet == jac.keySet,
+      "non-planted candidates must be the same pairs as the jaccard pass")
+    assert(planted.nonEmpty, "planted prefix pairs must be present")
+    planted.foreach { case (pair, c) =>
+      // a prefix's shingles are a contiguous subset of the full doc's
+      // → containment exactly 1.0
+      assert(c == 1.0, s"$pair: planted prefix pair scored $c, expected 1.0")
+    }
+    negatives.foreach { case (pair, c) =>
       assert(c >= jac(pair) - 1e-9, s"$pair: containment $c < jaccard ${jac(pair)}")
       assert(c >= 0.0 && c <= 1.0)
     }

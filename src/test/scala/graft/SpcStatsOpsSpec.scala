@@ -20,7 +20,9 @@ class SpcStatsOpsSpec extends GraftSuite {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderpriority"), year(col("o_orderdate")).cast("long"),
         col("o_orderstatus"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))) ++
+      // the operator's planted all-'F' probe class (r10 vacuity fix)
+      Seq.fill(5)(("Z-PLANTED", 1990L, "F"))
     val tf = orders.count(_._3 == "F").toLong
     val tg = orders.count(_._3 == "O").toLong
     val n = orders.length.toLong
@@ -37,6 +39,10 @@ class SpcStatsOpsSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4))).toSet
     assert(got == want)
+    // the detector fires on the planted class and ONLY there — natural
+    // classes track the global mix
+    assert(got.exists(r => r._1 == "Z-PLANTED" && r._5), "planted class not flagged")
+    assert(got.count(_._5) == 1, "a natural class tripped the 0.15 threshold")
   }
 
   test("q_mann_kendall: S, ties and z replay brute-force") {

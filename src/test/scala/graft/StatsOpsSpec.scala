@@ -140,7 +140,10 @@ class StatsOpsSpec extends GraftSuite {
   }
 
   test("q_l_diversity: distinct-l and dominant share replay exactly") {
-    val want = orders.groupBy(o => (o._2, o._4.substring(0, 4).toLong))
+    // the operator's planted homogeneous probe class (r10 vacuity fix)
+    val rows = orders.map(o => (o._2, o._4.substring(0, 4).toLong, o._3)) ++
+      Seq.fill(5)(("Z-PLANTED", 1990L, "F"))
+    val want = rows.groupBy(o => (o._1, o._2))
       .map { case ((pri, yr), os) =>
         val byS = os.groupBy(_._3).view.mapValues(_.size.toLong).toMap
         val n = os.size.toLong
@@ -151,5 +154,8 @@ class StatsOpsSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getBoolean(5))).toSet
     assert(got == want)
+    // the at-risk detector fires on the planted class and only there
+    assert(got.exists(r => r._1 == "Z-PLANTED" && r._6), "planted class not flagged")
+    assert(got.count(_._6) == 1, "a natural class is l<2")
   }
 }

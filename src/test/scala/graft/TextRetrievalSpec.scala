@@ -24,6 +24,10 @@ class TextRetrievalSpec extends GraftSuite {
       assert(ids.count(_ == 0) == nOov)
       assert(ids.forall(id => id >= 0 && id <= 512))
     }
+    // vocab is min(512, types/2) — real OOV must exist at every SF
+    // (the fixed 512 covered the whole synthetic type space and n_oov
+    // was structurally zero — r10 vacuity fix)
+    assert(rows.map(_.getLong(2)).sum > 0, "no OOV tokens — vocab cut vacuous")
   }
 
   test("vocab encode: most frequent token gets id 1 and round-trips in order") {

@@ -660,8 +660,10 @@ class TrainingOpsSpec extends GraftSuite {
       .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
     val byNation = cust.groupBy(_._2).map { case (n, xs) => n -> xs.size.toLong }
     val tot = byNation.values.sum
+    // corpus-relative quota: 1.2× the achieved total (r10 vacuity fix)
+    val quota = filled.values.sum * 12L / 10L
     val want = byNation.map { case (nk, nc) =>
-      val target = 1000L * nc / tot
+      val target = quota * nc / tot
       val f = filled.getOrElse(nk, 0L)
       (nations(nk), nc, target, f, math.max(target - f, 0L),
         if (target > 0) f * 1000000L / target else 0L)
@@ -670,6 +672,10 @@ class TrainingOpsSpec extends GraftSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toSet
     assert(got == want)
+    // the monitor must show real outstanding work somewhere (and real
+    // fill everywhere): an all-zero remaining column measured nothing
+    assert(got.exists(_._5 > 0L), "no cell has remaining quota")
+    assert(got.forall(_._4 > 0L))
   }
 
   test("q_callback_schedule equals the driver replay; backoff is capped") {
