@@ -18118,6 +18118,9 @@ object Queries {
     s.read.format("graft-paged")
       .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, cents BIGINT")
       .option("dir", pagedFixtureDir(s, dir))
+      // the pager's declared page size: powers the source's row-count
+      // statistics and LIMIT-pushdown page pruning
+      .option("pageRows", "2500")
       .load()
 
   private def pagedDsv2(s: SparkSession, dir: String): DataFrame =
@@ -18164,6 +18167,215 @@ object Queries {
       |FROM orders
       |WHERE o_orderkey BETWEEN 1000 AND 20000 AND o_orderstatus <> 'O'
       |GROUP BY 1""".stripMargin
+
+  /** #351 DSIR importance resampling — Data Selection via Importance
+    * Resampling (Xie et al. 2023, public): score every raw document by
+    * how target-like its hashed n-gram bag is, log w(x) =
+    * Σ_g c_g(x)·(ln p̂_target(g) − ln p̂_raw(g)) under two
+    * add-one-smoothed bag-of-hashed-grams models (unigrams + bigrams,
+    * B=2048 buckets), then keep the top of the ranking. The target
+    * distribution is the corpus's first source (min(source) — a 1-row
+    * broadcast, so "which pile is the target" is data-driven, never a
+    * config literal that goes stale). Scale shape: gram hashing is the
+    * shared poly-fingerprint map pass; the two model tables are ONE
+    * O(B) grouped aggregate broadcast everywhere; per-doc scores are
+    * one partial-aggregated groupBy; the final cut is
+    * TakeOrderedAndProject (per-partition heaps — no global sort at
+    * 100 TB). Integer end to end: probabilities quantize to ppm and
+    * logs to ⌊ln·1e6⌋ (the q_char_kl device), so the score is an exact
+    * BIGINT on both engines. */
+  private def dsir(s: SparkSession, dir: String): DataFrame = {
+    val B = 2048L
+    val docs = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(lower(col("text"))).as("__t"))
+    val uni = docs.select(col("doc_id"), col("source"),
+      explode(col("__t")).as("g"))
+    // sequence(1, 0) would count DOWN in Spark — the filter guard keeps
+    // 1-token docs bigram-free instead of indexing t[-1]
+    val big = docs.select(col("doc_id"), col("source"),
+      explode(expr("transform(filter(sequence(1, greatest(size(__t) - 1, 1))," +
+        " i -> i <= size(__t) - 1), i -> concat(__t[i - 1], ' ', __t[i]))")).as("g"))
+    val grams = uni.unionAll(big)
+      .select(col("doc_id"), col("source"),
+        pmod(graft.functions.NativeText.poly_fingerprint(col("g"), lit(0L),
+          TextAnalysis.FingerprintMod), lit(B)).as("b"))
+    val ts = docs.agg(min("source").as("__ts"))
+    val model = grams.crossJoin(broadcast(ts))
+      .groupBy("b")
+      .agg(sum(when(col("source") === col("__ts"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= col("__ts"), 1L).otherwise(0L)).as("cr"))
+    val tot = model.agg(sum("ct").as("__tt"), sum("cr").as("__tr"))
+    val lam = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"CAST(floor(ln(greatest(1, ((ct + 1) * 1000000) div (__tt + $B))) * 1000000) AS BIGINT)" +
+          s" - CAST(floor(ln(greatest(1, ((cr + 1) * 1000000) div (__tr + $B))) * 1000000) AS BIGINT)")
+          .as("dl"))
+    val perDoc = grams.groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n_grams"), sum(expr("c * dl")).as("score_q6"))
+    val top = perDoc.crossJoin(broadcast(ts))
+      .filter(col("source") =!= col("__ts")) // resample from the RAW pile
+      .orderBy(desc("score_q6"), asc("doc_id")).limit(20)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("score_q6"), asc("doc_id")))
+          .cast("long"))
+      .select("rank", "doc_id", "source", "n_grams", "score_q6")
+  }
+
+  private val dsirSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |uni AS (SELECT doc_id, source, unnest(t) AS g FROM d),
+      |big AS (
+      |  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g
+      |  FROM d, unnest(range(1, greatest(len(t), 1))) AS u(i)),
+      |grams AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split_regex(g, ''),
+      |                       c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 36028797018963913) % 2048 AS b
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+      |ts AS (SELECT min(source) AS s FROM documents),
+      |model AS (
+      |  SELECT b,
+      |    CAST(sum(CASE WHEN source = ts.s THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(sum(CASE WHEN source <> ts.s THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      |  FROM grams CROSS JOIN ts GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+      |               CAST(sum(cr) AS BIGINT) AS tr FROM model),
+      |lam AS (
+      |  SELECT b,
+      |    CAST(floor(ln(greatest(1, ((ct + 1) * 1000000) // (tt + 2048))) * 1000000) AS BIGINT)
+      |    - CAST(floor(ln(greatest(1, ((cr + 1) * 1000000) // (tr + 2048))) * 1000000) AS BIGINT)
+      |      AS dl
+      |  FROM model CROSS JOIN tot),
+      |pd AS (
+      |  SELECT g.doc_id, g.source,
+      |    CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |    CAST(sum(cnt * dl) AS BIGINT) AS score_q6
+      |  FROM (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM grams GROUP BY 1, 2, 3) g
+      |  JOIN lam ON lam.b = g.b
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT * FROM pd CROSS JOIN ts WHERE source <> ts.s
+      |  ORDER BY score_q6 DESC, doc_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id) AS BIGINT)
+      |    AS rank,
+      |  doc_id, source, n_grams, score_q6
+      |FROM top""".stripMargin
+
+  /** #352 span-corruption plan — the T5/UL2 denoising-objective
+    * preprocessing audit (Raffel et al. 2020, public): per document,
+    * which token positions would be masked at a 15% rate and how many
+    * contiguous SPANS they form (span count drives sentinel-token
+    * budget and target-length planning). The mask decision is a pure
+    * multiplicative hash of (doc_id, position) — deterministic,
+    * replayable on any engine, repartition-stable — so span starts need
+    * NO window: started(i) = masked(i) AND NOT masked(i−1) is map-side
+    * arithmetic per token row, and the whole plan is one explode + one
+    * partial-aggregated groupBy however large the corpus. Positions
+    * key as doc_id·1e6 + i (documents are generator-bounded ≪ 1e6
+    * tokens; the key never collides across docs). */
+  private def spanCorruption(s: SparkSession, dir: String): DataFrame = {
+    // the mask hash SQUARES the multiplicative hash before the
+    // threshold (the q_epoch_shuffle device): an affine-only chain
+    // steps by the CONSTANT A between consecutive positions, so two
+    // neighbors never co-mask and every span has length 1 — caught by
+    // the vacuity audit on first run. x² mod M decorrelates neighbors;
+    // exact in DECIMAL(38,0)/HUGEINT (x < 2^55 ⇒ x² < 10^34).
+    def maskedE(key: String): String = {
+      val h = multHashExpr(key)
+      s"(pmod(CAST($h AS DECIMAL(38,0)) * $h, ${TextAnalysis.FingerprintMod}) % 1000) < 150"
+    }
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("i", "__w")))
+      .select(col("doc_id"), col("i"),
+        expr(maskedE("(doc_id * 1000000 + i)")).as("__m"),
+        expr(s"i > 0 AND ${maskedE("(doc_id * 1000000 + i)")}" +
+          s" AND NOT (${maskedE("(doc_id * 1000000 + i - 1)")})" +
+          s" OR i = 0 AND ${maskedE("(doc_id * 1000000 + i)")}").as("__start"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__m").cast("long")).as("n_masked"),
+        sum(col("__start").cast("long")).as("n_spans"))
+      .withColumn("mask_ppm", expr("(n_masked * 1000000) div n_tokens"))
+      .withColumn("mean_span_len_q3",
+        expr("CASE WHEN n_spans > 0 THEN (n_masked * 1000) div n_spans" +
+          " ELSE 0 END"))
+  }
+
+  private lazy val spanCorruptionSql = {
+    def maskedD(key: String): String = {
+      val h = multHashDuck(key)
+      s"(((CAST(($h) AS HUGEINT) * ($h)) % ${TextAnalysis.FingerprintMod}) % 1000) < 150"
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) - 1
+       |      AS i,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, i,
+       |    ${maskedD("(doc_id * 1000000 + i)")} AS mk,
+       |    (i > 0 AND ${maskedD("(doc_id * 1000000 + i)")}
+       |      AND NOT (${maskedD("(doc_id * 1000000 + i - 1)")}))
+       |    OR (i = 0 AND ${maskedD("(doc_id * 1000000 + i)")}) AS st
+       |  FROM tok)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  CAST((sum(CASE WHEN mk THEN 1 ELSE 0 END) * 1000000) // count(*)
+       |    AS BIGINT) AS mask_ppm,
+       |  CAST(CASE WHEN sum(CASE WHEN st THEN 1 ELSE 0 END) > 0
+       |    THEN (sum(CASE WHEN mk THEN 1 ELSE 0 END) * 1000)
+       |         // sum(CASE WHEN st THEN 1 ELSE 0 END)
+       |    ELSE 0 END AS BIGINT) AS mean_span_len_q3
+       |FROM m GROUP BY 1""".stripMargin
+  }
+
+  /** #353 bytes-per-token — the compression-style quality signal data
+    * curators read per pile (a high bytes/token ratio flags encoding
+    * bloat, long rare words, or non-linguistic content; cf. the
+    * tokens-per-byte filters in public corpus reports): per (source,
+    * lang) cell, docs, exact byte and token masses, the cell ratio in
+    * ppm, and the min/max per-doc ratio. Byte counts are octet lengths
+    * (not char counts) — identical on both engines for any UTF-8
+    * payload. One map pass + one partial-aggregated groupBy. */
+  private def tokensPerByte(s: SparkSession, dir: String): DataFrame =
+    parallelize(s, t(s, dir, "documents"))
+      .select(col("source"), col("lang"),
+        octet_length(col("text")).cast("long").as("__b"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("__t"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__b").as("sum_bytes"), sum("__t").as("sum_tokens"),
+        min(expr("(__b * 1000000) div __t")).as("min_bpt_ppm"),
+        max(expr("(__b * 1000000) div __t")).as("max_bpt_ppm"))
+      .withColumn("bpt_ppm", expr("(sum_bytes * 1000000) div sum_tokens"))
+
+  private val tokensPerByteSql =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    CAST(strlen(text) AS BIGINT) AS b,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+      |  FROM documents)
+      |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(b) AS BIGINT) AS sum_bytes,
+      |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+      |  CAST(min((b * 1000000) // t) AS BIGINT) AS min_bpt_ppm,
+      |  CAST(max((b * 1000000) // t) AS BIGINT) AS max_bpt_ppm,
+      |  CAST((sum(b) * 1000000) // sum(t) AS BIGINT) AS bpt_ppm
+      |FROM d GROUP BY 1, 2""".stripMargin
 
   // ===========================================================================
   // Registry
@@ -18520,5 +18732,8 @@ object Queries {
     Q("q_feature_matrix", featureMatrix, Some(featureMatrixSql)),
     Q("q_paged_dsv2", pagedDsv2, Some(pagedDsv2Sql), bench = false),
     Q("q_paged_pushdown", pagedPushdown, Some(pagedPushdownSql), bench = false),
+    Q("q_dsir", dsir, Some(dsirSql)),
+    Q("q_span_corruption", spanCorruption, Some(spanCorruptionSql)),
+    Q("q_tokens_per_byte", tokensPerByte, Some(tokensPerByteSql)),
   )
 }

@@ -80,9 +80,10 @@ private[v2] class PagedFeedTable(schema: StructType, props: Map[String, String])
 
 private[v2] class PagedFeedScanBuilder(full: StructType, opts: Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of `full` in full-schema order
@@ -98,7 +99,13 @@ private[v2] class PagedFeedScanBuilder(full: StructType, opts: Map[String, Strin
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new PagedFeedScan(full, required, pushed, opts)
+  // a pager client fetches only the first ceil(n/pageRows) pages for a
+  // LIMIT n — the planning win of a paged source. Partial push: Spark
+  // keeps its own global limit (return false), the source just stops
+  // fetching/parsing early.
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
+
+  override def build(): Scan = new PagedFeedScan(full, required, pushed, limit, opts)
 }
 
 private[v2] object PagedFeedScan {
@@ -185,23 +192,54 @@ private[v2] object PagedFeedScan {
 }
 
 private[v2] class PagedFeedScan(full: StructType, required: StructType,
-                                pushed: Array[Filter],
-                                opts: Map[String, String]) extends Scan with Batch {
+                                pushed: Array[Filter], limit: Int,
+                                opts: Map[String, String])
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-paged dir=${opts.getOrElse("dir", "?")} " +
       s"fields=${required.fieldNames.mkString(",")} " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" PushedLimit: $limit" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def pageFiles(): Array[java.io.File] = {
     val dir = opts.getOrElse("dir",
       throw new IllegalArgumentException("graft-paged: 'dir' option required"))
-    val files = Option(new java.io.File(dir).listFiles())
+    Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.startsWith("page-") &&
         f.getName.endsWith(".tsv"))
       .sortBy(_.getName)
+  }
+
+  /** Feed-level size/row estimate for the optimizer (AQE, broadcast
+    * decisions): bytes from the page files themselves; rows exact-ish
+    * when the pager declares its page size (`pageRows`). A REST feed
+    * would read both off the export manifest. */
+  override def estimateStatistics(): Statistics = {
+    val files = pageFiles()
+    val bytes = files.map(_.length()).sum
+    val rows = opts.get("pageRows").map(_.toLong)
+      .map(pr => math.max(files.length - 1, 0) * pr + 1)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    var files = pageFiles()
+    // pushed LIMIT with a declared page size and no pushed filters:
+    // only the first ceil(n/pageRows) pages can contribute — the rest
+    // are never fetched (pages are key-ordered by the pager contract)
+    val pageRows = opts.get("pageRows").map(_.toLong).getOrElse(-1L)
+    if (limit >= 0 && pushed.isEmpty && pageRows > 0) {
+      val need = ((limit + pageRows - 1) / pageRows).toInt
+      files = files.take(math.max(need, 1))
+    }
     // page-zone pruning: the feed's order key (option `keyCol`, default
     // the first schema field when it's integral) is nondecreasing across
     // a page, so [first,last] of each file is its key zone
@@ -244,7 +282,7 @@ private[v2] class PagedFeedScan(full: StructType, required: StructType,
         require(i >= 0, s"graft-paged: unknown filter column $name")
         name -> ((i, full.fields(i).dataType))
       }.toMap
-    new PagedFeedReaderFactory(picks, pushed, filterCols)
+    new PagedFeedReaderFactory(picks, pushed, filterCols, limit)
   }
 }
 
@@ -256,21 +294,24 @@ private[v2] case class PagedFeedPartition(page: Int, path: String)
   * the full file list. */
 private[v2] class PagedFeedReaderFactory(picks: Array[(Int, DataType)],
                                          pushed: Array[Filter],
-                                         filterCols: Map[String, (Int, DataType)])
+                                         filterCols: Map[String, (Int, DataType)],
+                                         limit: Int)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedFeedPartition]
-    new PagedFeedReader(p.path, picks, pushed, filterCols)
+    new PagedFeedReader(p.path, picks, pushed, filterCols, limit)
   }
 }
 
 private[v2] class PagedFeedReader(path: String, picks: Array[(Int, DataType)],
                                   pushed: Array[Filter],
-                                  filterCols: Map[String, (Int, DataType)])
+                                  filterCols: Map[String, (Int, DataType)],
+                                  limit: Int)
   extends PartitionReader[InternalRow] {
   private val src = scala.io.Source.fromFile(path, "UTF-8")
   private val lines = src.getLines()
   private var row: InternalRow = _
+  private var emitted = 0L
 
   private def parse(parts: Array[String], srcIdx: Int, dt: DataType): Any = {
     val raw = if (srcIdx < parts.length) parts(srcIdx) else "\\N"
@@ -316,6 +357,10 @@ private[v2] class PagedFeedReader(path: String, picks: Array[(Int, DataType)],
   }
 
   override def next(): Boolean = {
+    // pushed limit: no partition needs more than `limit` surviving rows
+    // (Spark's own global limit dedups across partitions) — a tail page
+    // stops parsing as soon as the budget is spent
+    if (limit >= 0 && emitted >= limit) return false
     while (lines.hasNext) {
       val parts = lines.next().split("\t", -1)
       if (pushed.forall(eval(parts, _))) {
@@ -330,6 +375,7 @@ private[v2] class PagedFeedReader(path: String, picks: Array[(Int, DataType)],
           i += 1
         }
         row = InternalRow.fromSeq(values.toIndexedSeq)
+        emitted += 1
         return true
       }
     }

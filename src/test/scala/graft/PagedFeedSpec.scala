@@ -120,6 +120,49 @@ class PagedFeedSpec extends GraftSuite {
     assert(q.count() == want)
   }
 
+  test("pushed LIMIT plans only the first ceil(n/pageRows) pages") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_limit").toFile
+    try {
+      (0 until 4).foreach { p =>
+        val w = new java.io.PrintWriter(
+          new java.io.File(tmp, f"page-$p%05d.tsv"), "UTF-8")
+        (1 to 50).foreach(i => w.println(s"${p * 50 + i}\t$p\tS\t1"))
+        w.close()
+      }
+      def feed = spark.read.format("graft-paged")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, cents BIGINT")
+        .option("dir", tmp.getAbsolutePath).option("pageRows", "50").load()
+      val limited = feed.limit(60)
+      assert(limited.count() == 60)
+      val plan = limited.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedLimit: 60"), s"limit not pushed:\n$plan")
+      // 60 rows over 50-row pages → 2 pages planned, 2 never fetched
+      // (read the SCAN's partitions — the post-limit RDD coalesces)
+      val scan = limited.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan
+        }.get
+      val nPlanned = scan.toBatch.planInputPartitions().length
+      assert(nPlanned == 2, s"expected 2 pages for limit 60, planned $nPlanned")
+      // a pushed filter disables page-count pruning (rows/page unknown
+      // post-filter) but the result stays correct
+      val lf = feed.filter(col("o_custkey") >= 1L).limit(10)
+      assert(lf.count() == 10)
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
+  test("the source reports byte/row statistics to the optimizer") {
+    val (pageDir, df) = feed
+    val stats = df.queryExecution.optimizedPlan.stats
+    val onDisk = pageDir.listFiles().filter(_.getName.endsWith(".tsv"))
+      .map(_.length()).sum
+    assert(stats.sizeInBytes == BigInt(onDisk),
+      s"sizeInBytes ${stats.sizeInBytes} != on-disk $onDisk")
+  }
+
   test("null round-trip: \\N lines decode to NULL, short lines pad with NULL") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_nulls").toFile
     try {
