@@ -18377,6 +18377,239 @@ object Queries {
       |  CAST((sum(b) * 1000000) // sum(t) AS BIGINT) AS bpt_ppm
       |FROM d GROUP BY 1, 2""".stripMargin
 
+  /** #354 exact-substring cross-doc dedup — the suffix-array dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", public) re-expressed bucketed: every K=10-token
+    * sliding window is fingerprinted, a window is DUPLICATED when it
+    * occurs in ≥2 distinct docs, and each doc reports what fraction of
+    * its windows are cross-doc duplicates (the "remove these spans"
+    * signal ExactSubstr acts on). No suffix array is ever built: the
+    * explode is map-side, windows ride as 8-byte fingerprints (the
+    * 60-char strings never shuffle), duplication is ONE hash-bucketed
+    * aggregate, and the flag joins back on the same key — Σ bucket²
+    * never appears, so the shape is the MinHash-LSH scale contract on
+    * a different key. The oracle replays window STRINGS (never the
+    * hash), so the gate doubles as a fingerprint-collision-absence
+    * proof (the q_source_overlap device). Naturally non-vacuous: the
+    * generator's templated runs give ~9% duplicated 10-grams at every
+    * shipped SF (measured 0.001/0.01/0.1 before K was fixed). */
+  private def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val K = 10
+    val wins = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("__t"))
+      .filter(size(col("__t")) >= K)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(__t) - ${K - 1})," +
+          s" i -> array_join(slice(__t, i, $K), ' '))")).as("__w"))
+      .select(col("doc_id"),
+        graft.functions.NativeText.poly_fingerprint(col("__w"), lit(0L),
+          TextAnalysis.FingerprintMod).as("h"))
+    val dup = wins.groupBy("h")
+      .agg((countDistinct("doc_id") >= 2).as("__dup"))
+    wins.join(dup, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("__dup").cast("long")).as("n_dup_windows"))
+      .withColumn("dup_ppm", expr("(n_dup_windows * 1000000) div n_windows"))
+  }
+
+  private val substringDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |w AS MATERIALIZED (
+      |  SELECT doc_id, list_aggregate(t[i:i+9], 'string_agg', ' ') AS w
+      |  FROM d, unnest(range(1, len(t) - 10 + 2)) AS u(i)
+      |  WHERE len(t) >= 10),
+      |dup AS (SELECT w, count(DISTINCT doc_id) >= 2 AS dp FROM w GROUP BY 1)
+      |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(sum(CASE WHEN dup.dp THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_windows,
+      |  CAST((sum(CASE WHEN dup.dp THEN 1 ELSE 0 END) * 1000000) // count(*)
+      |    AS BIGINT) AS dup_ppm
+      |FROM w JOIN dup USING (w) GROUP BY 1""".stripMargin
+
+  /** #355 Gopher repetition signals — the within-doc repetition
+    * filters of Rae et al. 2021 (Gopher, Table A1, public): per doc,
+    * the token fraction claimed by the single most frequent 2-, 3-,
+    * and 4-gram (templated/boilerplate docs spike these long before
+    * exact dedup sees them). One explode emits all three gram sizes
+    * tagged by n (the fan-out is a CONSTANT ≤3× of the token count),
+    * one (doc, n, gram) count + one (doc, n) max, and a conditional
+    * pivot back to columns — all partial-aggregated, no window, no
+    * join but the final n_tokens attach. Overlapping occurrences can
+    * claim more tokens than exist (Gopher's definition counts
+    * occurrences×n), so the ppm clamps at 1e6. */
+  private def gopherRep(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(s, t(s, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("__t"))
+    val grams = docs.select(col("doc_id"), size(col("__t")).cast("long").as("__nt"),
+      explode(expr(
+        """flatten(transform(array(2, 3, 4), n ->
+          |  transform(filter(sequence(1, greatest(size(__t) - n + 1, 1)),
+          |                   i -> i <= size(__t) - n + 1),
+          |            i -> struct(n AS n, array_join(slice(__t, i, n), ' ') AS g))))"""
+          .stripMargin.replace("\n", " "))).as("e"))
+      .select(col("doc_id"), col("__nt"), col("e.n").as("n"), col("e.g").as("g"))
+    grams.groupBy("doc_id", "__nt", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "__nt", "n").agg(max("c").as("top"))
+      .groupBy("doc_id", "__nt")
+      .agg(max(when(col("n") === 2, col("top"))).as("__t2"),
+        max(when(col("n") === 3, col("top"))).as("__t3"),
+        max(when(col("n") === 4, col("top"))).as("__t4"))
+      .select(col("doc_id"), col("__nt").as("n_tokens"),
+        coalesce(col("__t2"), lit(0L)).as("top2_cnt"),
+        expr("least(1000000, (coalesce(__t2, 0) * 2 * 1000000) div __nt)")
+          .as("top2_ppm"),
+        expr("least(1000000, (coalesce(__t3, 0) * 3 * 1000000) div __nt)")
+          .as("top3_ppm"),
+        expr("least(1000000, (coalesce(__t4, 0) * 4 * 1000000) div __nt)")
+          .as("top4_ppm"))
+  }
+
+  private val gopherRepSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS nt, n.n AS n,
+      |    list_aggregate(t[i:i+n.n-1], 'string_agg', ' ') AS g
+      |  FROM d, (VALUES (2), (3), (4)) n(n),
+      |       unnest(range(1, greatest(len(t) - n.n + 1, 0) + 1)) AS u(i)),
+      |c AS (SELECT doc_id, nt, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3, 4),
+      |tp AS (SELECT doc_id, nt, n, max(c) AS top FROM c GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT doc_id, nt,
+      |    max(CASE WHEN n = 2 THEN top END) AS t2,
+      |    max(CASE WHEN n = 3 THEN top END) AS t3,
+      |    max(CASE WHEN n = 4 THEN top END) AS t4
+      |  FROM tp GROUP BY 1, 2)
+      |SELECT doc_id, nt AS n_tokens,
+      |  CAST(coalesce(t2, 0) AS BIGINT) AS top2_cnt,
+      |  CAST(least(1000000, (coalesce(t2, 0) * 2 * 1000000) // nt) AS BIGINT)
+      |    AS top2_ppm,
+      |  CAST(least(1000000, (coalesce(t3, 0) * 3 * 1000000) // nt) AS BIGINT)
+      |    AS top3_ppm,
+      |  CAST(least(1000000, (coalesce(t4, 0) * 4 * 1000000) // nt) AS BIGINT)
+      |    AS top4_ppm
+      |FROM p""".stripMargin
+
+  /** #356 label-propagation communities — 3 SYNCHRONOUS rounds of
+    * most-frequent-neighbor-label update (Raghavan et al. 2007,
+    * public; ties → min label for determinism) on the co-purchase
+    * graph, reported as community sizes. Distinct from the
+    * connected-components operator (#46): LPA converges to DENSE
+    * cores, not mere reachability — two cliques joined by one bridge
+    * edge stay two communities. Each round is one adjacency equi-join
+    * + two partial-aggregated groupBys (count, then lexicographic
+    * struct-min for the argmax-with-tiebreak); labels localCheckpoint
+    * per round so the plan never compounds (the ConnectedComponents
+    * discipline). Fixed 3 rounds ⇒ the oracle unrolls them as CTEs. */
+  private def lpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("ea").as("v"), col("eb").as("n"))
+      .unionAll(e.select(col("eb").as("v"), col("ea").as("n")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lbl = adj.select(col("v")).distinct().withColumn("lbl", col("v"))
+    for (_ <- 1 to 3) {
+      lbl = adj.join(lbl.withColumnRenamed("v", "n"), Seq("n"))
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(min(struct((col("c") * -1).as("nc"), col("lbl").as("lbl"))).as("__m"))
+        .select(col("v"), col("__m.lbl").as("lbl"))
+        .localCheckpoint()
+    }
+    lbl.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  private val lpaCommunitiesSql: String = {
+    def step(i: Int): String =
+      s"""l$i AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT a.v, l.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY a.v
+         |        ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM adj a JOIN l${i - 1} l ON l.v = a.n GROUP BY a.v, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a.pk AS ea, b.pk AS eb
+       |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |adj AS MATERIALIZED (SELECT ea AS v, eb AS n FROM e
+       |                     UNION ALL SELECT eb, ea FROM e),
+       |l0 AS (SELECT DISTINCT v, v AS lbl FROM adj),
+       |${(1 to 3).map(step).mkString(",\n")}
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM l3 GROUP BY 1""".stripMargin
+  }
+
+  /** #357 association rules — support/confidence/lift over co-purchase
+    * pairs (Agrawal & Srikant 1994, public), the recommender's "people
+    * who bought X" table with the statistics that make it defensible:
+    * conf(a→b) = c(ab)/c(a), lift = c(ab)·N / (c(a)·c(b)), both exact
+    * ppm integers (the lift numerator rides DECIMAL(38) — at 100 TB
+    * c(ab)·N·1e6 overflows a long). Pairs are generated MAP-SIDE from
+    * each order's bounded sorted item set (the copurchase device — the
+    * C(n,2) fan-out is order-size-bounded, never corpus-sized); item
+    * supports are one groupBy; each rule direction is one broadcast-
+    * friendly join against the O(items) support table. */
+  private def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val it = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = it.agg(countDistinct("ok").as("__N"))
+    val ic = it.groupBy("pk").agg(count(lit(1)).as("ci"))
+    val pairs = it.groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS ea, y AS eb))))"""
+          .stripMargin.replace("\n", " "))).as("e"))
+      .select(col("e.ea").as("ea"), col("e.eb").as("eb"))
+      .groupBy("ea", "eb").agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+    val both = pairs.select(col("ea").as("antecedent"),
+        col("eb").as("consequent"), col("n_co"))
+      .unionAll(pairs.select(col("eb").as("antecedent"),
+        col("ea").as("consequent"), col("n_co")))
+    both
+      .join(ic.select(col("pk").as("antecedent"), col("ci").as("__ca")),
+        Seq("antecedent"))
+      .join(ic.select(col("pk").as("consequent"), col("ci").as("__cb")),
+        Seq("consequent"))
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("n_co").as("support"),
+        expr("(n_co * 1000000) div __ca").as("conf_ppm"),
+        expr("CAST((CAST(n_co AS DECIMAL(38,0)) * __N * 1000000)" +
+          " div (CAST(__ca AS DECIMAL(38,0)) * __cb) AS BIGINT)").as("lift_ppm"))
+  }
+
+  private val assocRulesSql =
+    """WITH it AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(DISTINCT ok) AS N FROM it),
+      |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS ci FROM it GROUP BY 1),
+      |pr AS (
+      |  SELECT a.pk AS ea, b.pk AS eb, CAST(count(*) AS BIGINT) AS n_co
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |rl AS (
+      |  SELECT ea AS antecedent, eb AS consequent, n_co FROM pr
+      |  UNION ALL
+      |  SELECT eb, ea, n_co FROM pr)
+      |SELECT b.antecedent, b.consequent, b.n_co AS support,
+      |  CAST((b.n_co * 1000000) // ca.ci AS BIGINT) AS conf_ppm,
+      |  CAST((CAST(b.n_co AS HUGEINT) * n.N * 1000000)
+      |    // (CAST(ca.ci AS HUGEINT) * cb.ci) AS BIGINT) AS lift_ppm
+      |FROM rl b
+      |JOIN ic ca ON ca.pk = b.antecedent
+      |JOIN ic cb ON cb.pk = b.consequent
+      |CROSS JOIN n""".stripMargin
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -18735,5 +18968,9 @@ object Queries {
     Q("q_dsir", dsir, Some(dsirSql)),
     Q("q_span_corruption", spanCorruption, Some(spanCorruptionSql)),
     Q("q_tokens_per_byte", tokensPerByte, Some(tokensPerByteSql)),
+    Q("q_substring_dedup", substringDedup, Some(substringDedupSql)),
+    Q("q_gopher_rep", gopherRep, Some(gopherRepSql)),
+    Q("q_lpa_communities", lpaCommunities, Some(lpaCommunitiesSql)),
+    Q("q_assoc_rules", assocRules, Some(assocRulesSql)),
   )
 }
