@@ -18610,6 +18610,305 @@ object Queries {
       |JOIN ic cb ON cb.pk = b.consequent
       |CROSS JOIN n""".stripMargin
 
+  /** #358 Holt linear smoothing — level+trend double exponential
+    * smoothing (Holt 1957, public) of the daily GMV series with
+    * α = β = 1/2, plus the 1-step-ahead forecast the capacity planner
+    * reads: l_t = (x_t + l_{t−1} + b_{t−1}) div 2,
+    * b_t = (l_t − l_{t−1} + b_{t−1}) div 2 — EXACT integer cents at
+    * every step (truncating division matches DuckDB's `//` toward
+    * zero, verified both engines), so the recursion replays
+    * bit-for-bit. The fold is driver-side over the collected DAILY
+    * series — O(calendar days), the bounded compress-then-scan
+    * device (q_raking/pagerank discipline): the events table is
+    * reduced by ONE distributed aggregate first; the driver never
+    * holds more than the day count. The oracle runs the identical
+    * recursion as a WITH RECURSIVE CTE. */
+  private def holtForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var l = daily.head._2
+    var b = 0L
+    val rows = daily.zipWithIndex.map { case ((day, x), i) =>
+      if (i > 0) {
+        val nl = (x + l + b) / 2 // Long division truncates toward zero,
+        val nb = (nl - l + b) / 2 // exactly like DuckDB's `//`
+        l = nl; b = nb
+      }
+      (day, x, l, b, l + b)
+    }
+    rows.toSeq
+      .toDF("day", "x_cents", "level_cents", "trend_cents", "forecast_cents")
+  }
+
+  private val holtForecastSql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |idx AS (SELECT row_number() OVER (ORDER BY day) AS t, day, x FROM daily),
+      |h(t, day, x, l, b) AS (
+      |  SELECT t, day, x, x, CAST(0 AS BIGINT) FROM idx WHERE t = 1
+      |  UNION ALL
+      |  SELECT i.t, i.day, i.x,
+      |    CAST((i.x + h.l + h.b) // 2 AS BIGINT),
+      |    CAST(((i.x + h.l + h.b) // 2 - h.l + h.b) // 2 AS BIGINT)
+      |  FROM h JOIN idx i ON i.t = h.t + 1)
+      |SELECT day, x AS x_cents, l AS level_cents, b AS trend_cents,
+      |  CAST(l + b AS BIGINT) AS forecast_cents
+      |FROM h""".stripMargin
+
+  /** #359 regression discontinuity — the sharp-RDD effect estimate
+    * (Thistlethwaite & Campbell 1960, public) completing the causal
+    * family (#331 DID, #332 IV-Wald, #337 stratified ATE): running
+    * variable = account balance in cents, cutoff 0, bandwidth
+    * ±1000.00; outcome = the customer's total order spend. One local
+    * linear fit per side from ONE grouped aggregate of exact moments
+    * (n, Σx, Σx², Σy, Σxy — cross-products staged through DECIMAL(38)
+    * so a 100 TB ledger can't overflow the partial sums), sides
+    * pivoted to one row, doubles only in the final projection (the
+    * q_linear_fit discipline). Effect = intercept_right −
+    * intercept_left AT the cutoff. */
+  private def rddCutoff(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("__x"))
+      .filter(abs(col("__x")) <= 100000L)
+    val spend = parallelize(s, t(s, dir, "orders"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__y0"))
+    val m = cust.join(spend, Seq("c_custkey"), "left")
+      .select(col("__x"), coalesce(col("__y0"), lit(0L)).as("__y"),
+        (col("__x") >= 0L).as("__r"))
+      .groupBy("__r")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("sx"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("__y").cast("decimal(38,0)")).as("sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("sxy"))
+    def d(c: String, side: Column): Column =
+      max(when(col("__r") === side, col(c))).cast("double")
+    def fit(n: Column, sx: Column, sxx: Column, sy: Column, sxy: Column) = {
+      val den = n * sxx - sx * sx
+      val slope = (n * sxy - sx * sy) / den
+      val icept = (sy * sxx - sx * sxy) / den
+      (slope, icept)
+    }
+    val one = m.groupBy()
+      .agg(max(when(!col("__r"), col("n"))).as("n_left"),
+        max(when(col("__r"), col("n"))).as("n_right"),
+        d("sx", lit(false)).as("__lsx"), d("sxx", lit(false)).as("__lsxx"),
+        d("sy", lit(false)).as("__lsy"), d("sxy", lit(false)).as("__lsxy"),
+        d("sx", lit(true)).as("__rsx"), d("sxx", lit(true)).as("__rsxx"),
+        d("sy", lit(true)).as("__rsy"), d("sxy", lit(true)).as("__rsxy"))
+    val (ls, li) = fit(col("n_left").cast("double"), col("__lsx"),
+      col("__lsxx"), col("__lsy"), col("__lsxy"))
+    val (rs, ri) = fit(col("n_right").cast("double"), col("__rsx"),
+      col("__rsxx"), col("__rsy"), col("__rsxy"))
+    one.select(col("n_left"), col("n_right"),
+      round(ls, 6).as("slope_left"), round(li, 6).as("intercept_left"),
+      round(rs, 6).as("slope_right"), round(ri, 6).as("intercept_right"),
+      round(ri - li, 6).as("effect_cents"))
+  }
+
+  private val rddCutoffSql =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |  FROM customer
+      |  WHERE abs(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    <= 100000),
+      |sp AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT c.x, coalesce(sp.y, 0) AS y, c.x >= 0 AS r
+      |  FROM c LEFT JOIN sp USING (c_custkey)),
+      |m AS (
+      |  SELECT r, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      |  FROM p GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    max(CASE WHEN NOT r THEN n END) AS n_left,
+      |    max(CASE WHEN r THEN n END) AS n_right,
+      |    max(CASE WHEN NOT r THEN sx END) AS lsx,
+      |    max(CASE WHEN NOT r THEN sxx END) AS lsxx,
+      |    max(CASE WHEN NOT r THEN sy END) AS lsy,
+      |    max(CASE WHEN NOT r THEN sxy END) AS lsxy,
+      |    max(CASE WHEN r THEN sx END) AS rsx,
+      |    max(CASE WHEN r THEN sxx END) AS rsxx,
+      |    max(CASE WHEN r THEN sy END) AS rsy,
+      |    max(CASE WHEN r THEN sxy END) AS rsxy
+      |  FROM m)
+      |SELECT n_left, n_right,
+      |  round((CAST(n_left AS DOUBLE) * lsxy - lsx * lsy)
+      |    / (CAST(n_left AS DOUBLE) * lsxx - lsx * lsx), 6) AS slope_left,
+      |  round((lsy * lsxx - lsx * lsxy)
+      |    / (CAST(n_left AS DOUBLE) * lsxx - lsx * lsx), 6) AS intercept_left,
+      |  round((CAST(n_right AS DOUBLE) * rsxy - rsx * rsy)
+      |    / (CAST(n_right AS DOUBLE) * rsxx - rsx * rsx), 6) AS slope_right,
+      |  round((rsy * rsxx - rsx * rsxy)
+      |    / (CAST(n_right AS DOUBLE) * rsxx - rsx * rsx), 6) AS intercept_right,
+      |  round((rsy * rsxx - rsx * rsxy)
+      |      / (CAST(n_right AS DOUBLE) * rsxx - rsx * rsx)
+      |    - (lsy * lsxx - lsx * lsxy)
+      |      / (CAST(n_left AS DOUBLE) * lsxx - lsx * lsx), 6) AS effect_cents
+      |FROM o""".stripMargin
+
+  /** #360 hard-negative mining — the contrastive-training batch
+    * builder (public: in-batch negatives literature, e.g. DPR,
+    * Karpukhin et al. 2020): per query vector, the top-3 SAME-label
+    * neighbors (positives) and the top-3 DIFFERENT-label nearest
+    * neighbors — the "hard negatives" that actually move a contrastive
+    * loss. One broadcast of the bounded query set, one corpus pass,
+    * and per-(query, class) top-k through the native bounded-heap
+    * aggregate (O(k) state per buffer, map-side partials — never a
+    * window over 8·N scored rows). Ranking on the 6dp-rounded cosine,
+    * ties → vec_id (the ANN-family contract). */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = parallelize(s, t(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("__ql"),
+        col("embedding").as("__qv"))
+    val scored = e.select(col("vec_id"), col("label"), col("embedding").as("__cv"))
+      .join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosine(col("__qv"), col("__cv")), 6).as("cosine"),
+        // composite group key: (query, same-label?) — one heap per class
+        (col("q_id") * 2 + (col("label") === col("__ql")).cast("long")).as("__g"))
+    Similarity.topK(scored, "__g", "vec_id", "cosine", 3)
+      .select(expr("__g div 2").as("q_id"),
+        when(col("__g") % 2 === 1, "positive").otherwise("hard_negative")
+          .as("grp"),
+        col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  private val hardNegativesSql =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 8),
+      |s AS (
+      |  SELECT q.q_id, e.vec_id, (e.label = q.ql) AS same,
+      |    round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6)
+      |      AS cosine
+      |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+      |r AS (
+      |  SELECT q_id, same, vec_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY q_id, same
+      |      ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      |  FROM s)
+      |SELECT q_id,
+      |  CASE WHEN same THEN 'positive' ELSE 'hard_negative' END AS grp,
+      |  vec_id, cosine, rank
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  /** #361 SPRT — Wald's sequential probability-ratio test (Wald 1945,
+    * public) over the daily purchase-rate series, the "stop the
+    * experiment early" machinery: H0 p = p0 (the corpus's own global
+    * rate) vs H1 p = 1.25·p0, boundaries ±ln 19 (α = β = 0.05). TWO
+    * arms so BOTH boundaries are provably reachable at every SF (the
+    * planted-probe discipline): arm 'null' scores the real stream —
+    * its true rate IS p0, so the LLR drifts to accept_h0; arm 'shift'
+    * plants extra successes on non-purchase rows via the
+    * multiplicative hash at exactly the rate that lifts p to ~p1 —
+    * drifts to accept_h1. Log-likelihoods quantize as ⌊ln(ppm)·1e6⌋
+    * integers (the q_dsir device), so every per-day and cumulative
+    * LLR is an exact BIGINT; the cumulative scan is a window over the
+    * O(days) compressed series, never the raw table. */
+  private def sprt(s: SparkSession, dir: String): DataFrame = {
+    val dayCol = date_format(to_date(col("ts")), "yyyy-MM-dd")
+    val daily = events(s, dir)
+      .select(dayCol.as("day"),
+        (col("event_type") === "purchase").cast("long").as("__pur"),
+        expr(s"${multHashExpr("event_id")} % 1000000").as("__h"))
+    val tot = daily.agg(count(lit(1)).as("__n"), sum("__pur").as("__s"))
+      .select(expr("greatest(1, (__s * 1000000) div __n)").as("__p0"))
+      .select(col("__p0"),
+        expr("least(999999, (__p0 * 5) div 4)").as("__p1"))
+      .select(col("__p0"), col("__p1"),
+        // planted extra-success rate among non-purchases: lifts the
+        // shift arm's total success rate to ~p1
+        expr("((__p1 - __p0) * 1000000) div (1000000 - __p0)").as("__q"))
+    val arms = daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("__p0"), col("__p1"),
+        explode(expr(
+          """array(
+            |  struct('null' AS arm, __pur AS succ),
+            |  struct('shift' AS arm,
+            |    CASE WHEN __pur = 1 OR __h < __q THEN 1 ELSE 0 END AS succ))"""
+            .stripMargin.replace("\n", " "))).as("e"))
+      .select(col("day"), col("__p0"), col("__p1"),
+        col("e.arm").as("arm"), col("e.succ").as("__succ"))
+    def lnq(e: String): String = s"CAST(floor(ln($e) * 1000000) AS BIGINT)"
+    val perDay = arms.groupBy("arm", "day", "__p0", "__p1")
+      .agg(count(lit(1)).as("n_trials"), sum("__succ").as("n_success"))
+      .withColumn("llr_micro", expr(
+        s"n_success * (${lnq("__p1")} - ${lnq("__p0")})" +
+          s" + (n_trials - n_success) * (${lnq("1000000 - __p1")} - ${lnq("1000000 - __p0")})"))
+    perDay
+      .withColumn("cum_llr_micro", sum("llr_micro").over(
+        Window.partitionBy("arm").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("decision", expr(
+        "CASE WHEN cum_llr_micro >= 2944439 THEN 'accept_h1'" +
+          " WHEN cum_llr_micro <= -2944439 THEN 'accept_h0'" +
+          " ELSE 'continue' END"))
+      .select("arm", "day", "n_trials", "n_success", "llr_micro",
+        "cum_llr_micro", "decision")
+  }
+
+  private lazy val sprtSql = {
+    def lnq(e: String): String = s"CAST(floor(ln($e) * 1000000) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur,
+       |    ${multHashDuck("event_id")} % 1000000 AS h
+       |  FROM events),
+       |t0 AS (SELECT greatest(1, (sum(pur) * 1000000) // count(*)) AS p0
+       |       FROM d),
+       |t1 AS (SELECT p0, least(999999, (p0 * 5) // 4) AS p1 FROM t0),
+       |t AS (SELECT p0, p1,
+       |        ((p1 - p0) * 1000000) // (1000000 - p0) AS q FROM t1),
+       |arms AS (
+       |  SELECT d.day, t.p0, t.p1, a.arm,
+       |    CASE WHEN a.arm = 'null' THEN d.pur
+       |         WHEN d.pur = 1 OR d.h < t.q THEN 1 ELSE 0 END AS succ
+       |  FROM d CROSS JOIN t CROSS JOIN (VALUES ('null'), ('shift')) a(arm)),
+       |pd AS (
+       |  SELECT arm, day, p0, p1, CAST(count(*) AS BIGINT) AS n_trials,
+       |    CAST(sum(succ) AS BIGINT) AS n_success
+       |  FROM arms GROUP BY 1, 2, 3, 4),
+       |l AS (
+       |  SELECT arm, day, n_trials, n_success,
+       |    n_success * (${lnq("p1")} - ${lnq("p0")})
+       |      + (n_trials - n_success)
+       |        * (${lnq("1000000 - p1")} - ${lnq("1000000 - p0")}) AS llr_micro
+       |  FROM pd)
+       |SELECT arm, day, n_trials, n_success, llr_micro,
+       |  CAST(sum(llr_micro) OVER (PARTITION BY arm ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_llr_micro,
+       |  CASE WHEN CAST(sum(llr_micro) OVER (PARTITION BY arm ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      >= 2944439 THEN 'accept_h1'
+       |    WHEN CAST(sum(llr_micro) OVER (PARTITION BY arm ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      <= -2944439 THEN 'accept_h0'
+       |    ELSE 'continue' END AS decision
+       |FROM l""".stripMargin
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -18972,5 +19271,9 @@ object Queries {
     Q("q_gopher_rep", gopherRep, Some(gopherRepSql)),
     Q("q_lpa_communities", lpaCommunities, Some(lpaCommunitiesSql)),
     Q("q_assoc_rules", assocRules, Some(assocRulesSql)),
+    Q("q_holt_forecast", holtForecast, Some(holtForecastSql)),
+    Q("q_rdd_cutoff", rddCutoff, Some(rddCutoffSql)),
+    Q("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    Q("q_sprt", sprt, Some(sprtSql)),
   )
 }
