@@ -69,13 +69,19 @@ class PagedFeedProvider extends TableProvider with DataSourceRegister {
 }
 
 private[v2] class PagedFeedTable(schema: StructType, props: Map[String, String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_paged(${props.getOrElse("dir", "?")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedFeedScanBuilder(schema, options.asScala.toMap ++ props)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PagedFeedWriteBuilder(info.schema(),
+      info.options().asScala.toMap ++ props)
 }
 
 private[v2] class PagedFeedScanBuilder(full: StructType, opts: Map[String, String])
@@ -384,4 +390,140 @@ private[v2] class PagedFeedReader(path: String, picks: Array[(Int, DataType)],
 
   override def get(): InternalRow = row
   override def close(): Unit = src.close()
+}
+
+// ===========================================================================
+// Write path — the feeder's LOAD side as a DSv2 BatchWrite
+// ===========================================================================
+
+/** The write half of the paged feed: `df.write.format("graft-paged")
+  * .option("dir", …).mode("append").save()` — the reference's batch
+  * INSERT loop (feeder.py:230-243) as a first-class Spark sink with
+  * the REAL two-phase commit protocol:
+  *
+  *   - each task writes its partition to `…/.page-<partition>-<task>
+  *     .inprogress` (never visible to a concurrent reader), emits a
+  *     commit message carrying (partitionId, tmpPath, rows);
+  *   - the driver's `BatchWrite.commit` renames the temporaries into
+  *     the reader's `page-%05d.tsv` namespace in partition order —
+  *     pages are dense and deterministic because upstream partitioning
+  *     (e.g. repartitionByRange on the feed key) fixes partition ids —
+  *     then writes a `_PAGES` manifest (page/row counts);
+  *   - `abort` (or a failed/speculative attempt's `abort()`) deletes
+  *     its temporary, so half-written pages can never be read.
+  *
+  * Line format mirrors the reader exactly: TAB-separated in schema
+  * order, `\N` for NULL, types LONG/INT/DOUBLE/STRING/BOOLEAN. A
+  * production JDBC/HTTP transport would replace the rename with its
+  * endpoint's commit call and keep the protocol unchanged. */
+private[v2] class PagedFeedWriteBuilder(schema: StructType,
+                                        opts: Map[String, String])
+  extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new PagedFeedBatchWrite(schema, opts)
+  }
+}
+
+private[v2] class PagedFeedBatchWrite(schema: StructType,
+                                      opts: Map[String, String])
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val dir = opts.getOrElse("dir",
+    throw new IllegalArgumentException("graft-paged: 'dir' option required"))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PagedFeedWriterFactory(schema, dir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val msgs = messages.collect { case m: PagedFeedCommit => m }
+      .sortBy(_.partition)
+    // existing committed pages stay (append semantics): continue the
+    // dense numbering after them
+    val existing = Option(d.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("page-") && f.getName.endsWith(".tsv"))
+    var page = existing
+    var rows = 0L
+    msgs.foreach { m =>
+      val tmp = new java.io.File(m.tmpPath)
+      if (m.rows > 0) {
+        val dst = new java.io.File(d, f"page-$page%05d.tsv")
+        if (!tmp.renameTo(dst))
+          throw new java.io.IOException(s"graft-paged: commit rename failed: $tmp -> $dst")
+        page += 1
+        rows += m.rows
+      } else tmp.delete() // empty partition → no page (dense numbering)
+    }
+    // stray temporaries from failed attempts must not leak into later
+    // listings
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".inprogress")).foreach(_.delete())
+    val manifest = new java.io.File(d, "_PAGES")
+    val out = new java.io.PrintWriter(manifest, "UTF-8")
+    try out.print(s"pages=$page\nrows=$rows\n") finally out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: PagedFeedCommit => m }
+      .foreach(m => new java.io.File(m.tmpPath).delete())
+}
+
+private[v2] case class PagedFeedCommit(partition: Int, tmpPath: String,
+                                       rows: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[v2] class PagedFeedWriterFactory(schema: StructType, dir: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PagedFeedWriter(schema, dir, partitionId, taskId)
+}
+
+private[v2] class PagedFeedWriter(schema: StructType, dir: String,
+                                  partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write._
+
+  private val tmp = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    new java.io.File(d, f".page-$partitionId%05d-$taskId.inprogress")
+  }
+  private val out = new java.io.PrintWriter(
+    new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmp), "UTF-8"))
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('\t')
+      if (record.isNullAt(i)) sb.append("\\N")
+      else schema(i).dataType match {
+        case LongType => sb.append(record.getLong(i))
+        case IntegerType => sb.append(record.getInt(i))
+        case DoubleType => sb.append(record.getDouble(i))
+        case BooleanType => sb.append(record.getBoolean(i))
+        case StringType => sb.append(record.getUTF8String(i).toString)
+        case other =>
+          throw new IllegalArgumentException(s"graft-paged: unsupported type $other")
+      }
+      i += 1
+    }
+    out.println(sb.result())
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    PagedFeedCommit(partitionId, tmp.getAbsolutePath, rows)
+  }
+
+  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def close(): Unit = out.close()
 }
