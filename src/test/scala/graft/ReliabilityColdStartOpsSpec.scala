@@ -33,19 +33,25 @@ class ReliabilityColdStartOpsSpec extends GraftSuite {
     assert(r.getLong(1) > 0L && r.getLong(3) > 0L)
   }
 
-  test("cold-start coverage replays; pair coverage is colder than user") {
+  test("cold-start coverage replays; planted clones are cold") {
     val mod = BigInt("36028797018963913")
-    def train(id: Long) =
-      (BigInt(id) * BigInt("6364136223846793005") mod mod) % 4 < 3
-    val ev = eventsTable(dir)
-      .selectExpr("user_id", "event_type", "event_id").collect()
+    def planted(u: Long) =
+      (BigInt(u) * BigInt("6364136223846793005") mod mod) % 32 == 0
+    val raw = eventsTable(dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts)").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val tr = ev.filter(e => train(e._3))
-    val te = ev.filter(e => !train(e._3))
+    val (t0, t1) = (raw.map(_._3).min, raw.map(_._3).max)
+    val cut = t0 + (t1 - t0) * 3 / 4
+    val base = raw.map(e => (e._1, e._2, e._3 < cut))
+    val ev = base ++ base.filter(e => !e._3 && planted(e._1))
+      .map(e => (e._1 + 1000000000L, e._2, e._3))
+    val tr = ev.filter(_._3)
+    val te = ev.filter(!_._3)
     val trU = tr.map(_._1).toSet
     val trUI = tr.map(e => (e._1, e._2)).toSet
     val teU = te.map(_._1).distinct
     val teUI = te.map(e => (e._1, e._2)).distinct
+    assert(te.exists(e => e._1 > 1000000000L), "no planted clones")
     val coldU = teU.count(u => !trU(u)).toLong
     val coldUI = teUI.count(p => !trUI(p)).toLong
     val r = q("q_cold_start").collect().head
@@ -53,7 +59,10 @@ class ReliabilityColdStartOpsSpec extends GraftSuite {
     assert(r.getLong(2) == coldU * 1000000L / math.max(teU.length, 1))
     assert(r.getLong(3) == teUI.length.toLong && r.getLong(4) == coldUI)
     assert(r.getLong(5) == coldUI * 1000000L / math.max(teUI.length, 1))
-    // pairs are strictly harder to cover than users
+    // the planted clones guarantee the cold path fires
+    assert(r.getLong(1) > 0L && r.getLong(4) > 0L,
+      "cold counts zero despite planted test-only users")
+    // pairs are at least as hard to cover as users
     assert(r.getLong(5) >= r.getLong(2),
       "pair cold rate below user cold rate — set algebra broken")
   }
