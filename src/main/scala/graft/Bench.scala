@@ -160,6 +160,19 @@ object Bench {
     }
     def invertedNow(r: Seq[Double]): Boolean =
       r.length >= 2 && r.drop(1).min > r.head * 1.5 && r.drop(1).min - r.head > 0.5
+    // One serial quiet-tail re-time of `name`; min survives into the
+    // timing. A retry failure keeps the prior reps (already timed twice).
+    def retime(name: String): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val t0 = System.nanoTime()
+      try {
+        all(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        raws = raws.map { case (k, r) => if (k == name) k -> (r :+ t) else k -> r }
+        times = times.map { case (k, v) => if (k == name) k -> math.min(v, t) else k -> v }
+      } catch { case _: Throwable => () }
+    }
     // Quiet-tail retry (r9 verdict): queries whose later rep inverted
     // re-time ONCE more after the sweep, when the transient external
     // load that polluted them has had time to clear. The min survives
@@ -170,17 +183,58 @@ object Bench {
     val flagged = raws.filter(kv => invertedNow(kv._2)).map(_._1)
     if (flagged.nonEmpty) {
       System.err.println(s"[bench] quiet-tail retry for ${flagged.size} rep-inverted queries: ${flagged.mkString(",")}")
-      flagged.foreach { name =>
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        val t0 = System.nanoTime()
-        try {
-          all(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-          val t = (System.nanoTime() - t0) / 1e9
-          raws = raws.map { case (k, r) => if (k == name) k -> (r :+ t) else k -> r }
-          times = times.map { case (k, v) => if (k == name) k -> math.min(v, t) else k -> v }
-        } catch { case _: Throwable => () } // already timed twice; a retry failure keeps the prior reps
-      }
+      flagged.foreach(retime)
+    }
+    // Both-reps pollution blind spot (r10 verdict): a query polluted in
+    // BOTH reps never inverts and keeps its inflated min — BENCH_r10's
+    // three slowest readings were 3-8× over their isolated re-runs.
+    // Close it two ways, both in the quiet tail where co-load has had
+    // the whole sweep to clear: (a) the top-10 slowest re-time serially
+    // REGARDLESS of inversion; (b) any query reading >2× its recorded
+    // floor (tools/bench_floor.json — the per-query min across prior
+    // rounds, merged forward by round_gate.sh from this run's
+    // target/bench_floor_next.json) re-times too. A real regression
+    // survives the re-run; a co-load artifact evaporates.
+    // Floors are per scale factor: the file records its sfDir and is
+    // ignored (not clobbered low) when this run measures a different SF.
+    val floor: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("tools/bench_floor.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val fileSf = """"_sfdir"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (fileSf.forall(_ == sfDir))
+          """"([^"_][^"]*)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else Map.empty
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val preTail = times.toMap
+    val topSlow = times.sortBy(-_._2).take(10).map(_._1)
+    val overFloor = times.collect { case (k, v)
+      if floor.get(k).exists(f => v > 2 * f && v - f > 0.5) => k }
+    val tailSet = (topSlow ++ overFloor).distinct.filterNot(flagged.contains)
+    if (tailSet.nonEmpty) {
+      System.err.println(s"[bench] quiet-tail re-time of top-slow/over-floor: ${tailSet.mkString(",")}")
+      tailSet.foreach(retime)
+    }
+    val tailImproved = times.count { case (k, v) =>
+      preTail.get(k).exists(p => v < p * 0.67) }
+    // next round's floor: min of this run's settled timings and the
+    // prior floor — written to target/, merged into tools/ by the gate
+    // so the bench never writes into the committed tree itself
+    try {
+      // sfDir is a filesystem path (no quotes/control chars to escape)
+      val merged = (Seq(s""""_sfdir":"$sfDir"""") ++
+        (floor.keySet ++ times.map(_._1)).toSeq.sorted.map { k =>
+          val v = (floor.get(k).toSeq ++ times.toMap.get(k).toSeq).min
+          s""""$k":$v"""
+        }).mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_floor_next.json"),
+        merged.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN failed to write bench_floor_next.json: ${e.getMessage}")
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -225,7 +279,7 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${ms(v)}" }.mkString("{", ",", "}")
       val e = errs.take(errK).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"n":${times.size},"n_err":${errs.size},"mean_s":${ms(mean)},"queries":$q,"families":$fams,"err":$e,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"n":${times.size},"n_err":${errs.size},"mean_s":${ms(mean)},"queries":$q,"families":$fams,"err":$e,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"tail_retimed":${tailSet.size},"tail_improved":$tailImproved,"psi_noisy":$noisy}"""
     }
     // Hard size backstop: if (pathologically long names / error text) the
     // top-10 form still exceeds ~1.8 KB, degrade to top-3/1-err — the
@@ -243,7 +297,7 @@ object Bench {
       val fq = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val fr = raws.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
       val fe = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fq,"queries_reps":$fr,"families":$fams,"err":$fe,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"psi_noisy":$noisy}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fq,"queries_reps":$fr,"families":$fams,"err":$fe,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"tail_retimed":${tailSet.size},"tail_improved":$tailImproved,"psi_noisy":$noisy}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
     } catch {

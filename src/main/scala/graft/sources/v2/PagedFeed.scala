@@ -37,16 +37,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * skips pages whose span misses the pushed key range. A key-range scan
   * over a 10k-page feed plans only the overlapping pages.
   *
-  * The transport behind a page is pluggable at the reader level; the
-  * shipped transport reads `page-*.tsv` files from `dir` (the
-  * zero-egress stand-in for the HTTP GET — same contract as
-  * PagedReader.readPagesDistributed's fetch closure: self-contained,
-  * serializable, one bounded unit of IO per task). A production HTTP
-  * transport would swap `PageLines.open` for a connection pool and
-  * keep every planning/pruning/scheduling piece here unchanged.
+  * The transport behind a page is pluggable ([[PageTransport]]) and
+  * selected by the `dir` option's scheme: a filesystem path reads
+  * `page-*.tsv` files directly; an `http(s)://` base URL is the real
+  * thing — the reference's `requests.get` loop (feeder.py:22-47) as an
+  * executor-side GET per page with bounded retry/backoff and an
+  * optional politeness delay (`throttleMs`, the reference's
+  * sleep-between-pages at feeder.py:29-33). Planning discovers the
+  * page list from the endpoint's `_PAGES` manifest, and zone probes
+  * use HTTP Range requests (first/last bytes of a page) so key-range
+  * pruning still skips whole pages without fetching them; a server
+  * without Range support degrades to no pruning, never to wrong
+  * results. Every planning/pruning/scheduling piece is shared between
+  * transports.
   *
   * Supported field types: LONG, INT, DOUBLE, STRING, BOOLEAN;
-  * `\N` encodes NULL. Lines are TAB-separated in schema order.
+  * `\N` encodes NULL. Lines are TAB-separated in schema order; string
+  * values are escaped (see [[PagedTsv]]) so tabs/newlines/backslashes
+  * round-trip losslessly and a literal "\N" is distinguishable from
+  * NULL.
   */
 class PagedFeedProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-paged"
@@ -66,6 +75,242 @@ class PagedFeedProvider extends TableProvider with DataSourceRegister {
     new PagedFeedTable(schema, properties.asScala.toMap)
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** One page of the feed: a stable name (ordering key), a transport
+  * location (file path or URL), and its size in bytes when known
+  * (-1 unknown — statistics then report no byte estimate). */
+private[v2] case class PageRef(name: String, loc: String, bytes: Long)
+
+/** The pluggable fetch behind a page. Driver-side: `listPages` (plan),
+  * `firstLine`/`lastLine` (zone probes for key-range pruning — both
+  * BOUNDED reads, never the page). Executor-side: `open` (the full
+  * page, one bounded unit of IO per task). Serializable because the
+  * reader factory ships it to executors. */
+private[v2] trait PageTransport extends Serializable {
+  def listPages(): Array[PageRef]
+  def open(ref: PageRef): java.io.BufferedReader
+  def firstLine(ref: PageRef): Option[String]
+  def lastLine(ref: PageRef): Option[String]
+}
+
+private[v2] object PageTransport {
+  /** Scheme-dispatch: http(s):// base URL → HTTP transport; anything
+    * else is a local/NFS directory of page files. */
+  def forDir(opts: Map[String, String]): PageTransport = {
+    val dir = opts.getOrElse("dir",
+      throw new IllegalArgumentException("graft-paged: 'dir' option required"))
+    if (dir.startsWith("http://") || dir.startsWith("https://"))
+      new HttpPageTransport(dir.stripSuffix("/"),
+        retries = opts.getOrElse("maxRetries", "3").toInt,
+        backoffMs = opts.getOrElse("retryBackoffMs", "100").toLong,
+        throttleMs = opts.getOrElse("throttleMs", "0").toLong)
+    else new FilePageTransport(dir)
+  }
+}
+
+/** Zero-egress transport: pages are `page-*.tsv` files in a directory
+  * (local disk in tests; a posix mount in production). */
+private[v2] class FilePageTransport(dir: String) extends PageTransport {
+  override def listPages(): Array[PageRef] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("page-") &&
+        f.getName.endsWith(".tsv"))
+      .sortBy(_.getName)
+      .map(f => PageRef(f.getName, f.getAbsolutePath, f.length()))
+
+  override def open(ref: PageRef): java.io.BufferedReader =
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(ref.loc), "UTF-8"))
+
+  override def firstLine(ref: PageRef): Option[String] =
+    PagedFeedScan.firstLine(new java.io.File(ref.loc))
+
+  override def lastLine(ref: PageRef): Option[String] =
+    PagedFeedScan.lastLine(new java.io.File(ref.loc))
+}
+
+/** The production transport: each page is `GET <base>/<page-name>` —
+  * the reference's paginated crawl (feeder.py:22-47), with its retry
+  * and sleep-between-pages politeness re-expressed as per-request
+  * bounded retry/backoff (5xx and connection faults retry with
+  * exponential backoff; 4xx fails fast — a missing page is a contract
+  * violation, not a transient) and an optional `throttleMs` delay
+  * before each page fetch. Planning reads the page count from
+  * `GET <base>/_PAGES` (`pages=N`, the manifest the sink writes), and
+  * the zone probes are HTTP Range requests: `bytes=0-8191` for the
+  * first line, a suffix range for the last — a server answering 200
+  * (no Range support) degrades that page to "unprunable", never to a
+  * wrong prune. */
+private[v2] class HttpPageTransport(base: String, retries: Int,
+                                    backoffMs: Long, throttleMs: Long)
+  extends PageTransport {
+
+  private def connect(url: String, range: Option[String],
+                      method: String): java.net.HttpURLConnection = {
+    var attempt = 0
+    while (true) {
+      val c = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod(method)
+      c.setConnectTimeout(10000)
+      c.setReadTimeout(60000)
+      range.foreach(r => c.setRequestProperty("Range", r))
+      val code =
+        try c.getResponseCode
+        catch {
+          case e: java.io.IOException =>
+            c.disconnect()
+            if (attempt >= retries) throw e
+            -1
+        }
+      if (code == 200 || code == 206) return c
+      if (code >= 400 && code < 500) {
+        c.disconnect()
+        throw new java.io.IOException(s"graft-paged: HTTP $code for $url")
+      }
+      c.disconnect()
+      if (code >= 0 && attempt >= retries)
+        throw new java.io.IOException(
+          s"graft-paged: HTTP $code for $url after ${attempt + 1} attempts")
+      attempt += 1
+      if (backoffMs > 0) Thread.sleep(backoffMs << math.min(attempt - 1, 6))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readAll(c: java.net.HttpURLConnection): String = {
+    val in = c.getInputStream
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally { in.close(); c.disconnect() }
+  }
+
+  override def listPages(): Array[PageRef] = {
+    val manifest = readAll(connect(s"$base/_PAGES", None, "GET"))
+    val pages = manifest.linesIterator
+      .collectFirst { case l if l.startsWith("pages=") =>
+        l.stripPrefix("pages=").trim.toInt }
+      .getOrElse(throw new java.io.IOException(
+        s"graft-paged: $base/_PAGES has no pages= line"))
+    (0 until pages).toArray.map { i =>
+      val name = f"page-$i%05d.tsv"
+      // byte size from a 1-byte ranged GET's Content-Range total (one
+      // cheap bounded round-trip per page at plan time — the scan does
+      // a full GET per page anyway); -1 when the server doesn't say
+      val c = connect(s"$base/$name", Some("bytes=0-0"), "GET")
+      val len =
+        if (c.getResponseCode == 206)
+          Option(c.getHeaderField("Content-Range"))
+            .flatMap(_.split("/").lastOption)
+            .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+            .getOrElse(-1L)
+        else c.getContentLengthLong
+      c.getInputStream.close()
+      c.disconnect()
+      PageRef(name, s"$base/$name", len)
+    }
+  }
+
+  override def open(ref: PageRef): java.io.BufferedReader = {
+    if (throttleMs > 0) Thread.sleep(throttleMs) // feeder.py:29-33 politeness
+    val c = connect(ref.loc, None, "GET")
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(c.getInputStream, "UTF-8")) {
+      override def close(): Unit = { super.close(); c.disconnect() }
+    }
+  }
+
+  override def firstLine(ref: PageRef): Option[String] = {
+    val c = connect(ref.loc, Some("bytes=0-8191"), "GET")
+    val partial = c.getResponseCode == 206
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(c.getInputStream, "UTF-8"))
+    try {
+      val l = Option(in.readLine())
+      // a 206 window that held no full line (pathologically long first
+      // line) is indistinguishable from a complete short page — only
+      // trust it if a newline or EOF bounded the line. 8 KiB covers any
+      // sane feed row; when in doubt return None (no prune).
+      if (partial) l.filter(_.length < 8191) else l
+    } finally { in.close(); c.disconnect() }
+  }
+
+  override def lastLine(ref: PageRef): Option[String] = {
+    val c = connect(ref.loc, Some("bytes=-8192"), "GET")
+    if (c.getResponseCode != 206) {
+      // no Range support: the suffix request returned the WHOLE page —
+      // reading it to find the last line would defeat the point of a
+      // bounded probe. Degrade to "unprunable".
+      c.getInputStream.close(); c.disconnect()
+      return None
+    }
+    val s = readAll(c)
+    val lines = s.split("\n").filter(_.nonEmpty)
+    // the window holds a full last line iff it spans a preceding
+    // newline (or the whole page fit inside it)
+    if (s.length < 8192 || (s.indexOf('\n') >= 0 && lines.length > 1))
+      lines.lastOption.map(_.stripSuffix("\r"))
+    else None
+  }
+}
+
+/** Lossless TSV string codec shared by the reader and the sink.
+  * MySQL-dump-style escapes: `\\` `\t` `\n` `\r` — so a string value
+  * can never break the line/field framing, and a literal "\N" encodes
+  * as `\\N`, distinguishable from the bare NULL sentinel `\N`.
+  * `unescape(escape(s)) == s` for every string (PagedSinkSpec pins a
+  * hostile-characters round-trip). Both directions are identity on
+  * strings without special characters, so pre-existing plain fixtures
+  * parse unchanged. */
+private[v2] object PagedTsv {
+  def escape(s: String): String = {
+    var needs = false
+    var i = 0
+    while (!needs && i < s.length) {
+      val c = s.charAt(i)
+      needs = c == '\\' || c == '\t' || c == '\n' || c == '\r'
+      i += 1
+    }
+    if (!needs) return s
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case _ => sb.append(c); i += 1 // unknown escape: keep verbatim
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }
 
 private[v2] class PagedFeedTable(schema: StructType, props: Map[String, String])
@@ -209,46 +454,39 @@ private[v2] class PagedFeedScan(full: StructType, required: StructType,
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s" PushedLimit: $limit" else "")
 
-  private def pageFiles(): Array[java.io.File] = {
-    val dir = opts.getOrElse("dir",
-      throw new IllegalArgumentException("graft-paged: 'dir' option required"))
-    Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.startsWith("page-") &&
-        f.getName.endsWith(".tsv"))
-      .sortBy(_.getName)
-  }
+  private val transport: PageTransport = PageTransport.forDir(opts)
 
   /** Feed-level size/row estimate for the optimizer (AQE, broadcast
-    * decisions): bytes from the page files themselves; rows exact-ish
-    * when the pager declares its page size (`pageRows`). A REST feed
-    * would read both off the export manifest. */
+    * decisions): bytes from the transport's page listing (file sizes /
+    * HTTP Content-Length); rows exact-ish when the pager declares its
+    * page size (`pageRows`). */
   override def estimateStatistics(): Statistics = {
-    val files = pageFiles()
-    val bytes = files.map(_.length()).sum
+    val pages = transport.listPages()
+    val bytes =
+      if (pages.exists(_.bytes < 0)) None else Some(pages.map(_.bytes).sum)
     val rows = opts.get("pageRows").map(_.toLong)
-      .map(pr => math.max(files.length - 1, 0) * pr + 1)
+      .map(pr => math.max(pages.length - 1, 0) * pr + 1)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
+        bytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    var files = pageFiles()
+    var pages = transport.listPages()
     // pushed LIMIT with a declared page size and no pushed filters:
     // only the first ceil(n/pageRows) pages can contribute — the rest
     // are never fetched (pages are key-ordered by the pager contract)
     val pageRows = opts.get("pageRows").map(_.toLong).getOrElse(-1L)
     if (limit >= 0 && pushed.isEmpty && pageRows > 0) {
       val need = ((limit + pageRows - 1) / pageRows).toInt
-      files = files.take(math.max(need, 1))
+      pages = pages.take(math.max(need, 1))
     }
     // page-zone pruning: the feed's order key (option `keyCol`, default
     // the first schema field when it's integral) is nondecreasing across
-    // a page, so [first,last] of each file is its key zone
+    // a page, so [first,last] of each page is its key zone
     val keyCol = opts.getOrElse("keyCol",
       if (full.nonEmpty && (full.head.dataType == LongType ||
         full.head.dataType == IntegerType)) full.head.name else "")
@@ -256,20 +494,20 @@ private[v2] class PagedFeedScan(full: StructType, required: StructType,
     val (lo, hi) = if (keyIdx >= 0)
       PagedFeedScan.keyRange(keyCol, pushed) else (Long.MinValue, Long.MaxValue)
     val kept =
-      if (lo == Long.MinValue && hi == Long.MaxValue) files
-      else files.filter { f =>
+      if (lo == Long.MinValue && hi == Long.MaxValue) pages
+      else pages.filter { ref =>
         def key(line: Option[String]): Option[Long] =
           line.map(_.split("\t", -1)).filter(_.length > keyIdx)
             .flatMap(p => scala.util.Try(p(keyIdx).toLong).toOption)
-        (key(PagedFeedScan.firstLine(f)), key(PagedFeedScan.lastLine(f))) match {
+        (key(transport.firstLine(ref)), key(transport.lastLine(ref))) match {
           case (Some(first), Some(last)) => last >= lo && first <= hi
           case _ => true // unreadable zone → never prune on a guess
         }
       }
     // one partition per page: the page is the unit of fetch, retry and
     // locality — exactly the reference's PageNumber loop, parallelized
-    kept.zipWithIndex.map { case (f, i) =>
-      PagedFeedPartition(i, f.getAbsolutePath): InputPartition
+    kept.zipWithIndex.map { case (ref, i) =>
+      PagedFeedPartition(i, ref): InputPartition
     }
   }
 
@@ -288,34 +526,37 @@ private[v2] class PagedFeedScan(full: StructType, required: StructType,
         require(i >= 0, s"graft-paged: unknown filter column $name")
         name -> ((i, full.fields(i).dataType))
       }.toMap
-    new PagedFeedReaderFactory(picks, pushed, filterCols, limit)
+    new PagedFeedReaderFactory(picks, pushed, filterCols, limit, transport)
   }
 }
 
-private[v2] case class PagedFeedPartition(page: Int, path: String)
+private[v2] case class PagedFeedPartition(page: Int, ref: PageRef)
   extends InputPartition
 
 /** Serializable factory shipped to executors: holds only the (source
-  * field index, type) projection plus the pushed-filter program — never
-  * the full file list. */
+  * field index, type) projection, the pushed-filter program, and the
+  * transport — never the full page list. */
 private[v2] class PagedFeedReaderFactory(picks: Array[(Int, DataType)],
                                          pushed: Array[Filter],
                                          filterCols: Map[String, (Int, DataType)],
-                                         limit: Int)
+                                         limit: Int,
+                                         transport: PageTransport)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedFeedPartition]
-    new PagedFeedReader(p.path, picks, pushed, filterCols, limit)
+    new PagedFeedReader(p.ref, picks, pushed, filterCols, limit, transport)
   }
 }
 
-private[v2] class PagedFeedReader(path: String, picks: Array[(Int, DataType)],
+private[v2] class PagedFeedReader(ref: PageRef, picks: Array[(Int, DataType)],
                                   pushed: Array[Filter],
                                   filterCols: Map[String, (Int, DataType)],
-                                  limit: Int)
+                                  limit: Int,
+                                  transport: PageTransport)
   extends PartitionReader[InternalRow] {
-  private val src = scala.io.Source.fromFile(path, "UTF-8")
-  private val lines = src.getLines()
+  private val src = transport.open(ref)
+  private val lines =
+    Iterator.continually(src.readLine()).takeWhile(_ != null)
   private var row: InternalRow = _
   private var emitted = 0L
 
@@ -327,7 +568,7 @@ private[v2] class PagedFeedReader(path: String, picks: Array[(Int, DataType)],
       case IntegerType => raw.toInt
       case DoubleType => raw.toDouble
       case BooleanType => raw.toBoolean
-      case StringType => raw
+      case StringType => PagedTsv.unescape(raw)
       case other =>
         throw new IllegalArgumentException(s"graft-paged: unsupported type $other")
     }
@@ -434,8 +675,13 @@ private[v2] class PagedFeedBatchWrite(schema: StructType,
   private val dir = opts.getOrElse("dir",
     throw new IllegalArgumentException("graft-paged: 'dir' option required"))
 
+  // per-write id baked into every temporary's name: commit/abort
+  // cleanup can then target ONLY this write's stragglers (failed or
+  // speculative attempts), never a concurrent append's live temps
+  private val writeId = java.util.UUID.randomUUID().toString.substring(0, 8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PagedFeedWriterFactory(schema, dir)
+    new PagedFeedWriterFactory(schema, dir, writeId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new java.io.File(dir)
@@ -443,11 +689,21 @@ private[v2] class PagedFeedBatchWrite(schema: StructType,
     val msgs = messages.collect { case m: PagedFeedCommit => m }
       .sortBy(_.partition)
     // existing committed pages stay (append semantics): continue the
-    // dense numbering after them
+    // dense numbering after them, and carry their manifest's row count
+    // forward so pages=/rows= stay mutually consistent across appends
     val existing = Option(d.listFiles()).getOrElse(Array.empty)
       .count(f => f.getName.startsWith("page-") && f.getName.endsWith(".tsv"))
+    val priorRows = {
+      val m = new java.io.File(d, "_PAGES")
+      if (existing > 0 && m.isFile) {
+        val src = scala.io.Source.fromFile(m, "UTF-8")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("rows=") => l.stripPrefix("rows=").toLong
+        }.getOrElse(0L) finally src.close()
+      } else 0L
+    }
     var page = existing
-    var rows = 0L
+    var rows = priorRows
     msgs.foreach { m =>
       val tmp = new java.io.File(m.tmpPath)
       if (m.rows > 0) {
@@ -456,45 +712,62 @@ private[v2] class PagedFeedBatchWrite(schema: StructType,
           throw new java.io.IOException(s"graft-paged: commit rename failed: $tmp -> $dst")
         page += 1
         rows += m.rows
-      } else tmp.delete() // empty partition → no page (dense numbering)
+      } else if (!tmp.delete() && tmp.exists()) // empty partition → no page
+        throw new java.io.IOException(s"graft-paged: commit cleanup failed: $tmp")
     }
-    // stray temporaries from failed attempts must not leak into later
-    // listings
+    // stray temporaries of THIS write (failed/speculative attempts) must
+    // not leak into later listings; a concurrent write's temps (different
+    // writeId) are left alone
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".inprogress")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(s"-$writeId.inprogress"))
+      .foreach(_.delete())
     val manifest = new java.io.File(d, "_PAGES")
-    val out = new java.io.PrintWriter(manifest, "UTF-8")
-    try out.print(s"pages=$page\nrows=$rows\n") finally out.close()
+    // BufferedWriter (not PrintWriter): IO errors THROW, so a short
+    // manifest write fails the commit instead of passing silently
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(manifest), "UTF-8"))
+    try out.write(s"pages=$page\nrows=$rows\n") finally out.close()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case m: PagedFeedCommit => m }
       .foreach(m => new java.io.File(m.tmpPath).delete())
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(s"-$writeId.inprogress"))
+      .foreach(_.delete())
+  }
 }
 
 private[v2] case class PagedFeedCommit(partition: Int, tmpPath: String,
                                        rows: Long)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[v2] class PagedFeedWriterFactory(schema: StructType, dir: String)
+private[v2] class PagedFeedWriterFactory(schema: StructType, dir: String,
+                                         writeId: String)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   import org.apache.spark.sql.connector.write._
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PagedFeedWriter(schema, dir, partitionId, taskId)
+    new PagedFeedWriter(schema, dir, partitionId, taskId, writeId)
 }
 
 private[v2] class PagedFeedWriter(schema: StructType, dir: String,
-                                  partitionId: Int, taskId: Long)
+                                  partitionId: Int, taskId: Long,
+                                  writeId: String)
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write._
 
   private val tmp = {
     val d = new java.io.File(dir)
     d.mkdirs()
-    new java.io.File(d, f".page-$partitionId%05d-$taskId.inprogress")
+    new java.io.File(d, f".page-$partitionId%05d-$taskId-$writeId.inprogress")
   }
-  private val out = new java.io.PrintWriter(
+  // BufferedWriter over OutputStreamWriter, NOT PrintWriter: PrintWriter
+  // swallows IOExceptions into an internal flag, so a short write (disk
+  // full) would commit a truncated page as a success. BufferedWriter
+  // throws, failing the task attempt → Spark retries/aborts → the
+  // two-phase commit actually holds.
+  private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmp), "UTF-8"))
   private var rows = 0L
 
@@ -509,21 +782,27 @@ private[v2] class PagedFeedWriter(schema: StructType, dir: String,
         case IntegerType => sb.append(record.getInt(i))
         case DoubleType => sb.append(record.getDouble(i))
         case BooleanType => sb.append(record.getBoolean(i))
-        case StringType => sb.append(record.getUTF8String(i).toString)
+        case StringType =>
+          sb.append(PagedTsv.escape(record.getUTF8String(i).toString))
         case other =>
           throw new IllegalArgumentException(s"graft-paged: unsupported type $other")
       }
       i += 1
     }
-    out.println(sb.result())
+    out.write(sb.result())
+    out.write('\n')
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
+    out.close() // flushes; throws on IO error → task attempt fails, not lies
     PagedFeedCommit(partitionId, tmp.getAbsolutePath, rows)
   }
 
-  override def abort(): Unit = { out.close(); tmp.delete() }
-  override def close(): Unit = out.close()
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    tmp.delete()
+  }
+  override def close(): Unit =
+    try out.close() catch { case _: java.io.IOException => () }
 }

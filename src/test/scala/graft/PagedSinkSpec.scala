@@ -91,6 +91,75 @@ class PagedSinkSpec extends GraftSuite {
     assert(back.count() == 3)
   }
 
+  test("hostile strings (tabs, newlines, CR, backslash, literal \\N) round-trip") {
+    val out = freshDir("hostile")
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "plain"),
+      (2L, "tab\there"),
+      (3L, "new\nline"),
+      (4L, "cr\rhere"),
+      (5L, "back\\slash"),
+      (6L, "\\N"), // literal backslash-N string, NOT null
+      (7L, "mix\t\\\n\r\\N end"),
+      (8L, null.asInstanceOf[String])) // the real NULL
+    hostile.toDF("k", "s")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .write.format("graft-paged").option("dir", out.getAbsolutePath)
+      .mode("append").save()
+    val back = spark.read.format("graft-paged")
+      .schema("k BIGINT, s STRING")
+      .option("dir", out.getAbsolutePath).load()
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(back == hostile.toSet,
+      s"escaping lost data: ${back.toSeq.sortBy(_._1).mkString(" | ")}")
+    // line framing intact: every physical line has exactly one tab
+    val raw = out.listFiles().filter(_.getName.endsWith(".tsv")).flatMap { f =>
+      val s = scala.io.Source.fromFile(f, "UTF-8")
+      try s.getLines().toArray finally s.close()
+    }
+    assert(raw.length == hostile.length, "string broke line framing")
+    assert(raw.forall(_.count(_ == '\t') == 1), "string broke field framing")
+  }
+
+  test("second append keeps the _PAGES manifest cumulative and consistent") {
+    val out = freshDir("append2")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("graft-paged").option("dir", out.getAbsolutePath)
+      .mode("append").save()
+    Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v").coalesce(1)
+      .write.format("graft-paged").option("dir", out.getAbsolutePath)
+      .mode("append").save()
+    val manifest = scala.io.Source.fromFile(new java.io.File(out, "_PAGES"))
+    val lines = try manifest.getLines().toSeq finally manifest.close()
+    assert(lines.contains("pages=2"), s"manifest: $lines")
+    assert(lines.contains("rows=5"),
+      s"manifest rows not cumulative across appends: $lines")
+    val back = spark.read.format("graft-paged").schema("k BIGINT, v STRING")
+      .option("dir", out.getAbsolutePath).load()
+    assert(back.count() == 5)
+  }
+
+  test("commit cleanup spares a concurrent write's temporaries") {
+    val out = freshDir("concurrent")
+    out.mkdirs()
+    // simulate another in-flight append's temp (different writeId)
+    val foreign = new java.io.File(out, ".page-00000-99-deadbeef.inprogress")
+    val w = new java.io.FileWriter(foreign); w.write("42\tx\n"); w.close()
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format("graft-paged").option("dir", out.getAbsolutePath)
+      .mode("append").save()
+    assert(foreign.exists(),
+      "commit deleted a foreign write's in-progress temporary")
+    // and none of OUR temporaries leaked
+    val leaked = out.listFiles().map(_.getName)
+      .filter(n => n.endsWith(".inprogress") && n != foreign.getName)
+    assert(leaked.isEmpty, s"own temporaries leaked: ${leaked.mkString(",")}")
+  }
+
   test("null round-trip through the sink's \\N encoding") {
     val out = freshDir("nulls")
     import spark.implicits._

@@ -13,18 +13,36 @@ cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="target/verify_gate"
 
-echo "== stage 1/4: sbt test (full suite) =="
+echo "== stage 1/5: sbt test (full suite) =="
 sbt -batch test
 
-echo "== stage 2/4: graft.Verify @ ${SF_DIR} =="
+echo "== stage 2/5: graft.Verify @ ${SF_DIR} =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify ${SF_DIR} ${OUT_DIR}" 2>&1 \
   | grep -E '\[verify\]' && { echo "verify reported failures"; exit 1; } || true
 
-echo "== stage 3/4: DuckDB oracle compare =="
+echo "== stage 3/5: DuckDB oracle compare =="
 python3 tools/check_oracle.py "${SF_DIR}" "${OUT_DIR}"
 
-echo "== stage 4/4: vacuity audit =="
+echo "== stage 4/5: vacuity audit =="
 python3 tools/vacuity_audit.py "${OUT_DIR}" tools/vacuity_allowlist.json
+
+echo "== stage 5/5: bench floor merge =="
+# Bench writes the merged per-query floor (min of this run and the
+# prior floor) to target/bench_floor_next.json; promoting it here keeps
+# the committed floor current so the NEXT bench run's >2×-floor
+# quiet-tail retry (Bench.scala) has honest per-query references.
+if [ -f target/bench_floor_next.json ]; then
+  next_sf=$(python3 -c "import json;print(json.load(open('target/bench_floor_next.json')).get('_sfdir',''))")
+  cur_sf=$(python3 -c "import json,os;p='tools/bench_floor.json';print(json.load(open(p)).get('_sfdir','') if os.path.exists(p) else '')")
+  if [ -z "$cur_sf" ] || [ "$next_sf" = "$cur_sf" ]; then
+    cp target/bench_floor_next.json tools/bench_floor.json
+    echo "promoted floor ($next_sf) -> tools/bench_floor.json"
+  else
+    echo "floor SF mismatch ($next_sf != $cur_sf) — committed floor unchanged"
+  fi
+else
+  echo "no bench_floor_next.json (bench not run since last clean) — floor unchanged"
+fi
 
 echo "== round gate: ALL GREEN =="
