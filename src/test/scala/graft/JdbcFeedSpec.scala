@@ -93,6 +93,31 @@ class JdbcFeedSpec extends GraftSuite {
     assert(readBack(url).filter(col("STATUS").isin("a", "b")).count() == 2)
   }
 
+  test("mergeKeyed upserts: both MERGE arms apply, staging table is dropped") {
+    val url = freshDb("merge")
+    val batch = (1L to 40L).map(i => (i, "old", i.toDouble)).toDF("id", "status", "amount")
+    JdbcFeed.append(batch, url, "feed", numWriters = 2, batchSize = 16)
+    // ids 30..50: 30..40 exist (UPDATE arm), 41..50 are new (INSERT arm)
+    val upserts = (30L to 50L).map(i => (i, "merged", i * 10.0))
+      .toDF("id", "status", "amount")
+    JdbcFeed.mergeKeyed(upserts, url, "feed", "id", Seq("status", "amount"),
+      numWriters = 3, batchSize = 8,
+      createTypes = Some("status VARCHAR(8)"))
+    val back = readBack(url).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(back.length == 50, s"expected 50 rows after upsert, got ${back.length}")
+    back.foreach { case (id, status, amount) =>
+      if (id >= 30) assert(status == "merged" && amount == id * 10.0, s"id=$id")
+      else assert(status == "old" && amount == id.toDouble, s"id=$id")
+    }
+    // the staging table must not survive
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%STAGE%", null)
+      assert(!rs.next(), "staging table leaked")
+    } finally conn.close()
+  }
+
   test("existingKeysReader pushes the wave predicate into the database") {
     val url = s"jdbc:derby:memory:spec_pushdown"
     val conn = DriverManager.getConnection(url + ";create=true")
