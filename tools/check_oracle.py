@@ -50,6 +50,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str, only=None) -> None:
     con = duckdb.connect()
+    # Large-SF sweeps: without a cap DuckDB grows to physical RAM and a
+    # co-running Spark JVM makes that a global OOM kill (observed at sf1:
+    # python3 at 75 GB anon RSS, SIGKILL mid-sweep). Cap + spill instead.
+    mem = os.environ.get("DUCKDB_MEM", "")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        tmp = os.path.join(out_dir, ".duckdb_spill")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    thr = os.environ.get("DUCKDB_THREADS", "")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
