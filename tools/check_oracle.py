@@ -69,7 +69,9 @@ def main(sf_dir: str, out_dir: str, only=None) -> None:
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
-        if not os.path.isdir(path):
+        # skip non-query artifacts (e.g. the .duckdb_spill dir the
+        # memory-capped run creates inside out_dir)
+        if not os.path.isdir(path) or name.startswith("."):
             continue
         if only is not None and name not in only:
             continue
