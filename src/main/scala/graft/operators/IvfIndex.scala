@@ -104,6 +104,39 @@ object IvfIndex {
     vectors.select(col(idCol) +: keep.map(col) :+
       element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cid"): _*)
 
+  /** Bound the in-cell pair scan: cells larger than `targetCellSize`
+    * split into ⌈cellN/target⌉ sub-cells (`sub` column) by the
+    * engine-portable multiplicative hash of the id — the IVF-cell
+    * analogue of MinHashLSH's mega-bucket cap. A pair join keyed on
+    * (cid, sub) then does Σ cell·min(cell, target) ≤ N·target work —
+    * LINEAR in the corpus at fixed target — where the uncapped
+    * per-cell scan grows as Σcell² (quadratic at fixed nlist: the
+    * round-11 sf10 sweep measured q_knn_graph at 469 s / 2M vectors
+    * before this cap). Membership is a pure function of (id,
+    * cell size), so the DuckDB oracle replays the identical split;
+    * cells at or under `targetCellSize` get sub = 0 — a no-op.
+    * The 16-row cell-count side broadcasts. */
+  def subdivide(cells: DataFrame, idCol: String,
+                targetCellSize: Long): DataFrame = {
+    val counts = cells.groupBy("cid").agg(count(lit(1)).as("__cn"))
+    cells.join(broadcast(counts), Seq("cid"))
+      .withColumn("sub", expr(
+        s"pmod(${graft.Queries.multHashExpr(idCol)}, " +
+          s"(__cn + ${targetCellSize - 1}) div $targetCellSize)"))
+      .drop("__cn")
+  }
+
+  /** The oracle half of [[subdivide]]: SQL CTEs splitting `asg`
+    * (vec_id, v, cid) into `sbd` with the identical `sub` column. */
+  def subdivideCtes(targetCellSize: Long): String =
+    s"""cn AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
+       |       FROM asg GROUP BY 1),
+       |sbd AS (
+       |  SELECT asg.*,
+       |    ${graft.Queries.multHashDuck("vec_id")}
+       |      % ((cn + ${targetCellSize - 1}) // $targetCellSize) AS sub
+       |  FROM asg JOIN cn USING (cid))""".stripMargin
+
   /** Approximate top-k: each query probes its `nprobe` closest cells.
     *
     * @param queries        (qIdCol, vecCol) — small, broadcastable

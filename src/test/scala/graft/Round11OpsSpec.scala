@@ -136,6 +136,27 @@ class Round11OpsSpec extends GraftSuite {
     assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
   }
 
+  test("IvfIndex.subdivide: oversized cells split bounded, small cells no-op") {
+    import org.apache.spark.sql.functions._
+    // one 10k-vector mega-cell + one 100-vector cell
+    val cells = spark.range(10000).select(col("id").as("vec_id"), lit(7).as("cid"))
+      .unionAll(spark.range(100).select((col("id") + 20000).as("vec_id"),
+        lit(3).as("cid")))
+    val sub = operators.IvfIndex.subdivide(cells, "vec_id", 4096L)
+      .groupBy("cid", "sub").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // mega-cell: ceil(10000/4096) = 3 sub-cells, all well under 2x the
+    // uniform share (hash balance), together exactly the cell
+    val mega = sub.filter(_._1 == 7)
+    assert(mega.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(mega.map(_._3).sum == 10000L)
+    assert(mega.forall(_._3 < 2 * 4096L), s"unbalanced sub-cells: ${mega.toSeq}")
+    // small cell: single sub = 0 — subdivision is a no-op
+    assert(sub.filter(_._1 == 3).toSeq == Seq((3, 0L, 100L)))
+    // the pair bound that makes the scan linear: with the cap, every
+    // (cid, sub) bucket is < 2*target, so pair work per vector is O(target)
+  }
+
   test("q_page_hinkley: BigInt scan replay; alarms fire at sf0.01") {
     val daily = eventsTable(dir)
       .selectExpr("date_format(ts, 'yyyy-MM-dd') AS day", "value")
