@@ -157,6 +157,83 @@ class Round11OpsSpec extends GraftSuite {
     // (cid, sub) bucket is < 2*target, so pair work per vector is O(target)
   }
 
+  test("q_lof: BigInt replay from the gated kNN graph edges") {
+    val edges = q("q_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        1000000L - math.round(r.getDouble(3) * 1000000)))
+    val kdist = edges.groupBy(_._1).map { case (v, es) =>
+      v -> es.map(_._3).max }
+    val reach = edges.map { case (p, o, d) => (p, math.max(d, kdist(o))) }
+    val lrd = reach.groupBy(_._1).map { case (p, rs) =>
+      p -> (BigInt(rs.length) * BigInt("1000000000000") /
+        BigInt(rs.map(_._2).sum).max(1), rs.length.toLong)
+    }
+    val expect = edges.groupBy(_._1).map { case (p, es) =>
+      val slo = es.map(e => lrd(e._2)._1).sum
+      val (own, k) = lrd(p)
+      (p, k, own.toLong,
+        ((slo * 1000000) / (own * k).max(1)).toLong)
+    }.toSet
+    val got = q("q_lof").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+    // density scoring has bite: inliers sit near 1e6 ppm, and the
+    // score set is not degenerate
+    assert(got.map(_._4).size > 1, "all LOF scores identical")
+  }
+
+  test("q_gearys_c: BigInt replay over the co-purchase edge set") {
+    val it = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_orderkey AS ok", "l_partkey AS pk").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    it.groupBy(_._1).values.foreach { rows =>
+      val pks = rows.map(_._2).sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length) {
+        val e = (pks(i), pks(j))
+        co(e) = co.getOrElse(e, 0) + 1
+      }
+    }
+    // NB: collect-to-pairs on a Map would rebuild a MAP and collapse
+    // edges sharing a left endpoint — filter + keys keeps the full set
+    val edges = co.filter(_._2 >= 2).keys.toSeq
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val price = spark.read.parquet(s"$dir/part.parquet")
+      .selectExpr("p_partkey", "p_retailprice").collect()
+      .map(r => r.getLong(0) -> BigInt(cents(r.getDouble(1), 2))).toMap
+    val n = BigInt(nodes.length)
+    val sAll = nodes.map(price).sum
+    val z = nodes.map(v => v -> (price(v) * n - sAll)).toMap
+    val sz2 = z.values.map(x => x * x).sum
+    val sd2 = edges.map { case (a, b) =>
+      val d = z(a) - z(b); d * d }.sum
+    val e = BigInt(edges.length)
+    val expect = ((n - 1) * sd2 * 1000000 / (2 * e * sz2)).toLong
+    val r = q("q_gearys_c").collect().head
+    assert(r.getLong(0) == nodes.length.toLong)
+    assert(r.getLong(1) == edges.length.toLong)
+    assert(r.getLong(2) == expect, "geary_micro")
+  }
+
+  test("q_theil_u2: BigInt replay of the two naive SSEs") {
+    val daily = eventsTable(dir)
+      .selectExpr("date_format(ts, 'yyyy-MM-dd') AS day").collect()
+      .map(_.getString(0)).groupBy(identity).map { case (d, xs) =>
+        (d, BigInt(xs.length)) }.toSeq.sortBy(_._1).map(_._2)
+    val rows = daily.indices.filter(_ >= 7).map { i =>
+      val em = daily(i) - daily(i - 7)
+      val en = daily(i) - daily(i - 1)
+      (em * em, en * en)
+    }
+    val (sm, sn) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val r = q("q_theil_u2").collect().head
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(r.getLong(1) == (sm * 1000000 / sn.max(1)).toLong)
+    assert(r.getLong(2) == math.floor(math.sqrt(
+      (sm * BigInt("1000000000000") / sn.max(1)).toDouble)).toLong)
+  }
+
   test("q_page_hinkley: BigInt scan replay; alarms fire at sf0.01") {
     val daily = eventsTable(dir)
       .selectExpr("date_format(ts, 'yyyy-MM-dd') AS day", "value")
