@@ -104,24 +104,56 @@ object IvfIndex {
     vectors.select(col(idCol) +: keep.map(col) :+
       element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cid"): _*)
 
+  /** Per-row 64-bit content key of a vector: fold the ⌊x·1e6⌋-quantized
+    * components mod the fingerprint prime (exact integer left fold —
+    * acc < 2^55, acc·31 + |fx| < 2^61, no overflow on either engine),
+    * then one multiplicative avalanche so the low bits taking the
+    * small `% nsub` below are well mixed. Identical/quantization-equal
+    * embeddings fold to the SAME key regardless of their ids — the
+    * property [[subdivide]] needs. */
+  private[graft] def vecHashExpr(vecCol: String): String = {
+    val m = graft.operators.TextAnalysis.FingerprintMod
+    val fold = s"aggregate($vecCol, CAST(0 AS BIGINT), (acc, x) -> " +
+      s"pmod(acc * 31 + CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT), ${m}L))"
+    graft.Queries.multHashExpr(s"($fold)")
+  }
+
+  /** DuckDB mirror of [[vecHashExpr]] over the oracle's `v`
+    * (DOUBLE[]) column: same quantize → fold-mod-prime → avalanche.
+    * DuckDB's `%` keeps the dividend's sign, so the fold re-centers
+    * with `(x % m + m) % m` where Spark's pmod is already positive. */
+  private def vecHashDuck(vecCol: String): String = {
+    val m = graft.operators.TextAnalysis.FingerprintMod
+    val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($vecCol, x -> CAST(floor(x * 1000000.0) AS BIGINT))), " +
+      s"(acc, x) -> ((acc * 31 + x) % $m + $m) % $m)"
+    graft.Queries.multHashDuck(s"($fold)")
+  }
+
   /** Bound the in-cell pair scan: cells larger than `targetCellSize`
-    * split into ⌈cellN/target⌉ sub-cells (`sub` column) by the
-    * engine-portable multiplicative hash of the id — the IVF-cell
-    * analogue of MinHashLSH's mega-bucket cap. A pair join keyed on
-    * (cid, sub) then does Σ cell·min(cell, target) ≤ N·target work —
-    * LINEAR in the corpus at fixed target — where the uncapped
-    * per-cell scan grows as Σcell² (quadratic at fixed nlist: the
-    * round-11 sf10 sweep measured q_knn_graph at 469 s / 2M vectors
-    * before this cap). Membership is a pure function of (id,
+    * split into ⌈cellN/target⌉ sub-cells (`sub` column) keyed by the
+    * engine-portable hash OF THE QUANTIZED EMBEDDING ([[vecHashExpr]])
+    * — the IVF-cell analogue of MinHashLSH's mega-bucket cap. A pair
+    * join keyed on (cid, sub) then does Σ cell·min(cell, target) ≤
+    * N·target work — LINEAR in the corpus at fixed target — where the
+    * uncapped per-cell scan grows as Σcell² (quadratic at fixed nlist:
+    * the round-11 sf10 sweep measured q_knn_graph at 469 s / 2M
+    * vectors before this cap). Keying by CONTENT, not id, keeps exact
+    * (and quantization-equal near-) duplicates co-bucketed however the
+    * split lands — SemDeDup's planted duplicates and kNN recall don't
+    * degrade when a cell splits. The tradeoff is deliberate: a cell
+    * holding > target copies of ONE embedding still pairs within one
+    * sub-cell (duplicates must meet to be found); distinct vectors
+    * disperse uniformly. Membership is a pure function of (embedding,
     * cell size), so the DuckDB oracle replays the identical split;
     * cells at or under `targetCellSize` get sub = 0 — a no-op.
     * The 16-row cell-count side broadcasts. */
-  def subdivide(cells: DataFrame, idCol: String,
+  def subdivide(cells: DataFrame, vecCol: String,
                 targetCellSize: Long): DataFrame = {
     val counts = cells.groupBy("cid").agg(count(lit(1)).as("__cn"))
     cells.join(broadcast(counts), Seq("cid"))
       .withColumn("sub", expr(
-        s"pmod(${graft.Queries.multHashExpr(idCol)}, " +
+        s"pmod(${vecHashExpr(vecCol)}, " +
           s"(__cn + ${targetCellSize - 1}) div $targetCellSize)"))
       .drop("__cn")
   }
@@ -133,7 +165,7 @@ object IvfIndex {
        |       FROM asg GROUP BY 1),
        |sbd AS (
        |  SELECT asg.*,
-       |    ${graft.Queries.multHashDuck("vec_id")}
+       |    ${vecHashDuck("asg.v")}
        |      % ((cn + ${targetCellSize - 1}) // $targetCellSize) AS sub
        |  FROM asg JOIN cn USING (cid))""".stripMargin
 

@@ -110,8 +110,9 @@ class Round11OpsSpec extends GraftSuite {
       .map { case (moy, is) =>
         val sd = is.map(det(_).get).sum
         val k = BigInt(is.size)
-        // (2*sd + k) div (2k) with truncation toward zero (both engines)
-        moy -> (2 * sd + k) / (2 * k)
+        // sign-split round-nearest: off-season sums are negative
+        moy -> (if (sd >= 0) (2 * sd + k) / (2 * k)
+                else -((2 * -sd + k) / (2 * k)))
       }
     def sdivC(x: BigInt): BigInt =
       if (x >= 0) x / 1000000 else -((-x) / 1000000)
@@ -136,25 +137,42 @@ class Round11OpsSpec extends GraftSuite {
     assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
   }
 
-  test("IvfIndex.subdivide: oversized cells split bounded, small cells no-op") {
+  test("IvfIndex.subdivide: content-keyed split — planted exact duplicates co-bucket at 80k vectors") {
     import org.apache.spark.sql.functions._
-    // one 10k-vector mega-cell + one 100-vector cell
-    val cells = spark.range(10000).select(col("id").as("vec_id"), lit(7).as("cid"))
-      .unionAll(spark.range(100).select((col("id") + 20000).as("vec_id"),
-        lit(3).as("cid")))
-    val sub = operators.IvfIndex.subdivide(cells, "vec_id", 4096L)
-      .groupBy("cid", "sub").count().collect()
+    // 70k distinct embeddings in one mega-cell; every 7th ALSO planted as
+    // an exact duplicate under vec_id + 1e7 (the q_semdedup scheme:
+    // DIFFERENT id, SAME embedding) → 80k rows, well past the 4096 cap
+    // at every prior test SF. The split key is the embedding hash, so a
+    // duplicate pair MUST land in the same sub-cell — the property the
+    // semDedup τ gate and kNN recall ride on (an id-keyed split scatters
+    // a pair with probability (nsub-1)/nsub and silently un-finds it).
+    val base = spark.range(70000).select(col("id").as("vec_id"), lit(7).as("cid"),
+      array((col("id") * 2 + 1).cast("double") / 1000.0,
+        (col("id") % 997).cast("double") / 10.0).as("embedding"))
+    val dups = base.filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("cid"), col("embedding"))
+    val small = spark.range(100).select((col("id") + 20000000L).as("vec_id"),
+      lit(3).as("cid"), array(col("id").cast("double"),
+        col("id").cast("double")).as("embedding"))
+    val sub = operators.IvfIndex
+      .subdivide(base.unionAll(dups).unionAll(small), "embedding", 4096L)
+      .select("cid", "vec_id", "sub").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    // mega-cell: ceil(10000/4096) = 3 sub-cells, all well under 2x the
-    // uniform share (hash balance), together exactly the cell
     val mega = sub.filter(_._1 == 7)
-    assert(mega.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L))
-    assert(mega.map(_._3).sum == 10000L)
-    assert(mega.forall(_._3 < 2 * 4096L), s"unbalanced sub-cells: ${mega.toSeq}")
+    val nsub = (80000 + 4095) / 4096 // = 20
+    assert(mega.map(_._3).distinct.sorted.toSeq == (0L until nsub).toSeq)
+    // every planted pair co-buckets — duplicates always meet the pair scan
+    val byId = mega.map(t => t._2 -> t._3).toMap
+    val pairs = mega.filter(_._2 >= 10000000L)
+    assert(pairs.length == 10000)
+    assert(pairs.forall(p => byId(p._2) == byId(p._2 - 10000000L)),
+      "an exact duplicate landed in a different sub-cell than its twin")
+    // hash balance: every bucket well under 2x the uniform share, so the
+    // pair bound that makes the scan linear (O(target) per vector) holds
+    val sizes = mega.groupBy(_._3).view.mapValues(_.length).values
+    assert(sizes.forall(_ < 2 * 4096), s"unbalanced sub-cells: max=${sizes.max}")
     // small cell: single sub = 0 — subdivision is a no-op
-    assert(sub.filter(_._1 == 3).toSeq == Seq((3, 0L, 100L)))
-    // the pair bound that makes the scan linear: with the cap, every
-    // (cid, sub) bucket is < 2*target, so pair work per vector is O(target)
+    assert(sub.filter(_._1 == 3).forall(_._3 == 0L))
   }
 
   test("q_lof: BigInt replay from the gated kNN graph edges") {
