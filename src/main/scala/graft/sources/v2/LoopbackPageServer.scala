@@ -22,21 +22,47 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * 503 before the file is served, exercising the transport's bounded
   * retry/backoff the way a flaky production endpoint would.
   *
+  * `armExport(...)` switches on the ASYNC EXPORT API — the reference's
+  * create-then-poll-then-download flow (feeder.py:49-122) over the
+  * same socket:
+  *   - `POST /projects/{pid}/results/data` (SS-Token required, body
+  *     must carry a counterId — feeder.py:56-88) → `{"body": <rid>}`;
+  *   - `GET /projects/{pid}/results/data/{rid}` (SS-Token required) →
+  *     `{"body": {"state": 1, "log": …, "fileUrl": null}}` for the
+  *     first `notReadyPolls` polls, then
+  *     `{"body": {"state": 3, …, "fileUrl": "<signed url>"}}`
+  *     (feeder.py:90-116's state-3 wait);
+  *   - `GET /<zipName>` — the signed file URL, served bare (the
+  *     reference's `requests.get(file_url)` sends no token,
+  *     feeder.py:118);
+  *   - a missing/wrong SS-Token on the API routes → 401.
+  *
   * One server per directory, started lazily and stopped by a JVM
   * shutdown hook — the DataFrames built over it are lazy plans that
   * execute long after the builder returns, so the endpoint must outlive
   * the call (same lifetime device as the paged fixture dirs). */
 object LoopbackPageServer {
-  private val servers = scala.collection.concurrent.TrieMap.empty[String, (HttpServer, Faults)]
+  private val servers = scala.collection.concurrent.TrieMap.empty[String, (HttpServer, Faults, Exports)]
 
   private final class Faults {
     val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
+  /** Export-API state for one server: armed token + artifact, a fresh
+    * request-id per POST, and a countdown of not-ready polls per id. */
+  private final class Exports {
+    @volatile var token: String = null // null = export API off (404)
+    @volatile var zipName: String = "export.zip"
+    @volatile var notReadyPolls: Int = 0
+    val nextRid = new java.util.concurrent.atomic.AtomicLong(1000L)
+    val polls = scala.collection.concurrent.TrieMap
+      .empty[Long, java.util.concurrent.atomic.AtomicInteger]
+  }
+
   /** Base URL (`http://127.0.0.1:<port>`) of the server for `dir`,
     * starting it on a free port on first use. */
   def serve(dir: String): String = {
-    val (srv, _) = servers.getOrElseUpdate(dir, start(dir))
+    val (srv, _, _) = servers.getOrElseUpdate(dir, start(dir))
     s"http://127.0.0.1:${srv.getAddress.getPort}"
   }
 
@@ -44,14 +70,27 @@ object LoopbackPageServer {
   def failFirst(dir: String, n: Int): Unit =
     servers.get(dir).foreach(_._2.remaining.set(n))
 
+  /** Arm the async export API for `dir`: requests authenticated with
+    * `token` may create exports; each export answers "not ready" to its
+    * first `notReadyPolls` status polls, then publishes the file URL of
+    * `<dir>/<zipName>`. */
+  def armExport(dir: String, token: String, zipName: String,
+                notReadyPolls: Int): Unit =
+    servers.get(dir).foreach { case (_, _, es) =>
+      require(!zipName.contains("/") && !zipName.contains(".."))
+      es.zipName = zipName
+      es.notReadyPolls = notReadyPolls
+      es.token = token
+    }
+
   /** The server's internal threads (HTTP-Dispatcher, idle-timeout
     * timer) inherit daemon status from the creating thread and would
     * otherwise pin the JVM open after main() returns (observed: a
     * completed Verify run that never exited). Create AND start the
     * server from a short-lived daemon thread so everything it spawns
     * is a daemon; handler threads get an explicit daemon factory. */
-  private def start(dir: String): (HttpServer, Faults) = {
-    @volatile var out: (HttpServer, Faults) = null
+  private def start(dir: String): (HttpServer, Faults, Exports) = {
+    @volatile var out: (HttpServer, Faults, Exports) = null
     @volatile var err: Throwable = null
     val t = new Thread(() => {
       try out = startDaemonContext(dir)
@@ -64,8 +103,9 @@ object LoopbackPageServer {
     out
   }
 
-  private def startDaemonContext(dir: String): (HttpServer, Faults) = {
+  private def startDaemonContext(dir: String): (HttpServer, Faults, Exports) = {
     val faults = new Faults
+    val exports = new Exports
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     srv.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -73,9 +113,22 @@ object LoopbackPageServer {
         finally ex.close()
       }
 
+      private val apiRe = "projects/(\\d+)/results/data(?:/(\\d+))?".r
+
       private def route(ex: HttpExchange): Unit = {
         val name = ex.getRequestURI.getPath.stripPrefix("/")
         if (name == "_PAGES") return manifest(ex)
+        name match {
+          case apiRe(_, rid) if exports.token != null => return api(ex, Option(rid).map(_.toLong))
+          case _ =>
+        }
+        // the signed file URL: served bare, like the reference's
+        // unauthenticated requests.get(file_url) (feeder.py:118)
+        if (exports.token != null && name == exports.zipName) {
+          val f = new java.io.File(dir, name)
+          if (!f.isFile) return send(ex, 404, Array.empty)
+          return send(ex, 200, java.nio.file.Files.readAllBytes(f.toPath))
+        }
         if (!name.startsWith("page-") || !name.endsWith(".tsv") ||
           name.contains("/") || name.contains(".."))
           return send(ex, 404, Array.empty)
@@ -91,6 +144,44 @@ object LoopbackPageServer {
             send(ex, 206, java.util.Arrays.copyOfRange(bytes, a, b + 1))
           case None =>
             send(ex, 200, bytes)
+        }
+      }
+
+      /** The export API: POST create → rid; GET status → not-ready for
+        * the armed number of polls, then state=3 + the file URL. Both
+        * require the armed SS-Token — missing/wrong → 401. */
+      private def api(ex: HttpExchange, rid: Option[Long]): Unit = {
+        val got = Option(ex.getRequestHeaders.getFirst("SS-Token"))
+        if (!got.contains(exports.token))
+          return send(ex, 401, """{"error":"invalid or missing SS-Token"}"""
+            .getBytes("UTF-8"))
+        (ex.getRequestMethod, rid) match {
+          case ("POST", None) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            // the reference's create body names the counter to export
+            // (feeder.py:56-60) — a create without one is a 400
+            if (!body.contains("counterId"))
+              return send(ex, 400, """{"error":"counterId required"}"""
+                .getBytes("UTF-8"))
+            val id = exports.nextRid.incrementAndGet()
+            exports.polls.put(id,
+              new java.util.concurrent.atomic.AtomicInteger(exports.notReadyPolls))
+            send(ex, 200, s"""{"body": $id}""".getBytes("UTF-8"))
+          case ("GET", Some(id)) =>
+            val ctr = exports.polls.get(id)
+              .getOrElse(return send(ex, 404, Array.empty))
+            if (ctr.getAndUpdate(n => math.max(n - 1, 0)) > 0)
+              send(ex, 200,
+                """{"body": {"state": 1, "log": "Export started\nPreparing file\n", "fileUrl": null}}"""
+                  .getBytes("UTF-8"))
+            else {
+              val host = Option(ex.getRequestHeaders.getFirst("Host"))
+                .getOrElse(s"127.0.0.1:${srv.getAddress.getPort}")
+              send(ex, 200,
+                (s"""{"body": {"state": 3, "log": "Export started\\nDone\\n", """ +
+                  s""""fileUrl": "http://$host/${exports.zipName}"}}""").getBytes("UTF-8"))
+            }
+          case _ => send(ex, 404, Array.empty)
         }
       }
 
@@ -142,6 +233,6 @@ object LoopbackPageServer {
       }))
     srv.start()
     Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop(0)))
-    (srv, faults)
+    (srv, faults, exports)
   }
 }

@@ -94,7 +94,7 @@ private[v2] trait PageTransport extends Serializable {
   def lastLine(ref: PageRef): Option[String]
 }
 
-private[v2] object PageTransport {
+private[graft] object PageTransport {
   /** Scheme-dispatch: http(s):// base URL → HTTP transport; anything
     * else is a local/NFS directory of page files. */
   def forDir(opts: Map[String, String]): PageTransport = {
@@ -104,8 +104,26 @@ private[v2] object PageTransport {
       new HttpPageTransport(dir.stripSuffix("/"),
         retries = opts.getOrElse("maxRetries", "3").toInt,
         backoffMs = opts.getOrElse("retryBackoffMs", "100").toLong,
-        throttleMs = opts.getOrElse("throttleMs", "0").toLong)
+        throttleMs = opts.getOrElse("throttleMs", "0").toLong,
+        headers = headerOpts(opts))
     else new FilePageTransport(dir)
+  }
+
+  /** Per-request headers from the read options: `authToken` is the
+    * reference's `SS-Token` auth header (feeder.py:15-16), sent with
+    * EVERY request the transport makes (manifest, probes, page GETs);
+    * `httpHeaders` adds arbitrary ones as `Name: value` pairs separated
+    * by `;;` (a feed behind a gateway wants e.g. Accept overrides). */
+  private[graft] def headerOpts(opts: Map[String, String]): Map[String, String] = {
+    val auth = opts.get("authToken").map("SS-Token" -> _)
+    val extra = opts.get("httpHeaders").toSeq
+      .flatMap(_.split(";;")).map(_.trim).filter(_.nonEmpty)
+      .map { h =>
+        val i = h.indexOf(':')
+        require(i > 0, s"graft-paged: malformed httpHeaders entry '$h'")
+        h.substring(0, i).trim -> h.substring(i + 1).trim
+      }
+    (extra ++ auth).toMap
   }
 }
 
@@ -144,7 +162,8 @@ private[v2] class FilePageTransport(dir: String) extends PageTransport {
   * (no Range support) degrades that page to "unprunable", never to a
   * wrong prune. */
 private[v2] class HttpPageTransport(base: String, retries: Int,
-                                    backoffMs: Long, throttleMs: Long)
+                                    backoffMs: Long, throttleMs: Long,
+                                    headers: Map[String, String] = Map.empty)
   extends PageTransport {
 
   private def connect(url: String, range: Option[String],
@@ -156,6 +175,9 @@ private[v2] class HttpPageTransport(base: String, retries: Int,
       c.setRequestMethod(method)
       c.setConnectTimeout(10000)
       c.setReadTimeout(60000)
+      // per-request auth/custom headers (feeder.py:15-16's SS-Token):
+      // every manifest read, zone probe, and page GET carries them
+      headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
       range.foreach(r => c.setRequestProperty("Range", r))
       val code =
         try c.getResponseCode

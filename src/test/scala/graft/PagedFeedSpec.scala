@@ -238,6 +238,75 @@ class PagedFeedSpec extends GraftSuite {
     graft.sources.v2.LoopbackPageServer.failFirst(tmp.getAbsolutePath, 0)
   }
 
+  // ---- async export lifecycle (feeder.py:49-122): auth, poll budget,
+  // and artifact fidelity against the loopback export API ----
+
+  private def exportFixture(tag: String): (java.io.File, String, Array[Byte]) = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_export_$tag").toFile
+    tmp.deleteOnExit()
+    val payload = s"deterministic export payload for $tag".getBytes("UTF-8")
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(new java.io.File(tmp, "export.zip")))
+    out.putNextEntry(new java.util.zip.ZipEntry("results.csv"))
+    out.write(payload)
+    out.closeEntry(); out.close()
+    val zipBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(tmp, "export.zip").toPath)
+    (tmp, graft.sources.v2.LoopbackPageServer.serve(tmp.getAbsolutePath), zipBytes)
+  }
+
+  test("export lifecycle: missing/wrong SS-Token gets 401 and fails fast") {
+    val (tmp, base, _) = exportFixture("auth")
+    graft.sources.v2.LoopbackPageServer.armExport(
+      tmp.getAbsolutePath, "right-token", "export.zip", notReadyPolls = 0)
+    val ex = intercept[java.io.IOException] {
+      graft.sources.v2.ExportLifecycle.fetchExportZip(
+        base, projectId = 1, counterId = 2, token = "wrong-token",
+        pollDelayMs = 1, maxPolls = 3, retries = 3, backoffMs = 1)
+    }
+    // 4xx is a config/contract error: fail IMMEDIATELY, never the
+    // exponential-backoff retry loop a 5xx gets
+    assert(ex.getMessage.contains("401"), ex.getMessage)
+  }
+
+  test("export lifecycle: a stuck export exhausts the poll budget loudly") {
+    val (tmp, base, _) = exportFixture("budget")
+    graft.sources.v2.LoopbackPageServer.armExport(
+      tmp.getAbsolutePath, "tok", "export.zip", notReadyPolls = 1000)
+    val ex = intercept[java.io.IOException] {
+      graft.sources.v2.ExportLifecycle.fetchExportZip(
+        base, projectId = 1, counterId = 2, token = "tok",
+        pollDelayMs = 1, maxPolls = 4, retries = 1, backoffMs = 1)
+    }
+    assert(ex.getMessage.contains("not ready after 4 polls"), ex.getMessage)
+  }
+
+  test("export lifecycle: not-ready→ready poll sequence delivers the exact artifact") {
+    val (tmp, base, want) = exportFixture("happy")
+    graft.sources.v2.LoopbackPageServer.armExport(
+      tmp.getAbsolutePath, "tok", "export.zip", notReadyPolls = 2)
+    val got = graft.sources.v2.ExportLifecycle.fetchExportZip(
+      base, projectId = 9, counterId = 5, token = "tok",
+      pollDelayMs = 1, maxPolls = 10, retries = 1, backoffMs = 1)
+    assert(java.util.Arrays.equals(got, want),
+      "downloaded zip differs from the served artifact")
+    // a second lifecycle gets a FRESH request id and its own poll
+    // countdown — ids never collide across creates
+    val again = graft.sources.v2.ExportLifecycle.fetchExportZip(
+      base, projectId = 9, counterId = 5, token = "tok",
+      pollDelayMs = 1, maxPolls = 10, retries = 1, backoffMs = 1)
+    assert(java.util.Arrays.equals(again, want))
+  }
+
+  test("headerOpts: authToken maps to SS-Token; httpHeaders parse as Name: value pairs") {
+    val h = graft.sources.v2.PageTransport.headerOpts(Map(
+      "authToken" -> "secret",
+      "httpHeaders" -> "Accept: text/tsv ;; X-Trace: abc:123"))
+    assert(h == Map("SS-Token" -> "secret", "Accept" -> "text/tsv",
+      "X-Trace" -> "abc:123"))
+    assert(graft.sources.v2.PageTransport.headerOpts(Map.empty).isEmpty)
+  }
+
   test("null round-trip: \\N lines decode to NULL, short lines pad with NULL") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_nulls").toFile
     try {
