@@ -27,12 +27,65 @@ import org.apache.spark.sql.functions._
   * JDBC + ANSI SQL, so switching means only `url=jdbc:postgresql://…`
   * plus the driver jar — Spark's JdbcDialects then maps types
   * (Postgres TEXT/SMALLINT vs Derby VARCHAR/SMALLINT) automatically.
-  * The one semantic the reference relies on that Derby lacks is
-  * `INSERT … ON CONFLICT`; the feeder never uses it (it pre-filters by
-  * the existing-keys anti-join, reproduced by `q_dedup_antijoin`), so
-  * no dialect branch is needed in this code.
+  * The one statement that IS dialect-specific is [[mergeKeyed]]'s
+  * upsert: ANSI `MERGE INTO` (Derby, SQL Server, Oracle, DB2,
+  * Postgres ≥ 15) vs Postgres's idiomatic
+  * `INSERT … ON CONFLICT … DO UPDATE` — dispatched by
+  * [[MergeDialect.forUrl]] on the JDBC URL, overridable per call.
+  * Only Derby executes in this sandbox; JdbcFeedSpec pins the exact
+  * SQL both dialects generate so the Postgres path is
+  * contract-tested even though no Postgres server runs here.
   */
 object JdbcFeed {
+
+  /** Upsert-statement dialect for [[mergeKeyed]]. Both forms consume
+    * the same staging table and require the staging to be key-unique
+    * (a duplicate staging key is "row affected twice" on Postgres and
+    * nondeterministic-match territory under ANSI MERGE — dedupe
+    * upstream, the feeder's anti-join already does). */
+  sealed trait MergeDialect {
+    /** The one-statement upsert from `staging` into `table`. `sq`
+      * quotes a staging column reference (Spark's JDBC writer creates
+      * staging columns case-sensitively quoted). */
+    def upsertSql(table: String, staging: String, key: String,
+                  valueCols: Seq[String], sq: String => String): String
+  }
+
+  object MergeDialect {
+    /** ANSI/SQL:2003 MERGE — Derby (executed live in-sandbox),
+      * SQL Server, Oracle, DB2, Postgres 15+. */
+    case object AnsiMerge extends MergeDialect {
+      override def upsertSql(table: String, staging: String, key: String,
+                             valueCols: Seq[String], sq: String => String): String = {
+        val setClause = valueCols.map(c => s"$c = ${sq(c)}").mkString(", ")
+        val insertCols = (key +: valueCols).mkString(", ")
+        val insertVals = (key +: valueCols).map(sq).mkString(", ")
+        s"MERGE INTO $table t USING $staging s ON t.$key = ${sq(key)} " +
+          s"WHEN MATCHED THEN UPDATE SET $setClause " +
+          s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
+      }
+    }
+
+    /** PostgreSQL `INSERT … ON CONFLICT (key) DO UPDATE` — the
+      * reference's actual engine below version 15 (psycopg2,
+      * feeder.py:230-243). Requires a unique index/constraint on the
+      * key column; updated values come from the EXCLUDED pseudo-row. */
+    case object PostgresOnConflict extends MergeDialect {
+      override def upsertSql(table: String, staging: String, key: String,
+                             valueCols: Seq[String], sq: String => String): String = {
+        val insertCols = (key +: valueCols).mkString(", ")
+        val selectVals = (key +: valueCols).map(sq).mkString(", ")
+        val setClause = valueCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+        s"INSERT INTO $table ($insertCols) SELECT $selectVals FROM $staging s " +
+          s"ON CONFLICT ($key) DO UPDATE SET $setClause"
+      }
+    }
+
+    /** URL dispatch: `jdbc:postgresql:` → ON CONFLICT; anything else
+      * gets the ANSI statement. */
+    def forUrl(url: String): MergeDialect =
+      if (url.startsWith("jdbc:postgresql:")) PostgresOnConflict else AnsiMerge
+  }
 
   /** Derived-table string that ships the wave predicate INTO the
     * database (feeder.py:136's `where wave = N`, but evaluated by the
@@ -102,16 +155,17 @@ object JdbcFeed {
     * partitioning (true of any RDBMS at any scale).
     */
   /** Dialect-shaped UPSERT — the production form of the reference's
-    * UPDATE-by-id loop (add_q5010.py:20-46) when the target database
-    * speaks ANSI MERGE (Derby 10.11+, PostgreSQL 15+, every warehouse):
-    * stage-then-merge. Executors bulk-load the upsert batch into a
-    * session-scoped staging table (Spark's JDBC writer: `numWriters`
-    * concurrent batched inserts — the distributed leg), then ONE
-    * set-based `MERGE INTO target USING staging ON t.key = s.key
-    * WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT` statement runs
-    * inside the database — the DB's own join machinery applies the
-    * whole batch, no per-row round-trips at all. The staging table is
-    * dropped afterwards (and on failure).
+    * UPDATE-by-id loop (add_q5010.py:20-46): stage-then-merge.
+    * Executors bulk-load the upsert batch into a session-scoped
+    * staging table (Spark's JDBC writer: `numWriters` concurrent
+    * batched inserts — the distributed leg), then ONE set-based upsert
+    * statement runs inside the database — the DB's own join machinery
+    * applies the whole batch, no per-row round-trips at all. The
+    * statement is dialect-dispatched ([[MergeDialect.forUrl]], or pass
+    * `dialect` explicitly): ANSI `MERGE INTO … WHEN MATCHED UPDATE /
+    * WHEN NOT MATCHED INSERT` for Derby/warehouses, Postgres's
+    * `INSERT … ON CONFLICT (key) DO UPDATE` for the reference's own
+    * engine. The staging table is dropped afterwards (and on failure).
     *
     * Contract: at most ONE source row per key — ANSI MERGE raises a
     * cardinality violation on duplicate source keys (collapse with
@@ -129,8 +183,10 @@ object JdbcFeed {
   def mergeKeyed(upserts: DataFrame, url: String, table: String,
                  key: String, valueCols: Seq[String],
                  numWriters: Int = 8, batchSize: Int = 500,
-                 createTypes: Option[String] = None): Unit = {
+                 createTypes: Option[String] = None,
+                 dialect: Option[MergeDialect] = None): Unit = {
     require(valueCols.nonEmpty, "mergeKeyed needs at least one value column")
+    val d = dialect.getOrElse(MergeDialect.forUrl(url))
     // unquoted identifier: letters/digits only, unique per call so
     // concurrent merges into the same target never share a stage
     val staging = s"${table}_stage_${java.lang.Long.toHexString(
@@ -152,13 +208,7 @@ object JdbcFeed {
         // quote the exact DataFrame column names; target refs stay as
         // the caller wrote them (their table, their casing rules)
         def sq(c: String) = "s.\"" + c + "\""
-        val setClause = valueCols.map(c => s"$c = ${sq(c)}").mkString(", ")
-        val insertCols = (key +: valueCols).mkString(", ")
-        val insertVals = (key +: valueCols).map(sq).mkString(", ")
-        st.executeUpdate(
-          s"MERGE INTO $table t USING $staging s ON t.$key = ${sq(key)} " +
-            s"WHEN MATCHED THEN UPDATE SET $setClause " +
-            s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
+        st.executeUpdate(d.upsertSql(table, staging, key, valueCols, sq))
         conn.commit()
       } finally {
         try { st.executeUpdate(s"DROP TABLE $staging"); conn.commit() }

@@ -118,6 +118,32 @@ class JdbcFeedSpec extends GraftSuite {
     } finally conn.close()
   }
 
+  test("MergeDialect: exact SQL per dialect; URL dispatch picks the right one") {
+    import graft.sources.JdbcFeed.MergeDialect
+    def sq(c: String) = "s.\"" + c + "\""
+    // ANSI MERGE — what Derby executes live in the test above
+    assert(MergeDialect.AnsiMerge.upsertSql(
+      "feed", "feed_stage_ab12", "id", Seq("status", "amount"), sq) ==
+      """MERGE INTO feed t USING feed_stage_ab12 s ON t.id = s."id" """ +
+        """WHEN MATCHED THEN UPDATE SET status = s."status", amount = s."amount" """ +
+        """WHEN NOT MATCHED THEN INSERT (id, status, amount) """ +
+        """VALUES (s."id", s."status", s."amount")""")
+    // Postgres < 15 — the reference's actual engine (psycopg2,
+    // feeder.py:230-243): INSERT … ON CONFLICT … DO UPDATE off the same
+    // staging table, values via the EXCLUDED pseudo-row. No Postgres
+    // server runs in-sandbox, so the generated statement IS the contract.
+    assert(MergeDialect.PostgresOnConflict.upsertSql(
+      "feed", "feed_stage_ab12", "id", Seq("status", "amount"), sq) ==
+      """INSERT INTO feed (id, status, amount) """ +
+        """SELECT s."id", s."status", s."amount" FROM feed_stage_ab12 s """ +
+        """ON CONFLICT (id) DO UPDATE SET status = EXCLUDED.status, """ +
+        """amount = EXCLUDED.amount""")
+    assert(MergeDialect.forUrl("jdbc:postgresql://db:5432/cati") ==
+      MergeDialect.PostgresOnConflict)
+    assert(MergeDialect.forUrl("jdbc:derby:memory:x") == MergeDialect.AnsiMerge)
+    assert(MergeDialect.forUrl("jdbc:sqlserver://h") == MergeDialect.AnsiMerge)
+  }
+
   test("existingKeysReader pushes the wave predicate into the database") {
     val url = s"jdbc:derby:memory:spec_pushdown"
     val conn = DriverManager.getConnection(url + ";create=true")
