@@ -245,6 +245,187 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- real MP4/ISO-BMFF container handling (pure stdlib byte reads) ---
+
+  /** Decoded top-level video-container metadata: major brand, movie
+    * timescale + duration (mvhd), first video track's pixel dimensions
+    * (tkhd, 16.16 fixed point), and the media-payload (mdat) byte
+    * count. */
+  final case class Mp4Meta(brand: String, timescale: Long, durationUnits: Long,
+                           width: Int, height: Int, mdatBytes: Long)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xffffffffL) << 32) | (be32(b, i + 4) & 0xffffffffL)
+
+  /** A VALID minimal ISO-BMFF/MP4 container wrapping `payload` as its
+    * mdat box: real ftyp (major brand + one compatible brand), real
+    * moov holding a version-0 mvhd (timescale/duration) and one trak
+    * with a tkhd carrying 16.16 fixed-point dimensions. Box-walks in
+    * any BMFF reader; total size is exactly payload.length + 244. */
+  def mp4Wrap(payload: Array[Byte], timescale: Int, durationUnits: Long,
+              width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 244)
+    def w32(v: Long): Unit = out.write(Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def zeros(n: Int): Unit = out.write(new Array[Byte](n))
+    // ftyp: size 20 = header 8 + major 4 + minor 4 + 1 compatible brand
+    w32(20); ascii("ftyp"); ascii("isom"); w32(512); ascii("mp41")
+    // moov: 8 + mvhd 108 + trak 100
+    w32(8 + 108 + 100); ascii("moov")
+    // mvhd v0: 8 header + 4 ver/flags + 4+4 times + 4 timescale +
+    // 4 duration + 4 rate + 2 volume + 10 reserved + 36 matrix +
+    // 24 predefined + 4 next_track_id = 108
+    w32(108); ascii("mvhd"); w32(0); w32(0); w32(0)
+    w32(timescale); w32(durationUnits)
+    w32(0x00010000); out.write(Array(0x01.toByte, 0x00.toByte)); zeros(10)
+    w32(0x00010000); w32(0); w32(0); w32(0); w32(0x00010000); w32(0)
+    w32(0); w32(0); w32(0x40000000) // identity matrix
+    zeros(24); w32(2)
+    // trak: 8 + tkhd 92
+    w32(8 + 92); ascii("trak")
+    // tkhd v0: 8 header + 4 ver/flags + 4+4 times + 4 track_id +
+    // 4 reserved + 4 duration + 8 reserved + 2+2+2+2 + 36 matrix +
+    // 4 width + 4 height = 92
+    w32(92); ascii("tkhd"); w32(7); w32(0); w32(0); w32(1); w32(0)
+    w32(durationUnits); zeros(8); zeros(8)
+    w32(0x00010000); w32(0); w32(0); w32(0); w32(0x00010000); w32(0)
+    w32(0); w32(0); w32(0x40000000)
+    w32(width.toLong << 16); w32(height.toLong << 16) // 16.16 fixed
+    // mdat
+    w32(8L + payload.length); ascii("mdat"); out.write(payload)
+    out.toByteArray
+  }
+
+  /** Real ISO-BMFF box walk: ftyp brand, mvhd timescale/duration, the
+    * first tkhd's 16.16 dimensions, mdat payload size. Handles 32-bit
+    * sizes, size==1 (64-bit largesize follows) and size==0 (box runs to
+    * EOF); unknown sibling boxes (free, skip, udta, codec-specific…)
+    * are SKIPPED by their declared size, so real-world files with boxes
+    * this walker doesn't know still decode their known ones. Reads only
+    * box headers + the fixed mvhd/tkhd fields — O(boxes), never the
+    * media payload. None (→ caller's stub fallback) when the bytes are
+    * not BMFF, a header is truncated, or a required box is missing —
+    * never throws. Opaque codec payloads inside mdat are NOT decoded
+    * here by design: frame/pixel access needs a codec library this
+    * container doesn't ship, so downstream stages stub that step. */
+  def decodeMp4Header(bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      var brand: String = null
+      var timescale = -1L
+      var duration = -1L
+      var width = -1
+      var height = -1
+      var mdat = -1L
+      // walk [from, until) as a box list; moov/trak recurse one level
+      def walk(from: Long, until: Long, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= until) {
+          val size32 = be32(bytes, i.toInt) & 0xffffffffL
+          val typ = new String(bytes, i.toInt + 4, 4, "US-ASCII")
+          val (body, size) =
+            if (size32 == 1L && i + 16 <= until) (i + 16, be64(bytes, i.toInt + 8))
+            else if (size32 == 0L) (i + 8, until - i) // to end of enclosing box
+            else (i + 8, size32)
+          if (size < 8 || i + size > until) return // corrupt size: stop, keep what parsed
+          typ match {
+            case "ftyp" if body + 4 <= until =>
+              brand = new String(bytes, body.toInt, 4, "US-ASCII")
+            case "moov" | "trak" if depth < 2 => walk(body, i + size, depth + 1)
+            case "mvhd" if body + 20 <= until =>
+              val v = bytes(body.toInt) & 0xff
+              if (v == 1 && body + 28 <= until) {
+                timescale = be32(bytes, body.toInt + 20) & 0xffffffffL
+                duration = be64(bytes, body.toInt + 24)
+              } else {
+                timescale = be32(bytes, body.toInt + 12) & 0xffffffffL
+                duration = be32(bytes, body.toInt + 16) & 0xffffffffL
+              }
+            case "tkhd" if width < 0 =>
+              val v = bytes(body.toInt) & 0xff
+              // ver/flags + times/track/duration (v1: 64-bit times) +
+              // reserved/layer/volume + matrix → the 16.16 dims
+              val off = body + (if (v == 1) 88 else 76)
+              if (off + 8 <= until) {
+                width = be32(bytes, off.toInt) >>> 16
+                height = be32(bytes, off.toInt + 4) >>> 16
+              }
+            case "mdat" => mdat = size - (body - i)
+            case _ => // unknown box: skip by declared size
+          }
+          i += size
+        }
+      }
+      if (bytes.length < 8 ||
+          new String(bytes, 4, 4, "US-ASCII") != "ftyp") None
+      else {
+        walk(0L, bytes.length.toLong, 0)
+        if (brand != null && timescale > 0 && duration >= 0 &&
+            width >= 0 && mdat >= 0)
+          Some(Mp4Meta(brand, timescale, duration, width, height, mdat))
+        else None
+      }
+    } catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  /** Attach a deterministic VALID MP4 payload derived from the text
+    * column — the video counterpart of `withFakeAudio`: timescale,
+    * duration, and pixel dimensions derive from the id (duration units
+    * = 25·payload bytes — a fake "frame per 40ms of bytes"), so an
+    * oracle recomputes every decoded field arithmetically. */
+  def withFakeVideo(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scales = Array(600, 1000, 30000, 90000)
+    val wrap = udf((id: Long, text: String) => {
+      val payload = text.getBytes("UTF-8")
+      mp4Wrap(payload, scales((id % 4).toInt), payload.length.toLong * 25L,
+        320 + 16 * (id % 5).toInt, 240 + 16 * (id % 3).toInt)
+    })
+    docs.select(col(idCol),
+      wrap(col(idCol).cast("long"), col(textCol)).as("media"),
+      lit("video/mp4").as("media_type"))
+  }
+
+  /** Output schema of the video metadata extractor. */
+  val videoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration_units", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mdat_bytes", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("header_decoded", BooleanType, nullable = false),
+  ))
+
+  /** Partition-local MP4 metadata extraction over (doc_id, media): REAL
+    * ISO-BMFF box walk; undecodable payloads report zeros with the flag
+    * down rather than failing the batch. duration_ms is the exact
+    * integer floor of durationUnits·1000 / timescale. Map-only — the
+    * media bytes never reach a shuffle, and at 100 TB the decode
+    * distributes with the scan. */
+  def extractVideoMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(videoSchema)
+    media.select(col("doc_id").cast("long"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          decodeMp4Header(bytes) match {
+            case Some(m) =>
+              Row(id, m.brand, m.timescale, m.durationUnits,
+                m.durationUnits * 1000L / m.timescale,
+                m.width, m.height, m.mdatBytes, bytes.length, true)
+            case None =>
+              Row(id, "", 0L, 0L, 0L, 0, 0, 0L, bytes.length, false)
+          }
+        }
+      }(enc)
+  }
+
   /** STUB decode: a real implementation would hand `bytes` to an image /
     * audio codec. This fake derives stable pseudo-dimensions + a checksum
     * from the payload so tests are deterministic. */

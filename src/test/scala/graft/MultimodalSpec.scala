@@ -168,6 +168,63 @@ class MultimodalSpec extends GraftSuite {
     assert(!plan.toLowerCase.contains("exchange"), s"audio decode must be map-only:\n$plan")
   }
 
+  test("decodeMp4Header round-trips mp4Wrap and walks real box trees") {
+    import graft.operators.Multimodal.Mp4Meta
+    val payload = "video payload bytes".getBytes("UTF-8")
+    val m = Multimodal.mp4Wrap(payload, 90000, 475L, 640, 480)
+    assert(m.length == payload.length + 244)
+    assert(Multimodal.decodeMp4Header(m)
+      .contains(Mp4Meta("isom", 90000L, 475L, 640, 480, payload.length.toLong)))
+    assert(Multimodal.decodeMp4Header(
+        Multimodal.mp4Wrap(Array.emptyByteArray, 600, 0L, 16, 16))
+      .contains(Mp4Meta("isom", 600L, 0L, 16, 16, 0L)))
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    // unknown sibling boxes (free) skip by size; an mdat with
+    // size==1 + 64-bit largesize reads its payload length correctly
+    val std = Multimodal.mp4Wrap(payload, 1000, 99L, 320, 240)
+    val core = std.dropRight(8 + payload.length) // ftyp + moov
+    val weird = core ++
+      be32(16) ++ ascii("free") ++ new Array[Byte](8) ++
+      be32(1) ++ ascii("mdat") ++ be32(0) ++ be32(16L + payload.length) ++ payload
+    assert(Multimodal.decodeMp4Header(weird)
+      .contains(Mp4Meta("isom", 1000L, 99L, 320, 240, payload.length.toLong)))
+    // junk / truncated / non-BMFF payloads: None, never a throw
+    assert(Multimodal.decodeMp4Header("not an mp4 at all".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4Header(std.take(40)).isEmpty) // moov truncated away
+    assert(Multimodal.decodeMp4Header(
+      Multimodal.wavWrap("x".getBytes, 8000, 1)).isEmpty)
+    assert(Multimodal.decodeMp4Header(Array.emptyByteArray).isEmpty)
+    // corrupt box size inside moov: parse stops, missing fields → None
+    val corrupt = std.clone()
+    System.arraycopy(be32(0x7fffffffL), 0, corrupt, 20, 4) // moov size overruns EOF
+    assert(Multimodal.decodeMp4Header(corrupt).isEmpty)
+  }
+
+  test("q_video_meta decodes every container and is map-only") {
+    val dir = "/root/testdata/sf0.001"
+    val scales = Array(600, 1000, 30000, 90000)
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val id = r.getLong(0); val n = r.getString(1).getBytes("UTF-8").length
+        val ts = scales((id % 4).toInt)
+        (id, "isom", ts.toLong, n.toLong * 25L, n.toLong * 25L * 1000L / ts,
+          320 + 16 * (id % 5).toInt, 240 + 16 * (id % 3).toInt,
+          n.toLong, n + 244, true)
+      }.toSet
+    val q = SparkEntry.queries("q_video_meta")(spark, dir)
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getInt(5), r.getInt(6), r.getLong(7),
+      r.getInt(8), r.getBoolean(9))).toSet
+    assert(got == want)
+    assert(q.schema == Multimodal.videoSchema)
+    val plan = Multimodal.extractVideoMeta(Multimodal.withFakeVideo(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"), s"video decode must be map-only:\n$plan")
+  }
+
   test("q_resize_plan hits a 224 short side from the REAL decoded dims") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q_resize_plan")(spark, dir)
