@@ -430,6 +430,84 @@ class EventsStreamSpec extends GraftSuite {
     }
   }
 
+  test("RocksDB state store: a MID-BATCH task failure replays exactly-once on restart") {
+    // the r11 spec proved the CLEAN restart path (stop → resume); a real
+    // deployment's failure is a task crash halfway through a micro-batch
+    // — offsets logged, some task output possibly spilled, commit log
+    // NOT written. Inject exactly that: a poison record that throws
+    // inside the batch's map phase, killing the query mid-batch; then
+    // restart from the same checkpoint with the poison disarmed and
+    // assert the replayed batch lands EXACTLY ONCE (no duplicates from
+    // the failed attempt, no lost records, session state continuous).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocksdb_crash_ckpt").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rocksdb_crash_out").toFile
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    import EventsStreamSpec.poisonArmed
+    def start() = {
+      val src = input.toDS().map { e =>
+        if (poisonArmed.get() && e.event_id == 2L)
+          throw new RuntimeException("injected mid-batch task failure")
+        e
+      }(org.apache.spark.sql.Encoders.product[EventsStream.Event])
+      EventsStream.sessionize(src, gapSeconds = 600)
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    }
+    poisonArmed.set(false)
+    val q1 = start()
+    try {
+      input.addData(EventsStream.Event(1L, ts("2024-01-01 10:00:00"), 7L))
+      q1.processAllAvailable()
+      // arm the poison: the next batch dies INSIDE task execution, after
+      // the offset log records it but before the commit log does
+      poisonArmed.set(true)
+      input.addData(
+        EventsStream.Event(2L, ts("2024-01-01 12:00:00"), 7L), // past the gap
+        EventsStream.Event(3L, ts("2024-01-01 12:05:00"), 7L))
+      val ex = intercept[Exception] { q1.processAllAvailable() }
+      def mentionsPoison(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("injected mid-batch")) ||
+          mentionsPoison(t.getCause))
+      assert(mentionsPoison(ex), s"query died for the wrong reason: ${ex.getMessage}")
+      assert(q1.exception.isDefined, "query should have terminated with the injection")
+    } finally {
+      try q1.stop() catch { case _: Exception => () }
+    }
+    // crash evidence: the failed batch is in the OFFSET log but not the
+    // COMMIT log — the restart must re-run it, not skip it
+    def logBatches(name: String): Set[String] =
+      Option(new java.io.File(ckpt, name).list()).getOrElse(Array.empty)
+        .filterNot(_.contains(".")).toSet
+    assert((logBatches("offsets") -- logBatches("commits")).nonEmpty,
+      "failure was not mid-batch: offset and commit logs agree")
+    // restart with the poison disarmed: Spark replays the uncommitted
+    // batch from the checkpoint
+    poisonArmed.set(false)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the _spark_metadata-aware read sees ONLY committed files — any
+      // orphan output of the failed attempt is invisible, so each event
+      // lands exactly once with the session counter resumed from state
+      val out = spark.read.parquet(outDir.getAbsolutePath)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).sorted
+      assert(out.toSeq == Seq((1L, 1), (2L, 2), (3L, 2)),
+        s"replay after mid-batch failure is not exactly-once: ${out.toSeq}")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState sessionizer matches flatMapGroupsWithState batch over batch") {
     // transformWithState needs the RocksDB state store provider
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -466,4 +544,11 @@ class EventsStreamSpec extends GraftSuite {
       }
     }
   }
+}
+
+/** JVM-static poison switch for the mid-batch failure-injection test:
+  * executors in local mode share this object, so arming it fails tasks
+  * without serializing test state into the stream plan. */
+object EventsStreamSpec {
+  val poisonArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
