@@ -126,6 +126,113 @@ object NativeText {
       copy(child = newChild)
   }
 
+  /** Parameters of the SQL-REPLICABLE minhash variant — the
+    * [[SimHashUniv]] discipline applied to MinHash so an external SQL
+    * engine can recompute signatures, band keys, candidate pairs, and
+    * the exact Jaccard verify bit-for-bit (Queries' minhash-band
+    * oracle): shingle base hash = 31-polynomial over the code points of
+    * the SPACE-JOINED k-token shingle string mod P (Mersenne 2^31−1 —
+    * matches DuckDB's `ascii` char fold over
+    * `array_to_string(toks[i:i+k-1], ' ')`), then one universal hash
+    * per signature slot, h_i(x) = (x·A_i + B_i) mod P, minimum over the
+    * shingle set. Every product stays < 2^62 — exact in a JVM long AND
+    * a BIGINT. Constants from a fixed-seed java.util.Random
+    * (spec-pinned LCG), interpolated into the oracle SQL from here.
+    * The XXH64 default family stays the hot-path choice when replay
+    * isn't needed. */
+  object MinHashUniv {
+    val P: Long = 2147483647L
+    val MaxHashes: Int = 32
+    val (a: Array[Long], b: Array[Long]) = {
+      val rnd = new java.util.Random(4242L)
+      val a = Array.fill(MaxHashes)(Math.floorMod(rnd.nextLong(), P - 1) + 1)
+      val b = Array.fill(MaxHashes)(Math.floorMod(rnd.nextLong(), P))
+      (a, b)
+    }
+  }
+
+  /** `shingle_hashes_univ(text, k)` — distinct SQL-replicable base
+    * hashes of the k-token word shingles: the 31-polynomial code-point
+    * fold of each space-joined shingle string mod [[MinHashUniv.P]]
+    * (documents shorter than k yield one shingle of what's there —
+    * same windowing as [[HashedShingles]]). Emitted sorted. */
+  case class ShingleHashesUniv(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child.dataType == StringType,
+        s"shingle_hashes_univ expects a STRING argument, got ${child.dataType.sql}")
+    override def nullSafeEval(input: Any): Any = {
+      import MinHashUniv.P
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val n = math.max(toks.length - k + 1, 1)
+      val seen = new java.util.HashSet[java.lang.Long](n * 2)
+      val out = new Array[Long](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        var h = 0L
+        var j = 0
+        while (j < k) {
+          if (i + j < toks.length) {
+            if (j > 0) h = (h * 31L + 32L) % P // the joining space
+            val s = toks(i + j).toString
+            var ci = 0
+            while (ci < s.length) {
+              val cp = s.codePointAt(ci)
+              h = (h * 31L + cp) % P
+              ci += Character.charCount(cp)
+            }
+          }
+          j += 1
+        }
+        if (seen.add(h)) { out(m) = h; m += 1 }
+        i += 1
+      }
+      val trimmed = java.util.Arrays.copyOf(out, m)
+      java.util.Arrays.sort(trimmed)
+      new GenericArrayData(trimmed)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `minhash_signature_univ(shingleHashes, numHashes)` — for slot i,
+    * the minimum over the shingle set of the universal rehash
+    * (h·A_i + B_i) mod P ([[MinHashUniv]]). The replicable sibling of
+    * [[MinHashSignature]]: same null-on-empty contract. */
+  case class MinHashSignatureUniv(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes >= 1 && numHashes <= MinHashUniv.MaxHashes)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(isLongArray(child.dataType),
+        s"minhash_signature_univ expects ARRAY<BIGINT>, got ${child.dataType.sql}")
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      import MinHashUniv.{P, a, b}
+      val hashes = input.asInstanceOf[ArrayData].toLongArray()
+      if (hashes.isEmpty) return null
+      val sig = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        var min = Long.MaxValue
+        var j = 0
+        while (j < hashes.length) {
+          val h = (hashes(j) * a(i) + b(i)) % P
+          if (h < min) min = h
+          j += 1
+        }
+        sig(i) = min
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `jaccard_sets(a, b)` — exact Jaccard of two long-array SETS via
     * sort-merge over primitive arrays (no boxing, no hash sets). */
   case class JaccardSets(left: Expression, right: Expression)
@@ -302,8 +409,12 @@ object NativeText {
     org.apache.spark.sql.graftshim.GraftShim.expression(c)
 
   def hashed_shingles(text: Column, k: Int): Column = toCol(HashedShingles(exprOf(text), k))
+  def shingle_hashes_univ(text: Column, k: Int): Column =
+    toCol(ShingleHashesUniv(exprOf(text), k))
   def minhash_signature(hashes: Column, numHashes: Int): Column =
     toCol(MinHashSignature(exprOf(hashes), numHashes))
+  def minhash_signature_univ(hashes: Column, numHashes: Int): Column =
+    toCol(MinHashSignatureUniv(exprOf(hashes), numHashes))
   def jaccard_sets(a: Column, b: Column): Column = toCol(JaccardSets(exprOf(a), exprOf(b)))
   def simhash64(text: Column): Column = toCol(SimHash64(exprOf(text)))
   def simhash_univ(text: Column): Column = toCol(SimHashUnivExpr(exprOf(text)))

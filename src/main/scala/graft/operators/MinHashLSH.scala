@@ -46,10 +46,27 @@ object MinHashLSH {
     array((0 until numHashes).map(i => minhashSlot(shingleCol, i)): _*)
 
   /** Signatures as a DataFrame: a single native-expression projection
-    * (one primitive loop per document — no explode, no extra shuffle). */
-  def signatures(docsWithShingles: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    * (one primitive loop per document — no explode, no extra shuffle).
+    * `sqlReplicable` selects the MinHashUniv family (an external SQL
+    * engine recomputes the identical signature — the oracle-gated
+    * queries' choice) over the XXH64 default. */
+  def signatures(docsWithShingles: DataFrame, idCol: String, numHashes: Int,
+                 sqlReplicable: Boolean = false): DataFrame =
     docsWithShingles.select(col(idCol),
-      graft.functions.NativeText.minhash_signature(col("__sh"), numHashes).as("__sig"))
+      (if (sqlReplicable)
+        graft.functions.NativeText.minhash_signature_univ(col("__sh"), numHashes)
+      else graft.functions.NativeText.minhash_signature(col("__sh"), numHashes))
+        .as("__sig"))
+
+  /** The shingle projection matching `sqlReplicable`: the univ family
+    * must see the univ BASE hashes (the whole pipeline replays in SQL),
+    * the default family the XXH64 ones. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String,
+               shingleK: Int, sqlReplicable: Boolean): DataFrame =
+    docs.select(col(idCol),
+      (if (sqlReplicable)
+        graft.functions.NativeText.shingle_hashes_univ(col(textCol), shingleK)
+      else TextAnalysis.hashedShingles(col(textCol), shingleK)).as("__sh"))
 
   /** (band, bucket) rows for LSH: one output row per band, bucket =
     * hash of that band's signature slice. */
@@ -75,8 +92,9 @@ object MinHashLSH {
     * larger than `maxBucketSize` are dropped before pairing. */
   def candidatePairs(docsWithShingles: DataFrame, idCol: String,
                      bands: Int, rowsPerBand: Int,
-                     maxBucketSize: Int): DataFrame = {
-    val sigs = signatures(docsWithShingles, idCol, bands * rowsPerBand)
+                     maxBucketSize: Int,
+                     sqlReplicable: Boolean = false): DataFrame = {
+    val sigs = signatures(docsWithShingles, idCol, bands * rowsPerBand, sqlReplicable)
     // (id, band, bucket) feeds three consumers (bucket-size filter + both
     // self-join sides); persist so the signature pipeline — the expensive
     // part — runs once, not three times.
@@ -108,9 +126,11 @@ object MinHashLSH {
   def crossCandidatePairs(left: DataFrame, idL: String,
                           right: DataFrame, idR: String,
                           bands: Int, rowsPerBand: Int,
-                          maxBucketSize: Int): DataFrame = {
+                          maxBucketSize: Int,
+                          sqlReplicable: Boolean = false): DataFrame = {
     def bandedOf(df: DataFrame, id: String): DataFrame =
-      banded(signatures(df, id, bands * rowsPerBand), "__sig", bands, rowsPerBand)
+      banded(signatures(df, id, bands * rowsPerBand, sqlReplicable),
+        "__sig", bands, rowsPerBand)
         .select(col(id), col("band"), col("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bl = bandedOf(left, idL)
@@ -139,13 +159,14 @@ object MinHashLSH {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    threshold: Double = 0.8,
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000,
+                   sqlReplicable: Boolean = false): DataFrame = {
     // Shingle sets feed signature generation AND both verify joins —
     // persist so tokenize→shingle→hash runs once per document.
-    val sh = docs.select(col(idCol),
-      TextAnalysis.hashedShingles(col(textCol), shingleK).as("__sh"))
+    val sh = shingled(docs, idCol, textCol, shingleK, sqlReplicable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = candidatePairs(sh, idCol, bands, rowsPerBand, maxBucketSize)
+    val pairs = candidatePairs(sh, idCol, bands, rowsPerBand, maxBucketSize,
+      sqlReplicable)
     val shA = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
     pairs

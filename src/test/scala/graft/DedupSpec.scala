@@ -42,4 +42,40 @@ class DedupSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"expected LeftAnti join in:\n$plan")
   }
+
+  test("MinHash-LSH recall equals the exact all-pairs truth on the planted corpus") {
+    // The oracle gate replays the BANDED pipeline bit-for-bit (engine
+    // parity at every scale); RECALL against the exact all-pairs j>=0.8
+    // truth is THIS test's job, where it's a deterministic property of
+    // the fixed hash family over the planted structure (j>=0.87 pairs,
+    // per-pair miss probability (1-j^4)^8 <= 4e-4 — zero misses here,
+    // asserted exactly). Subset direction holds unconditionally: every
+    // emitted pair is exact-Jaccard-verified.
+    import graft.operators.MinHashLSH
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val lsh = MinHashLSH.nearDupPairs(corpus, "doc_id", "text",
+          shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8,
+          sqlReplicable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute-force truth over the same univ shingle hashes (|D|^2/2
+      // jaccards — fine at spec scale, the thing the oracle can't afford)
+      val sh = MinHashLSH.shingled(corpus, "doc_id", "text", 3,
+        sqlReplicable = true)
+      val truth = sh.select(col("doc_id").as("id_a"), col("__sh").as("__a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("__b")),
+          col("id_a") < col("id_b"))
+        .filter(graft.functions.NativeText.jaccard_sets(col("__a"), col("__b")) >= 0.8)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh.subsetOf(truth),
+        s"$dir: LSH emitted a pair below the threshold (verify broken)")
+      assert(lsh == truth,
+        s"$dir: LSH missed ${(truth -- lsh).size} of ${truth.size} true pairs")
+      assert(truth.nonEmpty, s"$dir: vacuous recall check — no true pairs")
+    }
+  }
 }
