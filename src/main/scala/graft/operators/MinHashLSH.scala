@@ -69,7 +69,16 @@ object MinHashLSH {
       else TextAnalysis.hashedShingles(col(textCol), shingleK)).as("__sh"))
 
   /** (band, bucket) rows for LSH: one output row per band, bucket =
-    * hash of that band's signature slice. */
+    * hash of that band's signature slice.
+    *
+    * The engine buckets by xxhash64(band, slot-string) while the DuckDB
+    * replay (Queries.minhashBandPairsSql) keys buckets by the literal
+    * slot string: an xxhash64 collision between two distinct slot
+    * strings would merge buckets engine-side only (an extra candidate
+    * pair, or a bucket pushed over the size cap, that the oracle does
+    * not replay). Accepted as negligible (~2^-64 per bucket pair) —
+    * a 64-bit bucket key keeps the candidate shuffle compact, which at
+    * corpus scale outweighs exact key parity with the replay. */
   def banded(df: DataFrame, sigCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandIdx = explode(sequence(lit(0), lit(bands - 1))).as("band")
     df.select(col("*"), bandIdx)

@@ -264,6 +264,11 @@ object Multimodal {
     * any BMFF reader; total size is exactly payload.length + 244. */
   def mp4Wrap(payload: Array[Byte], timescale: Int, durationUnits: Long,
               width: Int, height: Int): Array[Byte] = {
+    // version-0 mvhd/tkhd carry 32-bit durations; fail loudly rather
+    // than truncate silently (decoded duration would diverge from the
+    // oracle's n_bytes-derived arithmetic)
+    require(durationUnits <= 0xFFFFFFFFL,
+      s"durationUnits $durationUnits overflows the version-0 32-bit field")
     val out = new java.io.ByteArrayOutputStream(payload.length + 244)
     def w32(v: Long): Unit = out.write(Array(
       (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
@@ -334,14 +339,18 @@ object Multimodal {
             case "moov" | "trak" if depth < 2 => walk(body, i + size, depth + 1)
             case "mvhd" if body + 20 <= until =>
               val v = bytes(body.toInt) & 0xff
-              if (v == 1 && body + 28 <= until) {
-                timescale = be32(bytes, body.toInt + 20) & 0xffffffffL
-                duration = be64(bytes, body.toInt + 24)
+              if (v == 1) {
+                // v1 needs 32 bytes: the be64 at body+24 reads 8;
+                // a truncated v1 is skipped, NOT misread at v0 offsets
+                if (body + 32 <= until) {
+                  timescale = be32(bytes, body.toInt + 20) & 0xffffffffL
+                  duration = be64(bytes, body.toInt + 24)
+                }
               } else {
                 timescale = be32(bytes, body.toInt + 12) & 0xffffffffL
                 duration = be32(bytes, body.toInt + 16) & 0xffffffffL
               }
-            case "tkhd" if width < 0 =>
+            case "tkhd" if width < 0 && body + 1 <= until =>
               val v = bytes(body.toInt) & 0xff
               // ver/flags + times/track/duration (v1: 64-bit times) +
               // reserved/layer/volume + matrix → the 16.16 dims

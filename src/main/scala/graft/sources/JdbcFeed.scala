@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   * Postgres ≥ 15) vs Postgres's idiomatic
   * `INSERT … ON CONFLICT … DO UPDATE` — dispatched by
   * [[MergeDialect.forUrl]] on the JDBC URL, overridable per call.
-  * Only Derby executes in this sandbox; JdbcFeedSpec pins the exact
-  * SQL both dialects generate so the Postgres path is
-  * contract-tested even though no Postgres server runs here.
+  * JdbcFeedSpec pins the exact SQL both dialects generate AND executes
+  * both live: the ANSI arm on embedded Derby, the Postgres arm on
+  * DuckDB (which accepts the identical INSERT … ON CONFLICT form) —
+  * no Postgres server runs in this sandbox, but the shipped statement
+  * has run against a live engine.
   */
 object JdbcFeed {
 

@@ -134,6 +134,75 @@ object ZippedTabular {
     out.result().toArray
   }
 
+  /** numFmtIds whose BUILT-IN format is a date/time (ECMA-376 §18.8.30:
+    * 14-22 dates/times, 27-36 + 50-58 locale era dates, 45-47 elapsed
+    * times). Custom ids (≥ 164) resolve via [[isDateFormatCode]]. */
+  private val BuiltinDateFmtIds: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Is a CUSTOM format code a date/time format? The POI-style test:
+    * strip quoted runs, [bracketed] sections, escaped and
+    * underscore/star-padded chars, then look for any y/m/d/h/s token.
+    * ("#,##0.00" → no; "yyyy-mm-dd;@" → yes.) */
+  private[graft] def isDateFormatCode(code: String): Boolean = {
+    val stripped = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("[\\\\_*].", "")
+    stripped.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+  }
+
+  /** xl/styles.xml → per-cellXfs-index "is a date style" flags: customs
+    * from <numFmts>, then one flag per <cellXfs><xf numFmtId=…> in
+    * declaration order (the order the sheet's `s` attribute indexes). */
+  private[graft] def parseStyles(bytes: Array[Byte]): Array[Boolean] = {
+    val custom = collection.mutable.Map.empty[Int, String]
+    val xfIds = Vector.newBuilder[Int]
+    var inCellXfs = false
+    val r = xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(r.getAttributeValue(null, "numFmtId"))
+              val code = Option(r.getAttributeValue(null, "formatCode"))
+              for (i <- id; c <- code) custom(i.toInt) = c
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfIds += Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(0)
+            case _ =>
+          }
+          case XMLStreamConstants.END_ELEMENT =>
+            if (r.getLocalName == "cellXfs") inCellXfs = false
+          case _ =>
+        }
+      }
+    } finally r.close()
+    xfIds.result().map(id => BuiltinDateFmtIds.contains(id) ||
+      custom.get(id).exists(isDateFormatCode)).toArray
+  }
+
+  /** Excel 1900-system serial → ISO-8601 date or date-time string.
+    * Serials ≥ 61 count from 1899-12-30 (absorbing the fictitious
+    * 1900-02-29 the 1900 system carries, Lotus-bug-compatible); 0-60
+    * count from 1899-12-31 so serial 1 = 1900-01-01. The day fraction
+    * rounds to the nearest millisecond — spreadsheet writers store
+    * times as binary day fractions, so second boundaries arrive as
+    * …:59.999999996-style noise. */
+  private[graft] def excelSerialToIso(raw: String): String = {
+    val v = BigDecimal(raw.trim)
+    val days = v.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    val frac = (v - BigDecimal(days)).toDouble
+    val base = java.time.LocalDate.of(1899, 12, if (days >= 61) 30 else 31)
+    val date = base.plusDays(days)
+    val millis = math.round(frac * 86400000.0)
+    if (millis == 0L) date.toString
+    else if (millis == 86400000L) date.plusDays(1).toString
+    else date.atStartOfDay.plusNanos(millis * 1000000L).toString
+  }
+
   /** "BC7" → 0-based column index 54 (sheet cell references). */
   private[sources] def colIndexOf(ref: String): Int = {
     var i = 0; var idx = 0
@@ -152,14 +221,19 @@ object ZippedTabular {
   /** One worksheet's rows as dense typed-cell arrays (sparse cells
     * gap-fill with null via the `r` cell references). t="s" resolves the
     * shared-string table, t="inlineStr" reads <is><t>, everything else
-    * takes the raw <v> text with its type tag preserved. (Legacy
-    * style-based date cells — numeric + numFmt — are NOT resolved to
-    * dates; writers targeting this codec use the in-spec t="d" form.) */
-  private[sources] def parseSheetCells(bytes: Array[Byte], shared: Array[String]): Vector[Array[XlsxCell]] = {
+    * takes the raw <v> text with its type tag preserved. Style-based
+    * date cells — t-less numeric whose `s` style index is a date format
+    * (the form real exporters write) — resolve via `dateStyles` (from
+    * [[parseStyles]]): the 1900-system serial converts to ISO text and
+    * the cell tags 'd', identical to the in-spec t="d" form. A serial
+    * that fails to parse falls back to a plain numeric cell. */
+  private[sources] def parseSheetCells(bytes: Array[Byte], shared: Array[String],
+                                       dateStyles: Array[Boolean] = Array.empty): Vector[Array[XlsxCell]] = {
     val rows = Vector.newBuilder[Array[XlsxCell]]
     val r = xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
     var cells: collection.mutable.ArrayBuffer[XlsxCell] = null
     var cellType: String = null
+    var cellStyle = -1
     var cellCol = -1
     var buf: StringBuilder = null
     var inV = false
@@ -175,6 +249,8 @@ object ZippedTabular {
           case "row" => cells = collection.mutable.ArrayBuffer.empty[XlsxCell]
           case "c" =>
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            cellStyle = Option(r.getAttributeValue(null, "s"))
+              .flatMap(_.toIntOption).getOrElse(-1)
             cellCol = Option(r.getAttributeValue(null, "r")).map(colIndexOf).getOrElse(-1)
           case "v" => inV = true; buf = new StringBuilder
           case "t" => inIsT = true; if (buf == null) buf = new StringBuilder
@@ -192,11 +268,15 @@ object ZippedTabular {
                 case "inlineStr" | "str"     => XlsxCell(raw, 's')
                 case "b"                     => XlsxCell(raw, 'b')
                 case "d"                     => XlsxCell(raw, 'd')
+                case _ if cellStyle >= 0 && cellStyle < dateStyles.length &&
+                  dateStyles(cellStyle) =>
+                  try XlsxCell(excelSerialToIso(raw), 'd')
+                  catch { case _: NumberFormatException => XlsxCell(raw, 'n') }
                 case _                       => XlsxCell(raw, 'n')
               }
               put(cellCol, cell)
             }
-            buf = null; cellType = null; cellCol = -1
+            buf = null; cellType = null; cellStyle = -1; cellCol = -1
           case "v" => inV = false
           case "t" => inIsT = false
           case _ =>
@@ -207,10 +287,6 @@ object ZippedTabular {
     r.close()
     rows.result()
   }
-
-  /** String-typed view of [[parseSheetCells]]. */
-  private[sources] def parseSheet(bytes: Array[Byte], shared: Array[String]): Vector[Array[String]] =
-    parseSheetCells(bytes, shared).map(_.map(c => if (c == null) null else c.value))
 
   /** Decode an XLSX payload (itself a zip of XML) into (header, rows):
     * first worksheet, first row as header — the reference's
@@ -287,8 +363,9 @@ object ZippedTabular {
     * sharedStrings) plus sheet NAMES, pass 2 extracts only the chosen
     * sheet — memory stays one-sheet-bounded however many sheets the
     * workbook holds. */
-  private def workbookParts(bytes: Array[Byte]): (Array[String], Array[Byte]) = {
+  private def workbookParts(bytes: Array[Byte]): (Array[String], Array[Byte], Array[Boolean]) = {
     var shared: Array[String] = Array.empty
+    var dateStyles: Array[Boolean] = Array.empty
     var workbook: Array[Byte] = null
     var rels: Array[Byte] = null
     val sheetNames = Vector.newBuilder[String]
@@ -298,6 +375,7 @@ object ZippedTabular {
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => shared = parseSharedStrings(zin1.readAllBytes())
+          case "xl/styles.xml" => dateStyles = parseStyles(zin1.readAllBytes())
           case "xl/workbook.xml" => workbook = zin1.readAllBytes()
           case "xl/_rels/workbook.xml.rels" => rels = zin1.readAllBytes()
           case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
@@ -327,12 +405,13 @@ object ZippedTabular {
       }
     } finally zin2.close()
     require(sheet != null, s"worksheet entry $chosen vanished between passes")
-    (shared, sheet)
+    (shared, sheet, dateStyles)
   }
 
   def decodeXlsx(bytes: Array[Byte]): (Array[String], Iterator[Array[String]]) = {
-    val (shared, sheet) = workbookParts(bytes)
-    val rows = parseSheet(sheet, shared)
+    val (shared, sheet, dateStyles) = workbookParts(bytes)
+    val rows = parseSheetCells(sheet, shared, dateStyles)
+      .map(_.map(c => if (c == null) null else c.value))
     require(rows.nonEmpty, "empty worksheet")
     (rows.head, rows.iterator.drop(1))
   }
@@ -340,8 +419,8 @@ object ZippedTabular {
   /** Typed-cell decode: header (first row, as strings) + data rows with
     * per-cell type tags — the input to [[inferXlsxSchema]]. */
   def decodeXlsxCells(bytes: Array[Byte]): (Array[String], Vector[Array[XlsxCell]]) = {
-    val (shared, sheet) = workbookParts(bytes)
-    val rows = parseSheetCells(sheet, shared)
+    val (shared, sheet, dateStyles) = workbookParts(bytes)
+    val rows = parseSheetCells(sheet, shared, dateStyles)
     require(rows.nonEmpty, "empty worksheet")
     (rows.head.map(c => if (c == null) null else c.value), rows.drop(1))
   }
@@ -394,9 +473,28 @@ object ZippedTabular {
     * t-less <v> (the OOXML numeric default), booleans as t="b", and
     * java.time LocalDate/LocalDateTime as in-spec t="d" ISO cells — the
     * forms [[inferXlsxSchema]] and [[readZippedXlsxTyped]] decode back
-    * to typed columns. Nulls skip the cell (sparse row). */
+    * to typed columns. Nulls skip the cell (sparse row).
+    *
+    * `styledDates = true` writes dates the way REAL exporters
+    * (Excel, openpyxl) do instead: t-less numeric 1900-system serials
+    * under a date-format style — LocalDate via built-in numFmtId 14,
+    * LocalDateTime via a custom numFmt — plus the xl/styles.xml part
+    * that declares them. Decodes identically to the t="d" form through
+    * [[parseStyles]]/[[parseSheetCells]]. */
   def writeXlsx(out: OutputStream, header: Seq[String], rows: Seq[Seq[Any]],
-                sharedStrings: Boolean = true): Unit = {
+                sharedStrings: Boolean = true, styledDates: Boolean = false): Unit = {
+    // 1900-system serial (dates ≥ 1900-03-01 only differ by the +2 the
+    // 1899-12-30 base absorbs); day fraction as an exact decimal so the
+    // reader's millisecond rounding reproduces the written time
+    def serialOf(d: java.time.LocalDate): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1899, 12, 30), d)
+    def serialOfDt(dt: java.time.LocalDateTime): java.math.BigDecimal =
+      new java.math.BigDecimal(serialOf(dt.toLocalDate)).add(
+        new java.math.BigDecimal(dt.toLocalTime.toNanoOfDay)
+          .divide(new java.math.BigDecimal(86400L * 1000000000L),
+            12, java.math.RoundingMode.HALF_UP)
+          .stripTrailingZeros())
     val z = new ZipOutputStream(out)
     def entry(name: String, body: String): Unit = {
       z.putNextEntry(new ZipEntry(name))
@@ -419,22 +517,30 @@ object ZippedTabular {
           case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float |
                _: java.math.BigDecimal | _: BigDecimal =>
             s"""<c r="$ref"><v>$v</v></c>"""
-          case d: java.time.LocalDate => s"""<c r="$ref" t="d"><v>$d</v></c>"""
-          case d: java.time.LocalDateTime => s"""<c r="$ref" t="d"><v>$d</v></c>"""
+          case d: java.time.LocalDate =>
+            if (styledDates) s"""<c r="$ref" s="1"><v>${serialOf(d)}</v></c>"""
+            else s"""<c r="$ref" t="d"><v>$d</v></c>"""
+          case d: java.time.LocalDateTime =>
+            if (styledDates) s"""<c r="$ref" s="2"><v>${serialOfDt(d).toPlainString}</v></c>"""
+            else s"""<c r="$ref" t="d"><v>$d</v></c>"""
           case s => stringCell(s.toString)
         }
       }.mkString
       s"""<row r="${ri + 1}">$cs</row>"""
     }.mkString
+    val stylesOverride =
+      if (styledDates)
+        """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>"""
+      else ""
     entry("[Content_Types].xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
         |<Default Extension="xml" ContentType="application/xml"/>
         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
         |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
         |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
-        |</Types>""".stripMargin)
+        |$stylesOverride</Types>""".stripMargin)
     entry("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
@@ -459,6 +565,16 @@ object ZippedTabular {
       entry("xl/sharedStrings.xml",
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
            |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${table.size}" uniqueCount="${table.size}">$sis</sst>""".stripMargin)
+    }
+    if (styledDates) {
+      // style 1 = built-in date (numFmtId 14), style 2 = a CUSTOM
+      // datetime format — so one fixture exercises BOTH detection paths
+      entry("xl/styles.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd\ hh:mm:ss"/></numFmts>
+          |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/></cellXfs>
+          |</styleSheet>""".stripMargin)
     }
     z.close()
   }

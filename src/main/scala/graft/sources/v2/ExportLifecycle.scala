@@ -80,7 +80,47 @@ object ExportLifecycle {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The recruit counter's name in the reference config
+    * (feeder.py:46 — `--------РЕКРУТ`) and the bare form the w6 feeder
+    * ALSO accepts (feeder_w6.py:47 — `РЕКРУТ`). */
+  val RecruitCounterName: String = "--------РЕКРУТ"
+  val RecruitCounterNameBare: String = "РЕКРУТ"
+
+  /** Counter-id resolution over a fetched listing (feeder.py:45-48):
+    * the first counter named `--------РЕКРУТ` wins. The w6 variant
+    * (feeder_w6.py:46-48) ALSO matches the bare `РЕКРУТ` — pass
+    * `w6Fallback = true` for that feeder's behavior. None when nothing
+    * matches (the reference falls off the loop returning Python None
+    * and only fails later at the create — surfaced here instead so the
+    * caller fails loudly at resolution time). */
+  def recruitCounterId(counters: Seq[(Long, String)],
+                       w6Fallback: Boolean = false): Option[Long] =
+    counters.collectFirst {
+      case (id, name) if name == RecruitCounterName ||
+        (w6Fallback && name == RecruitCounterNameBare) => id
+    }
+
+  /** `GET /projects/{pid}/counters` under the SS-Token header →
+    * (id, name) rows of the response's `body` array (feeder.py:40-44). */
+  def listCounters(base: String, projectId: Long, token: String,
+                   retries: Int = 3, backoffMs: Long = 100L): Seq[(Long, String)] = {
+    val headers = Map("SS-Token" -> token)
+    val body = mapper.readTree(new String(
+      request(s"$base/projects/$projectId/counters", "GET", headers, None,
+        retries, backoffMs), "UTF-8")).get("body")
+    (0 until body.size()).map(i =>
+      (body.get(i).get("id").asLong(), body.get(i).get("name").asText()))
+  }
+
   /** Run the full lifecycle; returns the downloaded zip bytes.
+    *
+    * NOTE the create POST is retried on 5xx/connection faults with no
+    * idempotency key (the reference's API offers none, feeder.py:56):
+    * a create that succeeded server-side but lost its response spawns a
+    * duplicate export job. Harmless against the loopback test server
+    * and at worst wasted server work in production — the caller only
+    * ever polls/downloads the rid from the response it actually
+    * received, so the data read stays exactly-once either way.
     *
     * @param maxPolls   poll-retry budget: state≠3 after this many status
     *                   polls fails the export loudly

@@ -114,12 +114,14 @@ object LoopbackPageServer {
       }
 
       private val apiRe = "projects/(\\d+)/results/data(?:/(\\d+))?".r
+      private val countersRe = "projects/(\\d+)/counters".r
 
       private def route(ex: HttpExchange): Unit = {
         val name = ex.getRequestURI.getPath.stripPrefix("/")
         if (name == "_PAGES") return manifest(ex)
         name match {
           case apiRe(_, rid) if exports.token != null => return api(ex, Option(rid).map(_.toLong))
+          case countersRe(_) if exports.token != null => return counters(ex)
           case _ =>
         }
         // the signed file URL: served bare, like the reference's
@@ -183,6 +185,24 @@ object LoopbackPageServer {
             }
           case _ => send(ex, 404, Array.empty)
         }
+      }
+
+      /** The counter listing (feeder.py:40-48): a decoy counter FIRST,
+        * then the recruit counter — so the client's name-based
+        * resolution is exercised, never first-element luck. Token-gated
+        * like the other API routes. Names are the reference's Cyrillic
+        * literals, JSON-escaped to keep the wire ASCII. */
+      private def counters(ex: HttpExchange): Unit = {
+        val got = Option(ex.getRequestHeaders.getFirst("SS-Token"))
+        if (!got.contains(exports.token))
+          return send(ex, 401, """{"error":"invalid or missing SS-Token"}"""
+            .getBytes("UTF-8"))
+        if (ex.getRequestMethod != "GET") return send(ex, 404, Array.empty)
+        // ИНТЕРВЬЮ (decoy), --------РЕКРУТ (the export counter)
+        send(ex, 200, ("""{"body": [""" +
+          """{"id": 11, "name": "ИНТЕРВЬЮ"}, """ +
+          """{"id": 42, "name": "--------РЕКРУТ"}]}""")
+          .getBytes("UTF-8"))
       }
 
       private def manifest(ex: HttpExchange): Unit = {

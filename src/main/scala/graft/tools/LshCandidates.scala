@@ -28,7 +28,7 @@ object LshCandidates {
       .select(col("vec_id"), col("embedding"))
     // the q_dedup_embed corpus: embeddings ∪ id-shifted copy
     val corpus = e.unionAll(
-      e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      e.select((col("vec_id") + 100000000L).as("vec_id"), col("embedding")))
     val n = corpus.count()
     bitsList.foreach { bits =>
       val planes = Similarity.hyperplanes(bits, 64)

@@ -56,7 +56,7 @@ class DedupSpec extends GraftSuite {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(
-        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        docs.select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
       val lsh = MinHashLSH.nearDupPairs(corpus, "doc_id", "text",
           shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.8,
           sqlReplicable = true)

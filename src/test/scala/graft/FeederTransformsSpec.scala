@@ -56,4 +56,19 @@ class FeederTransformsSpec extends GraftSuite {
       .select(waveFromNameLoose(col("n")).as("w")).as[Int].collect()
     assert(out.toSeq == Seq(6, 10))
   }
+
+  test("recruitCounterId: strict matches the dashed name only " +
+    "(feeder.py:45-48); w6 also accepts the bare name (feeder_w6.py:46-48)") {
+    import graft.sources.v2.ExportLifecycle.{recruitCounterId, RecruitCounterName, RecruitCounterNameBare}
+    val dashed = Seq(11L -> "ИНТЕРВЬЮ", 42L -> RecruitCounterName)
+    val bare = Seq(11L -> "ИНТЕРВЬЮ", 43L -> RecruitCounterNameBare)
+    assert(recruitCounterId(dashed) == Some(42L))
+    assert(recruitCounterId(bare) == None) // strict feeder: bare name is NOT the counter
+    assert(recruitCounterId(bare, w6Fallback = true) == Some(43L))
+    assert(recruitCounterId(dashed, w6Fallback = true) == Some(42L))
+    // first match in listing order wins (the reference returns inside the loop)
+    assert(recruitCounterId(
+      Seq(1L -> RecruitCounterName, 2L -> RecruitCounterName)) == Some(1L))
+    assert(recruitCounterId(Seq(9L -> "какой-то другой")) == None)
+  }
 }

@@ -144,6 +144,56 @@ class JdbcFeedSpec extends GraftSuite {
     assert(MergeDialect.forUrl("jdbc:sqlserver://h") == MergeDialect.AnsiMerge)
   }
 
+  test("PostgresOnConflict executes LIVE on DuckDB: both merge arms " +
+    "through the shipped INSERT … ON CONFLICT statement") {
+    // The Postgres arm is the statement that ships for the reference's
+    // actual target engine (psycopg2, feeder.py:230-243). No Postgres
+    // server runs in this sandbox, but DuckDB speaks the identical
+    // INSERT … ON CONFLICT (key) DO UPDATE SET … = EXCLUDED.… form and
+    // its JDBC driver sits in the local artifact cache — so the exact
+    // string the dialect generates is executed on a live engine here,
+    // proving both arms (insert + conflict-update), not just a pin.
+    val jar = {
+      val root = new java.io.File(sys.props("user.home"), ".cache/coursier")
+      if (!root.isDirectory) None
+      else {
+        val walk = java.nio.file.Files.walk(root.toPath)
+        try {
+          val hit = walk
+            .filter(p => p.getFileName.toString.matches("duckdb_jdbc-[0-9.]+\\.jar"))
+            .findFirst()
+          if (hit.isPresent) Some(hit.get.toFile) else None
+        } finally walk.close()
+      }
+    }
+    assume(jar.nonEmpty, "duckdb_jdbc jar not in the local artifact cache")
+    val loader = new java.net.URLClassLoader(
+      Array(jar.get.toURI.toURL), getClass.getClassLoader)
+    val drv = loader.loadClass("org.duckdb.DuckDBDriver")
+      .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
+    val conn = drv.connect("jdbc:duckdb:", new java.util.Properties)
+    try {
+      val st = conn.createStatement()
+      // ON CONFLICT requires a unique constraint on the merge key —
+      // same requirement the reference's recruits_log table satisfies
+      st.executeUpdate(
+        "CREATE TABLE feed (id BIGINT PRIMARY KEY, status VARCHAR, amount DOUBLE)")
+      st.executeUpdate("INSERT INTO feed VALUES (1, 'old', 10.0), (2, 'keep', 20.0)")
+      st.executeUpdate(
+        "CREATE TABLE feed_stage_ab12 (id BIGINT, status VARCHAR, amount DOUBLE)")
+      st.executeUpdate(
+        "INSERT INTO feed_stage_ab12 VALUES (1, 'new', 11.0), (3, 'ins', 30.0)")
+      def sq(c: String) = "s.\"" + c + "\""
+      st.executeUpdate(JdbcFeed.MergeDialect.PostgresOnConflict.upsertSql(
+        "feed", "feed_stage_ab12", "id", Seq("status", "amount"), sq))
+      val rs = st.executeQuery("SELECT id, status, amount FROM feed ORDER BY id")
+      val rows = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toList
+      // conflict arm updated id 1, id 2 untouched, insert arm added id 3
+      assert(rows == List((1L, "new", 11.0), (2L, "keep", 20.0), (3L, "ins", 30.0)))
+    } finally conn.close()
+  }
+
   test("existingKeysReader pushes the wave predicate into the database") {
     val url = s"jdbc:derby:memory:spec_pushdown"
     val conn = DriverManager.getConnection(url + ";create=true")

@@ -192,6 +192,44 @@ class SourcesSpec extends GraftSuite {
     assert(ZippedTabular.convertCell("", ST) == "")
   }
 
+  test("styled-date xlsx cells (numeric + numFmt, the real-exporter form) " +
+    "decode identically to t=\"d\" cells") {
+    val header = Seq("id", "seen", "at")
+    val data = Seq(
+      Seq[Any](1L, java.time.LocalDate.of(2024, 6, 1),
+        java.time.LocalDateTime.of(2024, 6, 1, 12, 30, 15)),
+      Seq[Any](2L, java.time.LocalDate.of(1999, 12, 31),
+        java.time.LocalDateTime.of(2024, 6, 2, 0, 0, 30)))
+    val styled = new java.io.ByteArrayOutputStream()
+    ZippedTabular.writeXlsx(styled, header, data, styledDates = true)
+    val inSpec = new java.io.ByteArrayOutputStream()
+    ZippedTabular.writeXlsx(inSpec, header, data)
+    // the styled workbook stores dates as bare 1900-system serials under
+    // a date style (built-in numFmtId 14 for `seen`, a CUSTOM datetime
+    // numFmt for `at`) — and decodes to the SAME typed cells as t="d"
+    val (_, styledCells) = ZippedTabular.decodeXlsxCells(styled.toByteArray)
+    val (_, specCells) = ZippedTabular.decodeXlsxCells(inSpec.toByteArray)
+    assert(styledCells.map(_.toSeq) == specCells.map(_.toSeq))
+    assert(styledCells(0)(1) == ZippedTabular.XlsxCell("2024-06-01", 'd'))
+    assert(styledCells(0)(2) == ZippedTabular.XlsxCell("2024-06-01T12:30:15", 'd'))
+    assert(styledCells(1)(2) == ZippedTabular.XlsxCell("2024-06-02T00:00:30", 'd'))
+    // dtype inference parity: the styled date columns land TIMESTAMP
+    assert(ZippedTabular.inferXlsxSchema(styled.toByteArray).fields
+      .map(_.dataType.typeName).toSeq == Seq("long", "timestamp", "timestamp"))
+    // serial corners: the 1900 leap-bug split, and binary day-fraction
+    // noise just under a day boundary rounds up to the next midnight
+    assert(ZippedTabular.excelSerialToIso("1") == "1900-01-01")
+    assert(ZippedTabular.excelSerialToIso("59") == "1900-02-28")
+    assert(ZippedTabular.excelSerialToIso("61") == "1900-03-01")
+    assert(ZippedTabular.excelSerialToIso("45444") == "2024-06-01")
+    assert(ZippedTabular.excelSerialToIso("45444.999999999988") == "2024-06-02")
+    assert(ZippedTabular.excelSerialToIso("45444.25") == "2024-06-01T06:00")
+    // format-code classification: quoted/escaped letters don't count
+    assert(ZippedTabular.isDateFormatCode("yyyy-mm-dd;@"))
+    assert(!ZippedTabular.isDateFormatCode("#,##0.00"))
+    assert(!ZippedTabular.isDateFormatCode("\"days: \"0.0"))
+  }
+
   test("xlsx decode gap-fills sparse cells from cell references") {
     // row 2 skips column B: <c r="A2"> then <c r="C2">
     val sheet =

@@ -17,12 +17,18 @@ mega-duplicate clusters):
     (< the 0.8 near-dup threshold) while near-dup pairs WITHIN a copy
     keep J >= ~0.87 (junk streams are shared inside a copy) — the
     planted dedup structure replicates per copy instead of collapsing
-    into 20-member cliques. n_chars is recomputed. doc_ids stay < 1e6
-    (the dupCorpus shift).
+    into 20-member cliques. n_chars is recomputed. doc_ids stay < 1e8
+    (the dupCorpus shift; widened from 1e6 in round 13 so the shift
+    survives the sf100 decade).
   - embeddings: each copy applies a fixed +-1 sign pattern per dimension
-    (numpy default_rng(copy) draw) — norms are preserved exactly, and
-    cross-copy cosines decorrelate so the 0.95-threshold all-pairs
-    truth stays the within-copy planted pairs.
+    (numpy default_rng(copy + GRAFT_RNG_OFFSET) draw) — norms are
+    preserved exactly, and cross-copy cosines decorrelate so the
+    0.95-threshold all-pairs truth stays the within-copy planted pairs.
+    Chained generations MUST pass a fresh GRAFT_RNG_OFFSET (sf10 used
+    the default 0; sf100 uses 100): sign patterns compose by
+    elementwise product, so reusing the 1..K-1 seed set across
+    generations makes permuted copy paths (base->j->k vs base->k->j)
+    collide into content-identical vectors.
   - customer names: copies get a distinct 5-char suffix so copies are
     never within edit distance 1 (q_fuzzy_join's blocking would
     otherwise match every copy pair).
@@ -62,7 +68,9 @@ EK = mx("events", "event_id")
 UK = mx("events", "user_id")
 DK = mx("documents", "doc_id")
 VK = mx("embeddings", "vec_id")
-assert DK * K < 1_000_000, "doc_ids must stay below the dupCorpus shift"
+assert DK * K < 100_000_000, "doc_ids must stay below the dupCorpus shift"
+assert VK * K < 100_000_000, "vec_ids must stay below the dupCorpus shift"
+RNG_OFF = int(os.environ.get("GRAFT_RNG_OFFSET", "0"))
 
 def copies(table, select_fn):
     """UNION ALL of select_fn(k) for k in 0..K-1, written to DST."""
@@ -140,20 +148,25 @@ copies("documents", doc_select)
 tbl = pq.read_table(f"{SRC}/embeddings.parquet")
 vec_ids = tbl.column("vec_id").to_numpy()
 labels = tbl.column("label").to_numpy()
-emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)  # (N, 64)
+flat = tbl.column("embedding").combine_chunks()
+dim = len(flat[0])
+emb = np.asarray(flat.flatten(), dtype=np.float32).reshape(-1, dim)  # (N, dim)
 out_ids, out_labels, out_emb = [], [], []
 for k in range(K):
-    flips = (np.ones(emb.shape[1], dtype=np.float32) if k == 0 else
-             np.random.default_rng(k).choice(
-                 np.array([-1.0, 1.0], dtype=np.float32), size=emb.shape[1]))
+    flips = (np.ones(dim, dtype=np.float32) if k == 0 else
+             np.random.default_rng(k + RNG_OFF).choice(
+                 np.array([-1.0, 1.0], dtype=np.float32), size=dim))
     out_ids.append(vec_ids + k * VK)
     out_labels.append(labels)
     out_emb.append(emb * flips)
+all_emb = np.concatenate(out_emb)
+offsets = pa.array(np.arange(0, (all_emb.shape[0] + 1) * dim, dim,
+                             dtype=np.int32))
+emb_col = pa.ListArray.from_arrays(
+    offsets, pa.array(all_emb.ravel(), type=pa.float32()))
 emb_tbl = pa.table({
     "vec_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
-    "embedding": pa.array(
-        [row for block in out_emb for row in block.tolist()],
-        type=pa.list_(pa.float32())),
+    "embedding": emb_col,
     "label": pa.array(np.concatenate(out_labels), type=pa.int32()),
 }).select(["vec_id", "embedding", "label"])
 pq.write_table(emb_tbl, f"{DST}/embeddings.parquet")
