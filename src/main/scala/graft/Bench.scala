@@ -169,6 +169,11 @@ object Bench {
       // partial min would undercount real work (and the header contract
       // says broken queries don't appear as timings)
       if (rep.nonEmpty && !failed) { times :+= name -> rep.min; raws :+= name -> rep }
+      // stderr progress (hour-scale sweeps are otherwise a black box;
+      // stdout stays reserved for the one JSON record)
+      System.err.println(
+        if (failed) s"[bench] $name FAILED: ${errs.last._2.take(100)}"
+        else f"[bench] $name ${rep.min}%.2fs")
     }
     def invertedNow(r: Seq[Double]): Boolean =
       r.length >= 2 && r.drop(1).min > r.head * 1.5 && r.drop(1).min - r.head > 0.5
