@@ -263,19 +263,20 @@ object Multimodal {
     * with a tkhd carrying 16.16 fixed-point dimensions. Box-walks in
     * any BMFF reader; total size is exactly payload.length + 244. */
   def mp4Wrap(payload: Array[Byte], timescale: Int, durationUnits: Long,
-              width: Int, height: Int): Array[Byte] = {
+              width: Int, height: Int, brand: String = "isom"): Array[Byte] = {
     // version-0 mvhd/tkhd carry 32-bit durations; fail loudly rather
     // than truncate silently (decoded duration would diverge from the
     // oracle's n_bytes-derived arithmetic)
     require(durationUnits <= 0xFFFFFFFFL,
       s"durationUnits $durationUnits overflows the version-0 32-bit field")
+    require(brand.length == 4, s"ftyp major brand must be 4 chars: $brand")
     val out = new java.io.ByteArrayOutputStream(payload.length + 244)
     def w32(v: Long): Unit = out.write(Array(
       (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
     def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def zeros(n: Int): Unit = out.write(new Array[Byte](n))
     // ftyp: size 20 = header 8 + major 4 + minor 4 + 1 compatible brand
-    w32(20); ascii("ftyp"); ascii("isom"); w32(512); ascii("mp41")
+    w32(20); ascii("ftyp"); ascii(brand); w32(512); ascii("mp41")
     // moov: 8 + mvhd 108 + trak 100
     w32(8 + 108 + 100); ascii("moov")
     // mvhd v0: 8 header + 4 ver/flags + 4+4 times + 4 timescale +
@@ -388,8 +389,12 @@ object Multimodal {
     val scales = Array(600, 1000, 30000, 90000)
     val wrap = udf((id: Long, text: String) => {
       val payload = text.getBytes("UTF-8")
+      // brand ALTERNATES by id so the decoded column varies: a constant
+      // brand can't distinguish a real ftyp read from an echoed literal
+      // (the r12 vacuity audit flagged exactly that)
       mp4Wrap(payload, scales((id % 4).toInt), payload.length.toLong * 25L,
-        320 + 16 * (id % 5).toInt, 240 + 16 * (id % 3).toInt)
+        320 + 16 * (id % 5).toInt, 240 + 16 * (id % 3).toInt,
+        brand = if (id % 2 == 0L) "isom" else "mp42")
     })
     docs.select(col(idCol),
       wrap(col(idCol).cast("long"), col(textCol)).as("media"),

@@ -209,7 +209,8 @@ class MultimodalSpec extends GraftSuite {
       .select(col("doc_id"), col("text")).collect().map { r =>
         val id = r.getLong(0); val n = r.getString(1).getBytes("UTF-8").length
         val ts = scales((id % 4).toInt)
-        (id, "isom", ts.toLong, n.toLong * 25L, n.toLong * 25L * 1000L / ts,
+        (id, if (id % 2 == 0L) "isom" else "mp42", ts.toLong,
+          n.toLong * 25L, n.toLong * 25L * 1000L / ts,
           320 + 16 * (id % 5).toInt, 240 + 16 * (id % 3).toInt,
           n.toLong, n + 244, true)
       }.toSet
