@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed-imperative aggregates (TopKAggregate & co) hold BOUNDED
+      // per-key state; Spark's 128-key ObjectHashAggregate fallback
+      // would otherwise sort the whole pre-agg stream to disk (the
+      // sf100 q_knn_graph spill killer — 8e9 joined rows hit the sorter)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

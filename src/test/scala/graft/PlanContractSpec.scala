@@ -44,6 +44,7 @@ class PlanContractSpec extends GraftSuite {
         // to from statistics — AQE can rescue a bad static plan at
         // runtime locally, but the static choice is what scales
         .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .withExtensions(new graft.functions.GraftExtensions())
         .getOrCreate()
       val dir = "/root/testdata/sf0.001"

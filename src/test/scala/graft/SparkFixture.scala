@@ -11,6 +11,11 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // typed-imperative aggregates (TopKAggregate & co) hold BOUNDED
+      // per-key state; Spark's 128-key ObjectHashAggregate fallback
+      // would otherwise sort the whole pre-agg stream to disk (the
+      // sf100 q_knn_graph spill killer — 8e9 joined rows hit the sorter)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
