@@ -103,6 +103,11 @@ object Bench {
       // would otherwise sort the whole pre-agg stream to disk (the
       // sf100 q_knn_graph spill killer — 8e9 joined rows hit the sorter)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // SPARK_GRAFT_CODEC=zstd for large-SF sweeps on small local
+      // disks: the dedup families shuffle long-hash shingle arrays that
+      // zstd packs ~2x tighter than lz4 (committed records keep lz4)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -170,15 +170,27 @@ object MinHashLSH {
                    threshold: Double = 0.8,
                    maxBucketSize: Int = 1000,
                    sqlReplicable: Boolean = false): DataFrame = {
-    // Shingle sets feed signature generation AND both verify joins —
-    // persist so tokenize→shingle→hash runs once per document.
+    // The shingle table is NOT persisted: at corpus scale it is the
+    // fattest dataset in the pipeline (~8 KB of incompressible 64-bit
+    // hashes per document — ~80 GB at sf100, far past any cache), and
+    // tokenize→shingle→hash is a cheap map-side native expression —
+    // recomputing it per consumer costs seconds where caching it costs
+    // a corpus-sized write. (The banded (id, band, bucket) projection,
+    // which IS small, stays persisted inside candidatePairs.)
     val sh = shingled(docs, idCol, textCol, shingleK, sqlReplicable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = candidatePairs(sh, idCol, bands, rowsPerBand, maxBucketSize,
       sqlReplicable)
     val shA = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
-    pairs
+    // First verify join runs SHUFFLE-HASH with the slim id-pair side
+    // as build: sort-merge would sort the corpus-sized shingle side on
+    // disk (the r13 sf100 sweep filled 53 GB of spill exactly there).
+    // The second join has no slim side (its left carries __sh_a), so it
+    // stays sort-merge — AQE bounds its per-task sorts and the spills
+    // are transient; the irreducible cost is the ~2-3x-corpus shuffle
+    // of shingle sets that exact verify implies, which a cluster
+    // spreads across executor disks.
+    pairs.hint("shuffle_hash")
       .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -195,7 +207,9 @@ object MinHashLSH {
                  score: (Column, Column) => Seq[Column]): DataFrame = {
     val sh = docs.select(col(idCol),
       TextAnalysis.hashedShingles(col(textCol), shingleK).as("__sh"))
-    pairs
+    // slim pair side builds the first join's hash map — see the
+    // nearDupPairs plan note (avoids sorting the corpus-sized side)
+    pairs.hint("shuffle_hash")
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a") +: col("id_b") +:

@@ -3,6 +3,12 @@
 # against the compiled classes) so an hours-long sweep never contends
 # for the sbt project lock with interactive compiles/tests.
 #
+# ALWAYS snapshot the classpath first and point SWEEP_CLASSES at it:
+#   cp -a target/scala-2.13/classes target/sweep_classes   # (rm -rf first)
+# A concurrent `sbt compile` rewriting class files under a sweep JVM
+# kills its SparkContext mid-family (observed r13: the other20 family
+# died at launch with "Cannot call methods on a stopped SparkContext").
+#
 #   tools/sweep_families.sh <sfDir> <tag> [reps]
 #
 # Writes target/sweep_<tag>_<family>.out/.err (+ _full.json per-query
@@ -36,7 +42,7 @@ run_family() {
   timeout "${SWEEP_FAMILY_TIMEOUT:-18000}" \
     java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-72g}" \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-      -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
+      -cp "${SWEEP_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" graft.Bench \
       > "target/sweep_${TAG}_${fam}.out" 2> "target/sweep_${TAG}_${fam}.err"
   echo "  exit=$? end $(date +%T)"
   cp -f target/bench_full.json "target/sweep_${TAG}_${fam}_full.json" 2>/dev/null || true
