@@ -49,6 +49,11 @@ object NativeText {
     case _ => false
   }
 
+  private def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
   private def hashToken(t: UTF8String, seed: Long): Long = {
     val b = t.getBytes
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
@@ -261,6 +266,78 @@ object NativeText {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `bleu_clip_counts(hyp_tokens, ref_tokens)` — BLEU-4's per-pair
+    * clipped n-gram statistics computed ENTIRELY map-side: for each
+    * n = 1..4, the number of hyp n-gram positions (`tot`) and the
+    * clipped overlap Σ_g min(count_hyp(g), count_ref(g)) (`clip`),
+    * returned flat as [tot1, clip1, …, tot4, clip4]. Gram positions
+    * follow the registry convention sequence(1, greatest(len−n+1, 1))
+    * — an input shorter than n yields ONE truncated gram; an empty
+    * array yields the empty gram. Gram identity is the exact
+    * space-joined token string — no hashing, so parity with the
+    * string-keyed DuckDB replay is exact, not probabilistic. Replaces
+    * a corpus×4 gram posexplode→groupBy→self-join round trip (the
+    * r13 sf100 audit priced that shuffle at ~corpus×4 gram rows) with
+    * one primitive loop per pair. */
+  case class BleuClipCounts(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(isStringArray(left.dataType) && isStringArray(right.dataType),
+        s"bleu_clip_counts expects two ARRAY<STRING> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    private def gram(toks: Array[String], i: Int, n: Int): String = {
+      if (toks.length == 0) return "" // concat_ws over an empty slice
+      val end = math.min(i + n, toks.length)
+      if (end - i == 1) toks(i)
+      else {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = i + 1
+        while (j < end) { sb.append(' ').append(toks(j)); j += 1 }
+        sb.toString
+      }
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      def strings(a: Any): Array[String] = {
+        val ad = a.asInstanceOf[ArrayData]
+        val out = new Array[String](ad.numElements())
+        var i = 0
+        while (i < out.length) { out(i) = ad.getUTF8String(i).toString; i += 1 }
+        out
+      }
+      val hyp = strings(l)
+      val ref = strings(r)
+      val out = new Array[Long](8)
+      val counts = new java.util.HashMap[String, Integer]()
+      var n = 1
+      while (n <= 4) {
+        counts.clear()
+        val rTot = math.max(ref.length - n + 1, 1)
+        var i = 0
+        while (i < rTot) {
+          counts.merge(gram(ref, i, n), Integer.valueOf(1), (a, b) => a + b)
+          i += 1
+        }
+        val hTot = math.max(hyp.length - n + 1, 1)
+        var clip = 0L
+        i = 0
+        while (i < hTot) {
+          val g = gram(hyp, i, n)
+          val c = counts.get(g)
+          if (c != null && c > 0) { clip += 1; counts.put(g, c - 1) }
+          i += 1
+        }
+        out(2 * (n - 1)) = hTot.toLong
+        out(2 * (n - 1) + 1) = clip
+        n += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Parameters of the SQL-replicable simhash variant (`simhash_univ`):
     * token base hash = 31-polynomial over code points mod P (P = the
     * Mersenne prime 2^31-1), then one universal hash per bit,
@@ -416,6 +493,8 @@ object NativeText {
   def minhash_signature_univ(hashes: Column, numHashes: Int): Column =
     toCol(MinHashSignatureUniv(exprOf(hashes), numHashes))
   def jaccard_sets(a: Column, b: Column): Column = toCol(JaccardSets(exprOf(a), exprOf(b)))
+  def bleu_clip_counts(hyp: Column, ref: Column): Column =
+    toCol(BleuClipCounts(exprOf(hyp), exprOf(ref)))
   def simhash64(text: Column): Column = toCol(SimHash64(exprOf(text)))
   def simhash_univ(text: Column): Column = toCol(SimHashUnivExpr(exprOf(text)))
   def poly_fingerprint(text: Column, seed: Column, mod: Long): Column =

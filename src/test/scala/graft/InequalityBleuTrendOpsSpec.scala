@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.expr
+
 /** q_theil_index, q_bleu, q_type_trend: driver-side replays of the
   * round-10 inequality-decomposition / generation-eval / monitoring
   * surface. */
@@ -79,6 +81,23 @@ class InequalityBleuTrendOpsSpec extends GraftSuite {
     // log-BLEU strictly negative (imperfect overlap) and not constant
     assert(got.forall(_._3 < 0L))
     assert(got.map(_._3).size > 1, "all sources identical — vacuous")
+  }
+
+  test("bleu_clip_counts: positions, truncated grams, multiset clipping") {
+    import spark.implicits._
+    val rows = Seq(("a a b a", "a b c"), ("x", "y z"), ("", "a"))
+      .toDF("h", "r")
+      .select(graft.functions.NativeText.bleu_clip_counts(
+        expr("split(trim(h), '\\\\s+')"), expr("split(trim(r), '\\\\s+')")).as("cc"))
+      .collect().map(_.getSeq[Long](0))
+    // hyp [a,a,b,a] vs ref [a,b,c]: n=1 tot4 clip min(3,1)+min(1,1)=2;
+    // n=2 {a a, a b, b a} vs {a b, b c} → 1; n=3 2 grams vs "a b c" → 0;
+    // n=4 one truncated gram each ("a a b a" vs "a b c") → 0
+    assert(rows(0) == Seq(4L, 2L, 3L, 1L, 2L, 0L, 1L, 0L))
+    // shorter-than-n sides: every n has exactly ONE (truncated) gram
+    assert(rows(1) == Seq(1L, 0L, 1L, 0L, 1L, 0L, 1L, 0L))
+    // empty text tokenizes to [""] (the split(trim) convention)
+    assert(rows(2) == Seq(1L, 0L, 1L, 0L, 1L, 0L, 1L, 0L))
   }
 
   test("type-trend slopes replay on the shared dense-grid moments") {
