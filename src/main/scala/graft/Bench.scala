@@ -164,6 +164,11 @@ object Bench {
           // 80 queries and put later reps under artificial memory pressure
           // (observed: q_dedup_clusters 5s clean vs 26s late in a full run)
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          // force a GC so ContextCleaner actually DELETES finished
+          // queries' shuffle files now: under a large heap GC is rare,
+          // and at sf100 the lingering files of completed queries ate
+          // the next query's spill headroom (r13 disk-wall postmortem)
+          System.gc()
           val t0 = System.nanoTime()
           try {
             all(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
