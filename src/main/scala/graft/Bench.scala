@@ -92,10 +92,15 @@ object Bench {
     }
     val psiStart = psiCpuAvg300()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partitions default to cores for the committed sf0.1 record; at
+    // sf100 a 32-way shuffle means ~0.5 GB tasks (oversized sorts,
+    // shuffle-hash builds past the per-task budget) — the same lever a
+    // real cluster pulls, so large-SF sweeps pass a higher count
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // typed-imperative aggregates (TopKAggregate & co) hold BOUNDED

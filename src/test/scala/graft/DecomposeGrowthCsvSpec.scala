@@ -22,11 +22,11 @@ class DecomposeGrowthCsvSpec extends GraftSuite {
       if (i < 6 || i >= n - 6) None
       else {
         val s = (i - 6 to i + 6).map(j => BigInt(months(j)._2)).sum
-        Some((2 * s * 1000000 + 13) / 26)
+        Some((2 * s * 10000 + 13) / 26)
       }
     }
     val det = months.indices.map { i =>
-      trend(i).map(t => BigInt(months(i)._2) * 1000000 - t)
+      trend(i).map(t => BigInt(months(i)._2) * 10000 - t)
     }
     val seas = months.indices.flatMap { i =>
       det(i).map(d => (months(i)._1.substring(5, 7), d))
@@ -42,9 +42,9 @@ class DecomposeGrowthCsvSpec extends GraftSuite {
       val (m, rev) = months(i)
       val sp = seas(m.substring(5, 7))
       (m, rev / 100.0,
-        trend(i).map(t => t.toLong.toDouble / 1e8),
-        sp.toLong.toDouble / 1e8,
-        det(i).map(d => (d - sp).toLong.toDouble / 1e8))
+        trend(i).map(t => t.toLong.toDouble / 1e6),
+        sp.toLong.toDouble / 1e6,
+        det(i).map(d => (d - sp).toLong.toDouble / 1e6))
     }.toSet
     val got = q("q_seasonal_decompose").collect().map { r =>
       (r.getString(0), r.getDouble(1),
