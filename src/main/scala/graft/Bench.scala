@@ -96,41 +96,49 @@ object Bench {
     // sf100 a 32-way shuffle means ~0.5 GB tasks (oversized sorts,
     // shuffle-hash builds past the per-task budget) — the same lever a
     // real cluster pulls, so large-SF sweeps pass a higher count
-    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // typed-imperative aggregates (TopKAggregate & co) hold BOUNDED
-      // per-key state; Spark's 128-key ObjectHashAggregate fallback
-      // would otherwise sort the whole pre-agg stream to disk (the
-      // sf100 q_knn_graph spill killer — 8e9 joined rows hit the sorter)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      // SPARK_GRAFT_CODEC=zstd for large-SF sweeps on small local
-      // disks: the dedup families shuffle long-hash shingle arrays that
-      // zstd packs ~2x tighter than lz4 (committed records keep lz4)
-      .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // The driver reads the LAST stdout line as the bench record; WARN
-    // spam from known-benign sources (bounded driver-side windows, rep-2
-    // block re-registration) must not land between the summary line and
-    // process exit. These two loggers are the only WARN emitters observed
-    // across full runs — everything else stays at WARN so real problems
-    // still surface.
-    Seq("org.apache.spark.sql.execution.window.WindowExec",
-      "org.apache.spark.storage.BlockManager").foreach { l =>
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        l, org.apache.logging.log4j.Level.ERROR)
+    // (SPARK_GRAFT_SHUFFLE_PARTITIONS, resolved inside GraftSession)
+    def buildSession(): SparkSession = {
+      val s = GraftSession.builder(cpus, cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        // SPARK_GRAFT_CODEC=zstd for large-SF sweeps on small local
+        // disks: the dedup families shuffle long-hash shingle arrays that
+        // zstd packs ~2x tighter than lz4 (committed records keep lz4)
+        .config("spark.io.compression.codec",
+          sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // The driver reads the LAST stdout line as the bench record; WARN
+      // spam from known-benign sources (bounded driver-side windows, rep-2
+      // block re-registration) must not land between the summary line and
+      // process exit. These two loggers are the only WARN emitters observed
+      // across full runs — everything else stays at WARN so real problems
+      // still surface.
+      Seq("org.apache.spark.sql.execution.window.WindowExec",
+        "org.apache.spark.storage.BlockManager").foreach { l =>
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          l, org.apache.logging.log4j.Level.ERROR)
+      }
+      // Warm-up: exercise the parquet reader, shuffle machinery, and codegen
+      // once so the first timed query doesn't absorb session start-up.
+      s.read.parquet(s"$sfDir/orders.parquet")
+        .groupBy("o_orderstatus").count().collect()
+      s
     }
-    // Warm-up: exercise the parquet reader, shuffle machinery, and codegen
-    // once so the first timed query doesn't absorb session start-up.
-    spark.read.parquet(s"$sfDir/orders.parquet")
-      .groupBy("o_orderstatus").count().collect()
+    var spark = buildSession()
+    // One query's fatal error (executor OOM, INTERNAL_ERROR) can stop the
+    // whole local SparkContext; without recovery every later query in the
+    // run records a bogus "Cannot call methods on a stopped SparkContext"
+    // instead of a real reading (the r13 sf100 graph/other20 artifacts).
+    // The failed query keeps its real error; the NEXT query gets a fresh
+    // session.
+    var revived = 0
+    def reviveIfDead(): Unit =
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext died — rebuilding session")
+        try spark.stop() catch { case _: Throwable => () }
+        spark = buildSession()
+        revived += 1
+      }
     val all = SparkEntry.queries
     val fullSet =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
@@ -154,6 +162,29 @@ object Bench {
     // Spark-clean + coarse family times, not a committable floor.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
+    // Per-rep cleanup depth. The session cache is ALWAYS cleared (honest
+    // reps — CacheManager would otherwise hand rep 2 rep 1's persisted
+    // intermediates). SPARK_GRAFT_REP_GC additionally:
+    //   "1" (default for large-SF sweeps, set by tools/sweep_families.sh):
+    //       unpersist leaked RDD blocks AND force a GC so ContextCleaner
+    //       DELETES finished queries' shuffle files now — at sf100 the
+    //       lingering files of completed queries ate the next query's
+    //       spill headroom (r13 disk-wall postmortem).
+    //   "0" (default): clearCache only. The forced GC is NOT free at
+    //       small SFs: it triggers ContextCleaner shuffle-file deletion
+    //       that runs CONCURRENT with the next timed region — the r13
+    //       committed sf0.1 record regressed 30% (454 s vs 349 s) with
+    //       the per-rep GC on, and the r14 A/B isolated it as the cause.
+    //       At sf0.1 the whole run's shuffle files fit the disk, so the
+    //       eager cleanup buys nothing there.
+    val repGc = sys.env.getOrElse("SPARK_GRAFT_REP_GC", "0") == "1"
+    def cleanupBetweenReps(): Unit = {
+      spark.catalog.clearCache()
+      if (repGc) {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+      }
+    }
     var times = Vector.empty[(String, Double)]
     var raws = Vector.empty[(String, Seq[Double])]
     var errs = Vector.empty[(String, String)]
@@ -162,18 +193,8 @@ object Bench {
       var failed = false
       (1 to reps).foreach { _ =>
         if (!failed) {
-          spark.catalog.clearCache()
-          // also drop RDD-level persists: iterative queries localCheckpoint
-          // per round, and those blocks outlive the query until the async
-          // ContextCleaner gets to them — left alone they pile up across
-          // 80 queries and put later reps under artificial memory pressure
-          // (observed: q_dedup_clusters 5s clean vs 26s late in a full run)
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-          // force a GC so ContextCleaner actually DELETES finished
-          // queries' shuffle files now: under a large heap GC is rare,
-          // and at sf100 the lingering files of completed queries ate
-          // the next query's spill headroom (r13 disk-wall postmortem)
-          System.gc()
+          reviveIfDead()
+          cleanupBetweenReps()
           val t0 = System.nanoTime()
           try {
             all(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -200,8 +221,8 @@ object Bench {
     // One serial quiet-tail re-time of `name`; min survives into the
     // timing. A retry failure keeps the prior reps (already timed twice).
     def retime(name: String): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      reviveIfDead()
+      cleanupBetweenReps()
       val t0 = System.nanoTime()
       try {
         all(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -320,7 +341,7 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${ms(v)}" }.mkString("{", ",", "}")
       val e = errs.take(errK).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"n":${times.size},"n_err":${errs.size},"mean_s":${ms(mean)},"queries":$q,"families":$fams,"err":$e,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"tail_retimed":${tailSet.size},"tail_improved":$tailImproved,"psi_noisy":$noisy}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"n":${times.size},"n_err":${errs.size},"mean_s":${ms(mean)},"queries":$q,"families":$fams,"err":$e,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"tail_retimed":${tailSet.size},"tail_improved":$tailImproved,"psi_noisy":$noisy,"rep_gc":$repGc,"revived":$revived}"""
     }
     // Hard size backstop: if (pathologically long names / error text) the
     // top-10 form still exceeds ~1.8 KB, degrade to top-3/1-err — the
@@ -338,7 +359,7 @@ object Bench {
       val fq = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val fr = raws.map { case (k, v) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
       val fe = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fq,"queries_reps":$fr,"families":$fams,"err":$fe,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"tail_retimed":${tailSet.size},"tail_improved":$tailImproved,"psi_noisy":$noisy}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fq,"queries_reps":$fr,"families":$fams,"err":$fe,"sf":${jstr(sfDir)},"psi_avg300_start":$psiStart,"psi_avg300_end":$psiEnd,"rep_inversions":$inverted,"tail_retimed":${tailSet.size},"tail_improved":$tailImproved,"psi_noisy":$noisy,"rep_gc":$repGc,"revived":$revived}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
     } catch {

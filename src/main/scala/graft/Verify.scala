@@ -10,23 +10,26 @@ object Verify {
     // the driver always runs the full registry with two args)
     val only = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // typed-imperative aggregates (TopKAggregate & co) hold BOUNDED
-      // per-key state; Spark's 128-key ObjectHashAggregate fallback
-      // would otherwise sort the whole pre-agg stream to disk (the
-      // sf100 q_knn_graph spill killer — 8e9 joined rows hit the sorter)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared scale-critical config (extensions, UTC, ObjectHashAggregate
+    // fallback threshold) lives in GraftSession — see SessionContractSpec
+    def buildSession(): SparkSession = {
+      val s = GraftSession.builder(cpus, cpus).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = buildSession()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // one query's fatal error (executor OOM) can stop the local
+      // SparkContext — rebuild so the rest of the registry still gets a
+      // real verdict instead of "stopped SparkContext" noise
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[verify] SparkContext died — rebuilding session")
+        try spark.stop() catch { case _: Throwable => () }
+        spark = buildSession()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,8 +38,10 @@ object Verify {
         // queries persist intermediates they read twice (and can't
         // unpersist — they return lazy plans); dropped here so cached
         // blocks from 300+ queries don't accumulate across the run
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        if (!spark.sparkContext.isStopped) {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -49,6 +49,28 @@ object NativeText {
     case _ => false
   }
 
+  /** The set-op expressions accept ARRAY<INT> alongside ARRAY<BIGINT>:
+    * the univ shingle family emits 31-bit hashes (mod P = 2^31−1) as
+    * INT — HALF the shuffle bytes of the verify stage, the dominant
+    * disk cost of exact near-dup verification at corpus scale (the
+    * r13 sf100 disk wall). Values are non-negative, so widening
+    * preserves order and equality exactly. */
+  private def isIntOrLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  /** ArrayData → long[], widening an INT array (see above). */
+  private def toLongs(dt: DataType, a: ArrayData): Array[Long] = dt match {
+    case ArrayType(IntegerType, _) =>
+      val ints = a.toIntArray()
+      val out = new Array[Long](ints.length)
+      var i = 0
+      while (i < ints.length) { out(i) = ints(i).toLong; i += 1 }
+      out
+    case _ => a.toLongArray()
+  }
+
   private def isStringArray(dt: DataType): Boolean = dt match {
     case ArrayType(StringType, _) => true
     case _ => false
@@ -164,7 +186,14 @@ object NativeText {
   case class ShingleHashesUniv(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     require(k >= 1, "shingle size must be >= 1")
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // INT, not BIGINT: every hash is mod P = 2^31−1, so 31 bits suffice
+    // — and these arrays are the payload of the exact-verify joins, the
+    // single largest shuffle of the dedup surface (~8 KB/doc at BIGINT,
+    // the r13 sf100 disk wall). Halving the element width halves that
+    // irreducible shuffle; the set-op consumers widen on read, and the
+    // DuckDB replay is value-identical (the SQL computes the same
+    // 31-bit residues whatever the column width).
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child.dataType == StringType,
         s"shingle_hashes_univ expects a STRING argument, got ${child.dataType.sql}")
@@ -172,8 +201,8 @@ object NativeText {
       import MinHashUniv.P
       val toks = tokenize(input.asInstanceOf[UTF8String])
       val n = math.max(toks.length - k + 1, 1)
-      val seen = new java.util.HashSet[java.lang.Long](n * 2)
-      val out = new Array[Long](n)
+      val seen = new java.util.HashSet[java.lang.Integer](n * 2)
+      val out = new Array[Int](n)
       var m = 0
       var i = 0
       while (i < n) {
@@ -192,7 +221,7 @@ object NativeText {
           }
           j += 1
         }
-        if (seen.add(h)) { out(m) = h; m += 1 }
+        if (seen.add(h.toInt)) { out(m) = h.toInt; m += 1 }
         i += 1
       }
       val trimmed = java.util.Arrays.copyOf(out, m)
@@ -212,12 +241,12 @@ object NativeText {
     require(numHashes >= 1 && numHashes <= MinHashUniv.MaxHashes)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
-      requireType(isLongArray(child.dataType),
-        s"minhash_signature_univ expects ARRAY<BIGINT>, got ${child.dataType.sql}")
+      requireType(isIntOrLongArray(child.dataType),
+        s"minhash_signature_univ expects ARRAY<INT> or ARRAY<BIGINT>, got ${child.dataType.sql}")
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       import MinHashUniv.{P, a, b}
-      val hashes = input.asInstanceOf[ArrayData].toLongArray()
+      val hashes = toLongs(child.dataType, input.asInstanceOf[ArrayData])
       if (hashes.isEmpty) return null
       val sig = new Array[Long](numHashes)
       var i = 0
@@ -244,14 +273,23 @@ object NativeText {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
-      requireType(isLongArray(left.dataType) && isLongArray(right.dataType),
-        s"jaccard_sets expects two ARRAY<BIGINT> arguments, got " +
+      requireType(isIntOrLongArray(left.dataType) && isIntOrLongArray(right.dataType),
+        s"jaccard_sets expects ARRAY<INT>/ARRAY<BIGINT> arguments, got " +
           s"${left.dataType.sql} and ${right.dataType.sql}")
+    // the shingle producers emit sorted arrays, so the common case is a
+    // free O(n) verification instead of an O(n log n) re-sort per pair
+    // (the verify stage evaluates this once per candidate pair — at
+    // corpus scale that's billions of evals)
+    private def sortIfNeeded(a: Array[Long]): Unit = {
+      var i = 1
+      while (i < a.length && a(i - 1) <= a(i)) i += 1
+      if (i < a.length) java.util.Arrays.sort(a)
+    }
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toLongArray()
-      val b = r.asInstanceOf[ArrayData].toLongArray()
-      java.util.Arrays.sort(a)
-      java.util.Arrays.sort(b)
+      val a = toLongs(left.dataType, l.asInstanceOf[ArrayData])
+      val b = toLongs(right.dataType, r.asInstanceOf[ArrayData])
+      sortIfNeeded(a)
+      sortIfNeeded(b)
       var i = 0; var j = 0; var inter = 0L
       while (i < a.length && j < b.length) {
         if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }

@@ -165,19 +165,40 @@ object MinHashLSH {
     *                      from pairing (pathological collisions, e.g.
     *                      empty documents)
     */
+  /** Should the corpus-sized shingle table be cached? Adaptive by the
+    * docs relation's optimizer statistics (for file sources: the scan's
+    * input bytes), the same signal Catalyst's broadcast decision reads:
+    *
+    *   - SMALL corpus (input < ~512 MB — every bench SF up to sf10):
+    *     persist. The table feeds 3 consumers (signature pipeline +
+    *     both verify-join sides); recomputing tokenize→shingle→hash
+    *     per consumer tripled the LSH family's sf0.1 bench cost when
+    *     r13 dropped the persist unconditionally (the +50% family
+    *     regression in BENCH_r13).
+    *   - LARGE corpus (sf100+): do NOT persist. The shingle table is
+    *     the fattest dataset in the pipeline (~8 KB of incompressible
+    *     64-bit hashes per document — ~80 GB at sf100, far past any
+    *     cache, and the MEMORY_AND_DISK overflow is a corpus-sized
+    *     local-disk write that the r13 sweep measured into the disk
+    *     wall); the map-side recompute costs a fraction of a scan.
+    *
+    * On a real cluster the same rule holds per-executor: the threshold
+    * approximates "fits the storage fraction without evicting the
+    * shuffle's working set". */
+  private def persistShingles(docs: DataFrame): Boolean =
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes < (512L << 20)
+
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    threshold: Double = 0.8,
                    maxBucketSize: Int = 1000,
                    sqlReplicable: Boolean = false): DataFrame = {
-    // The shingle table is NOT persisted: at corpus scale it is the
-    // fattest dataset in the pipeline (~8 KB of incompressible 64-bit
-    // hashes per document — ~80 GB at sf100, far past any cache), and
-    // tokenize→shingle→hash is a cheap map-side native expression —
-    // recomputing it per consumer costs seconds where caching it costs
-    // a corpus-sized write. (The banded (id, band, bucket) projection,
-    // which IS small, stays persisted inside candidatePairs.)
-    val sh = shingled(docs, idCol, textCol, shingleK, sqlReplicable)
+    // (The banded (id, band, bucket) projection, which is always small,
+    // stays persisted inside candidatePairs regardless.)
+    val sh0 = shingled(docs, idCol, textCol, shingleK, sqlReplicable)
+    val sh = if (persistShingles(docs))
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val pairs = candidatePairs(sh, idCol, bands, rowsPerBand, maxBucketSize,
       sqlReplicable)
     val shA = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
@@ -205,8 +226,13 @@ object MinHashLSH {
   def scorePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                  textCol: String, shingleK: Int)(
                  score: (Column, Column) => Seq[Column]): DataFrame = {
-    val sh = docs.select(col(idCol),
+    val sh0 = docs.select(col(idCol),
       TextAnalysis.hashedShingles(col(textCol), shingleK).as("__sh"))
+    // both join sides read the shingle table — cache it when the corpus
+    // is small (see persistShingles; recompute map-side at corpus scale)
+    val sh = if (persistShingles(docs))
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     // slim pair side builds the first join's hash map — see the
     // nearDupPairs plan note (avoids sorting the corpus-sized side)
     pairs.hint("shuffle_hash")

@@ -354,7 +354,12 @@ object Multimodal {
             case "tkhd" if width < 0 && body + 1 <= until =>
               val v = bytes(body.toInt) & 0xff
               // ver/flags + times/track/duration (v1: 64-bit times) +
-              // reserved/layer/volume + matrix → the 16.16 dims
+              // reserved/layer/volume + matrix → the 16.16 dims.
+              // off + 8 <= until below IS the explicit full-length check
+              // (body + 96 for v1, body + 84 for v0): a tkhd truncated
+              // after its version byte is SKIPPED (width stays -1, row
+              // drops to None) — the same skip-not-misread policy as
+              // mvhd, never a read at wrong offsets.
               val off = body + (if (v == 1) 88 else 76)
               if (off + 8 <= until) {
                 width = be32(bytes, off.toInt) >>> 16

@@ -140,6 +140,12 @@ object ZippedTabular {
   private val BuiltinDateFmtIds: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 
+  /** The built-in subset whose format carries a TIME component (18-21
+    * times, 22 datetime, 45-47 elapsed) — a midnight serial under one
+    * of these must decode as 'T00:00', not a bare date (see
+    * [[excelSerialToIso]]). */
+  private val BuiltinTimeFmtIds: Set[Int] = ((18 to 22) ++ (45 to 47)).toSet
+
   /** Is a CUSTOM format code a date/time format? The POI-style test:
     * strip quoted runs, [bracketed] sections, escaped and
     * underscore/star-padded chars, then look for any y/m/d/h/s token.
@@ -152,10 +158,26 @@ object ZippedTabular {
     stripped.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
   }
 
-  /** xl/styles.xml → per-cellXfs-index "is a date style" flags: customs
-    * from <numFmts>, then one flag per <cellXfs><xf numFmtId=…> in
-    * declaration order (the order the sheet's `s` attribute indexes). */
-  private[graft] def parseStyles(bytes: Array[Byte]): Array[Boolean] = {
+  /** Does a CUSTOM date format code carry a TIME component? h/s tokens
+    * are unambiguous time markers ('m' alone could be month); a
+    * date-only code like "yyyy-mm-dd;@" has neither. Same quoted-run /
+    * bracket / escape stripping as [[isDateFormatCode]]. */
+  private[graft] def hasTimeTokens(code: String): Boolean = {
+    val stripped = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("[\\\\_*].", "")
+    stripped.exists(c => "hsHS".indexOf(c) >= 0)
+  }
+
+  /** xl/styles.xml → per-cellXfs-index date-style flags (0 = not a
+    * date style, 1 = date-only format, 2 = format with a time
+    * component): customs from <numFmts>, then one flag per
+    * <cellXfs><xf numFmtId=…> in declaration order (the order the
+    * sheet's `s` attribute indexes). The 1-vs-2 split decides whether
+    * a midnight serial decodes as '2024-06-02' or '2024-06-02T00:00'
+    * — the serial value alone cannot tell (frac = 0 either way). */
+  private[graft] def parseStyles(bytes: Array[Byte]): Array[Int] = {
     val custom = collection.mutable.Map.empty[Int, String]
     val xfIds = Vector.newBuilder[Int]
     var inCellXfs = false
@@ -180,8 +202,14 @@ object ZippedTabular {
         }
       }
     } finally r.close()
-    xfIds.result().map(id => BuiltinDateFmtIds.contains(id) ||
-      custom.get(id).exists(isDateFormatCode)).toArray
+    xfIds.result().map { id =>
+      val isDate = BuiltinDateFmtIds.contains(id) ||
+        custom.get(id).exists(isDateFormatCode)
+      if (!isDate) 0
+      else if (BuiltinTimeFmtIds.contains(id) ||
+        custom.get(id).exists(hasTimeTokens)) 2
+      else 1
+    }.toArray
   }
 
   /** Excel 1900-system serial → ISO-8601 date or date-time string.
@@ -191,15 +219,23 @@ object ZippedTabular {
     * rounds to the nearest millisecond — spreadsheet writers store
     * times as binary day fractions, so second boundaries arrive as
     * …:59.999999996-style noise. */
-  private[graft] def excelSerialToIso(raw: String): String = {
+  private[graft] def excelSerialToIso(raw: String, hasTime: Boolean = false): String = {
     val v = BigDecimal(raw.trim)
     val days = v.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
     val frac = (v - BigDecimal(days)).toDouble
     val base = java.time.LocalDate.of(1899, 12, if (days >= 61) 30 else 31)
     val date = base.plusDays(days)
     val millis = math.round(frac * 86400000.0)
-    if (millis == 0L) date.toString
-    else if (millis == 86400000L) date.plusDays(1).toString
+    // A zero day-fraction is ambiguous on its own: under a date-only
+    // style it IS the date; under a datetime style it's midnight, and
+    // the t="d" path for the same value writes '…T00:00' — the caller
+    // passes the STYLE's verdict (hasTimeTokens on the format code) so
+    // both forms decode identically and an all-midnight column still
+    // infers as timestamp.
+    if (millis == 0L) { if (hasTime) date.atStartOfDay.toString else date.toString }
+    else if (millis == 86400000L) {
+      val d1 = date.plusDays(1); if (hasTime) d1.atStartOfDay.toString else d1.toString
+    }
     else date.atStartOfDay.plusNanos(millis * 1000000L).toString
   }
 
@@ -228,7 +264,7 @@ object ZippedTabular {
     * the cell tags 'd', identical to the in-spec t="d" form. A serial
     * that fails to parse falls back to a plain numeric cell. */
   private[sources] def parseSheetCells(bytes: Array[Byte], shared: Array[String],
-                                       dateStyles: Array[Boolean] = Array.empty): Vector[Array[XlsxCell]] = {
+                                       dateStyles: Array[Int] = Array.empty): Vector[Array[XlsxCell]] = {
     val rows = Vector.newBuilder[Array[XlsxCell]]
     val r = xmlFactory.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
     var cells: collection.mutable.ArrayBuffer[XlsxCell] = null
@@ -269,8 +305,8 @@ object ZippedTabular {
                 case "b"                     => XlsxCell(raw, 'b')
                 case "d"                     => XlsxCell(raw, 'd')
                 case _ if cellStyle >= 0 && cellStyle < dateStyles.length &&
-                  dateStyles(cellStyle) =>
-                  try XlsxCell(excelSerialToIso(raw), 'd')
+                  dateStyles(cellStyle) > 0 =>
+                  try XlsxCell(excelSerialToIso(raw, dateStyles(cellStyle) == 2), 'd')
                   catch { case _: NumberFormatException => XlsxCell(raw, 'n') }
                 case _                       => XlsxCell(raw, 'n')
               }
@@ -363,9 +399,9 @@ object ZippedTabular {
     * sharedStrings) plus sheet NAMES, pass 2 extracts only the chosen
     * sheet — memory stays one-sheet-bounded however many sheets the
     * workbook holds. */
-  private def workbookParts(bytes: Array[Byte]): (Array[String], Array[Byte], Array[Boolean]) = {
+  private def workbookParts(bytes: Array[Byte]): (Array[String], Array[Byte], Array[Int]) = {
     var shared: Array[String] = Array.empty
-    var dateStyles: Array[Boolean] = Array.empty
+    var dateStyles: Array[Int] = Array.empty
     var workbook: Array[Byte] = null
     var rels: Array[Byte] = null
     val sheetNames = Vector.newBuilder[String]

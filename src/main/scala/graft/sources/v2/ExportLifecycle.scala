@@ -100,14 +100,26 @@ object ExportLifecycle {
         (w6Fallback && name == RecruitCounterNameBare) => id
     }
 
+  /** The response envelope's `body` node, or a loud IOException naming
+    * the URL — an error/auth payload without `body` would otherwise
+    * surface as a bare NullPointerException deep in Jackson traversal,
+    * unlike the descriptive failures the rest of the lifecycle throws. */
+  private def bodyNode(json: String, url: String): com.fasterxml.jackson.databind.JsonNode = {
+    val node = mapper.readTree(json).get("body")
+    if (node == null)
+      throw new java.io.IOException(
+        s"graft-export: $url returned no 'body' field: ${json.take(200)}")
+    node
+  }
+
   /** `GET /projects/{pid}/counters` under the SS-Token header →
     * (id, name) rows of the response's `body` array (feeder.py:40-44). */
   def listCounters(base: String, projectId: Long, token: String,
                    retries: Int = 3, backoffMs: Long = 100L): Seq[(Long, String)] = {
     val headers = Map("SS-Token" -> token)
-    val body = mapper.readTree(new String(
-      request(s"$base/projects/$projectId/counters", "GET", headers, None,
-        retries, backoffMs), "UTF-8")).get("body")
+    val url = s"$base/projects/$projectId/counters"
+    val body = bodyNode(new String(
+      request(url, "GET", headers, None, retries, backoffMs), "UTF-8"), url)
     (0 until body.size()).map(i =>
       (body.get(i).get("id").asLong(), body.get(i).get("name").asText()))
   }
@@ -139,10 +151,11 @@ object ExportLifecycle {
       s"""{"counterId": $counterId, "exportFormat": 2,
          | "exportLabelsAndCodeValues": true, "ignoreErrors": true,
          | "archiveSingleXlsxResultFile": true}""".stripMargin
+    val createUrl = s"$base/projects/$projectId/results/data"
     val created = new String(
-      request(s"$base/projects/$projectId/results/data", "POST", headers,
+      request(createUrl, "POST", headers,
         Some(createBody), retries, backoffMs), "UTF-8")
-    val rid = mapper.readTree(created).get("body").asLong()
+    val rid = bodyNode(created, createUrl).asLong()
     var polls = 0
     var fileUrl: String = null
     while (fileUrl == null) {
@@ -150,9 +163,10 @@ object ExportLifecycle {
         throw new java.io.IOException(
           s"graft-export: export $rid not ready after $maxPolls polls")
       if (polls > 0 && pollDelayMs > 0) Thread.sleep(pollDelayMs)
-      val st = mapper.readTree(new String(
-        request(s"$base/projects/$projectId/results/data/$rid", "GET",
-          headers, None, retries, backoffMs), "UTF-8")).get("body")
+      val pollUrl = s"$base/projects/$projectId/results/data/$rid"
+      val st = bodyNode(new String(
+        request(pollUrl, "GET",
+          headers, None, retries, backoffMs), "UTF-8"), pollUrl)
       if (st.get("state").asInt() == 3) fileUrl = st.get("fileUrl").asText()
       polls += 1
     }

@@ -199,7 +199,12 @@ class SourcesSpec extends GraftSuite {
       Seq[Any](1L, java.time.LocalDate.of(2024, 6, 1),
         java.time.LocalDateTime.of(2024, 6, 1, 12, 30, 15)),
       Seq[Any](2L, java.time.LocalDate.of(1999, 12, 31),
-        java.time.LocalDateTime.of(2024, 6, 2, 0, 0, 30)))
+        java.time.LocalDateTime.of(2024, 6, 2, 0, 0, 30)),
+      // MIDNIGHT datetime: serial day-fraction 0 under a datetime style
+      // — must still decode as a timestamp ('T00:00'), not a bare date
+      // (the style's format code, not the serial, decides)
+      Seq[Any](3L, java.time.LocalDate.of(2024, 6, 3),
+        java.time.LocalDateTime.of(2024, 6, 3, 0, 0, 0)))
     val styled = new java.io.ByteArrayOutputStream()
     ZippedTabular.writeXlsx(styled, header, data, styledDates = true)
     val inSpec = new java.io.ByteArrayOutputStream()
@@ -213,6 +218,8 @@ class SourcesSpec extends GraftSuite {
     assert(styledCells(0)(1) == ZippedTabular.XlsxCell("2024-06-01", 'd'))
     assert(styledCells(0)(2) == ZippedTabular.XlsxCell("2024-06-01T12:30:15", 'd'))
     assert(styledCells(1)(2) == ZippedTabular.XlsxCell("2024-06-02T00:00:30", 'd'))
+    assert(styledCells(2)(1) == ZippedTabular.XlsxCell("2024-06-03", 'd'))
+    assert(styledCells(2)(2) == ZippedTabular.XlsxCell("2024-06-03T00:00", 'd'))
     // dtype inference parity: the styled date columns land TIMESTAMP
     assert(ZippedTabular.inferXlsxSchema(styled.toByteArray).fields
       .map(_.dataType.typeName).toSeq == Seq("long", "timestamp", "timestamp"))
@@ -228,6 +235,12 @@ class SourcesSpec extends GraftSuite {
     assert(ZippedTabular.isDateFormatCode("yyyy-mm-dd;@"))
     assert(!ZippedTabular.isDateFormatCode("#,##0.00"))
     assert(!ZippedTabular.isDateFormatCode("\"days: \"0.0"))
+    // time-component classification drives the midnight date-vs-datetime
+    // split; quoted 'h'/'s' runs don't count
+    assert(ZippedTabular.hasTimeTokens("yyyy\\-mm\\-dd\\ hh:mm:ss"))
+    assert(!ZippedTabular.hasTimeTokens("yyyy-mm-dd;@"))
+    assert(!ZippedTabular.hasTimeTokens("\"hrs \"yyyy-mm-dd"))
+    assert(ZippedTabular.excelSerialToIso("45444", hasTime = true) == "2024-06-01T00:00")
   }
 
   test("xlsx decode gap-fills sparse cells from cell references") {

@@ -70,6 +70,11 @@ DK = mx("documents", "doc_id")
 VK = mx("embeddings", "vec_id")
 assert DK * K < 100_000_000, "doc_ids must stay below the dupCorpus shift"
 assert VK * K < 100_000_000, "vec_ids must stay below the dupCorpus shift"
+# q_semdedup (Queries.scala) and its oracle plant duplicates at
+# vec_id + 1e7 — a generation whose vec ids reach 1e7 would silently
+# re-introduce the round-8 id-collision divergence the 1e8 dupCorpus
+# shift fixed for doc ids
+assert VK * K < 10_000_000, "vec_ids must stay below the semDedup planted shift (1e7)"
 RNG_OFF = int(os.environ.get("GRAFT_RNG_OFFSET", "0"))
 
 def copies(table, select_fn):

@@ -38,6 +38,7 @@ run_family() {
   echo "=== family $fam start $(date +%T) ==="
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_REPS="$REPS" SPARK_GRAFT_PSI_WAIT="${SPARK_GRAFT_PSI_WAIT:-0}" \
+  SPARK_GRAFT_REP_GC="${SPARK_GRAFT_REP_GC:-1}" \
   SPARK_GRAFT_BENCH_ONLY="$keys" \
   timeout "${SWEEP_FAMILY_TIMEOUT:-18000}" \
     java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-72g}" \
