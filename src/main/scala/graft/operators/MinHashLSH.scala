@@ -223,6 +223,21 @@ object MinHashLSH {
     * the hashed shingle sets of both members of each candidate pair
     * (id_a, id_b) and emits the caller's score columns over
     * (`__sh_a`, `__sh_b`). Hash collisions at 64 bits are negligible. */
+  /** A `shuffle_hash` hint on the pair side ONLY when that side is too
+    * big to broadcast. A join-strategy hint takes priority over Spark's
+    * size-based broadcast selection, so hinting unconditionally (the
+    * r13 plan) turned formerly map-side BROADCAST verify joins into
+    * full shuffles of the corpus shingle table — q_ngram_jaccard and
+    * q_containment read 3.1x / 2.6x their recorded sf0.1 floors until
+    * r14 made the hint conditional. When the pair set IS broadcastable
+    * the planner broadcasts it (no corpus shuffle at all); past the
+    * threshold the hint keeps the join SHUFFLE-HASH with the slim pair
+    * side as build, because sort-merge would sort the corpus-sized
+    * shingle side on disk (the r13 sf100 53 GB spill). */
+  private def hintUnlessBroadcastable(pairs: DataFrame): DataFrame =
+    if (pairs.queryExecution.optimizedPlan.stats.sizeInBytes <= (8L << 20)) pairs
+    else pairs.hint("shuffle_hash")
+
   def scorePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                  textCol: String, shingleK: Int)(
                  score: (Column, Column) => Seq[Column]): DataFrame = {
@@ -233,9 +248,7 @@ object MinHashLSH {
     val sh = if (persistShingles(docs))
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    // slim pair side builds the first join's hash map — see the
-    // nearDupPairs plan note (avoids sorting the corpus-sized side)
-    pairs.hint("shuffle_hash")
+    hintUnlessBroadcastable(pairs)
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a") +: col("id_b") +:

@@ -9,6 +9,15 @@
 # kills its SparkContext mid-family (observed r13: the other20 family
 # died at launch with "Cannot call methods on a stopped SparkContext").
 #
+# Defaults set here for LARGE-SF conditions (override per-invocation):
+#   SPARK_GRAFT_REP_GC=1            eager shuffle-file cleanup per query
+#                                   (costs sf0.1 wall-clock, saves disk)
+#   SPARK_GRAFT_SHUFFLE_PARTITIONS=256  32-way shuffles at sf100 mean
+#                                   oversized per-task hash builds —
+#                                   r13's q_dedup_clusters "can't
+#                                   acquire 1 GiB to build hash
+#                                   relation" was a 32-partition run
+#
 #   tools/sweep_families.sh <sfDir> <tag> [reps]
 #
 # Writes target/sweep_<tag>_<family>.out/.err (+ _full.json per-query
@@ -39,6 +48,7 @@ run_family() {
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_REPS="$REPS" SPARK_GRAFT_PSI_WAIT="${SPARK_GRAFT_PSI_WAIT:-0}" \
   SPARK_GRAFT_REP_GC="${SPARK_GRAFT_REP_GC:-1}" \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS="${SPARK_GRAFT_SHUFFLE_PARTITIONS:-256}" \
   SPARK_GRAFT_BENCH_ONLY="$keys" \
   timeout "${SWEEP_FAMILY_TIMEOUT:-18000}" \
     java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-72g}" \
