@@ -23,35 +23,26 @@ import org.apache.spark.sql.SparkSession
 class SessionContractSpec extends GraftSuite {
 
   test("GraftSession.builder carries every required config") {
-    // a sibling session: the shared TestSpark session was not built by
-    // GraftSession (it predates it and skips the extensions for speed),
-    // so build a real one, assert, and release it without disturbing
-    // the suite-wide default session
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    try {
-      val s = GraftSession.builder("2", "2").getOrCreate()
-      try {
-        GraftSession.requiredConfigs.foreach { case (k, v) =>
-          assert(s.conf.get(k) == v, s"required config $k")
-        }
-        // the threshold must be the raised one — the 128 default is the
-        // sf100 spill bug; any future edit must keep >= 1M keys
-        val thr = s.conf.get(
-          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toLong
-        assert(thr >= (1L << 20), s"fallbackThreshold $thr below 1M keys")
-        // the graft extensions must be LIVE, not just configured: a
-        // native registry function resolves only if injection happened
-        assert(s.sql(
-          "SELECT jaccard_sets(array(1L,2L), array(1L,2L)) AS j")
-          .head().getDouble(0) == 1.0)
-      } finally s.stop()
-    } finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+    // asserted on the SHARED session, which SparkFixture builds through
+    // GraftSession.builder: a sibling session cannot test this contract
+    // — extensions load from the SparkContext's STATIC conf, so in a
+    // JVM whose context already exists they silently don't apply, and
+    // SparkSession.stop() would stop the shared context and poison
+    // every later suite (both bit the r14 inherited tree)
+    val s = spark
+    GraftSession.requiredConfigs.foreach { case (k, v) =>
+      assert(s.conf.get(k) == v, s"required config $k")
     }
+    // the threshold must be the raised one — the 128 default is the
+    // sf100 spill bug; any future edit must keep >= 1M keys
+    val thr = s.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toLong
+    assert(thr >= (1L << 20), s"fallbackThreshold $thr below 1M keys")
+    // the graft extensions must be LIVE, not just configured: a
+    // native registry function resolves only if injection happened
+    assert(s.sql(
+      "SELECT jaccard_sets(array(1L,2L), array(1L,2L)) AS j")
+      .head().getDouble(0) == 1.0)
   }
 
   test("shuffle-partitions knob resolves env override over the default") {

@@ -3,21 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** One shared local session for the whole test run. */
+/** One shared local session for the whole test run — built THROUGH
+  * GraftSession.builder so the suite exercises the production session
+  * contract (extensions, UTC, ObjectHashAggregate fallback threshold)
+  * and SessionContractSpec can assert it on the live session. A second
+  * session per spec is not an option: extensions load from the
+  * SparkContext's STATIC conf, so in a JVM whose context already
+  * exists they silently don't apply — and SparkSession.stop() stops
+  * the shared context, poisoning every later suite (the r14 inherited
+  * mid-build failure). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    val s = GraftSession.builder("4", "4")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      // typed-imperative aggregates (TopKAggregate & co) hold BOUNDED
-      // per-key state; Spark's 128-key ObjectHashAggregate fallback
-      // would otherwise sort the whole pre-agg stream to disk (the
-      // sf100 q_knn_graph spill killer — 8e9 joined rows hit the sorter)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
