@@ -18,6 +18,32 @@ class PrefixSumSpec extends GraftSuite {
     assert(dist == expected)
   }
 
+  test("multi-column runningTotals equals per-column runningTotal, in one scan") {
+    val df = (1 to 997).map { i =>
+      (i.toLong, (i * 7 % 13).toLong, (i * 11 % 17).toLong, (i * 3 % 5).toLong)
+    }.toDF("k", "a", "b", "c").repartition(8)
+    val multi = PrefixSum.runningTotals(df, "k", Seq("a", "b", "c"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val singles = Seq("a", "b", "c").map { c =>
+      PrefixSum.runningTotal(df, "k", c)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    (1 to 997).foreach { i =>
+      val k = i.toLong
+      assert(multi(k) == ((singles(0)(k), singles(1)(k), singles(2)(k))),
+        s"k=$k: multi ${multi(k)} != singles")
+    }
+    // and the value columns pass through unchanged
+    val vals = PrefixSum.runningTotals(df, "k", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (1 to 997).foreach { i =>
+      assert(vals(i.toLong) ==
+        (((i * 7 % 13).toLong, (i * 11 % 17).toLong, (i * 3 % 5).toLong)))
+    }
+  }
+
   test("packByBudget bins documents by starting offset; bins respect the budget boundary") {
     // tokens: 1000, 1000, 1000 with budget 2048 → starts 0, 1000, 2000 → packs 0, 0, 0;
     // the 4th doc starts at 3000 → pack 1
