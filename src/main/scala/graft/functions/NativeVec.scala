@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native vector math for the similarity hot path. The declarative forms
@@ -154,6 +155,66 @@ object NativeVec {
       copy(child = newChild)
   }
 
+  /** `sorted_pairs(arr)` — every position pair (i < j) of an integral
+    * array as ARRAY<STRUCT<a,b>>: the C(n,2) fan-out the co-occurrence
+    * graph builders explode into edges. One primitive loop replacing the
+    * interpreted `flatten(transform(.., transform(slice(..))))` lambda
+    * chain, whose per-element closure dispatch + nested array/struct
+    * allocation dominated the graph family's bench cost (the fan-out
+    * count, order, and values are IDENTICAL: i ascending, then j —
+    * callers' aggregates are unchanged). Inputs come pre-sorted and
+    * deduplicated (collect_set + sort_array), so (a, b) is already the
+    * canonical a < b edge orientation. */
+  case class SortedPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) | ArrayType(IntegerType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_pairs expects ARRAY<INT> or ARRAY<BIGINT>, got ${other.sql}")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val ad = input.asInstanceOf[ArrayData]
+      val arr: Array[Long] =
+        child.dataType.asInstanceOf[ArrayType].elementType match {
+          case IntegerType =>
+            val ints = ad.toIntArray()
+            val out = new Array[Long](ints.length)
+            var i = 0
+            while (i < ints.length) { out(i) = ints(i).toLong; i += 1 }
+            out
+          case _ => ad.toLongArray()
+        }
+      val n = arr.length
+      val m = n.toLong * (n - 1) / 2
+      // a single group past ~92k elements would need a >2^31 pair array —
+      // callers cap group sizes (bucket caps / order sizes) long before
+      // this; fail loudly rather than corrupt the count
+      require(m <= Int.MaxValue, s"sorted_pairs fan-out $m exceeds array limit")
+      val out = new Array[Any](m.toInt)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        val a = arr(i)
+        var j = i + 1
+        while (j < n) {
+          out(k) = new GenericInternalRow(Array[Any](a, arr(j)))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Deterministic Gaussian hyperplanes (seeded scala.util.Random —
     * spec-pinned generator, identical on every JVM). Shared by the
     * Column API (Similarity.hyperplanes) and the SQL registration, so
@@ -170,6 +231,7 @@ object NativeVec {
     org.apache.spark.sql.graftshim.GraftShim.expression(c)
 
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(exprOf(a), exprOf(b)))
+  def sorted_pairs(arr: Column): Column = toCol(SortedPairs(exprOf(arr)))
   def sq_dist(a: Column, b: Column): Column = toCol(SqDist(exprOf(a), exprOf(b)))
   def hyperplane_bucket(vec: Column, planes: Array[Array[Double]]): Column =
     toCol(HyperplaneBucket(exprOf(vec), planes.map(_.toIndexedSeq).toIndexedSeq))
