@@ -304,6 +304,44 @@ object NativeText {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `adjacent_transposition(a, b)` — do the two strings differ by
+    * EXACTLY one swap of two adjacent, distinct code points? One
+    * primitive loop over the code-point arrays, replacing the
+    * interpreted `exists(sequence(1, length-1), i -> 6 substring
+    * compares)` lambda (q_fuzzy_phone evaluated that once per
+    * candidate pair — ~60 interpreted UTF8String slices each).
+    * Code-point (not UTF-16-unit) positions, exactly the SQL
+    * substring arithmetic it replaces. */
+  case class AdjacentTransposition(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(left.dataType == StringType && right.dataType == StringType,
+        s"adjacent_transposition expects two STRING arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[UTF8String].toString
+      val b = r.asInstanceOf[UTF8String].toString
+      val ca = a.codePoints().toArray
+      val cb = b.codePoints().toArray
+      if (ca.length != cb.length) return false
+      var i = 0
+      while (i < ca.length && ca(i) == cb(i)) i += 1
+      if (i >= ca.length - 1) return false // equal, or mismatch at last pos
+      if (!(ca(i) == cb(i + 1) && ca(i + 1) == cb(i) && ca(i) != ca(i + 1)))
+        return false
+      var j = i + 2
+      while (j < ca.length) {
+        if (ca(j) != cb(j)) return false
+        j += 1
+      }
+      true
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `bleu_clip_counts(hyp_tokens, ref_tokens)` — BLEU-4's per-pair
     * clipped n-gram statistics computed ENTIRELY map-side: for each
     * n = 1..4, the number of hyp n-gram positions (`tot`) and the
@@ -531,6 +569,8 @@ object NativeText {
   def minhash_signature_univ(hashes: Column, numHashes: Int): Column =
     toCol(MinHashSignatureUniv(exprOf(hashes), numHashes))
   def jaccard_sets(a: Column, b: Column): Column = toCol(JaccardSets(exprOf(a), exprOf(b)))
+  def adjacent_transposition(a: Column, b: Column): Column =
+    toCol(AdjacentTransposition(exprOf(a), exprOf(b)))
   def bleu_clip_counts(hyp: Column, ref: Column): Column =
     toCol(BleuClipCounts(exprOf(hyp), exprOf(ref)))
   def simhash64(text: Column): Column = toCol(SimHash64(exprOf(text)))

@@ -146,6 +146,50 @@ object PrefixSum {
       StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = true)))
   }
 
+  /** Global rank AND inclusive running total in ONE two-phase scan —
+    * for consumers that need both (ABC curves, Pareto shares), which
+    * previously ran `withGlobalRank` + `runningTotal` back to back:
+    * two range shuffles, two driver collects, and a re-join on the
+    * rank. Same contracts as the parts: `orderCols` unique per row,
+    * nulls in `valueCol` count as 0; all input columns are preserved,
+    * `rankCol` (1-based long) and `totalCol` (inclusive prefix sum of
+    * `valueCol` in `orderCols` order) are appended. */
+  def withRankAndRunningTotal(df: DataFrame, orderCols: Seq[String],
+                              valueCol: String,
+                              rankCol: String = "rank",
+                              totalCol: String = "running_total"): DataFrame = {
+    require(orderCols.nonEmpty)
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val vi = df.schema.fieldIndex(valueCol)
+    require(df.schema(vi).dataType == LongType, s"$valueCol must be LONG")
+    // both passes MUST reuse this one shuffled lineage (same rule as
+    // runningTotal): rebuilding could sample different range bounds
+    val keyed = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*).rdd
+    val partAgg = keyed.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1; if (!r.isNullAt(vi)) s += r.getLong(vi) }
+      Iterator((i, (n, s)))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partAgg.scanLeft((0L, 0L)) { case ((n0, s0), (n, s)) =>
+      (n0 + n, s0 + s)
+    }
+    val rows = keyed.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)._1
+      var run = offsets(i)._2
+      it.map { row =>
+        r += 1
+        if (!row.isNullAt(vi)) run += row.getLong(vi)
+        Row.fromSeq(row.toSeq :+ r :+ run)
+      }
+    }
+    spark.createDataFrame(rows,
+      StructType(df.schema.fields :+
+        StructField(rankCol, LongType, nullable = false) :+
+        StructField(totalCol, LongType, nullable = false)))
+  }
+
   /** Sequence packing: assign each document to a fixed-token-budget bin
     * by its starting offset in the global token stream — `pack_id =
     * (running_total - n_tokens) div budget`. Deterministic (id-ordered),

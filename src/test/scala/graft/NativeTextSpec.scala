@@ -119,6 +119,36 @@ class NativeTextSpec extends GraftSuite {
     assert(cells == Seq(1, 0))
   }
 
+  test("adjacent_transposition equals the substring-lambda definition") {
+    // the interpreted form q_fuzzy_phone evaluated per candidate pair
+    val lambda = expr(
+      """exists(sequence(1, length(pa) - 1), i ->
+        |  substring(pa, 1, i - 1) = substring(pb, 1, i - 1)
+        |  AND substring(pa, i + 2) = substring(pb, i + 2)
+        |  AND substring(pa, i, 1) = substring(pb, i + 1, 1)
+        |  AND substring(pa, i + 1, 1) = substring(pb, i, 1)
+        |  AND substring(pa, i, 1) <> substring(pa, i + 1, 1))"""
+        .stripMargin.replace("\n", " "))
+    val cases = Seq(
+      ("+79999999999", "+79999999999"), // equal → false
+      ("+71234567890", "+72134567890"), // adjacent swap → true
+      ("+71234567890", "+71234567809"), // swap at the tail → true
+      ("+71234567890", "+71234567980"), // adjacent swap mid-tail → true
+      ("+71234567890", "+71243567890"), // another adjacent swap → true
+      ("+71234567890", "+73214567890"), // non-adjacent swap → false
+      ("+71234567890", "+71234567891"), // single substitution → false
+      ("+71224567890", "+71224567890"), // equal with repeat → false
+      ("+7122", "+7212"),               // swap then mismatch → false
+      ("ab", "ba"), ("aa", "aa"), ("abc", "abcd"), ("", ""))
+      .toDF("pa", "pb")
+    val rows = cases.select(col("pa"), col("pb"), lambda.as("l"),
+      NativeText.adjacent_transposition(col("pa"), col("pb")).as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == r.getBoolean(3),
+        s"diverges on [${r.getString(0)}] vs [${r.getString(1)}]")
+    }
+  }
+
   test("poly_fingerprint is bit-identical to the declarative char fold") {
     import org.scalacheck.Gen
     val mod = graft.operators.TextAnalysis.FingerprintMod

@@ -18,6 +18,18 @@ class PrefixSumSpec extends GraftSuite {
     assert(dist == expected)
   }
 
+  test("withRankAndRunningTotal equals withGlobalRank + runningTotal") {
+    val df = (1 to 997).map(i => ((i * 31 % 1009).toLong, (i * 7 % 13).toLong))
+      .toDF("k", "x").repartition(8)
+    val combined = PrefixSum.withRankAndRunningTotal(df, Seq("k"), "x", "__r", "rt")
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val ranked = PrefixSum.withGlobalRank(df, Seq("k"), "__r")
+    val expected = PrefixSum.runningTotal(ranked, "__r", "x")
+      .join(ranked.select(col("k"), col("__r")), Seq("__r"))
+      .collect().map(r => (r.getLong(3), (r.getLong(0), r.getLong(2)))).toMap
+    assert(combined == expected)
+  }
+
   test("multi-column runningTotals equals per-column runningTotal, in one scan") {
     val df = (1 to 997).map { i =>
       (i.toLong, (i * 7 % 13).toLong, (i * 11 % 17).toLong, (i * 3 % 5).toLong)
