@@ -128,4 +128,90 @@ object TopKAggregate {
       TopKBy(GraftShim.expression(score), GraftShim.expression(id), k)
         .toAggregateExpression())
   }
+
+  /** `bottomk_distinct(v, k)` — the k smallest DISTINCT long values of
+    * a group, as an ASCENDING array. The bounded-sketch primitive
+    * behind HyperANF-style k-minimum-value state: buffer is a
+    * k-capped sorted set, so memory is O(k) per group however large
+    * the group, partial aggregation runs map-side, and merge unions
+    * two sets under the cap. Replaces the `distinct() +
+    * topk_by(-v, v, k)` pair — one shuffle instead of two, and no
+    * unbounded distinct state. */
+  case class BottomKDistinct(child: Expression, k: Int,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    require(k >= 1)
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+      // skip values past the current k-th smallest: the set never holds
+      // more than k elements and most inserts are rejected O(log k)
+      if (buf.size < k) { buf.add(v); () }
+      else if (v < buf.last) {
+        if (buf.add(v)) buf.remove(buf.last)
+      }
+    }
+
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+                        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(buf: java.util.TreeSet[java.lang.Long],
+                       other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = other.iterator()
+      while (it.hasNext) add(buf, it.next())
+      buf
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) out.writeLong(it.next())
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(storage: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val in = new DataInputStream(new ByteArrayInputStream(storage))
+      val n = in.readInt()
+      val buf = createAggregationBuffer()
+      var j = 0
+      while (j < n) { buf.add(in.readLong()); j += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinct =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinct =
+      copy(inputAggBufferOffset = newOffset)
+    override def prettyName: String = "bottomk_distinct"
+  }
+
+  def bottomk_distinct(v: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      BottomKDistinct(GraftShim.expression(v), k).toAggregateExpression())
+  }
 }

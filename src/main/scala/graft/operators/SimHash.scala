@@ -79,26 +79,46 @@ object SimHash {
                    maxBucketSize: Int = 1000,
                    sqlReplicable: Boolean = false): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
+    // persisted: feeds the candidate aggregation and both hamming-join
+    // sides. Unlike MinHashLSH's shingle table (8 KB/doc — adaptive
+    // persist), a fingerprint row is 16 bytes: caching beats re-reading
+    // and re-fingerprinting the text at every scale.
     val fps = fingerprints(docs, idCol, textCol, sqlReplicable)
-
-    val exploded = fps.select(col(idCol), col("fp"),
-      explode(array((0 until chunks).map { i =>
-        struct(lit(i).as("ci"), chunk(col("fp"), i).as("cv"))
-      }: _*)).as("c"))
-      .select(col(idCol), col("fp"), col("c.ci"), col("c.cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sizes = exploded.groupBy("ci", "cv").count()
-      .filter(col("count").between(2, maxBucketSize))
-      .select("ci", "cv")
-    val pruned = exploded.join(sizes, Seq("ci", "cv"))
-
-    val a = pruned.select(col("ci"), col("cv"), col(idCol).as("id_a"), col("fp").as("fp_a"))
-    val b = pruned.select(col("ci"), col("cv"), col(idCol).as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("ci", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    // Candidate ids per 16-bit chunk bucket: ONE capped collect
+    // aggregation + map-side native pair fan-out (the MinHashLSH
+    // candidatePairs shape — replaces persist + size count + size
+    // semi-join + bucket self-join, four shuffles of the exploded
+    // table). Per-key state stays bounded at maxBucketSize + 1; the
+    // +1 sentinel flags over-cap buckets for the same drop the size
+    // filter did.
+    // the chunk INDEX stays in the group key: chunk i and chunk j
+    // sharing a value must not merge (same contract as the old
+    // (ci, cv) self-join key)
+    val banded = fps.select(col(idCol), posexplode(array(
+        (0 until chunks).map(i => chunk(col("fp"), i)): _*)).as(Seq("ci", "cv")))
+    val pairs = banded.groupBy("ci", "cv")
+      .agg(graft.functions.TopKAggregate
+        .topk_by(-col(idCol).cast("double"), col(idCol), maxBucketSize + 1)
+        .as("__t"))
+      .select(array_sort(expr("transform(__t, e -> e.id)")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(graft.functions.NativeVec.sorted_pairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .distinct()
+
+    // Hamming verify: the fingerprints join back once per side — the
+    // pair side is tiny at bench SFs (AQE broadcasts it; no hint), and
+    // at corpus scale the slim pair side builds a SHUFFLE-HASH table so
+    // the fingerprint side streams unsorted (the MinHashLSH verify-join
+    // rule; 16-byte rows make even this join cheap).
+    val big = docs.queryExecution.optimizedPlan.stats.sizeInBytes >= (512L << 20)
+    (if (big) pairs.hint("shuffle_hash") else pairs)
+      .join(fps.select(col(idCol).as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(fps.select(col(idCol).as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

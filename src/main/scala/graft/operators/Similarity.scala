@@ -152,23 +152,37 @@ object Similarity {
                    seed: Long = 42L, roundTo: Option[Int] = None,
                    maxBucketSize: Int = 10000): DataFrame = {
     val planes = hyperplanes(bits, dim, seed)
-    // (id, vec, bucket) feeds three consumers (bucket-size filter + both
-    // self-join sides) — persist so the scan + bucket hashing run once.
+    // (id, vec, bucket) feeds the candidate aggregation and both
+    // verify-join sides — persist so the scan + bucket hashing run once.
     val b = vectors.select(col(idCol), col(vecCol).as("__v"),
       lshBucket(col(vecCol), planes).as("__bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Skew guard: one cheap count agg, keep only sane buckets (size-1
-    // buckets can't produce a pair; over-cap buckets are pathological).
-    val sizes = b.groupBy("__bucket").count()
-      .filter(col("count").between(2, maxBucketSize))
-      .select("__bucket")
-    val pruned = b.join(sizes, Seq("__bucket"))
-    val l = pruned.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
-    val r = pruned.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    // Candidate id-pairs per bucket: ONE capped collect aggregation +
+    // map-side native pair fan-out (the MinHashLSH candidatePairs
+    // shape) — the r13 form shuffled the VECTORS through a bucket-size
+    // semi-join and a bucket self-join. Per-key state stays bounded at
+    // maxBucketSize + 1 (skew guard unchanged: over-cap buckets drop,
+    // size-1 buckets can't pair). Each vector has exactly ONE bucket,
+    // so no cross-bucket duplicate pairs exist (no distinct needed —
+    // same as the self-join form).
+    val pairs = b.groupBy("__bucket")
+      .agg(graft.functions.TopKAggregate
+        .topk_by(-col(idCol).cast("double"), col(idCol), maxBucketSize + 1)
+        .as("__t"))
+      .select(array_sort(expr("transform(__t, e -> e.id)")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(graft.functions.NativeVec.sorted_pairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+    // Exact-cosine verify: vectors join back once per side. The pair
+    // side is tiny at bench SFs (AQE broadcasts it; no hint); at corpus
+    // scale the slim pair side builds a SHUFFLE-HASH table so the
+    // vector side streams unsorted (the MinHashLSH verify-join rule).
+    val big = vectors.queryExecution.optimizedPlan.stats.sizeInBytes >= (512L << 20)
     val raw = cosine(col("__va"), col("__vb"))
     val score = roundTo.fold(raw)(d => round(raw, d))
-    l.join(r, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
+    (if (big) pairs.hint("shuffle_hash") else pairs)
+      .join(b.select(col(idCol).as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(b.select(col(idCol).as("id_b"), col("__v").as("__vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), score.as("cosine"))
       .filter(col("cosine") >= threshold)
   }

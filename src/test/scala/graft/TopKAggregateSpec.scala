@@ -47,6 +47,23 @@ class TopKAggregateSpec extends GraftSuite {
     assert(viaAgg == windowed)
   }
 
+  test("bottomk_distinct equals distinct + topk_by(-v) with ascending output") {
+    // the q_hyperanf sketch-cap pair it replaces (two shuffles -> one)
+    val rows = (1 to 5000).map(i => ((i % 7).toLong, (i * 13 % 97).toLong))
+    val df = rows.toDF("v", "h").repartition(8)
+    val viaBottomK = df.groupBy("v")
+      .agg(graft.functions.TopKAggregate.bottomk_distinct(col("h"), 32).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaPair = df.distinct().groupBy("v")
+      .agg(topk_by(-col("h").cast("double"), col("h"), 32).as("t"))
+      .select(col("v"), expr("array_sort(transform(t, e -> e.id))").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(viaBottomK == viaPair)
+    viaBottomK.values.foreach { hs =>
+      assert(hs == hs.sorted && hs == hs.distinct && hs.size <= 32)
+    }
+  }
+
   test("plan shows partial + final aggregation (map-side bounded heaps)") {
     val df = Seq(("a", 1L, 0.9)).toDF("g", "id", "score")
     val plan = df.groupBy("g").agg(topk_by(col("score"), col("id"), 2))
